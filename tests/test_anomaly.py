@@ -1,0 +1,185 @@
+"""Anomaly layer tests: golden values from the reference's semantics plus a
+cross-check against an independent pandas re-implementation of the
+forward-chaining CV (written for this test, not vectorized — see
+``/root/reference/thoth/anomaly/models.py:78-164`` /
+``optimization.py:103-191`` for the behavior being replicated)."""
+
+import datetime
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from thoth_spark.anomaly import (
+    DEFAULT_WINDOWS,
+    OptimizationFailedError,
+    PythonModelAdapter,
+    optimize,
+    simple_model_folds,
+)
+from thoth_spark.anomaly.scoring import score
+from thoth_spark.quality import assess_quality
+
+KEY = ["entity", "instance", "name"]
+
+
+def _series_df(spark, values, name="Mean"):
+    rows = [
+        ("Column", "value", name, datetime.datetime(2022, 1, 1) + datetime.timedelta(days=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(
+        rows, "entity string, instance string, name string, ts timestamp, value double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Independent re-implementation of the reference semantics (pandas, per fold)
+# ---------------------------------------------------------------------------
+
+
+def _pd_ape(t, p):
+    if p is None or (isinstance(p, float) and math.isnan(p)):
+        return None
+    return min(abs(t - p) / t, 1.0)
+
+
+def _pd_simple_model_score(values, windows):
+    """Train on values[:-1], pick best window by mean train APE, forecast."""
+    train = values[:-1]
+    usable = [w for w in windows if w < len(train)]
+    best_w, best_err = None, None
+    for w in usable:
+        errs = [
+            _pd_ape(train[j], sum(train[j - w : j]) / w)
+            for j in range(w, len(train))
+        ]
+        errs = [e for e in errs if e is not None]
+        mean_err = sum(errs) / len(errs)
+        if best_err is None or mean_err < best_err:
+            best_w, best_err = w, mean_err
+    pred = sum(train[-best_w:]) / best_w
+    return best_w, pred, _pd_ape(values[-1], pred)
+
+
+def _pd_cv(values, windows, start_idx):
+    out = []
+    for i in range(start_idx, len(values)):
+        out.append((i, *_pd_simple_model_score(values[: i + 1], windows)))
+    return out
+
+
+def test_golden_score_pred4_ape02(spark):
+    """The reference's golden case: series 1..5 with window=1 →
+    pred 4.0, APE 0.2 (``test_models.py:101-113``)."""
+    df = _series_df(spark, [1, 2, 3, 4, 5])
+    folds = simple_model_folds(df, windows=[1], key_cols=KEY)
+    last = folds.where(F.col("__idx") == 4).collect()[0]
+    assert last["predicted"] == 4.0
+    assert last["error"] == pytest.approx(0.2)
+    assert last["best_window"] == 1
+
+
+def test_folds_match_pandas_reference(spark):
+    values = [10.0, 12.0, 11.0, 13.0, 12.5, 30.0, 12.0, 11.5, 12.2, 12.8,
+              13.1, 11.9, 12.0, 40.0, 12.3, 12.1, 11.8, 12.6, 12.4, 12.9]
+    df = _series_df(spark, values)
+    folds = (
+        simple_model_folds(df, windows=DEFAULT_WINDOWS, key_cols=KEY)
+        .orderBy("__idx")
+        .collect()
+    )
+    expected = _pd_cv(values, DEFAULT_WINDOWS, start_idx=4)
+    for i, best_w, pred, err in expected:
+        row = folds[i]
+        assert row["best_window"] == best_w, f"fold {i}"
+        assert row["predicted"] == pytest.approx(pred), f"fold {i}"
+        assert row["error"] == pytest.approx(err), f"fold {i}"
+
+
+def test_tie_break_prefers_earlier_window(spark):
+    # constant series: every window has train error 0 → first window wins
+    df = _series_df(spark, [5.0] * 12)
+    folds = simple_model_folds(df, windows=[3, 5, 7], key_cols=KEY).collect()
+    for r in folds:
+        if r["best_window"] is not None:
+            assert r["best_window"] == 3
+
+
+def test_optimize_threshold_grid_and_floor(spark):
+    # constant series → all errors 0 → grid minimum 0.01 → floored to 0.1
+    df = _series_df(spark, [5.0] * 30)
+    opt = optimize(df, key_cols=KEY)
+    row = opt.optimization_df.collect()[0]
+    assert row["threshold"] == pytest.approx(0.1)
+    assert row["best_model_name"] == "SimpleModel"
+    assert row["below_threshold_proportion"] == 1.0
+
+
+def test_optimize_threshold_matches_percentile_semantics(spark):
+    values = [10.0, 12.0, 11.0, 13.0, 12.5, 30.0, 12.0, 11.5, 12.2, 12.8,
+              13.1, 11.9, 12.0, 40.0, 12.3, 12.1, 11.8, 12.6, 12.4, 12.9,
+              11.7, 12.2, 12.0, 12.4, 12.6]
+    df = _series_df(spark, values)
+    opt = optimize(df, key_cols=KEY, confidence=0.8, min_threshold=0.0)
+    # independent: n=25 → start_proportion 0.4 → start_idx 10
+    errors = [e for (_, _, _, e) in _pd_cv(values, DEFAULT_WINDOWS, 10)]
+    grid = [t / 100 for t in range(1, 101)]
+    expected = min(
+        t for t in grid if sum(e <= t for e in errors) / len(errors) >= 0.8
+    )
+    row = opt.optimization_df.collect()[0]
+    assert row["threshold"] == pytest.approx(expected)
+
+
+def test_optimize_fails_on_degenerate_series(spark):
+    df = _series_df(spark, [0.0] * 30)  # ape denominator < 1e-4 → reject
+    with pytest.raises(OptimizationFailedError):
+        optimize(df, key_cols=KEY)
+
+
+def test_optimize_fails_on_short_series(spark):
+    df = _series_df(spark, [1.0, 2.0, 3.0])
+    with pytest.raises(OptimizationFailedError):
+        optimize(df, key_cols=KEY)
+
+
+def test_score_is_last_fold_and_assess(spark):
+    values = [10.0, 11.0, 10.5, 11.5, 10.8, 11.2, 10.9, 11.1, 11.3, 10.7,
+              11.0, 10.6, 11.4, 10.9, 11.2, 10.8, 11.1, 10.95, 11.05, 11.0,
+              10.9, 11.1, 11.0, 10.85, 11.15, 10.95, 11.2, 11.05, 10.9, 11.0]
+    df = _series_df(spark, values)
+    opt = optimize(df, key_cols=KEY)
+    s = score(df, opt)
+    row = s.collect()[0]
+    _, exp_pred, exp_err = _pd_simple_model_score(values, DEFAULT_WINDOWS)
+    assert row["predicted"] == pytest.approx(exp_pred)
+    assert row["error"] == pytest.approx(exp_err)
+    assert assess_quality(opt.optimization_df, s) is True
+
+    # inject an anomaly at the last point: score >> threshold
+    anomalous = values[:-1] + [values[-1] * 5]
+    df2 = _series_df(spark, anomalous)
+    s2 = score(df2, opt)
+    assert assess_quality(opt.optimization_df, s2) is False
+
+
+def test_multiple_metrics_parallel(spark):
+    a = _series_df(spark, [10.0 + (i % 5) for i in range(30)], name="Mean")
+    b = _series_df(spark, [100.0 + 10 * (i % 3) for i in range(30)], name="Size")
+    df = a.unionByName(b)
+    opt = optimize(df, key_cols=KEY)
+    assert opt.optimization_df.count() == 2
+    s = score(df, opt)
+    assert s.count() == 2
+
+
+def test_python_model_adapter(spark):
+    """applyInPandas extension point: a naive last-value forecaster."""
+    values = [10.0, 12.0, 11.0, 13.0, 12.0, 14.0, 13.0, 15.0]
+    df = _series_df(spark, values)
+    model = PythonModelAdapter("LastValue", lambda ts, vs: vs[-1])
+    folds = model.folds(df, key_cols=KEY).orderBy("__idx").collect()
+    assert folds[5]["predicted"] == pytest.approx(values[4])
+    assert folds[5]["error"] == pytest.approx(abs(values[5] - values[4]) / values[5])
