@@ -1,0 +1,103 @@
+"""E2E service-layer test — the rebuild's version of the reference's
+``test_e2e_flow_with_anomaly``
+(``/root/reference/tests/integration/thoth/test_service_layer.py:85-147``):
+onboard history, assess a normal batch (no alert), assess a perturbed
+batch (alert), verify repository round-trips and re-assessment upsert."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from thoth_spark.profiler import SimpleProfilingBuilder
+from thoth_spark.quality import NotificationHandler
+from thoth_spark.repository import DatasetValidationError, MetricsRepository
+from thoth_spark.service import assess_new_ts, profile_create_optimize
+
+
+class _CaptureHandler(NotificationHandler):
+    def __init__(self):
+        self.calls = []
+
+    def _notify(self, dataset_uri, ts, anomalous_scores):
+        self.calls.append((dataset_uri, ts, anomalous_scores))
+
+
+@pytest.fixture()
+def repo(spark, tmp_path):
+    return MetricsRepository(spark, str(tmp_path / "store"))
+
+
+def test_e2e_flow_with_anomaly(spark, events_df, repo):
+    last_day = datetime.datetime(2024, 1, 30)
+    history = events_df.where(F.col("ts") < F.lit(last_day)).select(
+        "ts", "value", "event_type"
+    )
+    new_batch = events_df.where(F.col("ts") >= F.lit(last_day)).select(
+        "ts", "value", "event_type"
+    )
+
+    metrics, opt_df = profile_create_optimize(
+        history,
+        dataset_uri="my://events",
+        ts_column="ts",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        confidence=0.85,
+    )
+    assert opt_df.count() == 4  # Size, Mean(value), Completeness x2
+    assert repo.get_dataset("my://events")["ts_column"] == "ts"
+
+    # normal day → no alert
+    handler = _CaptureHandler()
+    ok = assess_new_ts(
+        new_batch,
+        ts=last_day,
+        dataset_uri="my://events",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        notification_handlers=[handler],
+    )
+    assert ok is True
+    assert handler.calls == []
+
+    # anomalous day (values x20) → alert with the Mean metric flagged;
+    # same-ts re-assessment exercises the upsert path
+    anomalous = new_batch.withColumn("value", F.col("value") * 20)
+    ok = assess_new_ts(
+        anomalous,
+        ts=last_day,
+        dataset_uri="my://events",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        notification_handlers=[handler],
+    )
+    assert ok is False
+    assert len(handler.calls) == 1
+    flagged = {m.metric for m in handler.calls[0][2]}
+    assert ("Column", "value", "Mean") in flagged
+
+    # the re-assessment replaced (not duplicated) the last-day profiling
+    stored = repo.select_profiling("my://events")
+    assert stored.where(F.col("ts") == F.lit(last_day)).groupBy(
+        "entity", "instance", "name"
+    ).count().where(F.col("count") > 1).count() == 0
+    # scoring persisted
+    assert repo.select_scoring("my://events").count() == 4
+
+
+def test_add_profiling_requires_registration(spark, events_df, repo):
+    from thoth_spark.profiler import profile
+
+    metrics = profile(events_df.select("ts", "value"), "ts", SimpleProfilingBuilder())
+    with pytest.raises(DatasetValidationError):
+        repo.add_profiling("unregistered://x", metrics)
+
+
+def test_dataset_registry_upsert(spark, repo):
+    repo.add_dataset("a://1", "ts", ["x"], "DAY")
+    repo.add_dataset("b://2", "ts", ["y"], "DAY")
+    repo.add_dataset("a://1", "ts2", ["x", "z"], "DAY")
+    datasets = repo.get_datasets()
+    assert [d["dataset_uri"] for d in datasets] == ["a://1", "b://2"]
+    assert datasets[0]["ts_column"] == "ts2"

@@ -54,19 +54,29 @@ def validate_series(metrics_df: DataFrame, key_cols: list[str]) -> None:
     train the shortest window. One small aggregate job."""
     bad = (
         metrics_df.groupBy(*key_cols)
-        .agg(F.min("value").alias("mn"), F.count(F.lit(1)).alias("n"))
-        .where((F.col("mn") < APE_MIN_TRUE_VALUE) | (F.col("n") < 5))
+        .agg(
+            F.min("value").alias("mn"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("int")).alias("nulls"),
+        )
+        .where(
+            (F.col("mn") < APE_MIN_TRUE_VALUE)
+            | (F.col("n") < 5)
+            | (F.col("nulls") > 0)
+            | F.col("mn").isNull()
+        )
         .limit(20)
         .collect()
     )
     if bad:
         details = ", ".join(
-            "/".join(str(r[c]) for c in key_cols) + f" (min={r['mn']}, n={r['n']})"
+            "/".join(str(r[c]) for c in key_cols)
+            + f" (min={r['mn']}, n={r['n']}, nulls={r['nulls']})"
             for r in bad
         )
         raise OptimizationFailedError(
             f"Unusable metric series (value < {APE_MIN_TRUE_VALUE} makes APE "
-            f"undefined, or fewer than 5 points): {details}"
+            f"undefined, null values present, or fewer than 5 points): {details}"
         )
 
 

@@ -1,0 +1,99 @@
+"""Service layer: the reference's public entry points re-expressed over the
+DataFrame pipeline + parquet repository
+(``/root/reference/thoth/service_layer.py:400-508``)."""
+
+from __future__ import annotations
+
+import logging
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from thoth_spark.anomaly.optimization import AnomalyOptimization, optimize
+from thoth_spark.anomaly.scoring import score
+from thoth_spark.profiler import Granularity, ProfilingBuilder, profile
+from thoth_spark.quality import NotificationHandler, assess_quality
+from thoth_spark.repository import MetricsRepository
+
+logger = logging.getLogger("thoth_spark.service")
+
+_KEY = ["entity", "instance", "name"]
+
+
+def profile_create_optimize(
+    df: DataFrame,
+    dataset_uri: str,
+    ts_column: str,
+    repo: MetricsRepository,
+    profiling_builder: ProfilingBuilder | None = None,
+    granularity: str = Granularity.DAY,
+    confidence: float = 0.99,
+    min_threshold: float = 0.1,
+    start_proportion: float | None = None,
+    last_n: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Onboard a dataset: profile full history, persist, optimize, persist.
+
+    Returns (metrics_df, optimization_df)."""
+    metrics = profile(df, ts_column, profiling_builder, granularity).cache()
+    repo.add_dataset(
+        dataset_uri, ts_column, [c for c in df.columns if c != ts_column], granularity
+    )
+    repo.add_profiling(dataset_uri, metrics, granularity)
+    opt = optimize(
+        metrics,
+        confidence=confidence,
+        min_threshold=min_threshold,
+        start_proportion=start_proportion,
+        last_n=last_n,
+        key_cols=_KEY,
+    )
+    repo.add_optimization(dataset_uri, opt.optimization_df, confidence)
+    return metrics, opt.optimization_df
+
+
+def assess_new_ts(
+    df: DataFrame,
+    ts,
+    dataset_uri: str,
+    repo: MetricsRepository,
+    profiling_builder: ProfilingBuilder | None = None,
+    notification_handlers: Sequence[NotificationHandler] | None = None,
+) -> bool:
+    """Score one new batch against the stored optimization.
+
+    Profiles the batch, splices it into history (same-ts re-profiling
+    replaces the stored report — reference ``service_layer.py:481-486``),
+    scores the last point per metric, persists the scoring and assesses
+    quality. Returns True when no metric breaches its threshold.
+    """
+    dataset = repo.get_dataset(dataset_uri)
+    if dataset is None:
+        raise ValueError(f"Dataset '{dataset_uri}' not found; onboard it first.")
+    granularity = dataset["granularity"]
+    ts_column = dataset["ts_column"]
+
+    new_metrics = profile(df, ts_column, profiling_builder, granularity)
+    repo.add_profiling(dataset_uri, new_metrics, granularity)
+
+    history = repo.select_profiling(dataset_uri, end_ts=ts).select(
+        *_KEY, "ts", "value"
+    )
+    opt_df = repo.get_optimization(dataset_uri).cache()
+    confidence = opt_df.select("confidence").first()["confidence"]
+    optimization = AnomalyOptimization(
+        optimization_df=opt_df,
+        validation_df=None,
+        confidence=confidence,
+        key_cols=_KEY,
+    )
+    scoring = score(history, optimization, key_cols=_KEY).cache()
+    repo.add_scoring(dataset_uri, scoring)
+    return assess_quality(
+        opt_df,
+        scoring,
+        key_cols=_KEY,
+        notification_handlers=notification_handlers,
+        dataset_uri=dataset_uri,
+    )
