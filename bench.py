@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver-side collect overhead). One warm-up pass amortizes JVM/codegen
+startup so numbers reflect steady-state plan execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from thoth_spark.session import get_spark  # noqa: E402
+from thoth_spark import entry_queries  # noqa: E402
+
+#: headline queries — one per major capability area (profiling exact +
+#: approx, anomaly optimize/score/assess, TPC-H joins/aggs, window ops,
+#: dedup exact/minhash, text, similarity).
+HEADLINE = [
+    "profile_events_exact",
+    "profile_events_approx",
+    "anomaly_sm_validation",
+    "anomaly_sm_threshold",
+    "quality_assessment_events",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "sessionize_events",
+    "asof_join_purchase_click",
+    "dedup_exact_documents",
+    "dedup_minhash_documents",
+    "text_stats_documents",
+    "lang_id_documents",
+    "similarity_topk_brute",
+]
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(master=f"local[{cpus}]", app_name="thoth-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = entry_queries.QUERIES
+    # warm-up: JVM, codegen, parquet footer caches
+    _run(queries["tpch_q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _run(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

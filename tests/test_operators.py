@@ -1,0 +1,268 @@
+"""Operator tests: dedup, similarity, text, relational, multimodal."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from thoth_spark.operators import dedup, multimodal, relational, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick  brown fox"), (2, "the quick brown fox")], "id long, text string"
+    )
+    stats = text.text_stats(df, "text").collect()
+    r = {x["id"]: x for x in stats}
+    assert r[1]["n_tokens"] == 4
+    assert r[1]["n_distinct_tokens"] == 4
+    assert r[1]["stopword_ratio"] == pytest.approx(0.25)
+    # normalization makes 1 and 2 identical fingerprints
+    fps = df.select(text.fingerprint(F.col("text")).alias("fp")).collect()
+    assert fps[0]["fp"] == fps[1]["fp"]
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    grams = df.select(text.word_ngrams(F.col("text"), 3).alias("g")).first()["g"]
+    assert grams == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "id long, text string")
+    assert short.select(text.word_ngrams(F.col("text"), 3).alias("g")).first()["g"] == []
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is here"),
+            (2, "el gato y la casa que es de los perros"),
+            (3, "der Hund und die Katze ist das Tier"),
+            (4, "xyzzy plugh"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["lang"] for r in df.select("id", text.language_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "es", 3: "de", 4: "und"}
+
+
+def test_quality_score_range(spark, documents_df):
+    q = text.quality_score(documents_df, "text")
+    mn, mx = q.agg(F.min("quality_score"), F.max("quality_score")).first()
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_deterministic(spark):
+    df = spark.createDataFrame(
+        [(3, "dup"), (1, "dup"), (2, "uniq"), (5, "dup")], "id long, text string"
+    )
+    out = dedup.exact_dedup(df, ["text"], "id").collect()
+    assert {(r["id"], r["text"]) for r in out} == {(1, "dup"), (2, "uniq")}
+
+
+def test_exact_text_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [(2, "Hello  World"), (1, "hello world"), (3, "bye")], "id long, text string"
+    )
+    out = dedup.exact_text_dedup(df, "text", "id")
+    assert {r["id"] for r in out.collect()} == {1, 3}
+
+
+@pytest.fixture(scope="module")
+def neardup_df(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    mutated = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    other = "completely different words about spark query engines and shuffles here"
+    return spark.createDataFrame(
+        [(1, base), (2, mutated), (3, other), (4, base + " extra")],
+        "id long, text string",
+    )
+
+
+def test_ngram_jaccard_pairs(spark, neardup_df):
+    pairs = dedup.ngram_jaccard_pairs(neardup_df, "id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 4) in got
+    assert all(3 not in p for p in got)
+    # independent check of one jaccard value
+    row = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}[(1, 2)]
+    a = set(" ".join(w) for w in zip(*[iter([])] * 1))  # placeholder no-op
+    def grams(s, n=3):
+        t = s.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+    g1, g2 = grams("the quick brown fox jumps over the lazy dog again and again today"), grams(
+        "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    )
+    assert row == pytest.approx(len(g1 & g2) / len(g1 | g2), abs=1e-6)
+
+
+def test_minhash_dedup(spark, neardup_df):
+    out = dedup.minhash_dedup(neardup_df, "id", "text", threshold=0.5)
+    ids = {r["id"] for r in out.collect()}
+    assert 1 in ids and 3 in ids  # survivors
+    assert 2 not in ids  # near-dup of 1 with larger id → dropped
+
+
+def test_minhash_candidates_superset_check(spark, neardup_df):
+    sigs = dedup.minhash_signatures(neardup_df, "id", "text", num_hashes=32)
+    cands = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(sigs).collect()}
+    assert (1, 2) in cands or (1, 4) in cands  # high-sim pairs found
+
+
+def test_simhash_near_dups(spark, neardup_df):
+    hashes = dedup.simhash(neardup_df, "id", "text")
+    rows = {r["id"]: (r["sim_hi"], r["sim_lo"]) for r in hashes.collect()}
+    assert all(0 <= h < 2**32 for pair in rows.values() for h in pair)
+    pairs = dedup.simhash_near_dup_pairs(hashes, max_hamming=8)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (1, 2) in got  # one-word difference → tiny hamming distance
+    # identical-prefix doc 4 also close to 1
+    assert got[(1, 2)] <= 8
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_brute_force_topk(spark, embeddings_df):
+    queries = embeddings_df.where(F.col("vec_id") < 3)
+    out = dedup_free = similarity.brute_force_topk(embeddings_df, queries, k=5)
+    rows = out.collect()
+    assert len(rows) == 15  # 3 queries x 5
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rs)
+        assert all(-1.000001 <= r["cos_sim"] <= 1.000001 for r in rs)
+
+
+def test_brute_force_topk_matches_numpy(spark, embeddings_df):
+    import numpy as np
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in embeddings_df.collect()}
+    q = 0
+    qv = vecs[q]
+    sims = {
+        i: float(np.dot(qv, v) / (np.linalg.norm(qv) * np.linalg.norm(v)))
+        for i, v in vecs.items()
+        if i != q
+    }
+    expected_top = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    out = similarity.brute_force_topk(
+        embeddings_df, embeddings_df.where(F.col("vec_id") == q), k=5
+    ).orderBy("rank")
+    got = [(r["neighbor_id"], r["cos_sim"]) for r in out.collect()]
+    for (ei, es), (gi, gs) in zip(expected_top, got):
+        assert ei == gi
+        assert gs == pytest.approx(es, abs=1e-5)
+
+
+def test_hyperplane_lsh_recall(spark, embeddings_df):
+    queries = embeddings_df.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings_df, queries, k=3)
+    approx = similarity.hyperplane_lsh_topk(embeddings_df, queries, k=3, nbits=6)
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4  # approximate, but must find a decent share
+
+
+def test_ivf_topk_runs(spark, embeddings_df):
+    queries = embeddings_df.where(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(embeddings_df, queries, k=3, n_centroids=8, nprobe=3)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# relational
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join(spark):
+    t = datetime.datetime(2024, 1, 1)
+
+    def at(m):
+        return t + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, at(5), "l1"), (1, at(20), "l2"), (2, at(3), "l3")],
+        "k long, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, at(0), 10.0), (1, at(10), 20.0), (2, at(4), 30.0)],
+        "k long, ts timestamp, rv double",
+    )
+    out = relational.asof_join(left, right, on=["k"])
+    got = {(r["k"], r["lv"]): r["rv_asof"] for r in out.collect()}
+    assert got == {(1, "l1"): 10.0, (1, "l2"): 20.0, (2, "l3"): None}
+
+
+def test_sessionize(spark):
+    t = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, t),
+        (1, t + datetime.timedelta(minutes=10)),
+        (1, t + datetime.timedelta(minutes=50)),  # gap 40m > 30m → new session
+        (2, t),
+    ]
+    df = spark.createDataFrame(rows, "user long, ts timestamp")
+    out = relational.sessionize(df, ["user"], "ts", gap_seconds=1800)
+    got = sorted((r["user"], r["ts"].minute, r["session_id"]) for r in out.collect())
+    assert got == [(1, 0, 1), (1, 10, 1), (1, 50, 2), (2, 0, 1)]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9)], "g string, v long"
+    )
+    out = relational.top_k_per_group(df, ["g"], "v", k=2)
+    got = {(r["g"], r["v"], r["rank"]) for r in out.collect()}
+    assert got == {("a", 3, 1), ("a", 2, 2), ("b", 9, 1)}
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_stub_pipeline(spark, documents_df):
+    with_bin = multimodal.attach_binary(documents_df.limit(20), "text")
+    decoded = multimodal.decode_stub(with_bin)
+    rows = decoded.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["media_md5"]) == 32
+        assert r["media_bytes"] == len(r["text"].encode())
+        assert 16 <= r["width"] <= 16 + 255
+        assert r["format"] in ("png", "jpeg", "webp")
+    # determinism
+    again = {r["doc_id"]: r["media_md5"] for r in multimodal.decode_stub(with_bin).collect()}
+    assert again == {r["doc_id"]: r["media_md5"] for r in rows}
+
+
+def test_frame_sample_stub(spark, documents_df):
+    with_bin = multimodal.attach_binary(documents_df.limit(3), "text")
+    frames = multimodal.frame_sample_stub(with_bin).collect()
+    assert len(frames) > 3  # 1→N explode
+    assert all(f["frame_idx"] >= 0 for f in frames)
+
+
+def test_decode_real_raises(spark, documents_df):
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(documents_df)

@@ -1,0 +1,1163 @@
+"""Driver-contract queries: every operator exposed as
+``(spark, sf_dir) -> DataFrame`` with a matching DuckDB oracle SQL.
+
+Conventions that make the hash-compare deterministic across engines:
+
+- every float output is ``round(x, 6)`` (or coarser for big sums) on BOTH
+  sides, computed AFTER identical arithmetic;
+- daily timestamps are cast to DATE on both sides;
+- hashes are MD5 (bit-identical everywhere);
+- ties in any ranking are broken by explicit id columns;
+- DuckDB reads the raw parquet views (``events.ts`` is nanosecond — cast
+  ``::TIMESTAMP`` to microseconds, matching Spark's ``DIV 1000`` load).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from thoth_spark.anomaly.models import DEFAULT_WINDOWS, SimpleModel
+from thoth_spark.anomaly.optimization import cross_validation, find_best_threshold
+from thoth_spark.operators import dedup, multimodal, relational, similarity, text
+from thoth_spark.profiler import (
+    Compliance,
+    Correlation,
+    Distinctness,
+    Entropy,
+    ExactProfilingBuilder,
+    Granularity,
+    Histogram,
+    MaxLength,
+    Maximum,
+    MinLength,
+    Minimum,
+    PatternMatch,
+    ProfilingBuilder,
+    Size,
+    Sum,
+    Uniqueness,
+    UniqueValueRatio,
+    profile,
+)
+from thoth_spark.sources import load_table
+
+KEY = ["entity", "instance", "name"]
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _round_metrics(df: DataFrame) -> DataFrame:
+    return df.select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Profiling
+# ---------------------------------------------------------------------------
+
+_EVENTS_DAY = "SELECT date_trunc('day', ts) AS d, * FROM events"
+
+ORACLE_PROFILE_EXACT = f"""
+WITH e AS ({_EVENTS_DAY})
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'Dataset' AS entity, '*' AS instance, 'Size' AS name, count(*)::DOUBLE AS value FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'Completeness', count(value)::DOUBLE / count(*) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'event_type', 'Completeness', count(event_type)::DOUBLE / count(*) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'Mean', avg(value) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'StandardDeviation', stddev_pop(value) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'ExactQuantiles-0.25', quantile_cont(value, 0.25) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'ExactQuantiles-0.5', quantile_cont(value, 0.5) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'ExactQuantiles-0.75', quantile_cont(value, 0.75) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'event_type', 'CountDistinct', count(DISTINCT event_type)::DOUBLE FROM e GROUP BY d
+) t
+"""
+
+
+@query("profile_events_exact", ORACLE_PROFILE_EXACT)
+def profile_events_exact(spark, sf_dir):
+    """Flagship: the default profiling surface with exact quantiles —
+    one groupBy(day) job for all metrics of all columns."""
+    df = _events(spark, sf_dir).select("ts", "value", "event_type")
+    return _round_metrics(profile(df, "ts", ExactProfilingBuilder()))
+
+
+ORACLE_MINMAX = f"""
+WITH e AS ({_EVENTS_DAY})
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'Column' AS entity, 'value' AS instance, 'Minimum' AS name, min(value) AS value FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'Maximum', max(value) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'Sum', sum(value) FROM e GROUP BY d
+) t
+"""
+
+
+@query("profile_events_minmax_sum", ORACLE_MINMAX)
+def profile_events_minmax_sum(spark, sf_dir):
+    df = _events(spark, sf_dir).select("ts", "value")
+    builder = ProfilingBuilder(analyzers=[Minimum("value"), Maximum("value"), Sum("value")])
+    return _round_metrics(profile(df, "ts", builder))
+
+
+ORACLE_EXTENDED = f"""
+WITH e AS ({_EVENTS_DAY})
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'Column' AS entity, 'event_type' AS instance, 'Distinctness' AS name,
+         count(DISTINCT event_type)::DOUBLE / count(event_type) AS value FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'event_type', 'MaxLength', max(length(event_type))::DOUBLE FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'event_type', 'MinLength', min(length(event_type))::DOUBLE FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'event_type', 'PatternMatch',
+         avg(CASE WHEN regexp_matches(event_type, '^(click|view)') THEN 1.0 ELSE 0.0 END) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Dataset', 'value_positive', 'Compliance',
+         avg(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END) FROM e GROUP BY d
+  UNION ALL SELECT d, 'Multicolumn', 'value,user_id', 'Correlation', corr(value, user_id) FROM e GROUP BY d
+) t
+"""
+
+
+@query("profile_events_extended", ORACLE_EXTENDED)
+def profile_events_extended(spark, sf_dir):
+    df = _events(spark, sf_dir).select("ts", "value", "event_type", "user_id")
+    builder = ProfilingBuilder(
+        analyzers=[
+            Distinctness("event_type"),
+            MaxLength("event_type"),
+            MinLength("event_type"),
+            PatternMatch("event_type", "^(click|view)"),
+            Compliance("value_positive", "value > 50"),
+            Correlation("value", "user_id"),
+        ]
+    )
+    return _round_metrics(profile(df, "ts", builder))
+
+
+ORACLE_FREQUENCY = f"""
+WITH e AS ({_EVENTS_DAY}),
+counts AS (
+  SELECT d, event_type AS val, count(*) AS cnt FROM e WHERE event_type IS NOT NULL GROUP BY d, event_type
+)
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'Column' AS entity, 'event_type' AS instance, 'Uniqueness' AS name,
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE / sum(cnt) AS value FROM counts GROUP BY d
+  UNION ALL SELECT d, 'Column', 'event_type', 'UniqueValueRatio',
+         sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) FROM counts GROUP BY d
+  UNION ALL SELECT d, 'Column', 'event_type', 'Entropy',
+         -sum((cnt::DOUBLE / total) * ln(cnt::DOUBLE / total))
+         FROM (SELECT *, sum(cnt) OVER (PARTITION BY d) AS total FROM counts) GROUP BY d
+) t
+"""
+
+
+@query("profile_events_frequency", ORACLE_FREQUENCY)
+def profile_events_frequency(spark, sf_dir):
+    df = _events(spark, sf_dir).select("ts", "event_type")
+    builder = ProfilingBuilder(
+        analyzers=[Uniqueness("event_type"), UniqueValueRatio("event_type"), Entropy("event_type")]
+    )
+    return _round_metrics(profile(df, "ts", builder))
+
+
+ORACLE_HISTOGRAM = f"""
+WITH e AS ({_EVENTS_DAY}),
+counts AS (
+  SELECT d, event_type AS val, count(*) AS cnt FROM e WHERE event_type IS NOT NULL GROUP BY d, event_type
+),
+enriched AS (
+  SELECT *, sum(cnt) OVER (PARTITION BY d) AS total,
+         count(*) OVER (PARTITION BY d) AS nbins,
+         row_number() OVER (PARTITION BY d ORDER BY cnt DESC, val) AS rk
+  FROM counts
+)
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'Column' AS entity, 'event_type' AS instance, 'Histogram.bins' AS name, nbins::DOUBLE AS value
+  FROM enriched WHERE rk = 1
+  UNION ALL SELECT d, 'Column', 'event_type', 'Histogram.abs.' || val, cnt::DOUBLE FROM enriched
+  UNION ALL SELECT d, 'Column', 'event_type', 'Histogram.ratio.' || val, cnt::DOUBLE / total FROM enriched
+) t
+"""
+
+
+@query("profile_events_histogram", ORACLE_HISTOGRAM)
+def profile_events_histogram(spark, sf_dir):
+    df = _events(spark, sf_dir).select("ts", "event_type")
+    return _round_metrics(profile(df, "ts", ProfilingBuilder(analyzers=[Histogram("event_type")])))
+
+
+ORACLE_HOURLY = """
+SELECT date_trunc('hour', ts::TIMESTAMP) AS ts, 'Dataset' AS entity, '*' AS instance,
+       'Size' AS name, count(*)::DOUBLE AS value
+FROM events GROUP BY 1
+"""
+
+
+@query("profile_events_hourly_size", ORACLE_HOURLY)
+def profile_events_hourly_size(spark, sf_dir):
+    df = _events(spark, sf_dir).select("ts", "value")
+    m = profile(df, "ts", ProfilingBuilder(analyzers=[Size()]), Granularity.HOUR)
+    return m.select("ts", "entity", "instance", "name", F.round("value", 6).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Anomaly layer
+# ---------------------------------------------------------------------------
+
+#: three representative metric series (volatile, count, constant-ish)
+_SERIES_SQL = """
+series AS (
+  SELECT 'Column' AS entity, 'value' AS instance, 'Mean' AS name,
+         date_trunc('day', ts) AS ts, avg(value) AS value FROM events GROUP BY 4
+  UNION ALL SELECT 'Dataset', '*', 'Size', date_trunc('day', ts), count(*)::DOUBLE FROM events GROUP BY 4
+  UNION ALL SELECT 'Column', 'event_type', 'CountDistinct', date_trunc('day', ts),
+         count(DISTINCT event_type)::DOUBLE FROM events GROUP BY 4
+)"""
+
+#: forward-chaining folds with per-fold best-window selection (reference
+#: SimpleModel semantics) in portable SQL. Variable window frames are not
+#: SQL, so one UNION leg per window length.
+_FOLDS_SQL = (
+    _SERIES_SQL
+    + """,
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY entity, instance, name ORDER BY ts) - 1 AS i,
+         count(*) OVER (PARTITION BY entity, instance, name) AS n
+  FROM series
+),
+wl AS (
+"""
+    + "  UNION ALL\n".join(
+        f"""  SELECT *, {w} AS w,
+    CASE WHEN i >= {w} THEN avg(value) OVER (PARTITION BY entity, instance, name ORDER BY ts
+         ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING) END AS pred
+  FROM idx
+"""
+        for w in (3, 5, 7, 30)
+    )
+    + """),
+errs AS (
+  SELECT *, CASE WHEN pred IS NOT NULL THEN least(abs(value - pred) / value, 1.0) END AS ape FROM wl
+),
+cum AS (
+  SELECT *, avg(ape) OVER (PARTITION BY entity, instance, name, w ORDER BY ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS train_err
+  FROM errs
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY entity, instance, name, ts ORDER BY train_err ASC, w ASC) AS rk
+  FROM cum WHERE train_err IS NOT NULL
+),
+folds AS (
+  SELECT entity, instance, name, ts, i, n, value, pred,
+         least(abs(value - pred) / value, 1.0) AS err
+  FROM ranked WHERE rk = 1
+),
+validation AS (
+  SELECT x.entity, x.instance, x.name, x.ts, x.i, x.n, x.value,
+         CASE WHEN x.i >= floor(x.n * (CASE WHEN x.n >= 100 THEN 0.1 WHEN x.n >= 50 THEN 0.2
+                                            WHEN x.n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN f.pred END AS pred,
+         CASE WHEN x.i >= floor(x.n * (CASE WHEN x.n >= 100 THEN 0.1 WHEN x.n >= 50 THEN 0.2
+                                            WHEN x.n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN f.err END AS err
+  FROM idx x LEFT JOIN folds f USING (entity, instance, name, ts)
+)"""
+)
+
+
+def _metric_series(spark, sf_dir):
+    from thoth_spark.profiler import CountDistinct, Mean
+
+    df = _events(spark, sf_dir).select("ts", "value", "event_type")
+    builder = ProfilingBuilder(
+        analyzers=[Mean("value"), CountDistinct("event_type"), Size()]
+    )
+    return profile(df, "ts", builder)
+
+
+ORACLE_SM_WINDOW_PREDS = """
+WITH mean_series AS (SELECT date_trunc('day', ts) AS ts, avg(value) AS value FROM events GROUP BY 1),
+idx AS (SELECT *, row_number() OVER (ORDER BY ts) - 1 AS i FROM mean_series),
+wl AS (
+""" + "  UNION ALL\n".join(
+    f"""  SELECT {w} AS w, ts, value,
+    CASE WHEN i >= {w} THEN avg(value) OVER (ORDER BY ts ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING) END AS pred
+  FROM idx
+"""
+    for w in (3, 5, 7, 30)
+) + """)
+SELECT w, ts::DATE AS ts, round(value, 6) AS true_value, round(pred, 6) AS predicted,
+       round(least(abs(value - pred) / value, 1.0), 6) AS ape
+FROM wl WHERE pred IS NOT NULL
+"""
+
+
+@query("anomaly_sm_window_preds", ORACLE_SM_WINDOW_PREDS)
+def anomaly_sm_window_preds(spark, sf_dir):
+    """Rolling-mean forecasts + APE for every window length over the daily
+    Mean(value) series — the vectorized core of SimpleModel."""
+    from thoth_spark.anomaly.error_metrics import ape_column
+
+    m = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("ts"))
+        .agg(F.avg("value").alias("value"))
+    )
+    w_ord = W.partitionBy(F.lit(1)).orderBy("ts")
+    idx = m.withColumn("i", F.row_number().over(w_ord) - 1)
+    parts = []
+    for w in DEFAULT_WINDOWS:
+        pred = F.when(F.col("i") >= w, F.avg("value").over(w_ord.rowsBetween(-w, -1)))
+        parts.append(
+            idx.select(
+                F.lit(w).alias("w"),
+                F.col("ts").cast("date").alias("ts"),
+                F.round("value", 6).alias("true_value"),
+                F.round(pred, 6).alias("predicted"),
+                F.round(ape_column(F.col("value"), pred), 6).alias("ape"),
+            ).where(F.col("predicted").isNotNull())
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_SM_VALIDATION = "WITH " + _FOLDS_SQL + """
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS true_value,
+       round(pred, 6) AS predicted, round(err, 6) AS error
+FROM validation
+"""
+
+
+@query("anomaly_sm_validation", ORACLE_SM_VALIDATION)
+def anomaly_sm_validation(spark, sf_dir):
+    """Full forward-chaining cross-validation (warm-up masking, per-fold
+    best-window selection) for three metric series in ONE window-function
+    job."""
+    metrics = _metric_series(spark, sf_dir)
+    v = cross_validation(metrics, SimpleModel(), key_cols=KEY)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("true_value", 6).alias("true_value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
+
+
+_CONF = 0.85
+
+ORACLE_SM_THRESHOLD = "WITH " + _FOLDS_SQL + f""",
+errors AS (
+  SELECT entity, instance, name, err FROM validation WHERE err IS NOT NULL
+),
+grid AS (
+  SELECT e.entity, e.instance, e.name, g.t / 100.0 AS threshold,
+         avg(CASE WHEN e.err <= g.t / 100.0 THEN 1.0 ELSE 0.0 END) AS prop
+  FROM errors e CROSS JOIN generate_series(1, 100) g(t)
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT entity, instance, name, threshold, prop,
+         row_number() OVER (PARTITION BY entity, instance, name ORDER BY threshold) AS rk
+  FROM grid WHERE prop >= {_CONF}
+),
+mean_err AS (
+  SELECT entity, instance, name, avg(err) AS mean_error FROM errors GROUP BY 1, 2, 3
+)
+SELECT b.entity, b.instance, b.name, 'SimpleModel' AS best_model_name,
+       round(greatest(b.threshold, 0.1), 6) AS threshold,
+       round(m.mean_error, 6) AS mean_error,
+       round(b.prop, 6) AS below_threshold_proportion
+FROM best b JOIN mean_err m USING (entity, instance, name)
+WHERE b.rk = 1
+"""
+
+
+@query("anomaly_sm_threshold", ORACLE_SM_THRESHOLD)
+def anomaly_sm_threshold(spark, sf_dir):
+    """Grid-searched anomaly thresholds (confidence 0.85, min floor 0.1)
+    per metric series."""
+    from thoth_spark.anomaly.optimization import optimize
+
+    metrics = _metric_series(spark, sf_dir)
+    opt = optimize(metrics, confidence=_CONF, key_cols=KEY)
+    return opt.optimization_df.select(
+        *KEY,
+        "best_model_name",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("mean_error", 6).alias("mean_error"),
+        F.round("below_threshold_proportion", 6).alias("below_threshold_proportion"),
+    )
+
+
+ORACLE_SM_SCORING = "WITH " + _FOLDS_SQL + """
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS observed,
+       round(pred, 6) AS predicted, round(err, 6) AS error
+FROM folds WHERE i = n - 1
+"""
+
+
+@query("anomaly_scoring_events", ORACLE_SM_SCORING)
+def anomaly_scoring_events(spark, sf_dir):
+    """Score the latest day of each metric series: fresh model trained on
+    all prior points, APE of its forecast (the reference's AnomalyScoring)."""
+    model = SimpleModel()
+    folds = model.folds(_metric_series(spark, sf_dir), key_cols=KEY)
+    return folds.where(F.col("__idx") == F.col("__n") - 1).select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("value", 6).alias("observed"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
+
+
+ORACLE_QUALITY = "WITH " + _FOLDS_SQL + f""",
+errors AS (SELECT entity, instance, name, err FROM validation WHERE err IS NOT NULL),
+grid AS (
+  SELECT e.entity, e.instance, e.name, g.t / 100.0 AS threshold,
+         avg(CASE WHEN e.err <= g.t / 100.0 THEN 1.0 ELSE 0.0 END) AS prop
+  FROM errors e CROSS JOIN generate_series(1, 100) g(t) GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT entity, instance, name, greatest(threshold, 0.1) AS threshold,
+         row_number() OVER (PARTITION BY entity, instance, name ORDER BY threshold) AS rk
+  FROM grid WHERE prop >= {_CONF}
+),
+scoring AS (SELECT entity, instance, name, err FROM folds WHERE i = n - 1)
+SELECT s.entity, s.instance, s.name, round(s.err, 6) AS score,
+       round(b.threshold, 6) AS threshold, s.err > b.threshold AS is_anomalous
+FROM scoring s JOIN best b USING (entity, instance, name) WHERE b.rk = 1
+"""
+
+
+@query("quality_assessment_events", ORACLE_QUALITY)
+def quality_assessment_events(spark, sf_dir):
+    """Flow C: latest scores joined to optimized thresholds."""
+    from thoth_spark.anomaly.optimization import optimize
+    from thoth_spark.anomaly.scoring import score as score_fn
+
+    metrics = _metric_series(spark, sf_dir)
+    opt = optimize(metrics, confidence=_CONF, key_cols=KEY)
+    scoring = score_fn(metrics, opt)
+    thresholds = opt.optimization_df.select(*KEY, "threshold")
+    return scoring.join(F.broadcast(thresholds), on=KEY).select(
+        *KEY,
+        F.round("error", 6).alias("score"),
+        F.round("threshold", 6).alias("threshold"),
+        (F.col("error") > F.col("threshold")).alias("is_anomalous"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (TPC-H-style + windowed/sessionized/as-of)
+# ---------------------------------------------------------------------------
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1_pricing_summary", ORACLE_Q1)
+def tpch_q1(spark, sf_dir):
+    """TPC-H Q1: one scan + partial/final hash agg; filter pushed to
+    parquet; whole-stage codegen end to end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate::DATE AS o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping_priority", ORACLE_Q3)
+def tpch_q3(spark, sf_dir):
+    """TPC-H Q3: selective dimension joins — customer (small) broadcasts
+    into orders⋈lineitem; deterministic top-10."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority"
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY n_name
+"""
+
+
+@query("tpch_q5_local_supplier_volume", ORACLE_Q5)
+def tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: six-table join; region/nation/supplier broadcast,
+    the fact-side join shuffles once on orderkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) t WHERE rank <= 3
+"""
+
+
+@query("top_orders_per_customer", ORACLE_TOPK_ORDERS)
+def top_orders_per_customer(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_custkey", "o_orderkey", "o_totalprice"
+    )
+    return relational.top_k_per_group(
+        joined, ["c_custkey"], "o_totalprice", k=3, tiebreak_cols=["o_orderkey"]
+    ).withColumn("o_totalprice", F.round("o_totalprice", 2))
+
+
+ORACLE_SET_OPS = """
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 300000
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+) t
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal < 0
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey HAVING count(*) > 8
+"""
+
+
+@query("set_ops_customers", ORACLE_SET_OPS)
+def set_ops_customers(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over customer cohorts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    big_spenders = (
+        o.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("t"))
+        .where(F.col("t") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    segments = c.where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select("c_custkey")
+    negative = c.where(F.col("c_acctbal") < 0).select("c_custkey")
+    many_finished = (
+        o.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 8)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return big_spenders.intersect(segments).union(negative).distinct().exceptAll(many_finished.distinct())
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("rollup_orders", ORACLE_ROLLUP)
+def rollup_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORACLE_ASOF = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT min(event_id) AS click_event_id, user_id, ts::TIMESTAMP AS ts
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.click_event_id
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@query("asof_join_purchase_click", ORACLE_ASOF)
+def asof_join_purchase_click(spark, sf_dir):
+    """Backward as-of join: latest click at or before each purchase, per
+    user — union+window implementation, one shuffle on user_id."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_event_id"))
+    )
+    out = relational.asof_join(
+        purchases, clicks, on=["user_id"], value_cols=["click_event_id"], suffix=""
+    )
+    return out.select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts"), "click_event_id"
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+         CASE WHEN epoch(ts::TIMESTAMP) - epoch(lag(ts::TIMESTAMP) OVER w) > 3600
+                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("sessionize_events", ORACLE_SESSIONIZE)
+def sessionize_events(spark, sf_dir):
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    sess = relational.sessionize(
+        ev, ["user_id"], "ts", gap_seconds=3600, tiebreak_cols=["event_id"]
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_type, round(avg(json_extract_string(props, '$.k')::DOUBLE), 6) AS avg_k,
+       count(CASE WHEN props IS NOT NULL THEN 1 END) AS n_with_props
+FROM events GROUP BY event_type
+"""
+
+
+@query("events_json_props", ORACLE_JSON)
+def events_json_props(spark, sf_dir):
+    """Semi-structured JSON extraction (pushdown-friendly scalar exprs)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("double")), 6).alias("avg_k"),
+        F.count("props").alias("n_with_props"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity / multimodal (net-new scale operators)
+# ---------------------------------------------------------------------------
+
+
+def _hex2int_sql(hex_expr: str, start: int, length: int) -> str:
+    """Portable hex→int SQL (DuckDB lacks a hex-parse cast): positional
+    digit sum over '0123456789abcdef'."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({hex_expr}, {start + p}, 1)) - 1) * {16 ** (length - 1 - p)}"
+        for p in range(length)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_DOC_TOKENS = (
+    "SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,"
+    " string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents"
+)
+
+_DOC_SHINGLES = f"""
+d AS ({_DOC_TOKENS}),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM d WHERE len(toks) >= 3
+)"""
+
+
+ORACLE_DEDUP_EXACT_EVENTS = """
+SELECT min(event_id) AS event_id
+FROM (SELECT *, date_trunc('day', ts) AS d FROM events) e
+GROUP BY user_id, event_type, d
+"""
+
+
+@query("dedup_exact_events", ORACLE_DEDUP_EXACT_EVENTS)
+def dedup_exact_events(spark, sf_dir):
+    """Exact dedup with deterministic survivors: first event per
+    (user, type, day)."""
+    ev = _events(spark, sf_dir).withColumn("d", F.date_trunc("day", "ts"))
+    return dedup.exact_dedup(ev, ["user_id", "event_type", "d"], "event_id").select("event_id")
+
+
+ORACLE_DEDUP_EXACT_DOCS = f"""
+WITH d AS ({_DOC_TOKENS})
+SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(norm)
+"""
+
+
+@query("dedup_exact_documents", ORACLE_DEDUP_EXACT_DOCS)
+def dedup_exact_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_text_dedup(docs, "text", "doc_id").select("doc_id")
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_DOC_SHINGLES},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS s FROM g)
+SELECT id_a, id_b, round(inter::DOUBLE / (sa.s + sb.s - inter), 6) AS jaccard
+FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter::DOUBLE / (sa.s + sb.s - inter) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard_documents", ORACLE_NGRAM_JACCARD)
+def dedup_ngram_jaccard_documents(spark, sf_dir):
+    """Exact near-dup pairs (3-gram Jaccard ≥ 0.8) via inverted-index
+    join — only co-shingled docs ever meet."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+_MINHASH_SIG_SQL = """
+sig AS (
+  SELECT doc_id, list_transform(generate_series(0, 31),
+         i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sg, sh
+  FROM g
+)"""
+
+ORACLE_MINHASH = f"""
+WITH {_DOC_SHINGLES},
+{_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, b, md5(list_aggregate(sg[b * 4 + 1 : b * 4 + 4], 'string_agg', '|')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 7) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (b, bh) WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+"""
+
+
+@query("dedup_minhash_documents", ORACLE_MINHASH)
+def dedup_minhash_documents(spark, sf_dir):
+    """MinHash-LSH near-dup pairs: 32-hash signatures, 8 bands × 4 rows,
+    candidates verified with exact Jaccard ≥ 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=3)
+    cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(text.word_ngrams(F.col("text"), 3)).alias("sh"),
+    )
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+_H_HI = _hex2int_sql("m", 1, 8)
+_H_LO = _hex2int_sql("m", 9, 8)
+
+ORACLE_SIMHASH = f"""
+WITH d AS ({_DOC_TOKENS}),
+toks AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+h AS (SELECT doc_id, md5(tok) AS m FROM toks),
+hh AS (SELECT doc_id, {_H_HI} AS h_hi, {_H_LO} AS h_lo FROM h),
+bits AS (
+  SELECT doc_id, i,
+         sum(CASE WHEN (h_hi >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s_hi,
+         sum(CASE WHEN (h_lo >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s_lo
+  FROM hh CROSS JOIN generate_series(0, 31) g(i) GROUP BY 1, 2
+)
+SELECT doc_id AS id,
+       sum(CASE WHEN s_hi > 0 THEN power(2, i)::BIGINT ELSE 0 END)::BIGINT AS sim_hi,
+       sum(CASE WHEN s_lo > 0 THEN power(2, i)::BIGINT ELSE 0 END)::BIGINT AS sim_lo
+FROM bits GROUP BY doc_id
+"""
+
+
+@query("dedup_simhash_documents", ORACLE_SIMHASH)
+def dedup_simhash_documents(spark, sf_dir):
+    """64-bit SimHash fingerprints (as two 32-bit halves) per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text")
+
+
+ORACLE_TEXT_STATS = f"""
+WITH d AS ({_DOC_TOKENS})
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round((length(norm) - (len(toks) - 1))::DOUBLE / len(toks), 6) AS avg_token_len,
+       round(len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE / len(toks), 6)
+             AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text), 6) AS digit_ratio
+FROM d JOIN documents USING (doc_id)
+"""
+
+
+@query("text_stats_documents", ORACLE_TEXT_STATS)
+def text_stats_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    stats = text.text_stats(docs, "text")
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+    )
+
+
+def _lang_score_sql(padded: str, markers: list[str]) -> str:
+    terms = [
+        f"(length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)}"
+        for m in markers
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_PADDED = "(' ' || lower(text) || ' ')"
+_LANG_SCORES = ",\n  ".join(
+    _lang_score_sql(_PADDED, ms) + f" AS score_{lang}"
+    for lang, ms in sorted(text.LANG_MARKERS.items())
+)
+
+ORACLE_LANG_ID = f"""
+WITH scored AS (
+  SELECT doc_id,
+  {_LANG_SCORES}
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk,
+         max(score) OVER (PARTITION BY doc_id) AS mx
+  FROM scored
+  UNPIVOT (score FOR lang IN (score_de AS 'de', score_en AS 'en', score_es AS 'es',
+                              score_fr AS 'fr', score_zh AS 'zh'))
+)
+SELECT doc_id, CASE WHEN mx > 0 THEN lang ELSE 'und' END AS predicted_lang
+FROM ranked WHERE rk = 1
+"""
+
+
+@query("lang_id_documents", ORACLE_LANG_ID)
+def lang_id_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.language_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+WITH d AS ({_DOC_TOKENS})
+SELECT doc_id, md5(norm) AS fingerprint, len(toks) AS n_tokens FROM d
+"""
+
+
+@query("fingerprint_documents", ORACLE_FINGERPRINT)
+def fingerprint_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
+ORACLE_TOPK_EMB = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= 5
+"""
+
+
+@query("similarity_topk_brute", ORACLE_TOPK_EMB)
+def similarity_topk_brute(spark, sf_dir):
+    """Exact cosine top-5 for 10 query vectors (broadcast queries, corpus
+    stays distributed)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+ORACLE_EMB_NEARDUP = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+"""
+
+
+@query("embedding_neardup_exact", ORACLE_EMB_NEARDUP)
+def embedding_neardup_exact(spark, sf_dir):
+    """Exact cosine near-dup pairs (threshold tuned to this corpus's
+    similarity ceiling) — the brute-force baseline for the LSH variant."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = similarity.cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id, md5(text) AS media_md5, octet_length(text::BLOB) AS media_bytes,
+       16 + """ + _hex2int_sql("md5(text)", 1, 2) + """ AS width,
+       16 + """ + _hex2int_sql("md5(text)", 3, 2) + """ AS height,
+       1 + """ + _hex2int_sql("md5(text)", 5, 1) + """ % 4 AS n_channels,
+       CASE """ + _hex2int_sql("md5(text)", 6, 1) + """ % 3
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+FROM documents
+"""
+
+
+@query("multimodal_decode_stub", ORACLE_MULTIMODAL)
+def multimodal_decode_stub(spark, sf_dir):
+    """Binary-column pipeline: attach bytes, Arrow-batch 'decode'
+    (deterministic stub) via mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = multimodal.decode_stub(multimodal.attach_binary(docs, "text"))
+    return decoded.select(
+        "doc_id", "media_md5", "media_bytes", "width", "height", "n_channels", "format"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (approximate / not ANSI-SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+@query("profile_events_approx")
+def profile_events_approx(spark, sf_dir):
+    """Approximate profiling (GK quantile sketch + HLL++ distinct) — the
+    100 TB scale path; sketch internals differ per engine, so rows-only."""
+    from thoth_spark.profiler import ApproxCountDistinct, ApproxQuantiles
+
+    df = _events(spark, sf_dir).select("ts", "value", "event_type")
+    builder = ProfilingBuilder(
+        analyzers=[ApproxQuantiles("value"), ApproxCountDistinct("event_type"), Size()]
+    )
+    return _round_metrics(profile(df, "ts", builder))
+
+
+@query("similarity_topk_lsh")
+def similarity_topk_lsh(spark, sf_dir):
+    """Multi-table random-hyperplane LSH top-k (approximate; plane
+    constants not expressible in the oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hyperplane_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, nbits=6, n_tables=4
+    )
+
+
+@query("similarity_topk_ivf")
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF (K-Means coarse quantizer) approximate top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=3
+    )
+
+
+@query("embedding_neardup_lsh")
+def embedding_neardup_lsh(spark, sf_dir):
+    """Hyperplane-bucketed cosine near-dup pairs (approximate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6)
+
+
+@query("dedup_minhash_survivors")
+def dedup_minhash_survivors(spark, sf_dir):
+    """End-to-end near-dup dedup: LSH candidates → verify → min-id
+    survivor policy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
+
+
+@query("streaming_profile_events")
+def streaming_profile_events(spark, sf_dir):
+    """The SAME profiling aggregation executed as a Structured Streaming
+    query (parquet source → complete-mode agg → memory sink), proving the
+    profiler is a pure DF→DF function usable under foreachBatch/streams.
+    Rows-only: streaming micro-batch boundaries aren't SQL-expressible."""
+    import uuid
+
+    from thoth_spark.profiler import Mean
+
+    static = _events(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+        metrics = profile(
+            stream.select("ts", "value"), "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()])
+        )
+        name = f"stream_profile_{uuid.uuid4().hex[:8]}"
+        q = (
+            metrics.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(name).select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )

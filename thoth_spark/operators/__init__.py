@@ -1,0 +1,13 @@
+"""Scale operators for large training-data pipelines (net-new vs. the
+reference — SURVEY.md §7.5): deduplication, similarity search, text
+analysis, multimodal column plumbing, and relational building blocks.
+
+Every operator is designed shuffle-first for 100 TB inputs: candidate
+generation via hash bucketing (never all-pairs), frequency caps on skewed
+join keys, broadcast for small sides, and JVM-side expressions (no Python
+on the hot path except clearly-marked Pandas-UDF decode stubs).
+"""
+
+from thoth_spark.operators import dedup, multimodal, relational, similarity, text
+
+__all__ = ["dedup", "multimodal", "relational", "similarity", "text"]

@@ -1,0 +1,300 @@
+"""Deduplication operators designed for 100 TB corpora.
+
+Strategy ladder (cheapest first):
+
+1. :func:`exact_dedup` — hash-groupBy on content fingerprint; one shuffle.
+2. :func:`ngram_jaccard_pairs` — EXACT Jaccard via an inverted-index
+   self-join on shared shingles (never all-pairs: only documents sharing
+   a shingle meet), with a document-frequency cap that drops
+   stop-shingles — the classic skew killer: a shingle appearing in k docs
+   contributes k² candidate pairs, so frequent shingles both destroy the
+   join and carry no signal.
+3. :func:`minhash_signatures` + :func:`minhash_lsh_pairs` — MinHash/LSH:
+   per-document signature computed INSIDE a single projection with
+   higher-order functions (no shuffle), then band-bucket join so only
+   probable duplicates meet; candidates verified with exact Jaccard.
+4. :func:`simhash` + :func:`simhash_near_dup_pairs` — 64-bit SimHash with
+   chunk-bucketed Hamming candidate generation.
+5. :func:`embedding_near_dup_pairs` — cosine near-dup over embeddings via
+   random-hyperplane bucketing (see similarity.py for the primitives).
+
+All hashes are MD5-derived so every step is reproducible in an ANSI-SQL
+oracle (DuckDB) — the verifiability/speed trade is deliberate; swap in
+``F.xxhash64`` for production speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from thoth_spark.operators.text import fingerprint, word_ngrams
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (smallest ``order_col``) of every duplicate
+    group. One shuffle on the key; deterministic survivor choice (unlike
+    ``dropDuplicates``, whose survivor is partition-order dependent —
+    determinism matters for reproducible training corpora)."""
+    w = W.partitionBy(*key_cols).orderBy(F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_text_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup on the normalized-text fingerprint."""
+    return exact_dedup(
+        df.withColumn("__fp", fingerprint(F.col(text_col))), ["__fp"], id_col
+    ).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with Jaccard(word-n-gram sets) ≥ threshold.
+
+    Inverted index: explode distinct shingles, self-join on shingle so
+    only co-shingled documents pair up, count shared shingles, then
+    ``|A∩B| / (|A|+|B|-|A∩B|)``. ``max_shingle_df`` drops shingles that
+    occur in more than that many documents (skew + noise control at
+    scale). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sizes = shingled.select("id", F.size("sh").alias("sz"))
+    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        inv = inv.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
+        ).where(F.col("__df") <= max_shingle_df).drop("__df")
+
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature as ``array<string>``.
+
+    Hash family: ``md5(i || '|' || shingle)`` for seed i — minimum taken
+    lexicographically over fixed-width hex, equivalent to a numeric min.
+
+    Shape matters for throughput: shingles are exploded ONCE, then all
+    ``num_hashes`` hashes are plain md5 column expressions (whole-stage
+    codegen) reduced by ``min`` in a single groupBy(id) — one shuffle
+    keyed by document id. (A nested higher-order-function formulation
+    re-shingles per seed and falls out of codegen — measured ~100×
+    slower.) Documents with zero shingles produce no rows.
+    """
+    inv = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("s"),
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        inv.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on all rows of ≥1 band.
+
+    Band hash = md5 of the concatenated signature slice; the groupBy on
+    (band, band_hash) co-locates only probable duplicates — candidate
+    count scales with true-duplicate density, not corpus size². Buckets
+    are capped implicitly by the band width; returns distinct
+    (id_a, id_b) with id_a < id_b.
+    """
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-dup dedup: LSH candidates → exact-Jaccard verification →
+    drop every doc that has a retained similar doc with a smaller id.
+
+    (Greedy min-id survivor per similarity component approximated by
+    one pass: a doc survives iff no similar doc has a smaller id —
+    standard at-scale approximation avoiding iterative connected
+    components; plug GraphFrames in for exact components if needed.)
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    candidates = minhash_lsh_pairs(sigs, bands, rows_per_band)
+    # verify candidates with exact jaccard on the shingle sets
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("sh"),
+    )
+    verified = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, returned as two 32-bit
+    halves ``(sim_hi, sim_lo)`` (avoids signed-64 overflow headaches and
+    keeps the oracle SQL portable).
+
+    Token hash = first 16 hex chars of md5(token); bit j votes ±1 weighted
+    by the token's occurrence count; the sign of each bit-sum forms the
+    fingerprint. Explode + one groupBy(id) with 64 conditional sums — a
+    single shuffle keyed by document id.
+    """
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h_hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h_lo"),
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col(half), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"{half}_b{i}")
+        for half in ("h_hi", "h_lo")
+        for i in range(32)
+    ]
+    agged = exploded.groupBy("id").agg(*sums)
+    hi = None
+    lo = None
+    for i in range(32):
+        hi_bit = F.when(F.col(f"h_hi_b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        lo_bit = F.when(F.col(f"h_lo_b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        hi = hi_bit if hi is None else hi + hi_bit
+        lo = lo_bit if lo is None else lo + lo_bit
+    return agged.select("id", hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo"))
+
+
+def simhash_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs within Hamming distance ``max_hamming`` of each other.
+
+    Candidate generation: split the 64 bits into 4 chunks of 16; any pair
+    within distance 3 must agree on ≥1 full chunk (pigeonhole), so a
+    groupBy on (chunk_idx, chunk_value) finds all candidates with four
+    cheap equi-joins instead of all-pairs. Verification: bit_count(xor).
+    """
+    chunks = hashes.select(
+        "id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("ci"), (F.col("sim_hi") % 65536).alias("cv")),
+                F.struct(F.lit(1).alias("ci"), (F.col("sim_hi") / 65536).cast("long").alias("cv")),
+                F.struct(F.lit(2).alias("ci"), (F.col("sim_lo") % 65536).alias("cv")),
+                F.struct(F.lit(3).alias("ci"), (F.col("sim_lo") / 65536).cast("long").alias("cv")),
+            )
+        ).alias("c"),
+    ).select("id", "sim_hi", "sim_lo", "c.ci", "c.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    dist = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    return (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,106 @@
+"""Relational building blocks Spark lacks as single operators.
+
+- :func:`asof_join` — most-recent-match join via the union+window trick:
+  ONE shuffle on (key, ts) instead of the O(n·m) range-join explosion a
+  naive ``left.ts >= right.ts`` theta-join produces.
+- :func:`sessionize` — gap-based session ids with lag + running sum.
+- :func:`top_k_per_group` — rank-and-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` (backward as-of, per join key).
+
+    Implementation: tag both sides, union, sort within key by (ts, tag)
+    and carry the last non-null right values forward with
+    ``last(ignorenulls)`` — a single shuffle keyed by ``on``, linear in
+    rows, no range-join blowup. Right rows at exactly left.ts match
+    (ties: right sorts before left at equal ts).
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in on and c != right_ts
+    ]
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None)
+        .cast(l_tagged.schema["__lrow"].dataType)
+        .alias("__lrow"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        W.partitionBy(*on)
+        .orderBy("__ts", "__side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "__side",
+        "__lrow",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    ).where(F.col("__side") == 1)
+    return filled.select(
+        F.col("__lrow.*"),
+        *[F.col(f"__r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when the
+    time since the previous event exceeds ``gap_seconds``. Adds
+    ``session_id`` (1-based per key). One shuffle on the key.
+    ``tiebreak_cols`` make ordering of equal timestamps deterministic."""
+    w = W.partitionBy(*key_cols).orderBy(ts_col, *(tiebreak_cols or []))
+    gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
+    new_session = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (deterministic with
+    tiebreaks). Adds ``rank``."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    order += [F.col(c) for c in (tiebreak_cols or [])]
+    w = W.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,246 @@
+"""Embedding similarity search over ``array<float>`` columns.
+
+- :func:`brute_force_topk` — exact cosine top-k: broadcast the (small)
+  query set against the distributed corpus; dot products via
+  ``zip_with``/``aggregate`` higher-order functions (JVM-side, no UDF);
+  per-query ``row_number`` for the k cut. The correctness baseline.
+- :func:`hyperplane_lsh_topk` — the scale path: random-hyperplane sign
+  buckets shrink each query's candidate set; probing the query's bucket
+  plus single-bit-flip neighbors trades recall for a corpus-size-
+  independent candidate count.
+- :func:`ivf_topk` — IVF: K-Means coarse quantizer (Spark MLlib), corpus
+  partitioned by nearest centroid, queries probe the ``nprobe`` closest
+  centroids only — the classic billion-vector layout where the centroid
+  assignment doubles as the storage partition key.
+- :func:`embedding_near_dup_pairs` — cosine near-duplicate pairs via the
+  same hyperplane bucketing (for embedding-level dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of every query against the corpus.
+
+    The query side is broadcast (no shuffle of the corpus); cost is one
+    full corpus scan per batch of queries — run queries in batches, not
+    one at a time. Excludes self-matches on id. Returns
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed seed → reproducible plans
+    across runs and engines)."""
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim).tolist()
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id (int) from dot products with fixed hyperplanes —
+    pure column expression; the planes ride along as literals."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(2**i)).otherwise(F.lit(0))
+    return bucket
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k with multi-table hyperplane LSH: ``n_tables``
+    independent sign-bucket tables (different hyperplane seeds), each probed
+    at the query's bucket plus ≤ ``probe_flips``-bit neighbors. Candidate
+    volume ∝ corpus × n_tables × probes / 2^nbits — tunable recall/cost,
+    independent of corpus² (the brute-force blowup).
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def _bucketed(df, idc, vc, probe: bool):
+        base = df.select(F.col(idc), _as_double(F.col(vec_col)).alias(vc))
+        tables = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, nbits, seed=42 + t)
+            sig = hyperplane_signature(F.col(vc), planes)
+            buckets = [sig]
+            if probe and probe_flips >= 1:
+                buckets += [sig.bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
+            tables += [b + F.lit(t * 2**nbits) for b in buckets]
+        return base.withColumn("bucket", F.explode(F.array(*tables)))
+
+    c = _bucketed(
+        corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id", "cv", probe=False
+    )
+    q = _bucketed(
+        queries.withColumnRenamed(id_col, "query_id"), "query_id", "qv", probe=True
+    )
+
+    candidates = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: K-Means coarse centroids; corpus rows are
+    assigned to their nearest centroid (this assignment is the natural
+    storage partitioning key at scale); each query scans only its
+    ``nprobe`` nearest centroid cells."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
+    cent_df = F.array(
+        *[
+            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(x) for x in c]).alias("cv"))
+            for i, c in centroids
+        ]
+    )
+
+    def nearest(vec: Column, n: int) -> Column:
+        """ids of the n nearest centroids (L2), via sort over an inline
+        struct array — all expression-level."""
+        scored = F.transform(
+            cent_df,
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(vec, s["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                s["cid"].alias("cid"),
+            ),
+        )
+        return F.slice(F.array_sort(scored), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cell", nearest(F.col("cv"), 1)[0]["cid"])
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cell", F.explode(F.transform(nearest(F.col("qv"), nprobe), lambda s: s["cid"])))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold, found via hyperplane buckets (plus
+    1-bit-flip probes so near-identical vectors straddling one hyperplane
+    still meet). Returns (id_a, id_b, cos_sim)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, nbits)
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sig", hyperplane_signature(F.col("v"), planes))
+    probes = [F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
+    a = base.withColumn("bucket", F.explode(F.array(*probes))).alias("a")
+    b = base.withColumnRenamed("sig", "bucket").alias("b")
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .distinct()
+        .where(F.col("cos_sim") >= threshold)
+    )
