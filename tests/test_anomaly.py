@@ -183,3 +183,71 @@ def test_python_model_adapter(spark):
     folds = model.folds(df, key_cols=KEY).orderBy("__idx").collect()
     assert folds[5]["predicted"] == pytest.approx(values[4])
     assert folds[5]["error"] == pytest.approx(abs(values[5] - values[4]) / values[5])
+
+
+# ---------------------------------------------------------------------------
+# Registered pandas models + multi-model selection
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_naive_golden(spark):
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    # weekly sawtooth 1..7 repeated: seasonal-naive nails it from i >= 7
+    values = [1, 2, 3, 4, 5, 6, 7] * 3
+    folds = MODEL_REGISTRY["SeasonalNaive7"]().folds(_series_df(spark, values), key_cols=KEY)
+    rows = {r["__idx"]: r for r in folds.collect()}
+    assert rows[7]["predicted"] == 1.0 and rows[7]["error"] == 0.0
+    assert rows[20]["predicted"] == 7.0 and rows[20]["error"] == 0.0
+    # below a full season it falls back to the previous value
+    assert rows[5]["predicted"] == 5.0
+    # min_train_length gate
+    assert rows[3]["predicted"] is None
+
+
+def test_holt_linear_tracks_trend(spark):
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    # perfect linear trend: Holt converges onto it, APE small late-series
+    values = [10 + 2 * i for i in range(30)]
+    folds = MODEL_REGISTRY["HoltLinear"]().folds(_series_df(spark, values), key_cols=KEY)
+    last = folds.where(F.col("__idx") == 29).collect()[0]
+    assert last["error"] < 0.05
+
+
+def test_multimodel_selection_prefers_better_model(spark):
+    # seasonal pattern SimpleModel's flat rolling means cannot track
+    values = ([10, 10, 10, 10, 10, 10, 100] * 6)[:40]
+    opt = optimize(
+        _series_df(spark, values),
+        confidence=0.9,
+        model_names=["SimpleModel", "SeasonalNaive7"],
+        key_cols=KEY,
+    )
+    row = opt.optimization_df.collect()[0]
+    assert row["best_model_name"] == "SeasonalNaive7"
+    assert row["threshold"] == 0.1  # perfect forecasts -> floor
+
+
+def test_constant_series_forced_to_simple_model(spark):
+    values = [5.0] * 30
+    opt = optimize(
+        _series_df(spark, values),
+        confidence=0.9,
+        model_names=["SimpleModel", "SeasonalNaive7"],
+        key_cols=KEY,
+    )
+    row = opt.optimization_df.collect()[0]
+    assert row["best_model_name"] == "SimpleModel"
+
+
+def test_score_dispatches_to_best_model(spark):
+    values = ([10, 10, 10, 10, 10, 10, 100] * 6)[:41]
+    df = _series_df(spark, values)
+    opt = optimize(
+        df, confidence=0.9, model_names=["SimpleModel", "SeasonalNaive7"], key_cols=KEY
+    )
+    s = score(df, opt).collect()[0]
+    # last point (idx 40) is position 40 % 7 == 5 in the cycle -> 10;
+    # seasonal-naive predicts value[33] == 10 -> zero error
+    assert s["predicted"] == 10.0 and s["error"] == 0.0

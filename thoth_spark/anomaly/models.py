@@ -177,7 +177,54 @@ class PythonModelAdapter:
         )
 
 
+def seasonal_naive_forecaster(period: int = 7) -> Callable[[list, list], float]:
+    """Forecast = the value one season ago (falls back to the last value
+    while the train series is shorter than a season)."""
+
+    def forecast(ts: list, values: list) -> float:
+        return values[-period] if len(values) >= period else values[-1]
+
+    return forecast
+
+
+def holt_forecaster(alpha: float = 0.5, beta: float = 0.3) -> Callable[[list, list], float]:
+    """Holt double-exponential smoothing (level + trend), pure python —
+    the stand-in for heavyweight stateful forecasters (Prophet/SARIMA in
+    the reference's Merlion models, ``models.py:184-241``): sequential
+    over one series, embarrassingly parallel across series via
+    ``applyInPandas``."""
+
+    def forecast(ts: list, values: list) -> float:
+        level, trend = values[0], values[1] - values[0] if len(values) > 1 else 0.0
+        for v in values[1:]:
+            prev_level = level
+            level = alpha * v + (1 - alpha) * (level + trend)
+            trend = beta * (level - prev_level) + (1 - beta) * trend
+        return level + trend
+
+    return forecast
+
+
+def _seasonal_naive_factory() -> PythonModelAdapter:
+    return PythonModelAdapter("SeasonalNaive7", seasonal_naive_forecaster(7))
+
+
+def _holt_factory() -> PythonModelAdapter:
+    return PythonModelAdapter("HoltLinear", holt_forecaster())
+
+
 #: name → model factory; parity with the reference's model registry
-#: (``models.py:244-277``). Merlion AutoProphet/AutoSarima are not bundled;
-#: register a PythonModelAdapter to add such models.
-MODEL_REGISTRY: dict[str, Callable[[], SimpleModel]] = {"SimpleModel": SimpleModel}
+#: (``models.py:244-277``). Merlion AutoProphet/AutoSarima are not bundled
+#: (heavy optional deps); SeasonalNaive7/HoltLinear exercise the same
+#: per-series ``applyInPandas`` execution path. Register a
+#: PythonModelAdapter to add further models.
+MODEL_REGISTRY: dict[str, Callable[[], object]] = {
+    "SimpleModel": SimpleModel,
+    "SeasonalNaive7": _seasonal_naive_factory,
+    "HoltLinear": _holt_factory,
+}
+
+#: Models :func:`thoth_spark.anomaly.optimization.optimize` tries when none
+#: are named — SimpleModel alone, matching the reference's default factory
+#: minus the unbundled Prophet member.
+DEFAULT_MODEL_NAMES = ["SimpleModel"]

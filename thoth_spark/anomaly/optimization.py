@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from thoth_spark.anomaly.error_metrics import APE_MIN_TRUE_VALUE
 from thoth_spark.anomaly.models import (
+    DEFAULT_MODEL_NAMES,
     MODEL_REGISTRY,
     SimpleModel,
     metric_key_columns,
@@ -179,7 +180,7 @@ def optimize(
     the 1.0 precision limit, naming the metrics.
     """
     key_cols = key_cols or metric_key_columns(metrics_df)
-    model_names = model_names or list(MODEL_REGISTRY)
+    model_names = model_names or list(DEFAULT_MODEL_NAMES)
     metrics_df = _tail_last_n(metrics_df.select(*key_cols, "ts", "value"), key_cols, last_n)
     validate_series(metrics_df, key_cols)
 
@@ -197,6 +198,18 @@ def optimize(
     validation_df = validation_df.cache()
 
     thresholds = find_best_threshold(validation_df, confidence, key_cols)
+
+    # Constant-series short-circuit (reference ``optimization.py:217-231``):
+    # a series with a single distinct value is forced onto SimpleModel —
+    # fancy forecasters add nothing and may misbehave on flat input.
+    if "SimpleModel" in model_names and len(model_names) > 1:
+        constant = metrics_df.groupBy(*key_cols).agg(
+            (F.count_distinct(F.col("value")) == 1).alias("__is_constant")
+        )
+        thresholds = thresholds.join(F.broadcast(constant), on=key_cols, how="left").where(
+            (~F.col("__is_constant")) | (F.col("model_name") == "SimpleModel")
+        ).drop("__is_constant")
+
     # Model selection: min threshold, tie → factory order (see module doc).
     order = F.array_position(
         F.array(*[F.lit(n) for n in model_names]), F.col("model_name")

@@ -471,6 +471,112 @@ def quality_assessment_events(spark, sf_dir):
     )
 
 
+#: SeasonalNaive7 (PythonModelAdapter, applyInPandas): pred = value one
+#: season (7) back once i >= 7, else the previous value; preds start at
+#: min_train_length = 4; same warm-up mask as every model.
+_SN_SQL = """,
+sn AS (
+  SELECT entity, instance, name, ts, i, n, value,
+         CASE WHEN i >= 7 THEN lag(value, 7) OVER w
+              WHEN i >= 4 THEN lag(value, 1) OVER w END AS pred
+  FROM idx WINDOW w AS (PARTITION BY entity, instance, name ORDER BY ts)
+),
+sn_val AS (
+  SELECT entity, instance, name, ts, value,
+         CASE WHEN i >= floor(n * (CASE WHEN n >= 100 THEN 0.1 WHEN n >= 50 THEN 0.2
+                                        WHEN n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN pred END AS pred,
+         CASE WHEN i >= floor(n * (CASE WHEN n >= 100 THEN 0.1 WHEN n >= 50 THEN 0.2
+                                        WHEN n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN least(abs(value - pred) / value, 1.0) END AS err
+  FROM sn
+)"""
+
+ORACLE_SN_VALIDATION = "WITH " + _FOLDS_SQL + _SN_SQL + """
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS true_value,
+       round(pred, 6) AS predicted, round(err, 6) AS error
+FROM sn_val
+"""
+
+
+@query("anomaly_seasonal_naive_validation", ORACLE_SN_VALIDATION)
+def anomaly_seasonal_naive_validation(spark, sf_dir):
+    """Forward-chaining CV of a pandas-backed model (applyInPandas, one
+    executor task per metric series) — the distribution pattern for
+    stateful forecasters."""
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    metrics = _metric_series(spark, sf_dir)
+    v = cross_validation(metrics, MODEL_REGISTRY["SeasonalNaive7"](), key_cols=KEY)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("true_value", 6).alias("true_value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
+
+
+ORACLE_MULTIMODEL = "WITH " + _FOLDS_SQL + _SN_SQL + f""",
+allv AS (
+  SELECT 'SimpleModel' AS model_name, entity, instance, name, err
+  FROM validation WHERE err IS NOT NULL
+  UNION ALL
+  SELECT 'SeasonalNaive7', entity, instance, name, err FROM sn_val WHERE err IS NOT NULL
+),
+grid AS (
+  SELECT model_name, entity, instance, name, g.t / 100.0 AS threshold,
+         avg(CASE WHEN err <= g.t / 100.0 THEN 1.0 ELSE 0.0 END) AS prop,
+         avg(err) AS mean_error
+  FROM allv CROSS JOIN generate_series(1, 100) g(t) GROUP BY 1, 2, 3, 4, 5
+),
+qual AS (
+  SELECT *, row_number() OVER (PARTITION BY model_name, entity, instance, name
+                               ORDER BY threshold) AS rk
+  FROM grid WHERE prop >= {_CONF}
+),
+const_flag AS (
+  SELECT entity, instance, name, count(DISTINCT value) = 1 AS is_const
+  FROM series GROUP BY 1, 2, 3
+),
+pick AS (
+  SELECT q.*, row_number() OVER (PARTITION BY entity, instance, name
+         ORDER BY threshold, CASE model_name WHEN 'SimpleModel' THEN 1 ELSE 2 END) AS mrk
+  FROM qual q JOIN const_flag c USING (entity, instance, name)
+  WHERE q.rk = 1 AND (NOT c.is_const OR q.model_name = 'SimpleModel')
+)
+SELECT entity, instance, name, model_name AS best_model_name,
+       round(greatest(threshold, 0.1), 6) AS threshold,
+       round(mean_error, 6) AS mean_error,
+       round(prop, 6) AS below_threshold_proportion
+FROM pick WHERE mrk = 1
+"""
+
+
+@query("anomaly_multimodel_threshold", ORACLE_MULTIMODEL)
+def anomaly_multimodel_threshold(spark, sf_dir):
+    """Model competition per metric: vectorized SimpleModel vs. a pandas
+    SeasonalNaive — union the validation curves, grid-search thresholds,
+    pick min (threshold, factory order); constant series forced to
+    SimpleModel."""
+    from thoth_spark.anomaly.optimization import optimize
+
+    metrics = _metric_series(spark, sf_dir)
+    opt = optimize(
+        metrics,
+        confidence=_CONF,
+        model_names=["SimpleModel", "SeasonalNaive7"],
+        key_cols=KEY,
+    )
+    return opt.optimization_df.select(
+        *KEY,
+        "best_model_name",
+        F.round("threshold", 6).alias("threshold"),
+        F.round("mean_error", 6).alias("mean_error"),
+        F.round("below_threshold_proportion", 6).alias("below_threshold_proportion"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational coverage (TPC-H-style + windowed/sessionized/as-of)
 # ---------------------------------------------------------------------------
@@ -1083,6 +1189,24 @@ def profile_events_approx(spark, sf_dir):
         analyzers=[ApproxQuantiles("value"), ApproxCountDistinct("event_type"), Size()]
     )
     return _round_metrics(profile(df, "ts", builder))
+
+
+@query("anomaly_holt_validation")
+def anomaly_holt_validation(spark, sf_dir):
+    """Holt double-exponential smoothing CV (sequential recurrence — not
+    SQL-expressible, so rows-only): the stand-in for Prophet/SARIMA-class
+    stateful models, one applyInPandas task per metric series."""
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    metrics = _metric_series(spark, sf_dir)
+    v = cross_validation(metrics, MODEL_REGISTRY["HoltLinear"](), key_cols=KEY)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("true_value", 6).alias("true_value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
 
 
 @query("similarity_topk_lsh")
