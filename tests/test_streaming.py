@@ -1,0 +1,115 @@
+"""Streaming surface tests: watermarked profiling (append mode), stateful
+incremental scoring (applyInPandasWithState), foreachBatch assessment."""
+
+import datetime
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from thoth_spark.profiler import Mean, ProfilingBuilder, Size, profile
+from thoth_spark.sources import load_table
+from thoth_spark.streaming import (
+    assess_foreach_batch,
+    profile_stream,
+    running_score_stream,
+)
+
+BUILDER = ProfilingBuilder(analyzers=[Mean("value"), Size()])
+
+
+def _events_stream(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .select("ts", "value")
+    )
+
+
+def _run_to_memory(df, mode):
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_profile_stream_append_watermark(spark, sf_dir):
+    """Append mode emits exactly the finalized (watermark-passed) daily
+    buckets, and their values match the batch profiler bit-for-bit."""
+    stream_metrics = profile_stream(
+        _events_stream(spark, sf_dir), "ts", BUILDER, watermark_delay="1 day"
+    )
+    name = _run_to_memory(stream_metrics, "append")
+    got = {
+        (r["ts"], r["entity"], r["instance"], r["name"]): r["value"]
+        for r in spark.table(name).collect()
+    }
+
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - datetime.timedelta(days=1)
+    expected = {
+        (r["ts"], r["entity"], r["instance"], r["name"]): r["value"]
+        for r in profile(events, "ts", BUILDER).collect()
+        # append mode emits a window once watermark >= window end
+        if r["ts"] + datetime.timedelta(days=1) <= watermark
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_profile_stream_rejects_grouping_analyzers(spark, sf_dir):
+    from thoth_spark.profiler import Entropy
+
+    with pytest.raises(ValueError, match="assess_foreach_batch"):
+        profile_stream(
+            _events_stream(spark, sf_dir), "ts", ProfilingBuilder(analyzers=[Entropy("value")])
+        )
+
+
+def test_running_score_stream_golden(spark):
+    rows = [
+        ("Column", "value", "Mean", datetime.datetime(2022, 1, 1) + datetime.timedelta(days=i), v)
+        for i, v in enumerate([2.0, 4.0, 6.0, 4.0])
+    ]
+    src = spark.createDataFrame(
+        rows, "entity string, instance string, name string, ts timestamp, value double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        src.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(src.schema).parquet(d)
+        name = _run_to_memory(running_score_stream(stream, window=2), "append")
+        got = sorted(spark.table(name).collect(), key=lambda r: r["ts"])
+    assert [r["predicted"] for r in got] == [None, 2.0, 3.0, 5.0]
+    assert got[3]["error"] == 0.25  # |4 - 5| / 4
+    assert all(r["entity"] == "Column" and r["name"] == "Mean" for r in got)
+
+
+def test_assess_foreach_batch(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    thresholds = spark.createDataFrame(
+        [("Column", "value", "Mean", 0.1)],
+        "entity string, instance string, name string, threshold double",
+    )
+    seen = []
+    cb = assess_foreach_batch(
+        "ts",
+        on_result=lambda df, bid: seen.append((bid, df.collect())),
+        profiling_builder=BUILDER,
+        optimization_df=thresholds,
+    )
+    cb(events, 0)
+    assert len(seen) == 1
+    rows = seen[0][1]
+    mean_rows = [r for r in rows if r["name"] == "Mean"]
+    assert mean_rows and all(r["threshold"] == 0.1 for r in mean_rows)
+    assert all(r["threshold"] is None for r in rows if r["name"] == "Size")

@@ -697,6 +697,113 @@ def tpch_q5(spark, sf_dir):
     )
 
 
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+@query("tpch_q4_order_priority", ORACLE_Q4)
+def tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join; the date
+    filter prunes the orders scan before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+ORACLE_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t GROUP BY c_count
+"""
+
+
+@query("tpch_q13_customer_distribution", ORACLE_Q13)
+def tpch_q13(spark, sf_dir):
+    """TPC-H Q13: left outer join with an ON-clause predicate, then a
+    two-level aggregation (per-customer count -> distribution)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@query("tpch_q17_small_quantity_revenue", ORACLE_Q17)
+def tpch_q17(spark, sf_dir):
+    """TPC-H Q17: correlated scalar aggregate decorrelated to a window
+    avg over partkey — no second scan/join of lineitem, the classic
+    rewrite that halves the shuffle volume."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    filtered = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_q = F.avg("l_quantity").over(W.partitionBy("l_partkey"))
+    return (
+        filtered.withColumn("__avg_q", avg_q)
+        .where(F.col("l_quantity") < 0.2 * F.col("__avg_q"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+ORACLE_Q22 = """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0)
+SELECT substr(c_name, 10, 1) AS cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+@query("tpch_q22_global_sales_opportunity", ORACLE_Q22)
+def tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (computed once,
+    broadcast into the filter) + NOT EXISTS as a left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    rich = c.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("a"))
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(
+        F.substring("c_name", 10, 1).alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 ORACLE_TOPK_ORDERS = """
 SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank FROM (
   SELECT c_custkey, o_orderkey, o_totalprice,
@@ -1241,6 +1348,78 @@ def dedup_minhash_survivors(spark, sf_dir):
     survivor policy."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
+
+
+@query("streaming_watermark_profile_events")
+def streaming_watermark_profile_events(spark, sf_dir):
+    """Watermarked APPEND-mode streaming profiling: late rows within the
+    watermark fold into their day bucket; finalized buckets emit exactly
+    once. Rows-only (watermark finalization isn't SQL-expressible)."""
+    import uuid
+
+    from thoth_spark.profiler import Mean
+    from thoth_spark.streaming import profile_stream
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .select("ts", "value")
+        )
+        metrics = profile_stream(
+            stream, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()])
+        )
+        name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+        q = metrics.writeStream.outputMode("append").format("memory").queryName(name).start()
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(name).select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@query("streaming_running_score")
+def streaming_running_score(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-metric rolling-mean forecast state scores each arriving metric
+    point incrementally. Rows-only (stateful recurrence)."""
+    import tempfile
+    import uuid
+
+    from thoth_spark.streaming import running_score_stream
+
+    metrics = _metric_series(spark, sf_dir).select(*KEY, "ts", "value")
+    d = tempfile.mkdtemp(prefix="thoth_stream_")
+    metrics.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(metrics.schema).parquet(d)
+    name = f"stream_score_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_score_stream(stream, window=7)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
 
 
 @query("streaming_profile_events")

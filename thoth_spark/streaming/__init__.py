@@ -1,0 +1,27 @@
+"""Structured Streaming surface.
+
+The reference emulates micro-batching at the service level — a driver
+loop feeding one batch per time partition through ``assess_new_ts``
+(``/root/reference/thoth/service_layer.py:449-508``). Spark-first, that
+maps onto three native pieces:
+
+- :func:`profile_stream` — the SAME profiling aggregation as
+  :func:`thoth_spark.profiler.profile`, on a streaming DataFrame with a
+  watermark, so late data folds into the right time bucket and finalized
+  buckets emit exactly once (append mode);
+- :func:`running_score_stream` — a custom stateful operator
+  (``applyInPandasWithState``): per-metric rolling-mean forecast state
+  lives in the state store, each arriving metric point is scored
+  incrementally — no retraining, no full-history scan;
+- :func:`assess_foreach_batch` — the reference's per-batch
+  profile→score→assess loop as a ``foreachBatch`` sink callback against
+  the metrics repository.
+"""
+
+from thoth_spark.streaming.stream import (
+    assess_foreach_batch,
+    profile_stream,
+    running_score_stream,
+)
+
+__all__ = ["profile_stream", "running_score_stream", "assess_foreach_batch"]

@@ -1,0 +1,175 @@
+"""Streaming implementations: watermarked profiling, stateful scoring,
+foreachBatch assessment."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from thoth_spark.profiler.analyzers import Analyzer, GroupingAnalyzer
+from thoth_spark.profiler.builder import DefaultProfilingBuilder, ProfilingBuilder
+from thoth_spark.profiler.profile import Granularity
+
+#: granularity → F.window duration (epoch-aligned, so DAY/HOUR buckets
+#: coincide exactly with ``date_trunc`` in a UTC session).
+_WINDOW_DURATION = {Granularity.DAY: "1 day", Granularity.HOUR: "1 hour"}
+
+
+def profile_stream(
+    df: DataFrame,
+    ts_column: str,
+    profiling_builder: ProfilingBuilder | None = None,
+    granularity: str = Granularity.DAY,
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Streaming equivalent of :func:`thoth_spark.profiler.profile`.
+
+    Groups by ``F.window(ts, bucket)`` under a watermark instead of
+    ``date_trunc`` so append-mode sinks emit each finalized time bucket
+    exactly once (late rows within ``watermark_delay`` still land in
+    their bucket; later ones are dropped — the streaming trade the
+    reference never had to make because it reprocessed whole partitions).
+
+    Only single-pass analyzers are supported: frequency-based analyzers
+    (Uniqueness/Entropy/Histogram/…) need a second chained aggregation,
+    which Structured Streaming disallows — run those through
+    :func:`assess_foreach_batch` instead. Exact ``CountDistinct`` is
+    likewise rejected by Spark on streams; the builder's
+    ``ApproxCountDistinct`` is the streaming path.
+    """
+    granularity = granularity.upper()
+    if granularity not in _WINDOW_DURATION:
+        raise ValueError(
+            f"Streaming profiling supports {sorted(_WINDOW_DURATION)} granularities; "
+            f"got {granularity}. (WEEK/MONTH buckets are not fixed-width windows.)"
+        )
+    builder = profiling_builder or DefaultProfilingBuilder()
+    analyzers = builder.build_analyzers(df.drop(ts_column).schema.fields)
+    singles = [a for a in analyzers if not isinstance(a, GroupingAnalyzer)]
+    if len(singles) != len(analyzers):
+        bad = [type(a).__name__ for a in analyzers if isinstance(a, GroupingAnalyzer)]
+        raise ValueError(
+            f"Frequency-based analyzers not supported on streams: {bad}. "
+            "Use assess_foreach_batch for those."
+        )
+    if not singles:
+        raise ValueError("ProfilingBuilder produced no analyzers for this schema.")
+
+    agg_map = {}
+    for a in singles:
+        for alias, expr in a.agg_exprs():
+            agg_map.setdefault(alias, expr)
+    agged = (
+        df.withWatermark(ts_column, watermark_delay)
+        .groupBy(F.window(F.col(ts_column), _WINDOW_DURATION[granularity]))
+        .agg(*[expr.alias(alias) for alias, expr in agg_map.items()])
+    )
+    structs = [
+        F.struct(
+            F.lit(a.entity).alias("entity"),
+            F.lit(a.instance).alias("instance"),
+            F.lit(name).alias("name"),
+            expr.cast("double").alias("value"),
+        )
+        for a in singles
+        for name, expr in a.outputs()
+    ]
+    return agged.select(
+        F.col("window.start").alias("ts"), F.explode(F.array(*structs)).alias("m")
+    ).select("ts", "m.*")
+
+
+#: output schema of :func:`running_score_stream`
+_SCORE_SCHEMA = (
+    "entity string, instance string, name string, ts timestamp, "
+    "value double, predicted double, error double"
+)
+_STATE_SCHEMA = "values array<double>"
+
+
+def running_score_stream(
+    metrics_stream: DataFrame,
+    window: int = 7,
+    key_cols: tuple[str, ...] = ("entity", "instance", "name"),
+) -> DataFrame:
+    """Incremental anomaly scoring as a custom stateful streaming operator.
+
+    ``applyInPandasWithState`` keyed by metric: the state is the last
+    ``window`` metric values; every arriving point is forecast as the
+    mean of the state (SimpleModel's rolling-mean semantics,
+    one fixed window) and scored with clamped APE, then pushed into the
+    state. State size is O(window) doubles per metric — bounded, spillable
+    to the state store, and independent of stream length; metrics
+    partition across executors by key.
+    """
+
+    def score_group(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (values,) = state.get if state.exists else ([],)
+        values = list(values)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for row in pdf.itertuples(index=False):
+                pred = sum(values) / len(values) if values else None
+                err = (
+                    min(abs(row.value - pred) / row.value, 1.0)
+                    if pred is not None and row.value != 0
+                    else None
+                )
+                out.append((*key, row.ts, row.value, pred, err))
+                values.append(float(row.value))
+                if len(values) > window:
+                    values.pop(0)
+        state.update((values,))
+        yield pd.DataFrame(
+            out, columns=[*key_cols, "ts", "value", "predicted", "error"]
+        )
+
+    return (
+        metrics_stream.select(*key_cols, "ts", "value")
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            score_group,
+            outputStructType=_SCORE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def assess_foreach_batch(
+    ts_column: str,
+    on_result: Callable[[DataFrame, int], None],
+    profiling_builder: ProfilingBuilder | None = None,
+    optimization_df: DataFrame | None = None,
+    granularity: str = Granularity.DAY,
+) -> Callable[[DataFrame, int], None]:
+    """The reference's per-batch assessment loop as a foreachBatch sink.
+
+    Returns a callback for ``stream.writeStream.foreachBatch(...)``: each
+    micro-batch is profiled (full analyzer surface — foreachBatch runs
+    batch-mode plans, so frequency analyzers work here), optionally joined
+    against optimized thresholds to flag anomalies, and handed to
+    ``on_result(result_df, batch_id)`` (persist to the metrics repository,
+    notify, …).
+    """
+    from thoth_spark.profiler.profile import profile
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        metrics = profile(batch_df, ts_column, profiling_builder, granularity)
+        if optimization_df is not None:
+            keys = ["entity", "instance", "name"]
+            metrics = metrics.join(
+                F.broadcast(optimization_df.select(*keys, "threshold")), on=keys, how="left"
+            )
+        on_result(metrics, batch_id)
+
+    return callback
