@@ -1095,8 +1095,7 @@ def dedup_minhash_documents(spark, sf_dir):
 _H_HI = _hex2int_sql("m", 1, 8)
 _H_LO = _hex2int_sql("m", 9, 8)
 
-ORACLE_SIMHASH = f"""
-WITH d AS ({_DOC_TOKENS}),
+_SIMHASH_CTES = f"""d AS ({_DOC_TOKENS}),
 toks AS (SELECT doc_id, unnest(toks) AS tok FROM d),
 h AS (SELECT doc_id, md5(tok) AS m FROM toks),
 hh AS (SELECT doc_id, {_H_HI} AS h_hi, {_H_LO} AS h_lo FROM h),
@@ -1105,11 +1104,17 @@ bits AS (
          sum(CASE WHEN (h_hi >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s_hi,
          sum(CASE WHEN (h_lo >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s_lo
   FROM hh CROSS JOIN generate_series(0, 31) g(i) GROUP BY 1, 2
-)
-SELECT doc_id AS id,
-       sum(CASE WHEN s_hi > 0 THEN power(2, i)::BIGINT ELSE 0 END)::BIGINT AS sim_hi,
-       sum(CASE WHEN s_lo > 0 THEN power(2, i)::BIGINT ELSE 0 END)::BIGINT AS sim_lo
-FROM bits GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id AS id,
+         sum(CASE WHEN s_hi > 0 THEN power(2, i)::BIGINT ELSE 0 END)::BIGINT AS sim_hi,
+         sum(CASE WHEN s_lo > 0 THEN power(2, i)::BIGINT ELSE 0 END)::BIGINT AS sim_lo
+  FROM bits GROUP BY doc_id
+)"""
+
+ORACLE_SIMHASH = f"""
+WITH {_SIMHASH_CTES}
+SELECT id, sim_hi, sim_lo FROM fp
 """
 
 
@@ -1118,6 +1123,145 @@ def dedup_simhash_documents(spark, sf_dir):
     """64-bit SimHash fingerprints (as two 32-bit halves) per document."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text")
+
+
+ORACLE_SIMHASH_PAIRS = f"""
+WITH {_SIMHASH_CTES},
+chunks AS (
+  SELECT id, sim_hi, sim_lo, ci, cv FROM fp CROSS JOIN LATERAL (VALUES
+    (0, sim_hi % 65536), (1, sim_hi // 65536),
+    (2, sim_lo % 65536), (3, sim_lo // 65536)) t(ci, cv)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.sim_hi AS hi_a, a.sim_lo AS lo_a, b.sim_hi AS hi_b, b.sim_lo AS lo_b
+  FROM chunks a JOIN chunks b USING (ci, cv) WHERE a.id < b.id
+)
+SELECT id_a, id_b,
+       bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
+"""
+
+
+@query("dedup_simhash_pairs_documents", ORACLE_SIMHASH_PAIRS)
+def dedup_simhash_pairs_documents(spark, sf_dir):
+    """SimHash near-dup pairs within Hamming distance 3: pigeonhole
+    chunk-bucketing (4×16-bit chunks; any ≤3-distant pair shares a full
+    chunk) makes candidate generation an equi-join, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash(docs, "doc_id", "text")
+    return dedup.simhash_near_dup_pairs(fps, max_hamming=3)
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH d AS ({_DOC_TOKENS}),
+stats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+             / len(toks) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text) AS digit_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text) AS punct_ratio
+  FROM d JOIN documents USING (doc_id)
+)
+SELECT doc_id,
+       round(least(n_tokens / 64.0, 1.0) * 0.3
+             + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3
+             + greatest(1.0 - abs(stopword_ratio - 0.08) * 2, 0.0) * 0.2
+             + (1.0 - least((digit_ratio + punct_ratio) * 4, 1.0)) * 0.2,
+             6) AS quality_score
+FROM stats
+"""
+
+
+@query("text_quality_documents", ORACLE_TEXT_QUALITY)
+def text_quality_documents(spark, sf_dir):
+    """Composite text-quality heuristic (length/diversity/stopword/noise
+    terms) — the first-pass corpus filter, all JVM-side expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+ORACLE_WEEKLY = """
+SELECT w::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT date_trunc('week', ts::TIMESTAMP) AS w, 'Dataset' AS entity, '*' AS instance,
+         'Size' AS name, count(*)::DOUBLE AS value FROM events GROUP BY 1
+  UNION ALL
+  SELECT date_trunc('week', ts::TIMESTAMP), 'Column', 'value', 'Mean', avg(value)
+  FROM events GROUP BY 1
+) t
+"""
+
+
+@query("profile_events_weekly", ORACLE_WEEKLY)
+def profile_events_weekly(spark, sf_dir):
+    """WEEK granularity (reference implements only DAY; date_trunc
+    generalizes the bucketing for free)."""
+    from thoth_spark.profiler import Mean
+
+    df = _events(spark, sf_dir).select("ts", "value")
+    m = profile(df, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]), Granularity.WEEK)
+    return m.select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_REPO_ROUNDTRIP = """
+WITH bounds AS (
+  SELECT date_trunc('day', min(ts::TIMESTAMP)) + INTERVAL 7 DAY AS lo,
+         date_trunc('day', min(ts::TIMESTAMP)) + INTERVAL 21 DAY AS hi
+  FROM events
+),
+e AS (SELECT date_trunc('day', ts::TIMESTAMP) AS d, * FROM events),
+m AS (
+  SELECT d, 'Dataset' AS entity, '*' AS instance, 'Size' AS name, count(*)::DOUBLE AS value
+  FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'Mean', avg(value) FROM e GROUP BY d
+)
+SELECT 'events://demo' AS dataset_uri, d::DATE AS ts, 'DAY' AS granularity,
+       entity, instance, name, round(value, 6) AS value
+FROM m, bounds WHERE d >= bounds.lo AND d <= bounds.hi
+"""
+
+
+@query("repository_roundtrip_profiling", ORACLE_REPO_ROUNDTRIP)
+def repository_roundtrip_profiling(spark, sf_dir):
+    """Metrics-repository lifecycle: register dataset, upsert profiling
+    twice (idempotent re-profiling), closed-interval range scan pruned by
+    the dataset_uri partition column."""
+    import datetime
+    import tempfile
+
+    from thoth_spark.profiler import Mean
+    from thoth_spark.repository import MetricsRepository
+
+    df = _events(spark, sf_dir).select("ts", "value")
+    metrics = profile(df, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]))
+    repo = MetricsRepository(spark, tempfile.mkdtemp(prefix="thoth_repo_"))
+    uri = "events://demo"
+    repo.add_dataset(uri, ts_column="ts", columns=["value"], granularity="DAY")
+    repo.add_profiling(uri, metrics)
+    repo.add_profiling(uri, metrics)  # idempotent upsert by (uri, ts)
+    day0 = df.agg(F.date_trunc("day", F.min("ts"))).collect()[0][0]
+    lo, hi = day0 + datetime.timedelta(days=7), day0 + datetime.timedelta(days=21)
+    out = repo.select_profiling(uri, start_ts=lo, end_ts=hi)
+    return out.select(
+        "dataset_uri",
+        F.col("ts").cast("date").alias("ts"),
+        "granularity",
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
 
 
 ORACLE_TEXT_STATS = f"""
@@ -1340,6 +1484,27 @@ def embedding_neardup_lsh(spark, sf_dir):
     """Hyperplane-bucketed cosine near-dup pairs (approximate)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6)
+
+
+@query("token_count_documents")
+def token_count_documents(spark, sf_dir):
+    """BPE-ish token counts (lookaround regex split — not RE2/DuckDB
+    expressible, so rows-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(text.tokens(F.col("text"))).alias("ws_tokens"),
+        text.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query("multimodal_frame_sample")
+def multimodal_frame_sample(spark, sf_dir):
+    """1→N frame-sampling shape over binary media (mapInPandas explode;
+    deterministic stub frames — decode libs aren't bundled)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = multimodal.frame_sample_stub(multimodal.attach_binary(docs, "text"))
+    return frames.select("doc_id", "frame_idx", "frame_md5")
 
 
 @query("dedup_minhash_survivors")
