@@ -182,6 +182,10 @@ def optimize(
     key_cols = key_cols or metric_key_columns(metrics_df)
     model_names = model_names or list(DEFAULT_MODEL_NAMES)
     metrics_df = _tail_last_n(metrics_df.select(*key_cols, "ts", "value"), key_cols, last_n)
+    # post-aggregation metric series are tiny relative to the profiled
+    # data — cache so validation, per-model CV, and the constant-series
+    # check don't re-run the upstream profiling scan
+    metrics_df = metrics_df.cache()
     validate_series(metrics_df, key_cols)
 
     validations = []

@@ -292,7 +292,9 @@ def _metric_series(spark, sf_dir):
     builder = ProfilingBuilder(
         analyzers=[Mean("value"), CountDistinct("event_type"), Size()]
     )
-    return profile(df, "ts", builder)
+    # cached: the anomaly queries chain several passes (validate, CV per
+    # model, threshold grid, scoring) over this tiny aggregated series
+    return profile(df, "ts", builder).cache()
 
 
 ORACLE_SM_WINDOW_PREDS = """
