@@ -64,6 +64,15 @@ def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
+def _documents(spark, sf_dir):
+    """documents table spread across all cores: the test parquet is a
+    single file (one scan task), and the text queries are compute-bound
+    per row — a 1.5 MB round-robin shuffle buys full parallelism."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _round_metrics(df: DataFrame) -> DataFrame:
     return df.select(
         F.col("ts").cast("date").alias("ts"),
@@ -203,6 +212,79 @@ SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
 def profile_events_histogram(spark, sf_dir):
     df = _events(spark, sf_dir).select("ts", "event_type")
     return _round_metrics(profile(df, "ts", ProfilingBuilder(analyzers=[Histogram("event_type")])))
+
+
+ORACLE_MUTUAL_INFO = """
+WITH c AS (
+  SELECT lang, source, count(*) AS cnt FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+),
+e AS (
+  SELECT *, sum(cnt) OVER () AS total,
+         sum(cnt) OVER (PARTITION BY lang) AS ca,
+         sum(cnt) OVER (PARTITION BY source) AS cb
+  FROM c
+)
+SELECT DATE '2024-01-01' AS ts, 'Multicolumn' AS entity, 'lang,source' AS instance,
+       'MutualInformation' AS name,
+       round(sum((cnt::DOUBLE / total) * ln((cnt::DOUBLE * total) / (ca::DOUBLE * cb))), 6) AS value
+FROM e
+"""
+
+
+@query("profile_documents_mutual_information", ORACLE_MUTUAL_INFO)
+def profile_documents_mutual_information(spark, sf_dir):
+    """MutualInformation(lang, source) over the whole corpus (single
+    synthetic partition): joint + marginal frequencies from ONE
+    groupBy(pair) pass plus window sums — no self-joins."""
+    from thoth_spark.profiler import MutualInformation
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("2024-01-01").cast("timestamp").alias("ts"), "lang", "source"
+    )
+    m = profile(docs, "ts", ProfilingBuilder(analyzers=[MutualInformation("lang", "source")]))
+    return m.select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_INFERRED_TYPES = """
+WITH e AS (
+  SELECT date_trunc('day', ts::TIMESTAMP) AS d,
+         json_extract_string(props, '$.k') AS k_str
+  FROM events
+),
+agg AS (
+  SELECT d, count(k_str) AS nn,
+         sum(CASE WHEN regexp_full_match(k_str, '-?\\d+') THEN 1 ELSE 0 END) AS i,
+         sum(CASE WHEN regexp_full_match(k_str, '-?\\d*\\.\\d+([eE][-+]?\\d+)?') THEN 1 ELSE 0 END) AS fr,
+         sum(CASE WHEN regexp_full_match(k_str, '(?i)(true|false)') THEN 1 ELSE 0 END) AS b
+  FROM e GROUP BY d
+)
+SELECT d::DATE AS ts, 'Column' AS entity, 'k_str' AS instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'DataType.Integral.ratio' AS name, i::DOUBLE / nn AS value FROM agg
+  UNION ALL SELECT d, 'DataType.Fractional.ratio', fr::DOUBLE / nn FROM agg
+  UNION ALL SELECT d, 'DataType.Boolean.ratio', b::DOUBLE / nn FROM agg
+  UNION ALL SELECT d, 'DataType.String.ratio', (nn - i - fr - b)::DOUBLE / nn FROM agg
+) t
+"""
+
+
+@query("profile_events_inferred_types", ORACLE_INFERRED_TYPES)
+def profile_events_inferred_types(spark, sf_dir):
+    """Deequ-style DataType inference histogram over JSON-extracted string
+    values, per day, in the shared single-pass aggregation."""
+    from thoth_spark.profiler import InferredTypes
+
+    df = _events(spark, sf_dir).select(
+        "ts", F.get_json_object("props", "$.k").alias("k_str")
+    )
+    m = profile(df, "ts", ProfilingBuilder(analyzers=[InferredTypes("k_str")]))
+    return _round_metrics(m)
 
 
 ORACLE_HOURLY = """
@@ -1072,12 +1154,9 @@ def dedup_minhash_documents(spark, sf_dir):
     """MinHash-LSH near-dup pairs: 32-hash signatures, 8 bands × 4 rows,
     candidates verified with exact Jaccard ≥ 0.8."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=3)
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3).cache()
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=3, shingles=sh)
     cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
-    sh = docs.select(
-        F.col("doc_id").alias("id"),
-        F.array_distinct(text.word_ngrams(F.col("text"), 3)).alias("sh"),
-    )
     verified = (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -1184,7 +1263,7 @@ FROM stats
 def text_quality_documents(spark, sf_dir):
     """Composite text-quality heuristic (length/diversity/stopword/noise
     terms) — the first-pass corpus filter, all JVM-side expressions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return text.quality_score(docs, "text").select("doc_id", "quality_score")
 
 
@@ -1282,7 +1361,7 @@ FROM d JOIN documents USING (doc_id)
 
 @query("text_stats_documents", ORACLE_TEXT_STATS)
 def text_stats_documents(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     stats = text.text_stats(docs, "text")
     return stats.select(
         "doc_id",
@@ -1329,7 +1408,7 @@ FROM ranked WHERE rk = 1
 
 @query("lang_id_documents", ORACLE_LANG_ID)
 def lang_id_documents(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id", text.language_id(F.col("text")).alias("predicted_lang")
     )
@@ -1343,7 +1422,7 @@ SELECT doc_id, md5(norm) AS fingerprint, len(toks) AS n_tokens FROM d
 
 @query("fingerprint_documents", ORACLE_FINGERPRINT)
 def fingerprint_documents(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         text.fingerprint(F.col("text")).alias("fingerprint"),
@@ -1419,7 +1498,7 @@ FROM documents
 def multimodal_decode_stub(spark, sf_dir):
     """Binary-column pipeline: attach bytes, Arrow-batch 'decode'
     (deterministic stub) via mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
     decoded = multimodal.decode_stub(multimodal.attach_binary(docs, "text"))
     return decoded.select(
         "doc_id", "media_md5", "media_bytes", "width", "height", "n_channels", "format"
@@ -1492,7 +1571,7 @@ def embedding_neardup_lsh(spark, sf_dir):
 def token_count_documents(spark, sf_dir):
     """BPE-ish token counts (lookaround regex split — not RE2/DuckDB
     expressible, so rows-only)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(text.tokens(F.col("text"))).alias("ws_tokens"),
@@ -1504,7 +1583,7 @@ def token_count_documents(spark, sf_dir):
 def multimodal_frame_sample(spark, sf_dir):
     """1→N frame-sampling shape over binary media (mapInPandas explode;
     deterministic stub frames — decode libs aren't bundled)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
     frames = multimodal.frame_sample_stub(multimodal.attach_binary(docs, "text"))
     return frames.select("doc_id", "frame_idx", "frame_md5")
 

@@ -72,10 +72,7 @@ def ngram_jaccard_pairs(
     occur in more than that many documents (skew + noise control at
     scale). Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("sh"),
-    ).where(F.size("sh") > 0)
+    shingled = shingle_sets(df, id_col, text_col, n).where(F.size("sh") > 0)
     sizes = shingled.select("id", F.size("sh").alias("sz"))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
@@ -110,12 +107,32 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram sets per document: ``(id, sh array<string>)``.
+    Shingling is the shared (and priciest) text pass of the fuzzy-dedup
+    family — compute it once, ``.cache()`` it, and feed signatures AND
+    verification from the same frame.
+
+    Repartitioned by ``id`` BEFORE the heavy per-document work: the
+    downstream signature ``groupBy(id)`` reuses the hash partitioning (no
+    second exchange), so this costs no extra shuffle while spreading the
+    shingle/hash compute across all cores — a single-file (or few-split)
+    input would otherwise run the whole map stage in one task."""
+    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")).repartition(
+        "id"
+    ).select(
+        "id",
+        F.array_distinct(word_ngrams(F.col("__txt"), n)).alias("sh"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 32,
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<string>``.
 
@@ -129,10 +146,8 @@ def minhash_signatures(
     re-shingles per seed and falls out of codegen — measured ~100×
     slower.) Documents with zero shingles produce no rows.
     """
-    inv = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("s"),
-    )
+    sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
+    inv = sh.select("id", F.explode("sh").alias("s"))
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -199,13 +214,10 @@ def minhash_dedup(
     standard at-scale approximation avoiding iterative connected
     components; plug GraphFrames in for exact components if needed.)
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sh = shingle_sets(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, shingles=sh)
     candidates = minhash_lsh_pairs(sigs, bands, rows_per_band)
-    # verify candidates with exact jaccard on the shingle sets
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_ngrams(F.col(text_col), n)).alias("sh"),
-    )
+    # verify candidates with exact jaccard on the same cached shingle sets
     verified = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -235,8 +247,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fingerprint. Explode + one groupBy(id) with 64 conditional sums — a
     single shuffle keyed by document id.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    exploded = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("tok")).select(
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("__txt"))), r"\s+", " "), " ")
+    # repartition by id first: the per-token hashing + 64 partial sums then
+    # run across all cores, and groupBy(id) reuses the partitioning
+    exploded = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")).repartition(
+        "id"
+    ).select(F.col("id"), F.explode(toks).alias("tok")).select(
         "id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h_hi"),
         F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h_lo"),
