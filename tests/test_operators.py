@@ -266,3 +266,22 @@ def test_frame_sample_stub(spark, documents_df):
 def test_decode_real_raises(spark, documents_df):
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(documents_df)
+
+
+def test_salted_join_equals_plain_join(spark):
+    import pyspark.sql.functions as F
+    from thoth_spark.operators.relational import salted_join
+
+    # skewed left: one hot key with 5k rows
+    left = spark.range(5000).select(
+        F.when(F.col("id") < 4500, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    expected = sorted(left.join(right, "k").collect())
+    got = sorted(salted_join(left, right, ["k"], salt_buckets=8).collect())
+    assert got == expected
+
+    exp_left = sorted(left.join(right, "k", "left").collect())
+    got_left = sorted(salted_join(left, right, ["k"], salt_buckets=8, how="left").collect())
+    assert got_left == exp_left

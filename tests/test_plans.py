@@ -1,0 +1,76 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+broadcast, shuffle count, codegen) are asserted, not assumed — a change
+that silently degrades the plan fails here even though results stay
+correct."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from thoth_spark import entry_queries
+from thoth_spark.operators import dedup
+from thoth_spark.sources import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df, spark) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _formatted(entry_queries.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir), spark)
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_q3_broadcasts_dimensions_no_fact_preshuffle(spark, sf_dir):
+    plan = _plan(entry_queries.QUERIES["tpch_q3_shipping_priority"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the only shuffle is the final aggregation — the fact table reaches
+    # its joins unshuffled
+    assert "SortMergeJoin" not in plan
+
+
+def test_q17_single_lineitem_scan(spark, sf_dir):
+    """The correlated-subquery rewrite must not scan lineitem twice."""
+    plan = _formatted(entry_queries.QUERIES["tpch_q17_small_quantity_revenue"](spark, sf_dir), spark)
+    assert len(re.findall(r"Location:.*lineitem", plan)) == 1
+
+
+def test_profile_is_one_aggregation_job(spark, sf_dir):
+    """Single-pass profiling: exactly one shuffle (partial+final agg),
+    no join, no extra exchange."""
+    from thoth_spark.profiler import Mean, ProfilingBuilder, Size, profile
+
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    m = profile(events, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]))
+    plan = _plan(m)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_minhash_signature_reuses_repartition(spark, sf_dir):
+    """shingle_sets repartitions by id; the signature groupBy(id) must
+    reuse that partitioning instead of shuffling again."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    plan = _plan(sigs)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
+    from thoth_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=3)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # Spark's rank-limit pushdown must kick in: only <=k rows per
+    # (query, input partition) reach the shuffle, so shuffle volume is
+    # O(k * queries * partitions), not O(corpus * queries)
+    assert "WindowGroupLimit" in plan and "Partial" in plan

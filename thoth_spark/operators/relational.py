@@ -104,3 +104,34 @@ def top_k_per_group(
     order += [F.col(c) for c in (tiebreak_cols or [])]
     w = W.partitionBy(*group_cols).orderBy(*order)
     return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot keys no longer land in one task.
+
+    The (large, skewed) left side gets a uniform random salt in
+    ``[0, salt_buckets)``; the (smaller) right side is exploded
+    ``salt_buckets``× so every salted key finds its match. Each hot key's
+    rows spread across ``salt_buckets`` tasks at the cost of replicating
+    the right side — the classic manual remedy when AQE's skew-join split
+    can't kick in (e.g. the skew only materializes after upstream
+    transforms). Result equals ``left.join(right, on, how)`` row-for-row.
+
+    Supports ``inner`` and ``left`` joins (semantics of other types don't
+    survive salting unchanged).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_l.join(salted_r, on=[*on, "__salt"], how=how).drop("__salt")
