@@ -32,17 +32,23 @@ HEADLINE = [
     "anomaly_sm_validation",
     "anomaly_sm_threshold",
     "quality_assessment_events",
+    "anomaly_multimodel_threshold",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
     "top_orders_per_customer",
     "sessionize_events",
     "asof_join_purchase_click",
     "dedup_exact_documents",
     "dedup_minhash_documents",
+    "dedup_simhash_pairs_documents",
     "text_stats_documents",
+    "text_quality_documents",
     "lang_id_documents",
     "similarity_topk_brute",
+    "similarity_topk_ivf",
 ]
 
 

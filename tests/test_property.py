@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input frame, not just the golden fixtures. (The reference has no
+property-based coverage — SURVEY §5.)"""
+
+import datetime
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from thoth_spark.anomaly.models import simple_model_folds
+from thoth_spark.operators.dedup import exact_dedup
+from thoth_spark.profiler import (
+    Completeness,
+    Mean,
+    ProfilingBuilder,
+    Size,
+    StandardDeviation,
+    profile,
+)
+
+KEY = ["entity", "instance", "name"]
+
+values_lists = st.lists(
+    st.one_of(st.none(), st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _frame(spark, values):
+    rows = [
+        (datetime.datetime(2024, 1, 1 + i % 3), v if v is None else float(v))
+        for i, v in enumerate(values)
+    ]
+    return spark.createDataFrame(rows, "ts timestamp, value double")
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=values_lists)
+def test_profile_invariants(spark, values):
+    df = _frame(spark, values)
+    m = profile(
+        df, "ts", ProfilingBuilder(analyzers=[Size(), Completeness("value"), Mean("value"), StandardDeviation("value")])
+    )
+    rows = {(r["name"], str(r["ts"])): r["value"] for r in m.collect()}
+    by_day = {}
+    for i, v in enumerate(values):
+        by_day.setdefault(1 + i % 3, []).append(v)
+    for day, vals in by_day.items():
+        ts = str(datetime.datetime(2024, 1, day))
+        nn = [v for v in vals if v is not None]
+        assert rows[("Size", ts)] == float(len(vals))
+        assert math.isclose(rows[("Completeness", ts)], len(nn) / len(vals), rel_tol=1e-9)
+        mean = rows[("Mean", ts)]
+        if not nn:
+            assert mean is None
+        else:
+            assert math.isclose(mean, sum(nn) / len(nn), rel_tol=1e-9, abs_tol=1e-9)
+            # population stddev: nonnegative, zero for singleton
+            sd = rows[("StandardDeviation", ts)]
+            if len(nn) == 1:
+                assert sd == 0.0
+            else:
+                assert sd >= 0.0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.floats(min_value=0.1, max_value=1e4, allow_nan=False), min_size=6, max_size=50
+    )
+)
+def test_simple_model_fold_invariants(spark, values):
+    rows = [
+        ("Column", "value", "Mean", datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), float(v))
+        for i, v in enumerate(values)
+    ]
+    df = spark.createDataFrame(
+        rows, "entity string, instance string, name string, ts timestamp, value double"
+    )
+    folds = simple_model_folds(df, key_cols=KEY).collect()
+    assert len(folds) == len(values)
+    for r in folds:
+        # error is clamped APE in [0, 1]; null before any window qualifies
+        if r["error"] is not None:
+            assert 0.0 <= r["error"] <= 1.0
+        if r["__idx"] <= 3:
+            assert r["predicted"] is None  # shortest window is 3: needs i > w
+        if r["predicted"] is not None:
+            lo, hi = min(values[: r["__idx"]]), max(values[: r["__idx"]])
+            assert lo - 1e-9 <= r["predicted"] <= hi + 1e-9  # mean of past values
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=60)
+)
+def test_exact_dedup_invariants(spark, keys):
+    rows = [(k, i) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "k int, id int")
+    out = exact_dedup(df, ["k"], "id").collect()
+    # one survivor per distinct key, and it is the min-id row
+    assert sorted(r["k"] for r in out) == sorted(set(keys))
+    for r in out:
+        assert r["id"] == min(i for i, k in enumerate(keys) if k == r["k"])

@@ -101,3 +101,27 @@ def test_dataset_registry_upsert(spark, repo):
     datasets = repo.get_datasets()
     assert [d["dataset_uri"] for d in datasets] == ["a://1", "b://2"]
     assert datasets[0]["ts_column"] == "ts2"
+
+
+def test_viz_views(spark, events_df):
+    from thoth_spark import viz
+    from thoth_spark.anomaly import optimize
+    from thoth_spark.anomaly.scoring import score
+    from thoth_spark.profiler import Mean, ProfilingBuilder, Size, profile
+
+    metrics = profile(
+        events_df.select("ts", "value"), "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()])
+    ).cache()
+    opt = optimize(metrics, confidence=0.85)
+    s = score(metrics, opt)
+
+    ts_view = viz.timeseries_view(metrics)
+    assert ts_view.columns == ["entity", "instance", "name", "ts", "value", "metric_position"]
+    assert ts_view.select("metric_position").distinct().count() == 2
+
+    sc_view = viz.scoring_view(s, opt.optimization_df).collect()
+    assert all(r["is_anomalous"] == (r["score"] > r["threshold"]) for r in sc_view)
+
+    iv = viz.forecast_interval_view(s, opt.optimization_df).collect()
+    for r in iv:
+        assert r["expected_min"] <= r["predicted"] <= r["expected_max"]

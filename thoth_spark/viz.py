@@ -1,0 +1,55 @@
+"""Dashboard data views — the plot-ready DataFrames behind the reference's
+Streamlit/plotly dashboard (``/root/reference/ui.py:97-293``,
+``/root/reference/thoth/util/viz.py:14-138``), kept engine-side so any BI
+tool (or the original plotly code) can consume them. No plotting deps here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+_KEY = ["entity", "instance", "name"]
+
+
+def timeseries_view(metrics_df: DataFrame) -> DataFrame:
+    """Per-metric profiling series, ordered for line plots
+    (``viz.plot_ts``): one row per (metric, ts), plus the metric's ordinal
+    position so dashboards render metrics in the reference's sorted order."""
+    pos = F.dense_rank().over(
+        W.orderBy(*_KEY)
+    )
+    return metrics_df.select(*_KEY, "ts", "value").withColumn(
+        "metric_position", pos
+    ).orderBy(*_KEY, "ts")
+
+
+def scoring_view(scoring_df: DataFrame, optimization_df: DataFrame) -> DataFrame:
+    """Score-vs-threshold band data (``viz.plot_metric_scoring``): each
+    scoring event with its optimized threshold and the anomaly flag."""
+    thresholds = optimization_df.select(*_KEY, "threshold", "best_model_name")
+    return scoring_df.join(F.broadcast(thresholds), on=_KEY).select(
+        *_KEY,
+        "ts",
+        F.col("error").alias("score"),
+        "threshold",
+        "best_model_name",
+        (F.col("error") > F.col("threshold")).alias("is_anomalous"),
+    )
+
+
+def forecast_interval_view(
+    scoring_df: DataFrame, optimization_df: DataFrame
+) -> DataFrame:
+    """Observed-vs-expected interval data (``viz.plot_predicted_values``):
+    the acceptance band is ``predicted / (1 ± threshold)`` — the exact
+    inversion of the clamped-APE score (reference ``viz.py:102-103``)."""
+    thresholds = optimization_df.select(*_KEY, "threshold")
+    return scoring_df.join(F.broadcast(thresholds), on=_KEY).select(
+        *_KEY,
+        "ts",
+        F.col("value").alias("observed"),
+        "predicted",
+        (F.col("predicted") / (1 + F.col("threshold"))).alias("expected_min"),
+        (F.col("predicted") / (1 - F.col("threshold"))).alias("expected_max"),
+    )
