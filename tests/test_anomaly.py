@@ -251,3 +251,13 @@ def test_score_dispatches_to_best_model(spark):
     # last point (idx 40) is position 40 % 7 == 5 in the cycle -> 10;
     # seasonal-naive predicts value[33] == 10 -> zero error
     assert s["predicted"] == 10.0 and s["error"] == 0.0
+
+
+def test_collect_timeseries(spark):
+    from thoth_spark import collect_timeseries
+
+    df = _series_df(spark, [3.0, 1.0, 2.0])
+    rows = collect_timeseries(df).collect()
+    assert len(rows) == 1
+    pts = rows[0]["points"]
+    assert [p["value"] for p in pts] == [3.0, 1.0, 2.0]  # sorted by ts

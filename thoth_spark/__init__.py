@@ -18,6 +18,7 @@ project ``rafaelleinio/thoth`` (profiling-based data-quality monitoring):
   column plumbing — designed for 100 TB inputs.
 """
 
+from thoth_spark.anomaly.models import collect_timeseries
 from thoth_spark.anomaly.optimization import OptimizationFailedError, optimize
 from thoth_spark.anomaly.scoring import score
 from thoth_spark.profiler import (
@@ -28,20 +29,27 @@ from thoth_spark.profiler import (
     profile,
 )
 from thoth_spark.quality import AnomalousScore, LogHandler, NotificationHandler, assess_quality
+from thoth_spark.repository import DatasetValidationError, MetricsRepository
+from thoth_spark.service import assess_new_ts, profile_create_optimize
 from thoth_spark.session import get_spark
 
 __all__ = [
     "AnomalousScore",
+    "DatasetValidationError",
     "DefaultProfilingBuilder",
     "Granularity",
     "LogHandler",
+    "MetricsRepository",
     "NotificationHandler",
     "OptimizationFailedError",
     "ProfilingBuilder",
     "SimpleProfilingBuilder",
+    "assess_new_ts",
     "assess_quality",
+    "collect_timeseries",
     "get_spark",
     "optimize",
     "profile",
+    "profile_create_optimize",
     "score",
 ]

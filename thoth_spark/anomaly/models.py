@@ -44,6 +44,21 @@ DEFAULT_WINDOWS = [3, 5, 7, 30]
 METRIC_KEY = ["entity", "instance", "name"]
 
 
+def collect_timeseries(metrics_df: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
+    """The reference's ``convert_to_timeseries``
+    (``/root/reference/thoth/base.py:29-47``): pivot the long metrics frame
+    to one row per metric with its chronologically sorted (ts, value)
+    points, ordered by metric key. In the long layout this is only needed
+    at API boundaries (driver-side consumers, dashboards) — the engine
+    itself operates on the long frame with window functions."""
+    key_cols = key_cols or metric_key_columns(metrics_df)
+    return (
+        metrics_df.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(F.struct("ts", "value"))).alias("points"))
+        .orderBy(*key_cols)
+    )
+
+
 def metric_key_columns(df: DataFrame) -> list[str]:
     """Series key = (dataset_uri?, entity, instance, name) — whichever of
     those columns the frame carries."""
