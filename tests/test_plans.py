@@ -74,3 +74,32 @@ def test_brute_force_topk_broadcasts_queries(spark, sf_dir):
     # (query, input partition) reach the shuffle, so shuffle volume is
     # O(k * queries * partitions), not O(corpus * queries)
     assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Bucketing both sides by the join key at write time removes the
+    join-time exchange entirely."""
+    from thoth_spark.operators.storage import read_bucketed, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 8, path=str(tmp_path / "o"))
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8, path=str(tmp_path / "l"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = read_bucketed(spark, "t_orders_b").join(
+                read_bucketed(spark, "t_lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the result matches the plain join
+        assert joined.count() == o.join(li, o.o_orderkey == li.l_orderkey).count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

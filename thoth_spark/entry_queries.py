@@ -1588,15 +1588,50 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_idx", "frame_md5")
 
 
-@query("dedup_minhash_survivors")
+ORACLE_MINHASH_SURVIVORS = f"""
+WITH {_DOC_SHINGLES},
+{_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, b, md5(list_aggregate(sg[b * 4 + 1 : b * 4 + 4], 'string_agg', '|')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 7) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (b, bh) WHERE a.doc_id < b.doc_id
+),
+losers AS (
+  SELECT DISTINCT id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id_b FROM losers)
+"""
+
+
+@query("dedup_minhash_survivors", ORACLE_MINHASH_SURVIVORS)
 def dedup_minhash_survivors(spark, sf_dir):
     """End-to-end near-dup dedup: LSH candidates → verify → min-id
-    survivor policy."""
+    survivor policy (a doc is dropped iff a similar doc with smaller id
+    exists)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.8).select("doc_id")
 
 
-@query("streaming_watermark_profile_events")
+ORACLE_STREAM_WM = """
+WITH e AS (SELECT date_trunc('day', ts::TIMESTAMP) AS d, * FROM events),
+wm AS (SELECT max(ts::TIMESTAMP) - INTERVAL 1 DAY AS w FROM events),
+m AS (
+  SELECT d, 'Dataset' AS entity, '*' AS instance, 'Size' AS name, count(*)::DOUBLE AS value
+  FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'Mean', avg(value) FROM e GROUP BY d
+)
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value
+FROM m, wm WHERE d + INTERVAL 1 DAY <= wm.w
+"""
+
+
+@query("streaming_watermark_profile_events", ORACLE_STREAM_WM)
 def streaming_watermark_profile_events(spark, sf_dir):
     """Watermarked APPEND-mode streaming profiling: late rows within the
     watermark fold into their day bucket; finalized buckets emit exactly
@@ -1668,12 +1703,23 @@ def streaming_running_score(spark, sf_dir):
     )
 
 
-@query("streaming_profile_events")
+ORACLE_STREAM_COMPLETE = """
+WITH e AS (SELECT date_trunc('day', ts::TIMESTAMP) AS d, * FROM events)
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'Dataset' AS entity, '*' AS instance, 'Size' AS name, count(*)::DOUBLE AS value
+  FROM e GROUP BY d
+  UNION ALL SELECT d, 'Column', 'value', 'Mean', avg(value) FROM e GROUP BY d
+) t
+"""
+
+
+@query("streaming_profile_events", ORACLE_STREAM_COMPLETE)
 def streaming_profile_events(spark, sf_dir):
     """The SAME profiling aggregation executed as a Structured Streaming
     query (parquet source → complete-mode agg → memory sink), proving the
-    profiler is a pure DF→DF function usable under foreachBatch/streams.
-    Rows-only: streaming micro-batch boundaries aren't SQL-expressible."""
+    profiler is a pure DF→DF function usable under foreachBatch/streams;
+    complete-mode output after processAllAvailable equals the batch
+    aggregation, so it oracle-checks like any batch query."""
     import uuid
 
     from thoth_spark.profiler import Mean
