@@ -285,3 +285,13 @@ def test_salted_join_equals_plain_join(spark):
     exp_left = sorted(left.join(right, "k", "left").collect())
     got_left = sorted(salted_join(left, right, ["k"], salt_buckets=8, how="left").collect())
     assert got_left == exp_left
+
+
+def test_connected_components_golden(spark):
+    from thoth_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (5, 3)], "id_a bigint, id_b bigint"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}

@@ -58,7 +58,10 @@ def test_minhash_signature_reuses_repartition(spark, sf_dir):
     """shingle_sets repartitions by id; the signature groupBy(id) must
     reuse that partitioning instead of shuffling again."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8)
+    # n=4 so the plan can't be substituted by another test's cached n=3
+    # shingle frame (cache substitution removes the exchange entirely,
+    # which is fine but makes the count nondeterministic across runs)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=8, n=4)
     plan = _plan(sigs)
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 

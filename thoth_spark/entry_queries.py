@@ -1206,6 +1206,63 @@ def dedup_simhash_documents(spark, sf_dir):
     return dedup.simhash(docs, "doc_id", "text")
 
 
+ORACLE_MINHASH_COMPONENTS = f"""
+WITH RECURSIVE {_DOC_SHINGLES},
+{_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, b, md5(list_aggregate(sg[b * 4 + 1 : b * 4 + 4], 'string_agg', '|')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 7) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (b, bh) WHERE a.doc_id < b.doc_id
+),
+vpairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+),
+edges AS (SELECT id_a AS s, id_b AS t FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+reach AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT dd.doc_id, least(dd.doc_id, coalesce(min(r.t), dd.doc_id)) AS component
+FROM documents dd LEFT JOIN reach r ON r.s = dd.doc_id
+GROUP BY dd.doc_id
+"""
+
+
+@query("dedup_minhash_components", ORACLE_MINHASH_COMPONENTS)
+def dedup_minhash_components(spark, sf_dir):
+    """Duplicate-cluster assignment: verified near-dup pairs → iterative
+    min-label propagation (one shuffle per round, lineage truncated per
+    round) → every document labeled with its cluster's smallest id;
+    singletons label themselves. Oracle: recursive-CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3).cache()
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=3, shingles=sh)
+    cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+    )
+    comps = dedup.connected_components(verified)
+    return docs.select("doc_id").join(
+        comps, docs.doc_id == comps.id, "left"
+    ).select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
 ORACLE_SIMHASH_PAIRS = f"""
 WITH {_SIMHASH_CTES},
 chunks AS (

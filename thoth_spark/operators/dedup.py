@@ -314,3 +314,65 @@ def simhash_near_dup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster assignment)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Duplicate clusters from similarity pairs: ``(id, component)`` where
+    component = the smallest id reachable through the pair graph.
+
+    Min-label propagation: every round each node takes the min of its own
+    label and its neighbors' labels — one shuffle per round, converging in
+    O(graph diameter) rounds (duplicate clusters are tiny, so 2-4 rounds
+    in practice; ``max_iterations`` bounds pathological chains). Each
+    round is ``localCheckpoint``ed to truncate the growing plan lineage —
+    without it, iteration i re-executes all i-1 predecessors.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
+        .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.t == labels.id)
+            .groupBy("s")
+            .agg(F.min("component").alias("nc"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
