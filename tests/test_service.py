@@ -125,3 +125,17 @@ def test_viz_views(spark, events_df):
     iv = viz.forecast_interval_view(s, opt.optimization_df).collect()
     for r in iv:
         assert r["expected_min"] <= r["predicted"] <= r["expected_max"]
+
+
+def test_repository_point_lookups(spark, events_df, repo):
+    from thoth_spark.profiler import Mean, ProfilingBuilder, profile
+
+    metrics = profile(
+        events_df.select("ts", "value"), "ts", ProfilingBuilder(analyzers=[Mean("value")])
+    )
+    repo.add_dataset("uri://p", ts_column="ts", columns=["value"], granularity="DAY")
+    repo.add_profiling("uri://p", metrics)
+    some_ts = metrics.agg(F.min("ts")).collect()[0][0]
+    got = repo.get_profiling("uri://p", some_ts).collect()
+    assert len(got) == 1 and got[0]["ts"] == some_ts and got[0]["name"] == "Mean"
+    assert repo.get_profiling("uri://p", datetime.datetime(1999, 1, 1)).count() == 0

@@ -1624,10 +1624,22 @@ def embedding_neardup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6)
 
 
-@query("token_count_documents")
+ORACLE_TOKEN_COUNT = f"""
+WITH d AS ({_DOC_TOKENS})
+SELECT doc_id, len(toks) AS ws_tokens,
+       -- closed form of the lookaround split: every \\w+ run is one token,
+       -- every non-word non-space char is its own token
+       (len(regexp_extract_all(text, '\\w+'))
+        + length(regexp_replace(text, '[\\w\\s]', '', 'g')))::INT AS bpe_ish_tokens
+FROM d JOIN documents USING (doc_id)
+"""
+
+
+@query("token_count_documents", ORACLE_TOKEN_COUNT)
 def token_count_documents(spark, sf_dir):
-    """BPE-ish token counts (lookaround regex split — not RE2/DuckDB
-    expressible, so rows-only)."""
+    """Whitespace + BPE-ish (word-runs + punctuation chars) token counts.
+    The Spark side splits on word/non-word boundaries; the oracle uses the
+    equivalent closed-form count (lookarounds aren't RE2-expressible)."""
     docs = _documents(spark, sf_dir)
     return docs.select(
         "doc_id",

@@ -208,6 +208,21 @@ class MetricsRepository:
         kept = existing.join(new_ts, on="ts", how="left_anti").select(*new.columns)
         self._overwrite_partitions(kept.unionByName(new), "scorings")
 
+    def get_profiling(self, dataset_uri: str, ts) -> DataFrame:
+        """Point lookup of one profiling report (the reference addresses it
+        by ``sha1(uri + ts.isoformat())`` — ``profiler.py:198-204``; the
+        natural key (uri, ts) is the same identity without the digest)."""
+        return self._read("metrics", _METRICS_SCHEMA).where(
+            (F.col("dataset_uri") == dataset_uri) & (F.col("ts") == F.lit(ts))
+        )
+
+    def get_scoring(self, dataset_uri: str, ts) -> DataFrame:
+        """Point lookup of one scoring event (reference ``scoring.py:38-40``
+        sha1 id ≙ natural key (uri, ts))."""
+        return self._read("scorings", _SCORING_SCHEMA).where(
+            (F.col("dataset_uri") == dataset_uri) & (F.col("ts") == F.lit(ts))
+        )
+
     def select_scoring(self, dataset_uri: str, start_ts=None, end_ts=None) -> DataFrame:
         df = self._read("scorings", _SCORING_SCHEMA).where(
             F.col("dataset_uri") == dataset_uri
