@@ -1580,11 +1580,59 @@ def profile_events_approx(spark, sf_dir):
     return _round_metrics(profile(df, "ts", builder))
 
 
-@query("anomaly_holt_validation")
+def _holt_oracle(alpha: float = 0.5, beta: float = 0.3) -> str:
+    """Holt's recurrence as a recursive CTE. Key facts making this exact:
+
+    - every fold i trains from scratch on points[:i], but the recurrence
+      state after consuming v1..v_{i-1} IS that training run (init depends
+      only on v0, v1) — so one recursion yields every fold's forecast;
+    - FP constants are injected via repr() (shortest round-trip), and the
+      expressions mirror the Python operation ORDER, so DuckDB's doubles
+      match Python's bit-for-bit.
+    """
+    a, ia, b, ib = repr(alpha), repr(1 - alpha), repr(beta), repr(1 - beta)
+    return "WITH RECURSIVE " + _FOLDS_SQL + _SN_SQL + f""",
+v0 AS (SELECT entity, instance, name, value AS v0 FROM idx WHERE i = 0),
+v1 AS (SELECT entity, instance, name, value AS v1 FROM idx WHERE i = 1),
+rec AS (
+  SELECT entity, instance, name, 1 AS j,
+         {a} * v1 + {ia} * (v0 + (v1 - v0)) AS level,
+         {b} * (({a} * v1 + {ia} * (v0 + (v1 - v0))) - v0) + {ib} * (v1 - v0) AS trend
+  FROM v0 JOIN v1 USING (entity, instance, name)
+  UNION ALL
+  SELECT entity, instance, name, j + 1, nl,
+         {b} * (nl - level) + {ib} * trend
+  FROM (
+    SELECT r.entity, r.instance, r.name, r.j, r.level, r.trend,
+           {a} * x.value + {ia} * (r.level + r.trend) AS nl
+    FROM rec r JOIN idx x USING (entity, instance, name)
+    WHERE x.i = r.j + 1
+  )
+),
+hpred AS (
+  SELECT entity, instance, name, j + 1 AS i, level + trend AS pred FROM rec
+),
+hval AS (
+  SELECT x.entity, x.instance, x.name, x.ts, x.value,
+         CASE WHEN x.i >= 4 AND x.i >= floor(x.n * (CASE WHEN x.n >= 100 THEN 0.1
+              WHEN x.n >= 50 THEN 0.2 WHEN x.n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN h.pred END AS pred
+  FROM idx x LEFT JOIN hpred h
+    ON h.entity = x.entity AND h.instance = x.instance AND h.name = x.name AND h.i = x.i
+)
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS true_value,
+       round(pred, 6) AS predicted,
+       CASE WHEN pred IS NOT NULL
+            THEN round(least(abs(value - pred) / value, 1.0), 6) END AS error
+FROM hval
+"""
+
+
+@query("anomaly_holt_validation", _holt_oracle())
 def anomaly_holt_validation(spark, sf_dir):
-    """Holt double-exponential smoothing CV (sequential recurrence — not
-    SQL-expressible, so rows-only): the stand-in for Prophet/SARIMA-class
-    stateful models, one applyInPandas task per metric series."""
+    """Holt double-exponential smoothing CV — the stand-in for
+    Prophet/SARIMA-class stateful models, one applyInPandas task per
+    metric series; oracled via a recursive-CTE replay of the recurrence."""
     from thoth_spark.anomaly.models import MODEL_REGISTRY
 
     metrics = _metric_series(spark, sf_dir)
@@ -1598,10 +1646,63 @@ def anomaly_holt_validation(spark, sf_dir):
     )
 
 
-@query("similarity_topk_lsh")
+def _plane_sql(vec_expr: str, plane: list[float]) -> str:
+    lits = ", ".join(repr(float(x)) for x in plane)
+    return f"list_dot_product({vec_expr}, [{lits}])"
+
+
+def _sig_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"CASE WHEN {_plane_sql(vec_expr, p)} > 0 THEN {2**i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_oracle(nbits: int = 6, n_tables: int = 4, k: int = 5) -> str:
+    """The hyperplane LSH pipeline with the SAME seeded planes as the
+    Spark operator, as pure SQL (planes inlined as literals; both engines
+    evaluate the dot products with sequential double addition, so the
+    sign buckets agree bitwise — verified by the brute-force oracle)."""
+    from thoth_spark.operators.similarity import _hyperplanes
+
+    corpus_legs, query_legs = [], []
+    for t in range(n_tables):
+        sig = _sig_sql("v", _hyperplanes(64, nbits, seed=42 + t))
+        off = t * 2**nbits
+        corpus_legs.append(
+            f"SELECT vec_id AS neighbor_id, v, {sig} + {off} AS bucket FROM e"
+        )
+        query_legs.append(f"SELECT vec_id AS query_id, v, {sig} + {off} AS bucket FROM q")
+        query_legs += [
+            f"SELECT vec_id AS query_id, v, xor({sig}::BIGINT, {2**f})::BIGINT + {off} AS bucket FROM q"
+            for f in range(nbits)
+        ]
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+cb AS ({' UNION ALL '.join(corpus_legs)}),
+qb AS ({' UNION ALL '.join(query_legs)}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (bucket) WHERE neighbor_id != query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qv.v, cv.v) /
+         (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+  FROM cand c JOIN e qv ON qv.vec_id = c.query_id JOIN e cv ON cv.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+FROM scored QUALIFY rank <= {k}
+"""
+
+
+@query("similarity_topk_lsh", _lsh_topk_oracle())
 def similarity_topk_lsh(spark, sf_dir):
-    """Multi-table random-hyperplane LSH top-k (approximate; plane
-    constants not expressible in the oracle)."""
+    """Multi-table random-hyperplane LSH top-k; the oracle replays the
+    same seeded planes as SQL literals."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hyperplane_lsh_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, nbits=6, n_tables=4
@@ -1617,9 +1718,32 @@ def similarity_topk_ivf(spark, sf_dir):
     )
 
 
-@query("embedding_neardup_lsh")
+def _neardup_lsh_oracle(nbits: int = 6, threshold: float = 0.4) -> str:
+    from thoth_spark.operators.similarity import _hyperplanes
+
+    sig = _sig_sql("v", _hyperplanes(64, nbits, seed=42))
+    probe_legs = [f"SELECT id, v, {sig} AS bucket FROM base"] + [
+        f"SELECT id, v, xor({sig}::BIGINT, {2**f})::BIGINT AS bucket FROM base"
+        for f in range(nbits)
+    ]
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS ({' UNION ALL '.join(probe_legs)}),
+b AS (SELECT id, v, {sig} AS bucket FROM base),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+  FROM a JOIN b USING (bucket) WHERE a.id < b.id
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+"""
+
+
+@query("embedding_neardup_lsh", _neardup_lsh_oracle())
 def embedding_neardup_lsh(spark, sf_dir):
-    """Hyperplane-bucketed cosine near-dup pairs (approximate)."""
+    """Hyperplane-bucketed cosine near-dup pairs; oracle replays the same
+    seeded planes as SQL literals."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6)
 
@@ -1648,7 +1772,17 @@ def token_count_documents(spark, sf_dir):
     )
 
 
-@query("multimodal_frame_sample")
+ORACLE_FRAME_SAMPLE = """
+WITH f AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(1 + octet_length(text::BLOB) // 10, 8))) AS i
+  FROM documents
+)
+SELECT doc_id, i::INT AS frame_idx, md5(text || i::VARCHAR) AS frame_md5 FROM f
+"""
+
+
+@query("multimodal_frame_sample", ORACLE_FRAME_SAMPLE)
 def multimodal_frame_sample(spark, sf_dir):
     """1→N frame-sampling shape over binary media (mapInPandas explode;
     deterministic stub frames — decode libs aren't bundled)."""
@@ -1739,11 +1873,35 @@ def streaming_watermark_profile_events(spark, sf_dir):
     )
 
 
-@query("streaming_running_score")
+#: the stateful scorer's semantics are a plain rolling window once the
+#: whole stream is drained: pred_i = mean(previous ≤7 values) per metric
+ORACLE_RUNNING_SCORE = """
+WITH series AS (
+  SELECT 'Column' AS entity, 'value' AS instance, 'Mean' AS name,
+         date_trunc('day', ts) AS ts, avg(value) AS value FROM events GROUP BY 4
+  UNION ALL SELECT 'Dataset', '*', 'Size', date_trunc('day', ts), count(*)::DOUBLE FROM events GROUP BY 4
+  UNION ALL SELECT 'Column', 'event_type', 'CountDistinct', date_trunc('day', ts),
+         count(DISTINCT event_type)::DOUBLE FROM events GROUP BY 4
+),
+w AS (
+  SELECT *, avg(value) OVER (PARTITION BY entity, instance, name ORDER BY ts
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS pred
+  FROM series
+)
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS value,
+       round(pred, 6) AS predicted,
+       round(CASE WHEN pred IS NOT NULL AND value != 0
+                  THEN least(abs(value - pred) / value, 1.0) END, 6) AS error
+FROM w
+"""
+
+
+@query("streaming_running_score", ORACLE_RUNNING_SCORE)
 def streaming_running_score(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-metric rolling-mean forecast state scores each arriving metric
-    point incrementally. Rows-only (stateful recurrence)."""
+    point incrementally; once the stream drains, the result equals a
+    rolling-window pass, which the oracle replays."""
     import tempfile
     import uuid
 
