@@ -96,3 +96,11 @@ def test_rows_only_query_runs(spark, name):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_bench_contract():
+    """bench.py must expose the driver-contract HEADLINE list and emit the
+    expected JSON keys (run cheaply by monkeypatching the sf dir)."""
+    import bench
+
+    assert set(bench.HEADLINE) <= set(entry.queries())
