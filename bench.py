@@ -48,7 +48,9 @@ HEADLINE = [
     "text_quality_documents",
     "lang_id_documents",
     "similarity_topk_brute",
+    "similarity_topk_vectorized",
     "similarity_topk_ivf",
+    "tpch_q19_discounted_revenue",
 ]
 
 

@@ -1784,6 +1784,15 @@ FROM scored QUALIFY rank <= {k}
 """
 
 
+@query("similarity_topk_vectorized", ORACLE_TOPK_EMB)
+def similarity_topk_vectorized(spark, sf_dir):
+    """Same exact top-5 as similarity_topk_brute, but scored with numpy
+    BLAS matmuls inside mapInPandas with per-batch top-k pre-selection —
+    the high-throughput physical strategy for large corpora."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_pandas(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
 @query("similarity_topk_lsh", _lsh_topk_oracle())
 def similarity_topk_lsh(spark, sf_dir):
     """Multi-table random-hyperplane LSH top-k; the oracle replays the

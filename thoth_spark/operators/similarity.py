@@ -244,3 +244,58 @@ def embedding_near_dup_pairs(
         .distinct()
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def brute_force_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k with the scoring inner loop in numpy (BLAS).
+
+    Same result as :func:`brute_force_topk`; different physical strategy:
+    the (small) query matrix is closed over and shipped to every task,
+    each Arrow batch of corpus vectors scores against ALL queries in one
+    ``batch @ Q.T`` matmul, and only each batch's per-query top-k rows
+    are emitted — so the shuffle carries O(k × queries × batches) rows.
+    At 100 TB this beats per-element JVM expression evaluation by the
+    BLAS factor; prefer it once the corpus is large and queries are
+    batched.
+    """
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype="float64")
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.array(list(pdf[vec_col]), dtype="float64")
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ q_mat.T  # (batch, n_queries)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand = np.where(mask)[0]
+                top = cand[np.argsort(-col[cand], kind="stable")[: k]]
+                out_q += [qid] * len(top)
+                out_n += list(ids[top])
+                out_s += list(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
