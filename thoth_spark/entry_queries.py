@@ -1207,18 +1207,26 @@ def dedup_ngram_jaccard_documents(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
-_MINHASH_SIG_SQL = """
-sig AS (
-  SELECT doc_id, list_transform(generate_series(0, 31),
-         i -> list_min(list_transform(sh, s -> md5(i::VARCHAR || '|' || s)))) AS sg, sh
-  FROM g
-)"""
+# Carter-Wegman minhash replay: same seeded (a, b) coefficients as
+# dedup.minhash_signatures, inlined as SQL literals (the LSH-planes
+# pattern); base hash = first 8 md5 hex chars parsed positionally.
+_MINHASH_X = _hex2int_sql("md5(s)", 1, 8)
+_MINHASH_SIG_SQL = (
+    "sig AS (\n  SELECT doc_id, ["
+    + ", ".join(
+        f"list_min(list_transform(sh, s -> ({a} * {_MINHASH_X} + {b}) % {dedup.MINHASH_PRIME}))"
+        for a, b in dedup.minhash_coeffs(32)
+    )
+    + "] AS sg, sh\n  FROM g\n)"
+)
 
 ORACLE_MINHASH = f"""
 WITH {_DOC_SHINGLES},
 {_MINHASH_SIG_SQL},
 banded AS (
-  SELECT doc_id, b, md5(list_aggregate(sg[b * 4 + 1 : b * 4 + 4], 'string_agg', '|')) AS bh
+  SELECT doc_id, b,
+         md5(list_aggregate(list_transform(sg[b * 4 + 1 : b * 4 + 4],
+             v -> v::VARCHAR), 'string_agg', '|')) AS bh
   FROM sig CROSS JOIN generate_series(0, 7) t(b)
 ),
 cand AS (

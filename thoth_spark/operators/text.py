@@ -78,20 +78,28 @@ def language_id(col: Column, markers: dict[str, list[str]] | None = None) -> Col
     first language; 'und' when no marker hits."""
     markers = markers or LANG_MARKERS
     padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    items = sorted(markers.items())
     scores = [
-        (lang, sum((_count_occurrences(padded, m) for m in ms[1:]), _count_occurrences(padded, ms[0])))
-        for lang, ms in sorted(markers.items())
+        sum((_count_occurrences(padded, m) for m in ms[1:]), _count_occurrences(padded, ms[0]))
+        for _, ms in items
     ]
-    best = None
-    best_score = None
-    for lang, s in scores:
-        if best is None:
-            best, best_score = F.lit(lang), s
-        else:
-            cond = s > best_score
-            best = F.when(cond, F.lit(lang)).otherwise(best)
-            best_score = F.when(cond, s).otherwise(best_score)
-    return F.when(best_score > 0, best).otherwise(F.lit("und"))
+    # argmax via array_max over (score, -index) structs: one evaluation of
+    # each score expression, vs. a when-cascade that re-embeds every prior
+    # score in each comparison (expression size grows quadratically and
+    # each marker scan re-runs per nesting level). Tie → larger -index →
+    # alphabetically first language.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+                for i, s in enumerate(scores)
+            ]
+        )
+    )
+    lang_arr = F.array(*[F.lit(lang) for lang, _ in items])
+    return F.when(
+        best["s"] > 0, F.element_at(lang_arr, (-best["ni"]).cast("int") + 1)
+    ).otherwise(F.lit("und"))
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
