@@ -36,8 +36,12 @@ HEADLINE = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_suppliers",
     "top_orders_per_customer",
     "sessionize_events",
     "asof_join_purchase_click",

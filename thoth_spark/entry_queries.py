@@ -973,6 +973,564 @@ def tpch_q19(spark, sf_dir):
     )
 
 
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@query("tpch_q6_forecast_revenue", ORACLE_Q6)
+def tpch_q6(spark, sf_dir):
+    """TPC-H Q6: the pushdown torture test — every predicate (date range,
+    discount band, quantity) reaches the parquet scan; the whole query is
+    scan→filter→partial agg→single-row final agg, zero shuffles of data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q7 = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("tpch_q7_volume_shipping", ORACLE_Q7)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7: two roles of the same dimension (nation as supplier
+    nation AND customer nation) with a disjunctive cross-role predicate —
+    both nation copies broadcast; the disjunction is applied after the
+    broadcast joins, so the big fact join keys stay simple equi-joins."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+    )
+
+
+ORACLE_Q8 = """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year, l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) all_nations
+GROUP BY o_year
+"""
+
+
+@query("tpch_q8_market_share", ORACLE_Q8)
+def tpch_q8(spark, sf_dir):
+    """TPC-H Q8: eight-table join + conditional-aggregate ratio (market
+    share of one nation inside a region's volume). All dimensions
+    broadcast; the only shuffles are the two fact-fact joins and the
+    final tiny groupBy(year)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_Q9 = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+"""
+
+
+@query("tpch_q9_product_profit", ORACLE_Q9)
+def tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape (supply cost proxied as 60% of retail price — the
+    testdata has no partsupp table): LIKE-filtered part broadcast into
+    lineitem, profit rollup by (supplier nation, order year)."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        j.select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+    )
+
+
+ORACLE_Q10 = """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("tpch_q10_returned_items", ORACLE_Q10)
+def tpch_q10(spark, sf_dir):
+    """TPC-H Q10: revenue lost to returns, top-20 customers — selective
+    quarter + returnflag filters pushed to both fact scans before the
+    join; deterministic order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+ORACLE_Q11 = """
+WITH val AS (
+  SELECT l_partkey AS partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT partkey, round(value, 2) AS value
+FROM val
+WHERE value > (SELECT sum(value) * 0.001 FROM val)
+"""
+
+
+@query("tpch_q11_important_stock", ORACLE_Q11)
+def tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape (part value proxied from lineitems — no partsupp
+    table): HAVING against a global scalar — the per-part aggregate is
+    computed once, lazily checkpointed, and its grand total broadcast
+    back as a cross-join scalar, so the base aggregation runs one time,
+    not once per side of the comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+        .localCheckpoint(eager=False)
+    )
+    total = val.agg((F.sum("value") * 0.001).alias("cutoff"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .where(F.col("value") > F.col("cutoff"))
+        .select("partkey", F.round("value", 2).alias("value"))
+    )
+
+
+ORACLE_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", ORACLE_Q15)
+def tpch_q15(spark, sf_dir):
+    """TPC-H Q15: max-of-aggregate — the quarterly revenue view is
+    computed once (lazy checkpoint), its max broadcast back as a scalar
+    filter; supplier joins only the surviving row(s)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        .localCheckpoint(eager=False)
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue"))
+    )
+
+
+ORACLE_Q16 = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3' AND p_type <> 'MEDIUM' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16_supplier_counts", ORACLE_Q16)
+def tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape (part-supplier relation derived from lineitem):
+    NOT-IN as a broadcast anti-join on the excluded-supplier set, then
+    exact distinct-count of suppliers per part attribute triple."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = load_table(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate::DATE AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+"""
+
+
+@query("tpch_q18_large_volume_customer", ORACLE_Q18)
+def tpch_q18(spark, sf_dir):
+    """TPC-H Q18: IN over a grouped-HAVING subquery — implemented as a
+    semi-join of orders against the high-volume order keys; the qualifying
+    key set is tiny, so it broadcasts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big.withColumnRenamed("l_orderkey", "bk")), li.l_orderkey == F.col("bk"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+ORACLE_Q20 = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 40
+)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_4')
+"""
+
+
+@query("tpch_q20_part_promotion", ORACLE_Q20)
+def tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-joins — suppliers who moved > 40
+    units of any 'small%' part in 1997, restricted to one nation. Both IN
+    subqueries become broadcast semi-joins."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("small%"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    movers = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(movers), s.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+ORACLE_Q21 = """
+WITH sup AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+)
+SELECT s_name, count(*) AS numwait
+FROM sup s1 JOIN supplier ON s1.l_suppkey = s_suppkey
+WHERE s1.late = 1
+  AND EXISTS (SELECT 1 FROM sup s2
+              WHERE s2.l_orderkey = s1.l_orderkey AND s2.l_suppkey <> s1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM sup s3
+                  WHERE s3.l_orderkey = s1.l_orderkey AND s3.l_suppkey <> s1.l_suppkey
+                    AND s3.late = 1)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
+@query("tpch_q21_waiting_suppliers", ORACLE_Q21)
+def tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape ('late' = shipped > 60 days after order date — the
+    testdata has no commit/receipt dates): the correlated EXISTS /
+    NOT-EXISTS pair collapses into window tallies over the order (supplier
+    count + late count), so the whole pattern is one aggregate plus one
+    window pass — no self-joins of the fact table at all, and the window
+    reuses the aggregate's (l_orderkey, l_suppkey)-hashed shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    sup = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = sup.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_sups"),
+        F.sum("late").over(w).alias("n_late"),
+    )
+    waiting = flagged.where(
+        (F.col("late") == 1) & (F.col("n_sups") > 1) & (F.col("n_late") == 1)
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+ORACLE_Q2 = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+  SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+  FROM ps
+  JOIN part ON p_partkey = ps_partkey
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+)
+SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+       round(ps_supplycost, 6) AS ps_supplycost
+FROM eligible e1
+WHERE ps_supplycost = (SELECT min(ps_supplycost) FROM eligible e2
+                       WHERE e2.p_partkey = e1.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+
+@query("tpch_q2_min_cost_supplier", ORACLE_Q2)
+def tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape (supply cost derived as each (part, supplier)'s
+    best observed unit price — no partsupp table): the correlated
+    min-subquery is a window min over the part, computed in the same
+    shuffle as the grouping — no second pass over the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
+    )
+    eligible = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", F.col("l_partkey").alias("p_partkey"), "ps_supplycost"
+        )
+    )
+    wmin = F.min("ps_supplycost").over(W.partitionBy("p_partkey"))
+    return (
+        eligible.withColumn("min_cost", wmin)
+        .where(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("ps_supplycost", 6).alias("ps_supplycost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
 ORACLE_TOPK_ORDERS = """
 SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank FROM (
   SELECT c_custkey, o_orderkey, o_totalprice,

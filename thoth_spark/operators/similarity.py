@@ -156,16 +156,31 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_train: int = 65536,
 ) -> DataFrame:
     """IVF approximate top-k: K-Means coarse centroids; corpus rows are
     assigned to their nearest centroid (this assignment is the natural
     storage partitioning key at scale); each query scans only its
-    ``nprobe`` nearest centroid cells."""
+    ``nprobe`` nearest centroid cells.
+
+    The coarse quantizer trains on a bounded sample (``max_train`` rows,
+    cached and coalesced to a few partitions) with random init — the
+    standard IVF recipe: quantizer quality needs ~hundreds of points per
+    centroid, not the full corpus, and k-means|| init plus per-iteration
+    jobs over thousands of corpus partitions would otherwise dominate
+    (also the only part of the operator that does NOT scale with corpus
+    size, so keep it small and fast)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
-    km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    train = (
+        corpus.select(array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+        .limit(max_train)
+        .coalesce(4)
+        .cache()
+    )
+    km = KMeans(k=n_centroids, seed=seed, maxIter=10, initMode="random").fit(train)
+    train.unpersist()
     centroids = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
     cent_df = F.array(
         *[
