@@ -51,6 +51,8 @@ HEADLINE = [
     "text_stats_documents",
     "text_quality_documents",
     "lang_id_documents",
+    "curate_documents_pipeline",
+    "sample_documents_budget",
     "similarity_topk_brute",
     "similarity_topk_vectorized",
     "similarity_topk_ivf",

@@ -295,3 +295,66 @@ def test_connected_components_golden(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+
+def test_hash_sample_deterministic_across_layouts(spark):
+    from thoth_spark.operators import sampling
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    a = sorted(r["k"] for r in sampling.hash_sample(df, "k", 0.2).collect())
+    # same data, different physical layout -> identical sample
+    b = sorted(
+        r["k"] for r in sampling.hash_sample(df.repartition(7), "k", 0.2).collect()
+    )
+    assert a == b
+    assert 120 < len(a) < 280  # ~200 expected
+
+
+def test_stratified_hash_sample_respects_fractions(spark):
+    from thoth_spark.operators import sampling
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("string").alias("s")
+    )
+    out = sampling.stratified_hash_sample(
+        df, "s", {"0": 1.0, "1": 0.1}, "k"
+    ).groupBy("s").count().collect()
+    by = {r["s"]: r["count"] for r in out}
+    assert by["0"] == 1000
+    assert 40 < by.get("1", 0) < 200
+
+
+def test_budget_sample_exact_n_and_stable(spark):
+    from thoth_spark.operators import sampling
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("string").alias("s")
+    )
+    out = sampling.budget_sample(df, "s", "k", 100)
+    rows = sorted(r["k"] for r in out.collect())
+    assert len(rows) == 100
+    again = sorted(
+        r["k"]
+        for r in sampling.budget_sample(df.repartition(5), "s", "k", 100).collect()
+    )
+    assert rows == again
+    # proportional: 7 equal strata of ~71 -> quotas differ by at most 1
+    per = sampling.budget_sample(df, "s", "k", 100).groupBy("s").count().collect()
+    counts = [r["count"] for r in per]
+    assert max(counts) - min(counts) <= 1
+
+
+def test_budget_sample_quota_capped_by_stratum_size(spark):
+    from thoth_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "tiny" if i < 3 else "big") for i in range(100)], "k long, s string"
+    )
+    out = sampling.budget_sample(df, "s", "k", 50)
+    by = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    assert by["tiny"] <= 3

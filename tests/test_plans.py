@@ -42,6 +42,40 @@ def test_q17_single_lineitem_scan(spark, sf_dir):
     assert len(re.findall(r"Location:.*lineitem", plan)) == 1
 
 
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown test: date range AND quantity bound must reach
+    the parquet scan."""
+    plan = _formatted(entry_queries.QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir), spark)
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters:.*LessThan\(l_quantity", plan)
+
+
+def test_q8_dimensions_broadcast(spark, sf_dir):
+    """Eight-table join: part/supplier/nation×2/region all broadcast; at
+    most the two fact-fact joins may shuffle."""
+    plan = _plan(entry_queries.QUERIES["tpch_q8_market_share"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_q21_no_fact_self_join_one_exchange_for_agg_and_window(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS rewrite must not re-scan lineitem, and the
+    explicit repartition(l_orderkey) must serve both the
+    (l_orderkey, l_suppkey) aggregate and the l_orderkey window."""
+    df = entry_queries.QUERIES["tpch_q21_waiting_suppliers"](spark, sf_dir)
+    assert len(re.findall(r"Location:.*lineitem", _formatted(df, spark))) == 1
+    plan = _plan(df)
+    assert len(re.findall(r"Exchange hashpartitioning\(l_orderkey", plan)) == 1
+
+
+def test_q2_single_exchange(spark, sf_dir):
+    """One hash exchange total: hash(l_partkey) satisfies the
+    (l_partkey, l_suppkey) grouping and — alias-aware — the
+    partitionBy(p_partkey) window."""
+    plan = _plan(entry_queries.QUERIES["tpch_q2_min_cost_supplier"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
 def test_profile_is_one_aggregation_job(spark, sf_dir):
     """Single-pass profiling: exactly one shuffle (partial+final agg),
     no join, no extra exchange."""

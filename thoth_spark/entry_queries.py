@@ -21,7 +21,14 @@ from pyspark.sql import functions as F
 
 from thoth_spark.anomaly.models import DEFAULT_WINDOWS, SimpleModel
 from thoth_spark.anomaly.optimization import cross_validation, find_best_threshold
-from thoth_spark.operators import dedup, multimodal, relational, similarity, text
+from thoth_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
 from thoth_spark.profiler import (
     Compliance,
     Correlation,
@@ -1428,13 +1435,17 @@ def tpch_q21(spark, sf_dir):
     testdata has no commit/receipt dates): the correlated EXISTS /
     NOT-EXISTS pair collapses into window tallies over the order (supplier
     count + late count), so the whole pattern is one aggregate plus one
-    window pass — no self-joins of the fact table at all, and the window
-    reuses the aggregate's (l_orderkey, l_suppkey)-hashed shuffle."""
+    window pass — no self-joins of the fact table at all. The joined
+    frame is explicitly partitioned by l_orderkey alone: hash(l_orderkey)
+    satisfies the (l_orderkey, l_suppkey) grouping's clustered
+    distribution AND the window's partitionBy, so one exchange serves
+    both (the default plan shuffles twice)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     sup = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
@@ -1493,8 +1504,12 @@ LIMIT 20
 def tpch_q2(spark, sf_dir):
     """TPC-H Q2 shape (supply cost derived as each (part, supplier)'s
     best observed unit price — no partsupp table): the correlated
-    min-subquery is a window min over the part, computed in the same
-    shuffle as the grouping — no second pass over the data."""
+    min-subquery is a window min over the part. Explicitly partitioning
+    by l_partkey alone lets one exchange serve both the
+    (l_partkey, l_suppkey) grouping (hash on a key subset satisfies the
+    clustered distribution) and — via alias-aware output partitioning
+    through the dimension broadcasts — the window's
+    partitionBy(p_partkey)."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").where(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
@@ -1504,6 +1519,7 @@ def tpch_q2(spark, sf_dir):
     r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     ps = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"))
     )
@@ -2136,6 +2152,151 @@ def fingerprint_documents(spark, sf_dir):
         text.fingerprint(F.col("text")).alias("fingerprint"),
         F.size(text.tokens(F.col("text"))).alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + corpus curation
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BUCKET = _hex2int_sql("md5('42|' || doc_id::VARCHAR)", 1, 8) + " % 1000000"
+
+ORACLE_SAMPLE_HASH = f"""
+SELECT doc_id, source FROM documents
+WHERE {_SAMPLE_BUCKET} < 100000
+"""
+
+
+@query("sample_documents_hash", ORACLE_SAMPLE_HASH)
+def sample_documents_hash(spark, sf_dir):
+    """Deterministic ~10% corpus sample — a pure map-side filter on a
+    content-key hash, reproducible across reruns/cluster layouts (which
+    ``df.sample`` is not)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", 0.1).select("doc_id", "source")
+
+
+_STRATA_FRACTIONS = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+
+ORACLE_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, source FROM documents
+WHERE {_SAMPLE_BUCKET} <
+      CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                  WHEN 'src2' THEN 200000 ELSE 50000 END
+"""
+
+
+@query("sample_documents_stratified", ORACLE_SAMPLE_STRATIFIED)
+def sample_documents_stratified(spark, sf_dir):
+    """Per-source sampling rates (corpus rebalancing) in ONE scan — the
+    cutoff is a CASE over the stratum, not a job per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs, "source", _STRATA_FRACTIONS, "doc_id", default_fraction=0.05
+    ).select("doc_id", "source")
+
+
+_BUDGET_N = 137
+
+ORACLE_SAMPLE_BUDGET = f"""
+WITH b AS (SELECT doc_id, source, {_SAMPLE_BUCKET} AS bkt FROM documents),
+counts AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+alloc0 AS (
+  SELECT source, cnt, cnt * {_BUDGET_N} / (SELECT sum(cnt) FROM counts) AS share
+  FROM counts
+),
+alloc AS (
+  SELECT source,
+         least(floor(share)
+               + CASE WHEN row_number() OVER (ORDER BY share - floor(share) DESC, source)
+                      <= {_BUDGET_N} - (SELECT sum(floor(share)) FROM alloc0)
+                 THEN 1 ELSE 0 END,
+               cnt) AS quota
+  FROM alloc0
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rk
+  FROM b
+)
+SELECT doc_id, source FROM ranked JOIN alloc USING (source) WHERE rk <= quota
+"""
+
+
+@query("sample_documents_budget", ORACLE_SAMPLE_BUDGET)
+def sample_documents_budget(spark, sf_dir):
+    """Exactly-N corpus budget, allocated proportionally across sources
+    (largest-remainder), each source contributing its smallest-hash docs
+    — a reproducible `limit(n)`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.budget_sample(docs, "source", "doc_id", _BUDGET_N).select(
+        "doc_id", "source"
+    )
+
+
+ORACLE_CURATE = f"""
+WITH d AS ({_DOC_TOKENS}),
+stats AS (
+  SELECT doc_id, norm, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+             / len(toks) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text) AS digit_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text) AS punct_ratio
+  FROM d JOIN documents USING (doc_id)
+),
+quality AS (
+  SELECT doc_id, norm,
+         round(least(n_tokens / 64.0, 1.0) * 0.3
+               + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3
+               + greatest(1.0 - abs(stopword_ratio - 0.08) * 2, 0.0) * 0.2
+               + (1.0 - least((digit_ratio + punct_ratio) * 4, 1.0)) * 0.2,
+               6) AS q
+  FROM stats
+),
+lang_scored AS (
+  SELECT doc_id,
+  {_LANG_SCORES}
+  FROM documents
+),
+lang AS (
+  SELECT doc_id, CASE WHEN mx > 0 THEN lang ELSE 'und' END AS predicted_lang
+  FROM (
+    SELECT doc_id, lang, score,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rk,
+           max(score) OVER (PARTITION BY doc_id) AS mx
+    FROM lang_scored
+    UNPIVOT (score FOR lang IN (score_de AS 'de', score_en AS 'en', score_es AS 'es',
+                                score_fr AS 'fr', score_zh AS 'zh'))
+  ) r WHERE rk = 1
+),
+kept AS (
+  SELECT q.doc_id, q.norm FROM quality q JOIN lang l ON q.doc_id = l.doc_id
+  WHERE q.q >= 0.5 AND l.predicted_lang = 'en'
+),
+deduped AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(norm))
+SELECT doc_id FROM deduped
+WHERE {_SAMPLE_BUCKET} < 500000
+"""
+
+
+@query("curate_documents_pipeline", ORACLE_CURATE)
+def curate_documents_pipeline(spark, sf_dir):
+    """End-to-end LLM-corpus curation: quality-score filter → language
+    filter (en) → exact content dedup (deterministic survivor) →
+    deterministic 50% sample. Composes four operator families into ONE
+    Spark job graph: the scoring/filtering stages are map-side only, so
+    the sole wide dependency is the dedup's fingerprint groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "text")
+    kept = scored.where(
+        (F.col("quality_score") >= 0.5)
+        & (text.language_id(F.col("text")) == "en")
+    )
+    survivors = dedup.exact_text_dedup(kept, "text", "doc_id")
+    return sampling.hash_sample(survivors, "doc_id", 0.5).select("doc_id")
 
 
 ORACLE_TOPK_EMB = """

@@ -1,0 +1,128 @@
+"""Deterministic sampling operators for corpus curation at scale.
+
+`df.sample()` is partition-order dependent: re-running after a repartition,
+a file-split change, or a speculative-retry gives a DIFFERENT sample — a
+reproducibility hazard for training corpora. Every operator here derives
+the sampling decision from a content key hash, so the sample is a pure
+function of the data: stable across reruns, cluster layouts, and engines
+(md5-based, replayable in any ANSI-SQL oracle).
+
+- :func:`hash_sample` — keep a deterministic ~``fraction`` of rows.
+- :func:`stratified_hash_sample` — per-stratum fractions (e.g. downweight
+  an over-represented source) in one scan, no shuffle.
+- :func:`budget_sample` — EXACTLY ``n`` rows, allocated proportionally
+  across strata, choosing each stratum's smallest-hash rows ("random"
+  but reproducible). Two passes: tiny count-per-stratum aggregate
+  broadcast back, then one window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+#: Hash-bucket resolution; fraction granularity is 1/HASH_BUCKETS.
+HASH_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    """Deterministic uniform bucket in [0, HASH_BUCKETS): first 8 md5 hex
+    chars of (seed || key) as an integer. md5 (not xxhash64) so any SQL
+    engine replays it bit-identically."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % HASH_BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: int = 42
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: a row survives iff its key's
+    hash bucket falls below ``fraction`` of the bucket space. Pure
+    map-side filter — no shuffle, scales linearly, pushes the surviving
+    columns straight through."""
+    cutoff = int(fraction * HASH_BUCKETS)
+    return df.where(_bucket(F.col(key_col), seed) < cutoff)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum deterministic sampling in ONE scan: the cutoff is a
+    CASE expression over the stratum column, so rebalancing a corpus
+    (e.g. keep 10% of crawl, 100% of books) is a single map-side filter,
+    not one job per source."""
+    cutoff = F.lit(int(default_fraction * HASH_BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        cutoff = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * HASH_BUCKETS))
+        ).otherwise(cutoff)
+    return df.where(_bucket(F.col(key_col), seed) < cutoff)
+
+
+def budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n`` rows (when available), allocated across strata
+    proportionally to stratum size (largest-remainder rounding), taking
+    each stratum's smallest-hash rows.
+
+    Physical shape: one tiny groupBy(stratum) count (broadcast back —
+    the allocation math is a few rows), then one window pass ranking by
+    hash within stratum. The rank is deterministic (hash, then key as
+    tiebreak), so the N-row budget is reproducible run to run — the
+    property `df.limit(n)` does NOT have."""
+    counts = df.groupBy(F.col(strata_col).alias("__stratum")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    total = counts.agg(F.sum("__cnt").alias("__total"))
+    # largest-remainder allocation, all in expressions on the tiny frame:
+    # floor share first, then +1 to the strata with the biggest remainders
+    alloc = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("__share", F.col("__cnt") * n / F.col("__total"))
+        .withColumn("__floor", F.floor("__share"))
+        .withColumn(
+            "__rem_rank",
+            F.row_number().over(
+                W.orderBy(
+                    (F.col("__share") - F.col("__floor")).desc(), F.col("__stratum")
+                )
+            ),
+        )
+        .withColumn(
+            "__extra",
+            F.when(
+                F.col("__rem_rank")
+                <= n - F.sum("__floor").over(W.partitionBy(F.lit(1))),
+                1,
+            ).otherwise(0),
+        )
+        .select(
+            "__stratum",
+            F.least(F.col("__floor") + F.col("__extra"), F.col("__cnt")).alias(
+                "__quota"
+            ),
+        )
+    )
+    ranked = df.withColumn("__b", _bucket(F.col(key_col), seed)).withColumn(
+        "__rk",
+        F.row_number().over(
+            W.partitionBy(strata_col).orderBy("__b", key_col)
+        ),
+    )
+    return (
+        ranked.join(
+            F.broadcast(alloc), ranked[strata_col] == alloc["__stratum"]
+        )
+        .where(F.col("__rk") <= F.col("__quota"))
+        .drop("__b", "__rk", "__stratum", "__quota")
+    )
