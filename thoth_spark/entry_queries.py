@@ -1620,6 +1620,49 @@ def rollup_orders(spark, sf_dir):
     )
 
 
+ORACLE_CUBE = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("cube_orders", ORACLE_CUBE)
+def cube_orders(spark, sf_dir):
+    """CUBE: all 2^k grouping combinations in one pass — Spark expands
+    the grouping sets before the hash aggregate, so it's still a single
+    shuffle (rows replicated per grouping set, partial-agg'd map-side)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@query("grouping_sets_orders", ORACLE_GROUPING_SETS)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS (per-priority, per-status, grand total)
+    without the full cube — fewer replicated rows than cube when only
+    specific marginals are needed."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 ORACLE_ASOF = """
 WITH purchases AS (
   SELECT event_id, user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'purchase'
@@ -2692,6 +2735,52 @@ def streaming_watermark_profile_events(spark, sf_dir):
         "name",
         F.round("value", 6).alias("value"),
     )
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT user_id, event_type, date_trunc('day', ts)::DATE AS d FROM events
+"""
+
+
+@query("streaming_dedup_events", ORACLE_STREAM_DEDUP)
+def streaming_dedup_events(spark, sf_dir):
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one event per
+    (user, type, day) and expires a key's state once the watermark
+    passes it — the streaming twin of dedup_exact_events, and the only
+    way exact dedup survives an unbounded stream (state size tracks the
+    watermark horizon, not the stream length). Output is restricted to
+    the key columns, so the arrival-order-dependent survivor choice
+    can't affect the result — which is why it oracle-checks as a plain
+    SELECT DISTINCT."""
+    import uuid
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        deduped = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .withColumn("d", F.date_trunc("day", "ts"))
+            .withWatermark("ts", "2 days")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "d"])
+            .select("user_id", "event_type", F.col("d").cast("date").alias("d"))
+        )
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(name)
 
 
 #: the stateful scorer's semantics are a plain rolling window once the
