@@ -358,3 +358,28 @@ def test_budget_sample_quota_capped_by_stratum_size(spark):
     out = sampling.budget_sample(df, "s", "k", 50)
     by = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
     assert by["tiny"] <= 3
+
+
+def test_token_budget_sample_exact_prefix(spark):
+    from thoth_spark.operators import sampling
+
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") % 10 + 5).alias("w")
+    )
+    out = sampling.token_budget_sample(df, "k", "w", 300)
+    # the selected set is exactly the maximal hash-order prefix under budget
+    got = sorted(r["k"] for r in out.collect())
+    total = out.agg(F.sum("w")).first()[0]
+    assert total <= 300
+    # stability across physical layouts
+    again = sorted(
+        r["k"]
+        for r in sampling.token_budget_sample(df.repartition(9), "k", "w", 300).collect()
+    )
+    assert got == again
+    # adding any next-in-hash-order row would exceed the budget: check by
+    # rerunning with a slightly larger budget and requiring a superset
+    bigger = sorted(
+        r["k"] for r in sampling.token_budget_sample(df, "k", "w", 400).collect()
+    )
+    assert set(got) <= set(bigger) and len(bigger) > len(got)

@@ -2612,6 +2612,68 @@ def embedding_neardup_lsh(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6)
 
 
+def _emb_components_oracle(nbits: int = 6, threshold: float = 0.4) -> str:
+    pairs = _neardup_lsh_oracle(nbits, threshold).strip()
+    return f"""
+WITH RECURSIVE vpairs AS ({pairs}),
+edges AS (SELECT id_a AS s, id_b AS t FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+reach AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT ee.vec_id AS id, least(ee.vec_id, coalesce(min(r.t), ee.vec_id)) AS component
+FROM embeddings ee LEFT JOIN reach r ON r.s = ee.vec_id
+GROUP BY ee.vec_id
+"""
+
+
+@query("embedding_dedup_components", _emb_components_oracle())
+def embedding_dedup_components(spark, sf_dir):
+    """Semantic-dedup clustering: cosine near-dup pairs (hyperplane LSH)
+    → iterative min-label propagation → every vector labeled with its
+    duplicate-cluster's smallest id (singletons label themselves). The
+    embedding twin of dedup_minhash_components."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6)
+    labels = dedup.connected_components(pairs)
+    return (
+        emb.select(F.col("vec_id").alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+
+
+_CHAR_BUDGET = 8000
+
+ORACLE_TOKEN_BUDGET = f"""
+WITH r AS (
+  SELECT doc_id, n_chars, {_SAMPLE_BUCKET} AS bkt,
+         (({_SAMPLE_BUCKET}) * 1024) // 1000000 AS rng
+  FROM documents
+),
+per AS (SELECT rng, sum(n_chars) AS s FROM r GROUP BY rng),
+starts AS (SELECT rng, sum(s) OVER (ORDER BY rng) - s AS strt FROM per),
+fine AS (
+  SELECT doc_id, rng,
+         sum(n_chars) OVER (PARTITION BY rng ORDER BY bkt, doc_id) AS fc
+  FROM r
+)
+SELECT doc_id FROM fine JOIN starts USING (rng) WHERE strt + fc <= {_CHAR_BUDGET}
+"""
+
+
+@query("sample_documents_token_budget", ORACLE_TOKEN_BUDGET)
+def sample_documents_token_budget(spark, sf_dir):
+    """First ~8000 chars of the hash-shuffled corpus — the 'fill a token
+    budget' curation op, computed without a global single-partition
+    window (coarse hash-range offsets + per-range cumulative sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.token_budget_sample(docs, "doc_id", "n_chars", _CHAR_BUDGET).select(
+        "doc_id"
+    )
+
+
 ORACLE_TOKEN_COUNT = f"""
 WITH d AS ({_DOC_TOKENS})
 SELECT doc_id, len(toks) AS ws_tokens,

@@ -126,3 +126,48 @@ def budget_sample(
         .where(F.col("__rk") <= F.col("__quota"))
         .drop("__b", "__rk", "__stratum", "__quota")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+    seed: int = 42,
+    coarse_ranges: int = 1024,
+) -> DataFrame:
+    """Rows in deterministic hash order until their cumulative
+    ``weight_col`` (token/char counts) reaches ``budget`` — "give me the
+    first N tokens of the shuffled corpus", reproducibly.
+
+    A naive global cumulative sum is a single-partition window — a
+    non-starter at corpus scale. Two phases instead: (1) per-hash-range
+    weight totals (tiny aggregate, ``coarse_ranges`` rows) accumulated on
+    the driver-sized frame to find each range's starting offset; (2) the
+    fine cumulative sum runs per-range (``Window.partitionBy(range)`` —
+    parallel), offset by the range's start. Weights are integers, so both
+    phases are exact and engine-portable (no float-accumulation drift).
+    """
+    rng = (_bucket(F.col(key_col), seed) * coarse_ranges / HASH_BUCKETS).cast("long")
+    w_rng = W.partitionBy("__rng").orderBy("__b", key_col)
+    rows = df.withColumn("__b", _bucket(F.col(key_col), seed)).withColumn(
+        "__rng", rng
+    )
+    starts = (
+        rows.groupBy("__rng")
+        .agg(F.sum(weight_col).alias("__s"))
+        .withColumn(
+            "__start",
+            F.sum("__s").over(W.orderBy("__rng")) - F.col("__s"),
+        )
+        .select("__rng", "__start")
+    )
+    fine = rows.withColumn(
+        "__cum",
+        F.sum(weight_col).over(w_rng.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return (
+        fine.join(F.broadcast(starts), "__rng")
+        .where(F.col("__start") + F.col("__cum") <= budget)
+        .drop("__b", "__rng", "__cum", "__start")
+    )
