@@ -383,3 +383,36 @@ def test_token_budget_sample_exact_prefix(spark):
         r["k"] for r in sampling.token_budget_sample(df, "k", "w", 400).collect()
     )
     assert set(got) <= set(bigger) and len(bigger) > len(got)
+
+
+def test_global_rank_and_distributed_ntile_match_builtin(spark):
+    from pyspark.sql import Window as W
+
+    from thoth_spark.operators import relational
+
+    df = spark.range(1000).select(
+        (F.col("id") * 37 % 501).alias("v"), F.col("id").alias("k")
+    )
+    order = [F.col("v").desc(), "k"]
+    got = {
+        r["k"]: r["rank"]
+        for r in relational.global_rank(df, order, num_partitions=7).collect()
+    }
+    exp = {
+        r["k"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(W.orderBy(*order))
+        ).collect()
+    }
+    assert got == exp
+
+    for n in (3, 10, 7):
+        got_b = {
+            r["k"]: r["bucket"]
+            for r in relational.distributed_ntile(df, order, n).collect()
+        }
+        exp_b = {
+            r["k"]: r["nt"]
+            for r in df.withColumn("nt", F.ntile(n).over(W.orderBy(*order))).collect()
+        }
+        assert got_b == exp_b

@@ -76,6 +76,15 @@ def test_q2_single_exchange(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
 
 
+def test_distributed_ntile_data_path_is_range_partitioned(spark, sf_dir):
+    """The decile data path must use a parallel range sort; the only
+    single-partition exchanges allowed are the KB-sized per-partition
+    count offsets frame (one for its window, possibly one under AQE)."""
+    plan = _plan(entry_queries.QUERIES["customer_revenue_deciles"](spark, sf_dir))
+    assert "Exchange rangepartitioning" in plan
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
 def test_profile_is_one_aggregation_job(spark, sf_dir):
     """Single-pass profiling: exactly one shuffle (partial+final agg),
     no join, no extra exchange."""

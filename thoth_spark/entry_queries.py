@@ -1568,6 +1568,72 @@ def top_orders_per_customer(spark, sf_dir):
     ).withColumn("o_totalprice", F.round("o_totalprice", 2))
 
 
+ORACLE_TRAILING_REVENUE = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT d::DATE AS d, round(rev, 2) AS revenue,
+       round(sum(rev) OVER (ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                            AND CURRENT ROW), 2) AS trailing_7d
+FROM daily
+"""
+
+
+@query("trailing_window_revenue", ORACLE_TRAILING_REVENUE)
+def trailing_window_revenue(spark, sf_dir):
+    """Trailing 7-day revenue per day via a RANGE window frame (value
+    range over epoch-days, not row offsets — correct under gaps in the
+    date dimension). Two shuffles total: the daily rollup and the single
+    orderBy window over the tiny aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .withColumn("epoch_day", F.unix_timestamp("d") / 86400)
+    )
+    w = W.orderBy("epoch_day").rangeBetween(-6, 0)
+    return daily.select(
+        F.col("d").cast("date").alias("d"),
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.sum("rev").over(w), 2).alias("trailing_7d"),
+    )
+
+
+ORACLE_CUSTOMER_DECILES = """
+WITH rev AS (
+  SELECT c_custkey, sum(o_totalprice) AS revenue
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+SELECT c_custkey, round(revenue, 2) AS revenue,
+       ntile(10) OVER (ORDER BY revenue DESC, c_custkey) AS decile
+FROM rev
+"""
+
+
+@query("customer_revenue_deciles", ORACLE_CUSTOMER_DECILES)
+def customer_revenue_deciles(spark, sf_dir):
+    """Exact ntile(10) over customer lifetime revenue WITHOUT the
+    single-partition global sort `ntile().over(orderBy(...))` implies:
+    range-repartitioned local ranks + broadcast partition offsets
+    (`relational.distributed_ntile`). Ties broken by key so the decile
+    split is deterministic — and exact-match vs. the SQL ntile oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    out = relational.distributed_ntile(
+        rev, [F.col("revenue").desc(), "c_custkey"], 10, bucket_col="decile"
+    )
+    return out.select(
+        "c_custkey", F.round("revenue", 2).alias("revenue"), "decile"
+    )
+
+
 ORACLE_SET_OPS = """
 SELECT c_custkey FROM (
   SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING sum(o_totalprice) > 300000

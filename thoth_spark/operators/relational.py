@@ -135,3 +135,70 @@ def salted_join(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return salted_l.join(salted_r, on=[*on, "__salt"], how=how).drop("__salt")
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+    keep_total: bool = False,
+) -> DataFrame:
+    """Dense total-order row numbering WITHOUT a single-partition sort.
+
+    ``row_number().over(Window.orderBy(...))`` funnels every row through
+    one task — the classic scale killer for global analytics. Instead:
+    range-repartition on the order keys (parallel sort), rank locally
+    per partition, then add each partition's cumulative row offset
+    (a tiny per-partition count aggregate, broadcast back).
+
+    ``order_cols`` should end with a unique tiebreak column — range
+    boundaries are sampled, so equal keys can straddle partitions; a
+    total order keeps the result exact and deterministic regardless.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(parts, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lr", F.row_number().over(W.partitionBy("__pid").orderBy(*order_cols))
+    )
+    offsets = (
+        local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("__pid", "__off", F.sum("__n").over(W.partitionBy(F.lit(1))).alias("__total"))
+    )
+    out = (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
+    )
+    return out if keep_total else out.drop("__total")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    n: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact ``ntile(n)`` semantics (first N%n buckets get one extra row)
+    built on :func:`global_rank` — no single-partition exchange anywhere
+    in the plan."""
+    ranked = global_rank(df, order_cols, rank_col="__gr", keep_total=True)
+    base = F.floor(F.col("__total") / n)
+    rem = F.col("__total") % n
+    big_span = rem * (base + 1)
+    bucket = F.when(
+        F.col("__gr") <= big_span, F.floor((F.col("__gr") - 1) / (base + 1)) + 1
+    ).otherwise(rem + F.floor((F.col("__gr") - big_span - 1) / base) + 1)
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__gr", "__total")
