@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(entry_queries.QUERIES)
+    return entry_queries.ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
