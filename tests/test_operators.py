@@ -123,11 +123,89 @@ def test_simhash_near_dups(spark, neardup_df):
     hashes = dedup.simhash(neardup_df, "id", "text")
     rows = {r["id"]: (r["sim_hi"], r["sim_lo"]) for r in hashes.collect()}
     assert all(0 <= h < 2**32 for pair in rows.values() for h in pair)
-    pairs = dedup.simhash_near_dup_pairs(hashes, max_hamming=8)
+    pairs = dedup.simhash_near_dup_pairs(hashes, max_hamming=8, blocks=9)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert (1, 2) in got  # one-word difference → tiny hamming distance
     # identical-prefix doc 4 also close to 1
     assert got[(1, 2)] <= 8
+
+
+def test_simhash_pairs_complete_recall(spark, documents_df):
+    """Block-combination candidate generation must find EVERY pair within
+    the distance — cross-check against brute-force all-pairs on the test
+    corpus, for several (max_hamming, blocks) configurations."""
+    hashes = dedup.simhash(documents_df, "doc_id", "text").cache()
+    rows = [(r["id"], r["sim_hi"], r["sim_lo"]) for r in hashes.collect()]
+    for max_hamming, blocks in [(3, 6), (2, 6), (5, 6), (0, 6)]:
+        expected = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (ia, hia, loa), (ib, hib, lob) = rows[i], rows[j]
+                d = bin(hia ^ hib).count("1") + bin(loa ^ lob).count("1")
+                if d <= max_hamming:
+                    a, b = sorted((ia, ib))
+                    expected.add((a, b, d))
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_near_dup_pairs(
+                hashes, max_hamming=max_hamming, blocks=blocks
+            ).collect()
+        }
+        assert got == expected, f"hamming<={max_hamming}, blocks={blocks}"
+
+
+def test_simhash_pairs_validates_params(spark, neardup_df):
+    hashes = dedup.simhash(neardup_df, "id", "text")
+    with pytest.raises(ValueError, match="must exceed max_hamming"):
+        dedup.simhash_near_dup_pairs(hashes, max_hamming=6, blocks=6)
+    with pytest.raises(ValueError, match="combination tables"):
+        dedup.simhash_near_dup_pairs(hashes, max_hamming=8, blocks=17)
+    with pytest.raises(ValueError, match=">= 0"):
+        dedup.simhash_near_dup_pairs(hashes, max_hamming=-1)
+
+
+def test_ngram_jaccard_cap_drops_stop_shingles(spark):
+    """A shingle present in every document (the skew killer) is pruned by
+    the finite default cap; pairs must match a hand-computed oracle
+    restricted to the capped shingle set."""
+    stop = "lorem ipsum dolor sit amet"
+    docs = [
+        (1, f"{stop} alpha beta gamma delta epsilon"),
+        (2, f"{stop} alpha beta gamma delta zeta"),
+        (3, f"{stop} totally different content here now"),
+        (4, f"{stop} unrelated words fill this document"),
+    ]
+    df = spark.createDataFrame(docs, "id long, text string")
+
+    def grams(s, n=3):
+        t = s.split()
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    all_grams = [grams(t) for _, t in docs]
+    from collections import Counter
+
+    freq = Counter(g for gs in all_grams for g in gs)
+    cap = 2
+    capped = [{g for g in gs if freq[g] <= cap} for gs in all_grams]
+    expected = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(capped[i] & capped[j])
+            union = len(all_grams[i]) + len(all_grams[j]) - inter
+            if union and inter / union >= 0.2:
+                expected[(docs[i][0], docs[j][0])] = inter / union
+    pairs = dedup.ngram_jaccard_pairs(
+        df, "id", "text", n=3, threshold=0.2, max_shingle_df=cap, log_dropped=True
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, abs=1e-6)
+    # uncapped: the shared stop-shingles glue unrelated docs together
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, "id", "text", n=3, threshold=0.2, max_shingle_df=None
+    )
+    assert uncapped.count() > len(expected)
 
 
 # ---------------------------------------------------------------------------

@@ -139,3 +139,96 @@ def test_repository_point_lookups(spark, events_df, repo):
     got = repo.get_profiling("uri://p", some_ts).collect()
     assert len(got) == 1 and got[0]["ts"] == some_ts and got[0]["name"] == "Mean"
     assert repo.get_profiling("uri://p", datetime.datetime(1999, 1, 1)).count() == 0
+
+
+def test_read_error_propagates_not_destroys(spark, events_df, repo, monkeypatch):
+    """A transient read failure during an upsert must raise, never be
+    treated as 'table is empty' — that would make the read-merge-
+    overwrite replace stored history with only the new batch."""
+    from thoth_spark.profiler import profile
+
+    repo.add_dataset("my://frag", "ts", ["value"], "DAY")
+    metrics = profile(events_df.select("ts", "value"), "ts", SimpleProfilingBuilder())
+    repo.add_profiling("my://frag", metrics)
+    before = repo.select_profiling("my://frag").count()
+    assert before > 0
+
+    import pyspark.sql.readwriter as rw
+
+    original = rw.DataFrameReader.parquet
+
+    def flaky(self, *paths, **kw):
+        if any("metrics" in p for p in paths):
+            raise RuntimeError("transient filesystem failure")
+        return original(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", flaky)
+    with pytest.raises(RuntimeError, match="transient"):
+        repo.add_profiling("my://frag", metrics)
+    monkeypatch.undo()
+    assert repo.select_profiling("my://frag").count() == before
+
+
+def test_assess_scores_with_stored_best_models(spark, events_df, repo):
+    """assess_new_ts must score with the models the persisted
+    optimization actually selected; with a non-SimpleModel best model the
+    old default silently dropped every score and returned True."""
+    import datetime as dt
+
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    last_day = dt.datetime(2024, 1, 30)
+    history = events_df.where(F.col("ts") < F.lit(last_day)).select("ts", "value")
+    new_batch = events_df.where(F.col("ts") >= F.lit(last_day)).select("ts", "value")
+
+    profile_create_optimize(
+        history,
+        dataset_uri="my://multi",
+        ts_column="ts",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        confidence=0.85,
+    )
+    # overwrite the stored optimization with a non-default best model
+    opt = repo.get_optimization("my://multi")
+    other = sorted(set(MODEL_REGISTRY) - {"SimpleModel"})[0]
+    forced = opt.withColumn("best_model_name", F.lit(other)).drop("dataset_uri")
+    repo.add_optimization("my://multi", forced, confidence=0.85)
+
+    ok = assess_new_ts(
+        new_batch,
+        ts=last_day,
+        dataset_uri="my://multi",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+    )
+    assert ok in (True, False)
+    scoring = repo.get_scoring("my://multi", last_day)
+    assert scoring.count() > 0  # scores exist for the non-default model
+
+
+def test_assess_rejects_unknown_stored_model(spark, events_df, repo):
+    import datetime as dt
+
+    last_day = dt.datetime(2024, 1, 30)
+    history = events_df.where(F.col("ts") < F.lit(last_day)).select("ts", "value")
+    new_batch = events_df.where(F.col("ts") >= F.lit(last_day)).select("ts", "value")
+    profile_create_optimize(
+        history,
+        dataset_uri="my://ghost",
+        ts_column="ts",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        confidence=0.85,
+    )
+    opt = repo.get_optimization("my://ghost")
+    forced = opt.withColumn("best_model_name", F.lit("NoSuchModel")).drop("dataset_uri")
+    repo.add_optimization("my://ghost", forced, confidence=0.85)
+    with pytest.raises(ValueError, match="unregistered"):
+        assess_new_ts(
+            new_batch,
+            ts=last_day,
+            dataset_uri="my://ghost",
+            repo=repo,
+            profiling_builder=SimpleProfilingBuilder(),
+        )

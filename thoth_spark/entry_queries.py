@@ -1952,9 +1952,50 @@ WHERE inter::DOUBLE / (sa.s + sb.s - inter) >= 0.8
 @query("dedup_ngram_jaccard_documents", ORACLE_NGRAM_JACCARD)
 def dedup_ngram_jaccard_documents(spark, sf_dir):
     """Exact near-dup pairs (3-gram Jaccard ≥ 0.8) via inverted-index
-    join — only co-shingled docs ever meet."""
+    join — only co-shingled docs ever meet. ``max_shingle_df=None``
+    pins exact (uncapped) semantics to match the oracle; production use
+    keeps the operator's finite default."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=None
+    )
+
+
+# Capped variant: the operator's scale-safe default (finite
+# max_shingle_df) with an oracle that models the cap — shingles whose
+# document frequency exceeds the cap are dropped BEFORE pairing and
+# intersection counting (set sizes are unaffected: the cap only prunes
+# the inverted index, not the per-document shingle sets).
+_NGRAM_CAP = 5
+
+ORACLE_NGRAM_JACCARD_CAPPED = f"""
+WITH {_DOC_SHINGLES},
+inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+keep AS (
+  SELECT shingle FROM inv0 GROUP BY shingle HAVING count(*) <= {_NGRAM_CAP}
+),
+inv AS (SELECT doc_id, shingle FROM inv0 JOIN keep USING (shingle)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS s FROM g)
+SELECT id_a, id_b, round(inter::DOUBLE / (sa.s + sb.s - inter), 6) AS jaccard
+FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter::DOUBLE / (sa.s + sb.s - inter) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard_capped", ORACLE_NGRAM_JACCARD_CAPPED)
+def dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Near-dup pairs under a finite shingle document-frequency cap —
+    the 100 TB-safe configuration (a stop-shingle in k docs otherwise
+    yields k² candidate pairs). Cap chosen low enough to actually prune
+    at test scale, proving the capped path against a cap-aware oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, max_shingle_df=_NGRAM_CAP
+    )
 
 
 # Carter-Wegman minhash replay: same seeded (a, b) coefficients as
@@ -2127,9 +2168,13 @@ WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 
 @query("dedup_simhash_pairs_documents", ORACLE_SIMHASH_PAIRS)
 def dedup_simhash_pairs_documents(spark, sf_dir):
-    """SimHash near-dup pairs within Hamming distance 3: pigeonhole
-    chunk-bucketing (4×16-bit chunks; any ≤3-distant pair shares a full
-    chunk) makes candidate generation an equi-join, never all-pairs."""
+    """SimHash near-dup pairs within Hamming distance 3: Manku-style
+    block-combination bucketing (6 blocks; any ≤3-distant pair agrees on
+    some 3-block combination, a ~32-bit key) makes candidate generation
+    an equi-join with O(n²/2³²) expected candidates — never all-pairs.
+    The oracle keeps the simpler 4×16-bit-chunk candidate scheme: both
+    have complete recall at d≤3 and exact bit_count verification, so the
+    final pair sets are provably identical."""
     docs = load_table(spark, sf_dir, "documents")
     fps = dedup.simhash(docs, "doc_id", "text")
     return dedup.simhash_near_dup_pairs(fps, max_hamming=3)
@@ -2946,8 +2991,11 @@ def streaming_dedup_events(spark, sf_dir):
     way exact dedup survives an unbounded stream (state size tracks the
     watermark horizon, not the stream length). Output is restricted to
     the key columns, so the arrival-order-dependent survivor choice
-    can't affect the result — which is why it oracle-checks as a plain
-    SELECT DISTINCT."""
+    can't affect the result. DISTINCT parity holds only while no key
+    recurs later than the watermark delay after its first sighting —
+    after expiry the key is legitimately re-emitted — so the delay here
+    (90 days) deliberately exceeds the fixture's ~30-day span rather
+    than relying on the whole file draining in one micro-batch."""
     import uuid
 
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
@@ -2960,7 +3008,7 @@ def streaming_dedup_events(spark, sf_dir):
             .parquet(sf_dir)
             .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
             .withColumn("d", F.date_trunc("day", "ts"))
-            .withWatermark("ts", "2 days")
+            .withWatermark("ts", "90 days")
             .dropDuplicatesWithinWatermark(["user_id", "event_type", "d"])
             .select("user_id", "event_type", F.col("d").cast("date").alias("d"))
         )

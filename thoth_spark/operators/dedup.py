@@ -62,15 +62,24 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """All pairs with Jaccard(word-n-gram sets) ≥ threshold.
 
     Inverted index: explode distinct shingles, self-join on shingle so
     only co-shingled documents pair up, count shared shingles, then
     ``|A∩B| / (|A|+|B|-|A∩B|)``. ``max_shingle_df`` drops shingles that
-    occur in more than that many documents (skew + noise control at
-    scale). Returns (id_a, id_b, jaccard) with id_a < id_b.
+    occur in more than that many documents — the cap defaults to a
+    finite 1000 because a single stop-shingle appearing in k documents
+    contributes k² candidate pairs: with the opt-in default of round 1 a
+    common phrase at 1B docs produced a job-killing join. Pass ``None``
+    explicitly for exact small-corpus semantics. Note the cap changes
+    RESULTS for pairs that relied on capped shingles (their intersection
+    shrinks); that is the documented trade — capped shingles carry no
+    discriminative signal. ``log_dropped=True`` runs one extra small
+    aggregate to report how many distinct shingles the cap removed.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     # the shingle frame feeds three consumers (sizes + both join legs) —
     # checkpoint it lazily so the tokenize+shingle pass runs once
@@ -78,6 +87,21 @@ def ngram_jaccard_pairs(
     sizes = shingled.select("id", F.size("sh").alias("sz"))
     inv = shingled.select("id", F.explode("sh").alias("shingle"))
     if max_shingle_df is not None:
+        if log_dropped:
+            import logging
+
+            dropped = (
+                inv.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") > max_shingle_df)
+                .count()
+            )
+            logging.getLogger("thoth_spark.dedup").info(
+                "ngram_jaccard_pairs: dropped %d distinct shingles with "
+                "document frequency > %d",
+                dropped,
+                max_shingle_df,
+            )
         inv = inv.withColumn(
             "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
         ).where(F.col("__df") <= max_shingle_df).drop("__df")
@@ -335,34 +359,122 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agged.select("id", hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo"))
 
 
+def _simhash_block_value(start: int, end: int) -> Column:
+    """Bits ``[start, end)`` of the 64-bit fingerprint as a small long.
+
+    Global bit i < 32 lives in ``sim_lo`` at position i; bit i ≥ 32 lives
+    in ``sim_hi`` at position i-32 — pure shift/mask arithmetic, stays in
+    whole-stage codegen, never overflows (block values are < 2^16)."""
+    parts = []
+    lo_bits = max(0, min(end, 32) - start)
+    if lo_bits > 0:
+        parts.append(
+            F.shiftright(F.col("sim_lo"), start).bitwiseAND(F.lit((1 << lo_bits) - 1))
+        )
+    hi_start = max(start, 32) - 32
+    hi_bits = max(0, end - max(start, 32))
+    if hi_bits > 0:
+        hi_val = F.shiftright(F.col("sim_hi"), hi_start).bitwiseAND(
+            F.lit((1 << hi_bits) - 1)
+        )
+        parts.append(hi_val * (1 << lo_bits) if lo_bits else hi_val)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out.cast("long")
+
+
 def simhash_near_dup_pairs(
-    hashes: DataFrame, max_hamming: int = 3
+    hashes: DataFrame, max_hamming: int = 3, blocks: int = 6
 ) -> DataFrame:
     """Pairs within Hamming distance ``max_hamming`` of each other.
 
-    Candidate generation: split the 64 bits into 4 chunks of 16; any pair
-    within distance 3 must agree on ≥1 full chunk (pigeonhole), so a
-    groupBy on (chunk_idx, chunk_value) finds all candidates with four
-    cheap equi-joins instead of all-pairs. Verification: bit_count(xor).
+    Candidate generation (Manku/Jain/Sarma block-permutation scheme,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07 — public): split
+    the 64 bits into ``blocks`` blocks; a pair within distance d touches
+    at most d blocks, so it agrees EXACTLY on some combination of
+    ``blocks - d`` blocks (pigeonhole). Each document emits one row per
+    C(blocks, blocks-d) combination keyed by (combo_id, packed block
+    values); an equi-join on that key finds every candidate.
+    Verification: exact ``bit_count(xor)``.
+
+    Why not the simpler d+1-chunks-of-16-bits scheme of round 1: its
+    16-bit bucket space (65,536 values) gives expected candidates
+    O(n²/2¹⁶) — ~10¹³ pairs at 1B documents. With blocks=6, d=3 the key
+    packs 3 blocks ≈ 32 bits, so bucket space is ~4×10⁹ and expected
+    candidates O(n²/2³²) — ~2×10⁸ at 1B docs, shuffle-bounded, at the
+    cost of a 20× (vs 4×) row fan-out of the tiny (id, key) frame.
+
+    ``blocks`` must exceed ``max_hamming`` (the pigeonhole guarantee
+    otherwise silently loses recall — round 1 accepted max_hamming > 3
+    and missed pairs) and cannot exceed 64.
 
     The fingerprint frame feeds BOTH sides of the self-join, so it is
     lazily local-checkpointed first — otherwise the whole upstream
     tokenize+aggregate pipeline executes twice (measured ~40% of query
     wall; at 100 TB the duplicated scan would dominate).
     """
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if blocks <= max_hamming:
+        raise ValueError(
+            f"blocks ({blocks}) must exceed max_hamming ({max_hamming}): the "
+            "pigeonhole candidate scheme guarantees full recall only when a "
+            "pair within the distance must share at least one full block "
+            "combination."
+        )
+    if blocks > 64:
+        raise ValueError(f"blocks must be <= 64, got {blocks}")
     hashes = hashes.localCheckpoint(eager=False)
+    if max_hamming == 0:
+        # distance 0 = identical fingerprints: plain equi-join on both
+        # halves (packing all 64 bits into one signed long would overflow)
+        a0 = hashes.alias("a")
+        b0 = hashes.alias("b")
+        return (
+            a0.join(b0, on=["sim_hi", "sim_lo"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.lit(0).cast("integer").alias("hamming"),
+            )
+            .distinct()
+        )
+    from itertools import combinations
+    from math import comb
+
+    n_combos = comb(blocks, blocks - max_hamming)
+    if n_combos > 256:
+        raise ValueError(
+            f"C({blocks}, {blocks - max_hamming}) = {n_combos} combination "
+            "tables is an excessive fan-out; lower `blocks` toward "
+            f"max_hamming+1 (= {max_hamming + 1}) — fewer, narrower keys."
+        )
+    # block i covers bits [bounds[i], bounds[i+1]) of the 64-bit hash
+    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    bounds = [0]
+    for s in sizes:
+        bounds.append(bounds[-1] + s)
+    block_vals = [
+        _simhash_block_value(bounds[i], bounds[i + 1]) for i in range(blocks)
+    ]
+
+    combo_structs = []
+    for ci, combo in enumerate(combinations(range(blocks), blocks - max_hamming)):
+        # pack the combination's block values into one long key:
+        # shift-accumulate by each block's width (sum of widths <= 64-d)
+        key = block_vals[combo[0]]
+        for bi in combo[1:]:
+            key = key * (1 << sizes[bi]) + block_vals[bi]
+        combo_structs.append(
+            F.struct(F.lit(ci).alias("ci"), key.alias("cv"))
+        )
     chunks = hashes.select(
         "id",
         "sim_hi",
         "sim_lo",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("ci"), (F.col("sim_hi") % 65536).alias("cv")),
-                F.struct(F.lit(1).alias("ci"), (F.col("sim_hi") / 65536).cast("long").alias("cv")),
-                F.struct(F.lit(2).alias("ci"), (F.col("sim_lo") % 65536).alias("cv")),
-                F.struct(F.lit(3).alias("ci"), (F.col("sim_lo") / 65536).cast("long").alias("cv")),
-            )
-        ).alias("c"),
+        F.explode(F.array(*combo_structs)).alias("c"),
     ).select("id", "sim_hi", "sim_lo", "c.ci", "c.cv")
     a = chunks.alias("a")
     b = chunks.alias("b")

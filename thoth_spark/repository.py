@@ -59,11 +59,26 @@ class MetricsRepository:
         return os.path.join(self.base_path, table)
 
     def _read(self, table: str, schema: str) -> DataFrame:
+        """Read a repository table; a table that does not exist yet reads
+        as empty. Any OTHER read error must propagate: the upserts here
+        are read-merge-overwrite, so silently treating a transient or
+        corruption failure as "empty" would make the subsequent dynamic
+        partition overwrite replace stored history with only the new
+        batch — a data-loss bug, not a recoverable condition."""
         path = self._path(table)
-        try:
-            return self.spark.read.schema(schema).parquet(path)
-        except Exception:
+        if not self._table_exists(path):
             return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(path)
+
+    def _table_exists(self, path: str) -> bool:
+        """Existence check through Hadoop's FileSystem API so it works on
+        any supported filesystem (local, HDFS, object stores), not just
+        the driver's local disk."""
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        hadoop_path = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hadoop_path.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(hadoop_path))
 
     def _overwrite_partitions(self, df: DataFrame, table: str) -> None:
         """Overwrite only the dataset_uri partitions present in ``df``

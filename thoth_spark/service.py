@@ -10,6 +10,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from thoth_spark.anomaly.models import MODEL_REGISTRY
 from thoth_spark.anomaly.optimization import AnomalyOptimization, optimize
 from thoth_spark.anomaly.scoring import score
 from thoth_spark.profiler import Granularity, ProfilingBuilder, profile
@@ -82,11 +83,26 @@ def assess_new_ts(
     )
     opt_df = repo.get_optimization(dataset_uri).cache()
     confidence = opt_df.select("confidence").first()["confidence"]
+    # Score with every model the stored optimization actually selected —
+    # defaulting to SimpleModel here would silently drop the scores of any
+    # metric whose persisted best model is different (score() inner-joins
+    # on best_model_name) and report a false "all good".
+    model_names = sorted(
+        r["best_model_name"]
+        for r in opt_df.select("best_model_name").distinct().collect()
+    )
+    unknown = [m for m in model_names if m not in MODEL_REGISTRY]
+    if unknown:
+        raise ValueError(
+            f"Stored optimization for '{dataset_uri}' references unregistered "
+            f"model(s) {unknown}; registered: {sorted(MODEL_REGISTRY)}"
+        )
     optimization = AnomalyOptimization(
         optimization_df=opt_df,
         validation_df=None,
         confidence=confidence,
         key_cols=_KEY,
+        model_names=model_names,
     )
     scoring = score(history, optimization, key_cols=_KEY).cache()
     repo.add_scoring(dataset_uri, scoring)
