@@ -102,8 +102,8 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_profile_events",
     # round-2 additions (registered below; listed here to stay in the
     # driver's 50-query window on their first round)
-    "anomaly_hw_validation",
-    "anomaly_hw_accuracy",
+    "anomaly_ar1_validation",
+    "anomaly_sarima_validation",
     "repository_roundtrip_jdbc",
     "viz_series_events",
     "viz_score_band_events",
@@ -2670,6 +2670,97 @@ def anomaly_holt_validation(spark, sf_dir):
 
     metrics = _metric_series(spark, sf_dir)
     v = cross_validation(metrics, MODEL_REGISTRY["HoltLinear"](), key_cols=KEY)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("true_value", 6).alias("true_value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
+
+
+# AR(1)-with-intercept per-fold OLS replayed in SQL: the closed form
+# needs only cumulative sums of (lag, value) pairs over the train prefix,
+# so the whole model is window functions — mirroring AR1Model.folds
+# arithmetic (same operation order; round(6) absorbs FP dust).
+_AR1_SQL = """,
+ar1 AS (
+  SELECT entity, instance, name, ts, i, n, value,
+         lag(value) OVER (PARTITION BY entity, instance, name ORDER BY ts) AS x
+  FROM idx
+),
+ar1c AS (
+  SELECT *,
+         count(x) OVER cw AS np,
+         sum(x) OVER cw AS sx,
+         sum(CASE WHEN x IS NOT NULL THEN value END) OVER cw AS sy,
+         sum(x * value) OVER cw AS sxy,
+         sum(x * x) OVER cw AS sxx
+  FROM ar1
+  WINDOW cw AS (PARTITION BY entity, instance, name ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+ar1p AS (
+  SELECT *, CASE WHEN i >= 4 AND np >= 3 THEN
+      (sy - (CASE WHEN abs(np * sxx - sx * sx) > 1e-9
+                  THEN (np * sxy - sx * sy) / (np * sxx - sx * sx)
+                  ELSE 0.0 END) * sx) / np
+      + (CASE WHEN abs(np * sxx - sx * sx) > 1e-9
+              THEN (np * sxy - sx * sy) / (np * sxx - sx * sx)
+              ELSE 0.0 END) * x
+      END AS pred
+  FROM ar1c
+),
+ar1v AS (
+  SELECT entity, instance, name, ts, value,
+         CASE WHEN i >= floor(n * (CASE WHEN n >= 100 THEN 0.1 WHEN n >= 50 THEN 0.2
+                                        WHEN n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN pred END AS pred,
+         CASE WHEN i >= floor(n * (CASE WHEN n >= 100 THEN 0.1 WHEN n >= 50 THEN 0.2
+                                        WHEN n >= 25 THEN 0.4 ELSE 0.8 END))
+              AND pred IS NOT NULL
+              THEN least(abs(value - pred) / value, 1.0) END AS err
+  FROM ar1p
+)"""
+
+ORACLE_AR1_VALIDATION = "WITH " + _FOLDS_SQL + _AR1_SQL + """
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS true_value,
+       round(pred, 6) AS predicted, round(err, 6) AS error
+FROM ar1v
+"""
+
+
+@query("anomaly_ar1_validation", ORACLE_AR1_VALIDATION)
+def anomaly_ar1_validation(spark, sf_dir):
+    """Forward-chaining CV of the AR(1) regression forecaster: every
+    fold's OLS fit reduces to cumulative window sums, so ALL folds of ALL
+    series are one window-function pass (no Python anywhere) — and the
+    identical closed form replays in the DuckDB oracle."""
+    from thoth_spark.anomaly.models import AR1Model
+
+    metrics = _metric_series(spark, sf_dir)
+    v = cross_validation(metrics, AR1Model(), key_cols=KEY)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("true_value", 6).alias("true_value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
+
+
+@query("anomaly_sarima_validation")
+def anomaly_sarima_validation(spark, sf_dir):
+    """Forward-chaining CV of the pure-numpy AutoSarima (Hannan-Rissanen
+    two-stage OLS, AIC auto-order, seasonal terms) — parity with the
+    reference's Merlion AutoSarima (``/root/reference/thoth/anomaly/
+    models.py:184-213``; accuracy bar mirrored in tests/test_anomaly.py).
+    The iterative lstsq fits are not SQL-expressible, so this entry is
+    deliberately rows-only — the accuracy gate lives in pytest."""
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    metrics = _metric_series(spark, sf_dir)
+    v = cross_validation(metrics, MODEL_REGISTRY["AutoSarima"](), key_cols=KEY)
     return v.select(
         *KEY,
         F.col("ts").cast("date").alias("ts"),
