@@ -23,9 +23,16 @@ class _CaptureHandler(NotificationHandler):
         self.calls.append((dataset_uri, ts, anomalous_scores))
 
 
-@pytest.fixture()
-def repo(spark, tmp_path):
-    return MetricsRepository(spark, str(tmp_path / "store"))
+@pytest.fixture(params=["parquet", "jdbc"])
+def repo(request, spark, tmp_path):
+    """Every repository/service test runs against BOTH adapters — the
+    partitioned-parquet store and the Derby JDBC store share one
+    contract."""
+    if request.param == "parquet":
+        return MetricsRepository(spark, str(tmp_path / "store"))
+    from thoth_spark.repository_jdbc import JdbcMetricsRepository
+
+    return JdbcMetricsRepository(spark, str(tmp_path / "derbydb"))
 
 
 def test_e2e_flow_with_anomaly(spark, events_df, repo):
@@ -155,14 +162,23 @@ def test_read_error_propagates_not_destroys(spark, events_df, repo, monkeypatch)
 
     import pyspark.sql.readwriter as rw
 
-    original = rw.DataFrameReader.parquet
+    from thoth_spark.repository import MetricsRepository as _ParquetRepo
 
-    def flaky(self, *paths, **kw):
-        if any("metrics" in p for p in paths):
-            raise RuntimeError("transient filesystem failure")
-        return original(self, *paths, **kw)
+    if isinstance(repo, _ParquetRepo):
+        original = rw.DataFrameReader.parquet
 
-    monkeypatch.setattr(rw.DataFrameReader, "parquet", flaky)
+        def flaky(self, *paths, **kw):
+            if any("metrics" in p for p in paths):
+                raise RuntimeError("transient filesystem failure")
+            return original(self, *paths, **kw)
+
+        monkeypatch.setattr(rw.DataFrameReader, "parquet", flaky)
+    else:  # JDBC adapter reads via DataFrameReader.load
+
+        def flaky_load(self, *a, **kw):
+            raise RuntimeError("transient database failure")
+
+        monkeypatch.setattr(rw.DataFrameReader, "load", flaky_load)
     with pytest.raises(RuntimeError, match="transient"):
         repo.add_profiling("my://frag", metrics)
     monkeypatch.undo()

@@ -2290,6 +2290,39 @@ def repository_roundtrip_profiling(spark, sf_dir):
     )
 
 
+@query("repository_roundtrip_jdbc", ORACLE_REPO_ROUNDTRIP)
+def repository_roundtrip_jdbc(spark, sf_dir):
+    """Same repository lifecycle through the JDBC adapter (embedded
+    Derby — Spark bundles the driver): the port/adapter split of the
+    reference's SqlRepository (``thoth/repository.py:258-347``) proven by
+    running the identical oracle against a second storage engine."""
+    import datetime
+    import tempfile
+
+    from thoth_spark.profiler import Mean
+    from thoth_spark.repository_jdbc import JdbcMetricsRepository
+
+    df = _events(spark, sf_dir).select("ts", "value")
+    metrics = profile(df, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]))
+    repo = JdbcMetricsRepository(spark, tempfile.mkdtemp(prefix="thoth_jdbc_") + "/db")
+    uri = "events://demo"
+    repo.add_dataset(uri, ts_column="ts", columns=["value"], granularity="DAY")
+    repo.add_profiling(uri, metrics)
+    repo.add_profiling(uri, metrics)  # idempotent upsert by (uri, ts)
+    day0 = df.agg(F.date_trunc("day", F.min("ts"))).collect()[0][0]
+    lo, hi = day0 + datetime.timedelta(days=7), day0 + datetime.timedelta(days=21)
+    out = repo.select_profiling(uri, start_ts=lo, end_ts=hi)
+    return out.select(
+        "dataset_uri",
+        F.col("ts").cast("date").alias("ts"),
+        "granularity",
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
+
+
 ORACLE_TEXT_STATS = f"""
 WITH d AS ({_DOC_TOKENS})
 SELECT doc_id, len(toks) AS n_tokens,
