@@ -494,3 +494,28 @@ def test_global_rank_and_distributed_ntile_match_builtin(spark):
             for r in df.withColumn("nt", F.ntile(n).over(W.orderBy(*order))).collect()
         }
         assert got_b == exp_b
+
+
+def test_multimodal_injected_decoder(spark, documents_df):
+    """A user-supplied per-batch decoder drives the same mapInPandas
+    plumbing as the stub — decode_real is a one-liner injection once a
+    codec library exists."""
+    import pandas as pd
+
+    def fake_codec(blobs: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_md5": ["x" * 32] * len(blobs),
+                "media_bytes": [len(b) for b in blobs],
+                "width": [640] * len(blobs),
+                "height": [480] * len(blobs),
+                "n_channels": [3] * len(blobs),
+                "format": ["jpeg"] * len(blobs),
+            }
+        )
+
+    with_bin = multimodal.attach_binary(documents_df.limit(10), "text")
+    out = multimodal.decode(with_bin, fake_codec).collect()
+    assert len(out) == 10
+    assert all(r["width"] == 640 and r["format"] == "jpeg" for r in out)
+    assert all(r["media_bytes"] > 0 for r in out)

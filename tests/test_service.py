@@ -19,8 +19,9 @@ class _CaptureHandler(NotificationHandler):
     def __init__(self):
         self.calls = []
 
-    def _notify(self, dataset_uri, ts, anomalous_scores):
+    def _notify(self, dataset_uri, ts, anomalous_scores, dashboard_link=None):
         self.calls.append((dataset_uri, ts, anomalous_scores))
+        self.last_link = dashboard_link
 
 
 @pytest.fixture(params=["parquet", "jdbc"])
@@ -248,3 +249,92 @@ def test_assess_rejects_unknown_stored_model(spark, events_df, repo):
             repo=repo,
             profiling_builder=SimpleProfilingBuilder(),
         )
+
+
+def test_dashboard_link_format(monkeypatch):
+    """Deep-link format parity with the reference's build_dashboard_link
+    (``thoth/util/dashboard.py:11-21``): DASHBOARD_URL base, dataset_uri +
+    view params, repeated instances params, %-encoding."""
+    from thoth_spark.dashboard import SCORING_VIEW, build_dashboard_link
+
+    monkeypatch.delenv("DASHBOARD_URL", raising=False)
+    link = build_dashboard_link("my://events", SCORING_VIEW, ["value", "a b"])
+    assert link.startswith("http://localhost:8501?")
+    assert "dataset_uri=my%3A//events" in link or "dataset_uri=my%3A%2F%2Fevents" in link
+    assert link.count("instances=") == 2
+    assert "a%20b" in link  # %-encoded, not +-encoded
+    monkeypatch.setenv("DASHBOARD_URL", "https://dash.example.com")
+    assert build_dashboard_link("u", SCORING_VIEW).startswith(
+        "https://dash.example.com?"
+    )
+
+
+def test_notification_carries_dashboard_link(spark, events_df, tmp_path):
+    import datetime as dt
+
+    repo = MetricsRepository(spark, str(tmp_path / "linkstore"))
+    handler = _CaptureHandler()
+    last_day = dt.datetime(2024, 1, 30)
+    history = events_df.where(F.col("ts") < F.lit(last_day)).select("ts", "value")
+    anomalous = events_df.where(F.col("ts") >= F.lit(last_day)).select(
+        "ts", (F.col("value") * 20).alias("value")
+    )
+    profile_create_optimize(
+        history,
+        dataset_uri="my://link",
+        ts_column="ts",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        confidence=0.85,
+    )
+    ok = assess_new_ts(
+        anomalous,
+        ts=last_day,
+        dataset_uri="my://link",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        notification_handlers=[handler],
+    )
+    assert ok is False
+    assert handler.last_link is not None
+    assert "view=" in handler.last_link and "instances=" in handler.last_link
+
+
+def test_dashboard_page_views(spark, events_df, tmp_path):
+    from thoth_spark.dashboard import (
+        OPTIMIZATION_VIEW,
+        PROFILING_VIEW,
+        SCORING_VIEW,
+        dashboard_page,
+    )
+
+    repo = MetricsRepository(spark, str(tmp_path / "dashstore"))
+    profile_create_optimize(
+        events_df.select("ts", "value"),
+        dataset_uri="my://dash",
+        ts_column="ts",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        confidence=0.85,
+    )
+    import datetime as dt
+
+    assess_new_ts(
+        events_df.where(F.col("ts") >= F.lit(dt.datetime(2024, 1, 30))).select(
+            "ts", "value"
+        ),
+        ts=dt.datetime(2024, 1, 30),
+        dataset_uri="my://dash",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+    )
+    prof = dashboard_page(repo, "my://dash", PROFILING_VIEW)
+    assert prof["profiling_series"].count() > 0
+    assert "metric_position" in prof["profiling_series"].columns
+    opt = dashboard_page(repo, "my://dash", OPTIMIZATION_VIEW)
+    assert opt["optimization"].count() > 0
+    sc = dashboard_page(repo, "my://dash", SCORING_VIEW)
+    assert sc["score_band"].count() > 0
+    assert sc["forecast_interval"].count() > 0
+    with pytest.raises(ValueError, match="Unknown view"):
+        dashboard_page(repo, "my://dash", "nope")

@@ -629,6 +629,110 @@ def quality_assessment_events(spark, sf_dir):
     )
 
 
+# --- dashboard view queries (thoth_spark/viz.py + dashboard.py) -----------
+
+ORACLE_VIZ_SERIES = "WITH " + _FOLDS_SQL + """
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS value,
+       dense_rank() OVER (ORDER BY entity, instance, name) AS metric_position
+FROM idx
+"""
+
+
+@query("viz_series_events", ORACLE_VIZ_SERIES)
+def viz_series_events(spark, sf_dir):
+    """Profiling-series dashboard view (reference ``ui.py:97-120`` /
+    ``viz.plot_ts``): per-metric series with the metric's sorted ordinal
+    so any renderer reproduces the reference's panel order."""
+    from thoth_spark import viz
+
+    metrics = _metric_series(spark, sf_dir)
+    v = viz.timeseries_view(metrics)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("value", 6).alias("value"),
+        "metric_position",
+    )
+
+
+_THRESHOLD_CTES = f""",
+errors AS (SELECT entity, instance, name, err FROM validation WHERE err IS NOT NULL),
+grid AS (
+  SELECT e.entity, e.instance, e.name, g.t / 100.0 AS threshold,
+         avg(CASE WHEN e.err <= g.t / 100.0 THEN 1.0 ELSE 0.0 END) AS prop
+  FROM errors e CROSS JOIN generate_series(1, 100) g(t) GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT entity, instance, name, greatest(threshold, 0.1) AS threshold,
+         row_number() OVER (PARTITION BY entity, instance, name ORDER BY threshold) AS rk
+  FROM grid WHERE prop >= {_CONF}
+),
+latest AS (
+  SELECT entity, instance, name, ts, value, pred, err FROM folds WHERE i = n - 1
+)"""
+
+ORACLE_VIZ_SCORE_BAND = "WITH " + _FOLDS_SQL + _THRESHOLD_CTES + """
+SELECT s.entity, s.instance, s.name, s.ts::DATE AS ts,
+       round(s.err, 6) AS score, round(b.threshold, 6) AS threshold,
+       'SimpleModel' AS best_model_name, s.err > b.threshold AS is_anomalous
+FROM latest s JOIN best b USING (entity, instance, name) WHERE b.rk = 1
+"""
+
+
+@query("viz_score_band_events", ORACLE_VIZ_SCORE_BAND)
+def viz_score_band_events(spark, sf_dir):
+    """Score-vs-threshold band view (reference ``viz.plot_metric_scoring``,
+    ``thoth/util/viz.py:60-88``)."""
+    from thoth_spark import viz
+    from thoth_spark.anomaly.optimization import optimize
+    from thoth_spark.anomaly.scoring import score as score_fn
+
+    metrics = _metric_series(spark, sf_dir)
+    opt = optimize(metrics, confidence=_CONF, key_cols=KEY)
+    scoring = score_fn(metrics, opt)
+    v = viz.scoring_view(scoring, opt.optimization_df)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("score", 6).alias("score"),
+        F.round("threshold", 6).alias("threshold"),
+        "best_model_name",
+        "is_anomalous",
+    )
+
+
+ORACLE_VIZ_FORECAST_INTERVAL = "WITH " + _FOLDS_SQL + _THRESHOLD_CTES + """
+SELECT s.entity, s.instance, s.name, s.ts::DATE AS ts,
+       round(s.value, 6) AS observed, round(s.pred, 6) AS predicted,
+       round(s.pred / (1 + b.threshold), 6) AS expected_min,
+       round(s.pred / (1 - b.threshold), 6) AS expected_max
+FROM latest s JOIN best b USING (entity, instance, name) WHERE b.rk = 1
+"""
+
+
+@query("viz_forecast_interval_events", ORACLE_VIZ_FORECAST_INTERVAL)
+def viz_forecast_interval_events(spark, sf_dir):
+    """Observed-vs-expected interval view: acceptance band is
+    ``predicted / (1 ± threshold)`` — the exact inversion of the clamped
+    APE score (reference ``viz.py:102-103``)."""
+    from thoth_spark import viz
+    from thoth_spark.anomaly.optimization import optimize
+    from thoth_spark.anomaly.scoring import score as score_fn
+
+    metrics = _metric_series(spark, sf_dir)
+    opt = optimize(metrics, confidence=_CONF, key_cols=KEY)
+    scoring = score_fn(metrics, opt)
+    v = viz.forecast_interval_view(scoring, opt.optimization_df)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("observed", 6).alias("observed"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("expected_min", 6).alias("expected_min"),
+        F.round("expected_max", 6).alias("expected_max"),
+    )
+
+
 #: SeasonalNaive7 (PythonModelAdapter, applyInPandas): pred = value one
 #: season (7) back once i >= 7, else the previous value; preds start at
 #: min_train_length = 4; same warm-up mask as every model.

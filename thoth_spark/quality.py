@@ -25,7 +25,11 @@ class AnomalousScore:
 
 
 class NotificationHandler(abc.ABC):
-    """Warning hook fired when a batch assessment finds anomalies."""
+    """Warning hook fired when a batch assessment finds anomalies.
+
+    ``notify`` builds the scoring-view dashboard deep-link (filtered to
+    the anomalous instances) and hands it to the subclass ``_notify`` —
+    the reference's handler contract (``thoth/quality.py:39-62``)."""
 
     @abc.abstractmethod
     def _notify(
@@ -33,6 +37,7 @@ class NotificationHandler(abc.ABC):
         dataset_uri: str,
         ts: datetime.datetime | None,
         anomalous_scores: list[AnomalousScore],
+        dashboard_link: str | None = None,
     ) -> None: ...
 
     def notify(
@@ -41,19 +46,34 @@ class NotificationHandler(abc.ABC):
         ts: datetime.datetime | None,
         anomalous_scores: list[AnomalousScore],
     ) -> None:
-        self._notify(dataset_uri, ts, anomalous_scores)
+        from thoth_spark.dashboard import SCORING_VIEW, build_dashboard_link
+
+        # metric tuple layout is (dataset_uri?, entity, instance, name) —
+        # instance is always second-from-last
+        instances = sorted({a.metric[-2] for a in anomalous_scores if len(a.metric) >= 2})
+        self._notify(
+            dataset_uri,
+            ts,
+            anomalous_scores,
+            dashboard_link=build_dashboard_link(
+                dataset_uri=dataset_uri, view=SCORING_VIEW, instances=instances
+            ),
+        )
 
 
 class LogHandler(NotificationHandler):
-    """Logs anomalies as errors (the reference's default handler)."""
+    """Logs anomalies as errors (the reference's default handler),
+    including the dashboard deep-link (``thoth/quality.py:64-81``)."""
 
-    def _notify(self, dataset_uri, ts, anomalous_scores):
+    def _notify(self, dataset_uri, ts, anomalous_scores, dashboard_link=None):
         logger.error(
             "Anomaly detected for ts=%s on dataset_uri=%s! Metrics above "
-            "their optimized threshold: %s",
+            "their optimized threshold: %s. Please check the dataset "
+            "dashboard for more information: %s",
             ts,
             dataset_uri,
             anomalous_scores,
+            dashboard_link,
         )
 
 

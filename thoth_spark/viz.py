@@ -15,13 +15,20 @@ _KEY = ["entity", "instance", "name"]
 def timeseries_view(metrics_df: DataFrame) -> DataFrame:
     """Per-metric profiling series, ordered for line plots
     (``viz.plot_ts``): one row per (metric, ts), plus the metric's ordinal
-    position so dashboards render metrics in the reference's sorted order."""
-    pos = F.dense_rank().over(
-        W.orderBy(*_KEY)
+    position so dashboards render metrics in the reference's sorted order.
+
+    The ordinal is ranked on the DISTINCT metric keys (rows = #metrics,
+    driver-scale) and broadcast back — ranking directly on the series
+    frame would funnel every (metric, ts) row through one partition."""
+    keys = metrics_df.select(*_KEY).distinct()
+    ranked = keys.withColumn(
+        "metric_position", F.dense_rank().over(W.orderBy(*_KEY))
     )
-    return metrics_df.select(*_KEY, "ts", "value").withColumn(
-        "metric_position", pos
-    ).orderBy(*_KEY, "ts")
+    return (
+        metrics_df.select(*_KEY, "ts", "value")
+        .join(F.broadcast(ranked), on=_KEY)
+        .orderBy(*_KEY, "ts")
+    )
 
 
 def scoring_view(scoring_df: DataFrame, optimization_df: DataFrame) -> DataFrame:
