@@ -85,6 +85,19 @@ def main() -> None:
         except Exception:
             pass
 
+    # Scaling sanity pass at sf0.01 (10× less data than the timed run):
+    # per-query wall ratio t(sf)/t(sf/10) exposes super-linear operators
+    # long before they'd surface at cluster scale — a scan-bound query
+    # should ratio ≲ 10 (usually far less while fixed overhead dominates);
+    # anything well beyond 10 is growing faster than its input.
+    small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
+    small_timings: dict[str, float] = {}
+    if os.path.isdir(small_dir):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _run(queries[name](spark, small_dir))
+            small_timings[name] = round(time.perf_counter() - t0, 3)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -92,6 +105,11 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    scaling = {
+        name: round(timings[name] / small_timings[name], 2)
+        for name in HEADLINE
+        if small_timings.get(name)
+    }
     print(
         json.dumps(
             {
@@ -100,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "scaling_ratio_vs_sf0.01": scaling,
             }
         )
     )

@@ -629,6 +629,22 @@ def quality_assessment_events(spark, sf_dir):
     )
 
 
+@query("accuracy_study_events")
+def accuracy_study_events(spark, sf_dir):
+    """The reference's published evaluation (BASELINE.md; example-02/03
+    experiments A-E: normal / volume ×3 / category drop / ×2 shift /
+    null injection) reproduced end-to-end on the events fixture —
+    vectorized to ~6 Spark jobs total where the reference loops a full
+    assess job per test day. Decision logic (profile → optimize →
+    per-day score → any-metric-over-threshold) is the real pipeline, so
+    this is rows-only: the accuracy bar itself is asserted in
+    tests/test_study.py (overall ≥ 0.9 at sf0.01, matching the
+    reference's 0.97-0.98 design within this fixture's 30-day span)."""
+    from thoth_spark.study import accuracy_study
+
+    return accuracy_study(_events(spark, sf_dir))
+
+
 # --- dashboard view queries (thoth_spark/viz.py + dashboard.py) -----------
 
 ORACLE_VIZ_SERIES = "WITH " + _FOLDS_SQL + """
@@ -2975,7 +2991,7 @@ def similarity_topk_lsh(spark, sf_dir):
     same seeded planes as SQL literals."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.hyperplane_lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, nbits=6, n_tables=4
+        emb, emb.where(F.col("vec_id") < 10), k=5, nbits=6, n_tables=4, dim=64
     )
 
 
@@ -3015,7 +3031,7 @@ def embedding_neardup_lsh(spark, sf_dir):
     """Hyperplane-bucketed cosine near-dup pairs; oracle replays the same
     seeded planes as SQL literals."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6)
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, nbits=6, dim=64)
 
 
 def _emb_components_oracle(nbits: int = 6, threshold: float = 0.4) -> str:

@@ -109,9 +109,17 @@ def hyperplane_lsh_topk(
     at the query's bucket plus ≤ ``probe_flips``-bit neighbors. Candidate
     volume ∝ corpus × n_tables × probes / 2^nbits — tunable recall/cost,
     independent of corpus² (the brute-force blowup).
-    """
+
+    SIZE ``nbits`` TO THE CORPUS: each probe keeps ~corpus/2^nbits
+    candidates, so keep ``2^nbits`` within ~3 orders of magnitude of the
+    corpus size (1B vectors → nbits ≥ 20). The small default suits the
+    test fixtures only.
+
+    Pass ``dim`` explicitly in production: the ``None`` fallback reads
+    one corpus row to measure the vector length — correct, but it costs
+    a (small) Spark job per operator construction."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = len(corpus.select(vec_col).limit(1).collect()[0][0])
 
     def _bucketed(df, idc, vc, probe: bool):
         base = df.select(F.col(idc), _as_double(F.col(vec_col)).alias(vc))
@@ -238,9 +246,13 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold, found via hyperplane buckets (plus
     1-bit-flip probes so near-identical vectors straddling one hyperplane
-    still meet). Returns (id_a, id_b, cos_sim)."""
+    still meet). Returns (id_a, id_b, cos_sim).
+
+    Size ``nbits`` to the corpus (see :func:`hyperplane_lsh_topk`) and
+    pass ``dim`` explicitly in production — the ``None`` fallback costs a
+    one-row Spark job per call."""
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        dim = len(df.select(vec_col).limit(1).collect()[0][0])
     planes = _hyperplanes(dim, nbits)
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
