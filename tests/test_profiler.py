@@ -205,3 +205,94 @@ def test_profile_is_single_job_for_single_pass_analyzers(spark, events_df):
     m = profile(events_df.select("ts", "value"), "ts", SimpleProfilingBuilder())
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2  # partial->final agg exchange (+AQE read)
+
+
+# ---------------------------------------------------------------------------
+# KLL sketches + mergeable rollups
+# ---------------------------------------------------------------------------
+
+
+def test_kll_quantiles_analyzer_accuracy(spark, events_df):
+    """KLLSketch analyzer (DataSketches) respects the sketch's RANK error
+    guarantee: the reported q-quantile must lie between the exact
+    (q−0.05) and (q+0.05) quantiles (k=200 ⇒ rank ε ≈ 1.3%, so ±5% rank
+    margin is generous). Value-relative bounds would be wrong — KLL
+    bounds rank, and on skewed data nearby ranks differ a lot in value."""
+    from thoth_spark.profiler import ExactQuantiles, KLLQuantiles, ProfilingBuilder, profile
+
+    df = events_df.select("ts", "value")
+    kll = profile(df, "ts", ProfilingBuilder(analyzers=[KLLQuantiles("value")]))
+    qs = [0.25, 0.5, 0.75]
+    brackets = profile(
+        df,
+        "ts",
+        ProfilingBuilder(
+            analyzers=[
+                ExactQuantiles("value", sorted({max(q - 0.05, 0.0) for q in qs} | {min(q + 0.05, 1.0) for q in qs}))
+            ]
+        ),
+    )
+    k = {(r["ts"], float(r["name"].split("-")[1])): r["value"] for r in kll.collect()}
+    b = {(r["ts"], float(r["name"].split("-")[1])): r["value"] for r in brackets.collect()}
+    assert k, "no KLL rows"
+    for (ts, q), v in k.items():
+        lo = b[(ts, round(max(q - 0.05, 0.0), 2))]
+        hi = b[(ts, round(min(q + 0.05, 1.0), 2))]
+        assert lo - 1e-9 <= v <= hi + 1e-9, (ts, q, lo, v, hi)
+
+
+def test_sketch_rollup_matches_exact_at_low_cardinality(spark, events_df):
+    """Weekly rollup of daily HLL sketches equals exact distinct counts
+    while cardinality is below HLL's promotion threshold (and row counts
+    are always exact — they're additive)."""
+    from pyspark.sql import functions as F
+
+    from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
+
+    daily = sketch_profile(events_df, "ts", distinct_cols=["user_id", "event_type"])
+    weekly = {r["ts"]: r for r in rollup_sketches(daily, "week").collect()}
+    exact = events_df.groupBy(F.date_trunc("week", "ts").alias("ts")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_type").alias("e"),
+    ).collect()
+    assert len(weekly) == len(exact) > 0
+    for r in exact:
+        w = weekly[r["ts"]]
+        assert w["row_count"] == r["n"]
+        assert w["approx_distinct_user_id"] == r["u"]
+        assert w["approx_distinct_event_type"] == r["e"]
+
+
+def test_sketch_mergeability(spark, events_df):
+    """Merging daily KLL sketches to weekly answers the same quantile
+    question as sketching the week directly — the property that makes
+    incremental profiling correct."""
+    from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
+
+    daily = sketch_profile(events_df, "ts", quantile_cols=["value"], granularity="day")
+    via_merge = {
+        r["ts"]: r["q0.5_value"]
+        for r in rollup_sketches(daily, "week", quantiles=[0.5]).collect()
+    }
+    direct = sketch_profile(events_df, "ts", quantile_cols=["value"], granularity="week")
+    via_direct = {
+        r["ts"]: r["q0.5_value"]
+        for r in rollup_sketches(direct, "week", quantiles=[0.5]).collect()
+    }
+    assert set(via_merge) == set(via_direct)
+    for ts in via_merge:
+        denom = max(abs(via_direct[ts]), 1.0)
+        assert abs(via_merge[ts] - via_direct[ts]) / denom < 0.1, ts
+
+
+def test_sketch_profile_validates_granularity(spark, events_df):
+    import pytest as _pytest
+
+    from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
+
+    with _pytest.raises(ValueError, match="granularity"):
+        sketch_profile(events_df, "ts", granularity="fortnight")
+    daily = sketch_profile(events_df, "ts", distinct_cols=["event_type"])
+    with _pytest.raises(ValueError, match="granularity"):
+        rollup_sketches(daily, "fortnight")

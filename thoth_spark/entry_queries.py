@@ -110,6 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "viz_forecast_interval_events",
     "accuracy_study_events",
     "dedup_ngram_jaccard_capped",
+    "profile_events_kll",
+    "sketch_rollup_weekly_events",
 ]
 
 
@@ -626,6 +628,51 @@ def quality_assessment_events(spark, sf_dir):
         F.round("error", 6).alias("score"),
         F.round("threshold", 6).alias("threshold"),
         (F.col("error") > F.col("threshold")).alias("is_anomalous"),
+    )
+
+
+@query("profile_events_kll")
+def profile_events_kll(spark, sf_dir):
+    """True KLLSketch analyzer parity (Deequ KLLSketch via Apache
+    DataSketches ``kll_sketch_agg_double``) — deterministic rows but the
+    sketch's compaction differs from any SQL engine's quantile, so
+    rows-only by design; accuracy vs exact quantiles is asserted in
+    tests/test_profiler.py."""
+    from thoth_spark.profiler import KLLQuantiles
+
+    df = _events(spark, sf_dir).select("ts", "value")
+    builder = ProfilingBuilder(analyzers=[KLLQuantiles("value"), Size()])
+    return _round_metrics(profile(df, "ts", builder))
+
+
+ORACLE_SKETCH_ROLLUP = """
+SELECT date_trunc('week', date_trunc('day', ts::TIMESTAMP))::DATE AS ts,
+       count(*) AS row_count,
+       count(DISTINCT user_id) AS approx_distinct_user_id,
+       count(DISTINCT event_type) AS approx_distinct_event_type
+FROM events GROUP BY 1
+"""
+
+
+@query("sketch_rollup_weekly_events", ORACLE_SKETCH_ROLLUP)
+def sketch_rollup_weekly_events(spark, sf_dir):
+    """Mergeable-sketch rollup — the 100 TB incremental-profiling path:
+    the raw data is scanned ONCE into per-day HLL sketches (bytes per
+    bucket); the weekly distinct counts are then computed by merging
+    sketch bytes only, never rescanning. DataSketches HLL is exact below
+    its promotion threshold, so at fixture cardinality the estimates
+    hash-match the exact DISTINCT oracle — at billion-scale they become
+    ±1.6% estimates for the same merge cost."""
+    from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
+
+    ev = _events(spark, sf_dir)
+    daily = sketch_profile(ev, "ts", distinct_cols=["user_id", "event_type"])
+    weekly = rollup_sketches(daily, "week")
+    return weekly.select(
+        F.col("ts").cast("date").alias("ts"),
+        "row_count",
+        "approx_distinct_user_id",
+        "approx_distinct_event_type",
     )
 
 

@@ -27,6 +27,7 @@ from thoth_spark.profiler.analyzers import (
     GroupingAnalyzer,
     Histogram,
     InferredTypes,
+    KLLQuantiles,
     Maximum,
     MaxLength,
     Mean,
@@ -66,6 +67,7 @@ __all__ = [
     "GroupingAnalyzer",
     "Histogram",
     "InferredTypes",
+    "KLLQuantiles",
     "MaxLength",
     "Maximum",
     "Mean",

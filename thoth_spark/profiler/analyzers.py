@@ -182,6 +182,44 @@ class ApproxQuantiles(Analyzer):
         ]
 
 
+class KLLQuantiles(Analyzer):
+    """KLL sketch quantiles (Apache DataSketches via Spark 4's
+    ``kll_sketch_agg_double``) — true parity with Deequ's ``KLLSketch``
+    analyzer (``/root/reference/thoth/profiler.py:20``, pydeequ import),
+    which round 1 only aliased to the GK family. Emits one metric per
+    quantile named ``KLLSketch-<q>``.
+
+    Unlike GK (``percentile_approx``), KLL sketches are MERGEABLE with
+    proven error bounds: per-partition sketches union into coarser
+    granularities without rescanning — see
+    :mod:`thoth_spark.profiler.sketches` for the rollup pipeline built
+    on this property."""
+
+    def __init__(self, column: str, quantiles: list[float] | None = None, k: int = 200):
+        super().__init__(column)
+        self.quantiles = quantiles or [0.25, 0.5, 0.75]
+        self.k = k
+
+    def key(self) -> str:
+        qs = "_".join(str(q) for q in self.quantiles)
+        return _safe(f"KLLSketch__{self.instance}__{qs}")
+
+    def agg_exprs(self):
+        sketch = F.kll_sketch_agg_double(
+            F.col(self.column).cast("double"), F.lit(self.k)
+        )
+        return [(self.key(), sketch)]
+
+    def outputs(self):
+        return [
+            (
+                f"KLLSketch-{q}",
+                F.kll_sketch_get_quantile_double(F.col(self.key()), F.lit(float(q))),
+            )
+            for q in self.quantiles
+        ]
+
+
 class ExactQuantiles(Analyzer):
     """Exact interpolated quantiles (``percentile``) — deterministic and
     oracle-checkable; costs a sort of each group's values, so prefer

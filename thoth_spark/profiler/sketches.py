@@ -1,0 +1,106 @@
+"""Mergeable sketch profiling — incremental rollups without rescans.
+
+The 100 TB problem with plain profiling: a weekly/monthly distinct count
+or quantile CANNOT be derived from daily scalar metrics (distinct counts
+don't add), so every new granularity costs another full scan of the raw
+data. DataSketches sketches (HLL for distinct, KLL for quantiles —
+Apache DataSketches, bundled with Spark 4) are MERGEABLE: union of two
+sketches = sketch of the union, with proven error bounds. Profile the
+raw data ONCE into per-bucket binary sketches, persist them (bytes per
+bucket, not data-proportional), then answer any coarser granularity by
+merging sketch bytes — a metadata-scale aggregation.
+
+This is the engine-side equivalent of a timeseries-database "hypertable
+rollup": continuous daily sketching + on-demand weekly/monthly rollup.
+
+Pipeline::
+
+    daily = sketch_profile(df, "ts", distinct_cols=[...], quantile_cols=[...])
+    daily.write.parquet(...)            # sketches persist as binary columns
+    weekly = rollup_sketches(daily, "week")   # NO raw-data access
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: supported rollup granularities (must be coarser than the sketch bucket)
+_GRANULARITIES = {"day", "week", "month", "quarter", "year"}
+
+
+def sketch_profile(
+    df: DataFrame,
+    ts_col: str,
+    distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    granularity: str = "day",
+    kll_k: int = 200,
+    hll_lgk: int = 12,
+) -> DataFrame:
+    """One pass over the raw data → one row per time bucket carrying
+    binary sketches: ``hll_<col>`` (distinct-count sketch) per
+    ``distinct_cols`` entry, ``kll_<col>`` (quantile sketch) per
+    ``quantile_cols`` entry, plus exact ``row_count`` (counts ARE
+    additive, no sketch needed)."""
+    if granularity.lower() not in _GRANULARITIES:
+        raise ValueError(f"granularity must be one of {sorted(_GRANULARITIES)}")
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in distinct_cols or []:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(hll_lgk)).alias(f"hll_{c}"))
+    for c in quantile_cols or []:
+        aggs.append(
+            F.kll_sketch_agg_double(
+                F.col(c).cast("double"), F.lit(kll_k)
+            ).alias(f"kll_{c}")
+        )
+    return (
+        df.groupBy(F.date_trunc(granularity, F.col(ts_col)).alias("ts"))
+        .agg(*aggs)
+    )
+
+
+def rollup_sketches(
+    sketch_df: DataFrame,
+    granularity: str,
+    quantiles: list[float] | None = None,
+) -> DataFrame:
+    """Merge finer-grained sketch rows into a coarser granularity and
+    evaluate them: distinct-count estimates from HLL unions, quantile
+    estimates from KLL merges, exact row counts from sums. Touches ONLY
+    the sketch table — never the raw data."""
+    if granularity.lower() not in _GRANULARITIES:
+        raise ValueError(f"granularity must be one of {sorted(_GRANULARITIES)}")
+    quantiles = quantiles or [0.5]
+    aggs = [F.sum("row_count").alias("row_count")]
+    outs = []
+    for field in sketch_df.schema.fields:
+        if field.name.startswith("hll_"):
+            col = field.name[4:]
+            aggs.append(F.hll_union_agg(field.name).alias(field.name))
+            outs.append(
+                F.hll_sketch_estimate(F.col(field.name)).alias(f"approx_distinct_{col}")
+            )
+        elif field.name.startswith("kll_"):
+            col = field.name[4:]
+            # kll_sketch_merge_double is a binary scalar (no aggregate
+            # form) — fold it over the group's sketches; a week/month
+            # merges a handful of KB-sized sketch blobs, driver-free
+            aggs.append(
+                F.expr(
+                    f"aggregate(collect_list({field.name}),"
+                    " cast(null as binary),"
+                    " (acc, x) -> CASE WHEN acc IS NULL THEN x"
+                    " ELSE kll_sketch_merge_double(acc, x) END)"
+                ).alias(field.name)
+            )
+            outs.extend(
+                F.kll_sketch_get_quantile_double(
+                    F.col(field.name), F.lit(float(q))
+                ).alias(f"q{q}_{col}")
+                for q in quantiles
+            )
+    merged = sketch_df.groupBy(
+        F.date_trunc(granularity, F.col("ts")).alias("ts")
+    ).agg(*aggs)
+    return merged.select("ts", "row_count", *outs)
