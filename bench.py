@@ -57,6 +57,11 @@ HEADLINE = [
     "similarity_topk_vectorized",
     "similarity_topk_ivf",
     "tpch_q19_discounted_revenue",
+    # round-2 capabilities
+    "anomaly_ar1_validation",
+    "sketch_rollup_weekly_events",
+    "profile_events_kll",
+    "dedup_ngram_jaccard_capped",
 ]
 
 

