@@ -149,3 +149,56 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_ar1_folds_single_exchange(spark, sf_dir):
+    """AR(1) CV: all folds of all series must be ONE window pass — a
+    single shuffle keyed by the metric key, no joins, no Python."""
+    from thoth_spark.anomaly.models import AR1Model
+    from thoth_spark.entry_queries import _metric_series
+
+    metrics = _metric_series(spark, sf_dir)
+    base_exchanges = _plan(metrics).count("Exchange hashpartitioning")
+    folds = AR1Model().folds(metrics)
+    plan = _plan(folds)
+    # the CV adds exactly ONE shuffle (by the metric key) on top of
+    # whatever the profiling input plan already contains
+    assert plan.count("Exchange hashpartitioning") - base_exchanges <= 1
+    assert "Join" not in plan
+    assert "Python" not in plan  # pure window functions, no UDF path
+
+
+def test_sketch_rollup_never_rescans_raw(spark, sf_dir):
+    """The rollup plan must read the sketch frame only: one aggregation
+    over the daily-sketch aggregation, no second scan of the events
+    parquet and no join."""
+    from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
+    from thoth_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = sketch_profile(ev, "ts", distinct_cols=["event_type"], quantile_cols=["value"])
+    weekly = rollup_sketches(daily, "week")
+    plan = _plan(weekly)
+    assert len(re.findall(r"(?:File)?Scan parquet", plan)) <= 1
+    assert "Join" not in plan
+    # two aggregations (daily sketch + weekly merge), each with a partial
+    # and final stage over ONE exchange apiece
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_simhash_pairs_no_cartesian_single_build(spark, sf_dir):
+    """Candidate generation is an equi-join on (combo, key); the
+    fingerprint pipeline must execute once (checkpoint barrier), never
+    per join leg."""
+    from thoth_spark.operators import dedup
+    from thoth_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = dedup.simhash(docs, "doc_id", "text")
+    pairs = dedup.simhash_near_dup_pairs(fps, max_hamming=3)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # the upstream 64-sum aggregation is behind a checkpoint: it must not
+    # appear in the pair plan at all
+    assert "kll" not in plan.lower()
