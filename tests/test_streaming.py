@@ -113,3 +113,47 @@ def test_assess_foreach_batch(spark, sf_dir):
     mean_rows = [r for r in rows if r["name"] == "Mean"]
     assert mean_rows and all(r["threshold"] == 0.1 for r in mean_rows)
     assert all(r["threshold"] is None for r in rows if r["name"] == "Size")
+
+
+def test_sketch_profile_stream_rolls_up(spark, sf_dir):
+    """Streaming per-day sketches (append mode) merge into the same
+    weekly distinct counts as batch sketching — the continuous half of
+    the rescan-free rollup story."""
+    from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
+    from thoth_spark.streaming import sketch_profile_stream
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .select("ts", "value", "event_type")
+        )
+        daily_stream = sketch_profile_stream(
+            stream, "ts", distinct_cols=["event_type"], quantile_cols=["value"]
+        )
+        name = _run_to_memory(daily_stream, "append")
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    streamed_daily = spark.table(name)
+    assert {"ts", "row_count", "hll_event_type", "kll_value"} <= set(streamed_daily.columns)
+    assert streamed_daily.count() > 0
+
+    weekly_from_stream = {
+        r["ts"]: (r["row_count"], r["approx_distinct_event_type"])
+        for r in rollup_sketches(streamed_daily, "week").collect()
+    }
+    events = load_table(spark, sf_dir, "events")
+    batch_daily = sketch_profile(events, "ts", distinct_cols=["event_type"], quantile_cols=["value"])
+    # restrict batch to the buckets the watermark finalized
+    finalized = {r["ts"] for r in streamed_daily.select("ts").collect()}
+    batch_subset = batch_daily.where(F.col("ts").isin(list(finalized)))
+    weekly_from_batch = {
+        r["ts"]: (r["row_count"], r["approx_distinct_event_type"])
+        for r in rollup_sketches(batch_subset, "week").collect()
+    }
+    assert weekly_from_stream == weekly_from_batch and len(weekly_from_stream) > 0

@@ -112,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_jaccard_capped",
     "profile_events_kll",
     "sketch_rollup_weekly_events",
+    "streaming_sketch_rollup_events",
 ]
 
 
@@ -3426,4 +3427,66 @@ def streaming_profile_events(spark, sf_dir):
         "instance",
         "name",
         F.round("value", 6).alias("value"),
+    )
+
+
+# Watermark (1 day) finalizes a daily bucket once max(ts) - 1 day passes
+# its end, so the finalized-day set is a deterministic function of the
+# data — the oracle reproduces it and rolls those days up to weeks.
+ORACLE_STREAM_SKETCH_ROLLUP = """
+WITH mx AS (SELECT max(ts::TIMESTAMP) AS m FROM events),
+e AS (SELECT date_trunc('day', ts::TIMESTAMP) AS d, * FROM events),
+fin AS (
+  SELECT DISTINCT d FROM e, mx WHERE d + INTERVAL 1 DAY <= m - INTERVAL 1 DAY
+)
+SELECT date_trunc('week', d)::DATE AS ts, count(*) AS row_count,
+       count(DISTINCT event_type) AS approx_distinct_event_type
+FROM e JOIN fin USING (d) GROUP BY 1
+"""
+
+
+@query("streaming_sketch_rollup_events", ORACLE_STREAM_SKETCH_ROLLUP)
+def streaming_sketch_rollup_events(spark, sf_dir):
+    """Continuous mergeable-sketch profiling: the stream emits one
+    finalized daily HLL-sketch row per bucket (append mode, KBs each);
+    the weekly rollup then merges SKETCH BYTES only — the raw stream is
+    read exactly once, ever, and any future granularity is a
+    metadata-scale merge. Estimates are exact at fixture cardinality, so
+    the result hash-matches the exact DISTINCT oracle restricted to the
+    watermark-finalized days."""
+    import uuid
+
+    from thoth_spark.profiler.sketches import rollup_sketches
+    from thoth_spark.streaming import sketch_profile_stream
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            .select("ts", "event_type")
+        )
+        daily = sketch_profile_stream(
+            stream, "ts", distinct_cols=["event_type"], watermark_delay="1 day"
+        )
+        name = f"stream_sketch_{uuid.uuid4().hex[:8]}"
+        q = (
+            daily.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    weekly = rollup_sketches(spark.table(name), "week")
+    return weekly.select(
+        F.col("ts").cast("date").alias("ts"),
+        "row_count",
+        "approx_distinct_event_type",
     )

@@ -22,6 +22,12 @@ from thoth_spark.streaming.stream import (
     assess_foreach_batch,
     profile_stream,
     running_score_stream,
+    sketch_profile_stream,
 )
 
-__all__ = ["profile_stream", "running_score_stream", "assess_foreach_batch"]
+__all__ = [
+    "profile_stream",
+    "running_score_stream",
+    "assess_foreach_batch",
+    "sketch_profile_stream",
+]

@@ -84,6 +84,51 @@ def profile_stream(
     ).select("ts", "m.*")
 
 
+def sketch_profile_stream(
+    df: DataFrame,
+    ts_column: str,
+    distinct_cols: list[str] | None = None,
+    quantile_cols: list[str] | None = None,
+    granularity: str = Granularity.DAY,
+    watermark_delay: str = "1 day",
+    kll_k: int = 200,
+    hll_lgk: int = 12,
+) -> DataFrame:
+    """Streaming twin of :func:`thoth_spark.profiler.sketches.sketch_profile`:
+    continuous per-bucket MERGEABLE sketches under a watermark.
+
+    This is the continuous-ingestion half of the rescan-free rollup
+    story: the stream emits one finalized row per time bucket carrying
+    binary HLL/KLL sketches (KBs each); appended to the sketch table,
+    they make any coarser granularity a sketch-merge
+    (:func:`rollup_sketches`) — the raw stream is touched exactly once,
+    ever. (A plain streaming distinct-count could never be rolled up
+    later; sketches are what make profile history mergeable.)
+    """
+    granularity = granularity.upper()
+    if granularity not in _WINDOW_DURATION:
+        raise ValueError(
+            f"Streaming sketch profiling supports {sorted(_WINDOW_DURATION)} "
+            f"granularities; got {granularity}."
+        )
+    aggs = [F.count(F.lit(1)).alias("row_count")]
+    for c in distinct_cols or []:
+        aggs.append(F.hll_sketch_agg(F.col(c), F.lit(hll_lgk)).alias(f"hll_{c}"))
+    for c in quantile_cols or []:
+        aggs.append(
+            F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(kll_k)).alias(
+                f"kll_{c}"
+            )
+        )
+    return (
+        df.withWatermark(ts_column, watermark_delay)
+        .groupBy(F.window(F.col(ts_column), _WINDOW_DURATION[granularity]))
+        .agg(*aggs)
+        .select(F.col("window.start").alias("ts"), "*")
+        .drop("window")
+    )
+
+
 #: output schema of :func:`running_score_stream`
 _SCORE_SCHEMA = (
     "entity string, instance string, name string, ts timestamp, "
