@@ -62,6 +62,8 @@ HEADLINE = [
     "sketch_rollup_weekly_events",
     "profile_events_kll",
     "dedup_ngram_jaccard_capped",
+    "redact_pii_documents",
+    "contamination_documents",
 ]
 
 

@@ -549,3 +549,73 @@ def test_simhash_candidate_fanout_bounded(spark, neardup_df):
             ).count()
         )
         assert chunk_rows == n_docs * expected_tables
+
+
+# ---------------------------------------------------------------------------
+# curation: PII redaction, chunking, repetition, contamination
+# ---------------------------------------------------------------------------
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach bob.smith+x@corp.example.com or 10.0.0.1, ssn 123-45-6789, tel +1 (555) 123-4567"),
+            (2, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_ssn"], r1["n_phone"]) == (1, 1, 1, 1)
+    red = r1["text_redacted"]
+    assert "<EMAIL>" in red and "<IP>" in red and "<SSN>" in red and "<PHONE>" in red
+    assert "example.com" not in red and "123-45-6789" not in red
+    r2 = out[2]
+    assert r2["text_redacted"] == "no pii here at all"
+    assert r2["n_email"] == r2["n_ipv4"] == r2["n_ssn"] == r2["n_phone"] == 0
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, words), (2, "short text")], "doc_id long, text string")
+    chunks = text.chunk_documents(df, chunk_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 3, chunk 4 over 10 tokens: [w0..w3], [w3..w6], [w6..w9]
+    assert [r["chunk_text"].split()[0] for r in c1] == ["w0", "w3", "w6"]
+    # every token covered, adjacent chunks overlap by 1
+    covered = {t for r in c1 for t in r["chunk_text"].split()}
+    assert covered == {f"w{i}" for i in range(10)}
+    assert by_doc[2][0]["chunk_text"] == "short text"
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_documents(df, stride=200, chunk_tokens=100)
+
+
+def test_repetition_signals_flags_boilerplate(spark):
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now buy now"), (2, "every word here is unique today"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in text.repetition_signals(df).collect()}
+    assert out[1]["top_ngram_ratio"] > 0.5  # "buy now"/"now buy" dominate
+    assert out[2]["top_ngram_count"] == 1
+    assert out[3]["total_ngrams"] == 0 and out[3]["top_ngram_ratio"] == 0.0
+
+
+def test_contamination_check_detects_leak(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated training sample text here"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(100, "quick brown fox jumps over")], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in text.contamination_check(corpus, benchmark).collect()}
+    assert out[1]["n_matched"] == 3  # the 3 shingles inside the leaked span
+    assert out[1]["contamination"] > 0.3
+    assert out[2]["n_matched"] == 0 and out[2]["contamination"] == 0.0

@@ -113,6 +113,10 @@ DRIVER_PRIORITY: list[str] = [
     "profile_events_kll",
     "sketch_rollup_weekly_events",
     "streaming_sketch_rollup_events",
+    "redact_pii_documents",
+    "chunk_documents",
+    "repetition_documents",
+    "contamination_documents",
 ]
 
 
@@ -3489,4 +3493,166 @@ def streaming_sketch_rollup_events(spark, sf_dir):
         F.col("ts").cast("date").alias("ts"),
         "row_count",
         "approx_distinct_event_type",
+    )
+
+
+# --- curation operators: PII redaction, chunking, repetition, contamination
+
+
+def _pii_oracle() -> str:
+    """Sequential regexp replace/count chain mirroring text.PII_PATTERNS
+    order; synthetic PII is appended deterministically from doc_id so the
+    patterns actually fire on the fixture corpus."""
+    from thoth_spark.operators.text import PII_PATTERNS
+
+    sql = """
+WITH s0 AS (
+  SELECT doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.'
+         || (doc_id % 256) || '.7 or call +1 555-867-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         AS t
+  FROM documents
+)"""
+    prev = "s0"
+    for i, (name, pattern, token) in enumerate(PII_PATTERNS, 1):
+        # single-quote escape for the SQL literal (DuckDB standard
+        # strings keep backslashes literal — do NOT double them)
+        pat = pattern.replace("'", "''")
+        sql += f""",
+s{i} AS (
+  SELECT * EXCLUDE (t), len(regexp_extract_all(t, '{pat}')) AS n_{name},
+         regexp_replace(t, '{pat}', '{token}', 'g') AS t
+  FROM {prev}
+)"""
+        prev = f"s{i}"
+    sql += f"""
+SELECT doc_id, n_email, n_ipv4, n_ssn, n_phone, md5(t) AS redacted_md5 FROM {prev}
+"""
+    return sql
+
+
+@query("redact_pii_documents", _pii_oracle())
+def redact_pii_documents(spark, sf_dir):
+    """PII scrubbing (emails/IPv4/SSN/phone → typed tokens) over the
+    corpus with synthetic PII injected deterministically from doc_id (the
+    fixture corpus is clean, so the injection makes every pattern fire).
+    Pure sequential regexp expressions — full scan speed, no shuffle."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call +1 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = text.redact_pii(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_ssn",
+        "n_phone",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+_CHUNK_T, _CHUNK_S = 32, 24
+
+ORACLE_CHUNK_DOCS = f"""
+WITH d AS ({_DOC_TOKENS}),
+n AS (
+  SELECT doc_id, toks, 1 + greatest(0, ceil((len(toks) - {_CHUNK_T}) / {_CHUNK_S}.0)::INT) AS nc
+  FROM d
+),
+c AS (
+  SELECT doc_id, unnest(range(0, nc))::INT AS chunk_idx, toks FROM n
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[chunk_idx * {_CHUNK_S} + 1 : chunk_idx * {_CHUNK_S} + {_CHUNK_T}], ' ') AS chunk_text,
+       len(toks[chunk_idx * {_CHUNK_S} + 1 : chunk_idx * {_CHUNK_S} + {_CHUNK_T}]) AS n_chunk_tokens
+FROM c
+"""
+
+
+@query("chunk_documents", ORACLE_CHUNK_DOCS)
+def chunk_documents_query(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks, stride 24 —
+    8 tokens of shared context) — the training-example splitter. Output
+    rows ∝ tokens/stride, no shuffle."""
+    docs = _documents(spark, sf_dir)
+    out = text.chunk_documents(docs, "doc_id", "text", _CHUNK_T, _CHUNK_S)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_idx", "chunk_text", "n_chunk_tokens"
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH d AS ({_DOC_TOKENS}),
+g AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM d WHERE len(toks) >= 2
+),
+pg AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_ngrams, max(c) AS top_ngram_count FROM pg GROUP BY 1)
+SELECT d.doc_id, coalesce(pd.total_ngrams, 0) AS total_ngrams,
+       coalesce(pd.top_ngram_count, 0) AS top_ngram_count,
+       round(coalesce(pd.top_ngram_count / pd.total_ngrams::DOUBLE, 0.0), 6) AS top_ngram_ratio
+FROM d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@query("repetition_documents", ORACLE_REPETITION)
+def repetition_documents(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of all word 2-grams taken
+    by the most frequent one (template/boilerplate spam scores near 1)."""
+    docs = _documents(spark, sf_dir)
+    out = text.repetition_signals(docs, "doc_id", "text", n=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "total_ngrams",
+        "top_ngram_count",
+        F.round("top_ngram_ratio", 6).alias("top_ngram_ratio"),
+    )
+
+
+ORACLE_CONTAMINATION = f"""
+WITH d AS ({_DOC_TOKENS}),
+g AS (
+  SELECT doc_id, list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM d WHERE len(toks) >= 3
+),
+bench AS (SELECT DISTINCT unnest(sh) AS g FROM g WHERE doc_id % 10 = 0),
+ds AS (SELECT doc_id, unnest(sh) AS g FROM g),
+pd AS (
+  SELECT ds.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM ds LEFT JOIN bench ON ds.g = bench.g GROUP BY 1
+)
+SELECT d.doc_id, coalesce(pd.n_shingles, 0) AS n_shingles,
+       coalesce(pd.n_matched, 0) AS n_matched,
+       round(coalesce(pd.n_matched / pd.n_shingles::DOUBLE, 0.0), 6) AS contamination
+FROM d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@query("contamination_documents", ORACLE_CONTAMINATION)
+def contamination_documents(spark, sf_dir):
+    """Benchmark-contamination screen: per-document fraction of distinct
+    3-gram shingles that appear anywhere in the 'benchmark' subset
+    (doc_id % 10 = 0 stands in for an eval set). Benchmark shingles
+    broadcast; the corpus side is one explode + one groupBy — never
+    corpus × benchmark."""
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    out = text.contamination_check(docs, bench, "doc_id", "text", n=3)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_matched",
+        F.round("contamination", 6).alias("contamination"),
     )

@@ -133,6 +133,157 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: (category, RE2-safe pattern, replacement token) — applied IN ORDER
+#: (ipv4 before phone: dotted number runs would otherwise half-match the
+#: phone pattern). RE2-safe = no lookaround/backrefs, so Spark's Java
+#: regex and any RE2 oracle (DuckDB) match identically.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub common PII shapes (emails, IPv4s, SSNs, phone numbers) with
+    typed placeholder tokens — the standard pre-training privacy pass.
+
+    Adds ``<text_col>_redacted`` plus one ``n_<category>`` count per
+    pattern. Patterns apply sequentially; each count is measured on the
+    text as it stood when that pattern ran, so counts always reconcile
+    with the replacements actually made. Pure regexp expressions — full
+    scan speed, no shuffle, replayable in an ANSI oracle."""
+    cur = F.col(text_col)
+    out = df
+    for name, pattern, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(cur, F.lit(pattern), F.lit(0)))
+        )
+        cur = F.regexp_replace(cur, pattern, token)
+    return out.withColumn(f"{text_col}_redacted", cur)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-example chunking step (stride < chunk_tokens ⇒ adjacent
+    chunks share ``chunk_tokens - stride`` tokens of context).
+
+    Emits ``(id, chunk_idx, chunk_text, n_chunk_tokens)``; a document
+    shorter than one chunk yields exactly one (possibly short) chunk.
+    Pure higher-order functions + one ``posexplode``-style fan-out: no
+    shuffle, output rows ∝ tokens/stride."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        raise ValueError("stride must be <= chunk_tokens (no token may be skipped)")
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chunks = F.lit(1) + F.greatest(
+        F.lit(0), F.ceil((n_tok - chunk_tokens) / F.lit(stride)).cast("int")
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            toks.alias("__toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.slice(
+                F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+            ).alias("__chunk"),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+            F.size("__chunk").alias("n_chunk_tokens"),
+        )
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signals: the fraction of all word
+    n-grams taken by the single most frequent n-gram (boilerplate and
+    template spam score near 1). Returns ``(id, total_ngrams,
+    top_ngram_count, top_ngram_ratio)``; documents with < n tokens get
+    zeros. One explode + one groupBy(id, gram) + one groupBy(id) —
+    shuffle ∝ distinct (doc, gram) pairs."""
+    grams = df.select(
+        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
+    )
+    per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy("id").agg(
+        F.sum("c").alias("total_ngrams"), F.max("c").alias("top_ngram_count")
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(per_doc, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
+            F.coalesce(
+                F.col("top_ngram_count") / F.col("total_ngrams"), F.lit(0.0)
+            ).alias("top_ngram_ratio"),
+        )
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark_text_col: str | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination screen: per document, the fraction of its
+    distinct word n-grams that also occur anywhere in ``benchmark_df`` —
+    the standard eval-set leak detector for training corpora.
+
+    Returns ``(id, n_shingles, n_matched, contamination)``. The
+    benchmark's distinct shingle set is broadcast (eval sets are tiny
+    next to the corpus); the corpus side is one explode + one
+    groupBy(id) — never corpus × benchmark rows."""
+    benchmark_text_col = benchmark_text_col or text_col
+    bench = (
+        benchmark_df.select(
+            F.explode(word_ngrams(F.col(benchmark_text_col), n)).alias("g")
+        )
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_shingles = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
+    )
+    joined = doc_shingles.join(F.broadcast(bench), on="g", how="left")
+    per_doc = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_matched"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(per_doc, on="id", how="left").select(
+        "id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        F.coalesce(F.col("n_matched") / F.col("n_shingles"), F.lit(0.0)).alias(
+            "contamination"
+        ),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality heuristic in [0,1]: rewards mid-length documents
     with diverse tokens and a natural stopword rate, penalizes digit/punct
