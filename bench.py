@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_ngram_jaccard_capped",
     "redact_pii_documents",
     "contamination_documents",
+    "line_dedup_documents",
+    "pack_documents",
 ]
 
 

@@ -6,7 +6,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from thoth_spark.operators import dedup, multimodal, relational, similarity, text
+from thoth_spark.operators import curation, dedup, multimodal, relational, similarity, text
 
 
 # ---------------------------------------------------------------------------
@@ -619,3 +619,121 @@ def test_contamination_check_detects_leak(spark):
     assert out[1]["n_matched"] == 3  # the 3 shingles inside the leaked span
     assert out[1]["contamination"] > 0.3
     assert out[2]["n_matched"] == 0 and out[2]["contamination"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# curation: line dedup, sequence packing, corpus mixing, training order
+# ---------------------------------------------------------------------------
+
+
+def test_line_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "unique one\nshared line\nunique two"),
+            (2, "shared line\nonly here"),
+            (3, "shared line"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in curation.line_dedup(df).collect()}
+    # doc 1 holds the first occurrence of "shared line" — keeps all 3 lines
+    assert out[1]["text_deduped"] == "unique one\nshared line\nunique two"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 3)
+    # later occurrences dropped, order of the rest preserved
+    assert out[2]["text_deduped"] == "only here"
+    assert (out[2]["n_lines"], out[2]["n_kept"]) == (2, 1)
+    # a doc whose every line is a duplicate keeps nothing
+    assert out[3]["text_deduped"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 0)
+
+
+def test_line_dedup_boilerplate_mode(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "boiler\nkeep a"),
+            (2, "boiler\nkeep b"),
+            (3, "boiler\nkeep c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in curation.line_dedup(df, keep="none", max_df=2).collect()}
+    # "boiler" appears in 3 docs > max_df=2 — removed everywhere
+    assert [out[i]["text_deduped"] for i in (1, 2, 3)] == ["keep a", "keep b", "keep c"]
+    with pytest.raises(ValueError, match="max_df"):
+        curation.line_dedup(df, keep="none")
+
+
+def test_pack_sequences_greedy_fill(spark):
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = curation.pack_sequences(df, budget=100, n_shards=1).collect()
+    rows = sorted(out, key=lambda r: r["id"])
+    # 30-token docs into a 100 budget: 3 per bin, in id order
+    assert [r["bin_idx"] for r in rows] == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+    assert [r["bin_pos"] for r in rows] == [0, 1, 2, 0, 1, 2, 0, 1, 2, 0]
+    # per-bin fill never exceeds budget
+    fills = {}
+    for r in rows:
+        fills[r["bin_idx"]] = fills.get(r["bin_idx"], 0) + r["n_tokens"]
+    assert all(v <= 100 for v in fills.values())
+
+
+def test_pack_sequences_oversized_doc_isolated(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 300), (3, 50)], "doc_id long, n_tokens long"
+    )
+    rows = sorted(
+        curation.pack_sequences(df, budget=100, n_shards=1).collect(),
+        key=lambda r: r["id"],
+    )
+    # the 300-token doc overflows any bin: it closes bin 0 and sits alone
+    assert [r["bin_idx"] for r in rows] == [0, 1, 2]
+
+
+def test_mix_corpora_rates_and_determinism(spark):
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = curation.mix_corpora(df, {"src0": 3.0, "src1": 1.0})
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    # binding source (src0: weight 3 over 100 rows) keeps everything
+    assert len(by_src["src0"]) == 100
+    assert all(r["mix_rate"] == 1.0 for r in by_src["src0"])
+    # src1 sampled to ~1/3; deterministic on rerun
+    assert 20 <= len(by_src["src1"]) <= 46
+    assert "src2" not in by_src  # unweighted source dropped
+    again = curation.mix_corpora(df, {"src0": 3.0, "src1": 1.0}).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in got)
+    with pytest.raises(ValueError, match="absent"):
+        curation.mix_corpora(df, {"nope": 1.0})
+
+
+def test_training_order_deterministic_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = curation.training_order(df, n_shards=4).collect()
+    # a permutation: every row exactly once, positions contiguous per shard
+    assert sorted(r["doc_id"] for r in out) == list(range(200))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # the order is shuffled, not id order
+    first_shard = sorted(by_shard.items())[0][0]
+    ids_in_order = [
+        r["doc_id"]
+        for r in sorted(
+            (x for x in out if x["shard"] == first_shard),
+            key=lambda r: r["shard_pos"],
+        )
+    ]
+    assert ids_in_order != sorted(ids_in_order)
+    # deterministic across reruns
+    again = curation.training_order(df, n_shards=4).collect()
+    assert {(r["doc_id"], r["shard"], r["shard_pos"]) for r in again} == {
+        (r["doc_id"], r["shard"], r["shard_pos"]) for r in out
+    }

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from thoth_spark.anomaly.models import DEFAULT_WINDOWS, SimpleModel
 from thoth_spark.anomaly.optimization import cross_validation, find_best_threshold
 from thoth_spark.operators import (
+    curation,
     dedup,
     multimodal,
     relational,
@@ -117,6 +118,10 @@ DRIVER_PRIORITY: list[str] = [
     "chunk_documents",
     "repetition_documents",
     "contamination_documents",
+    "line_dedup_documents",
+    "pack_documents",
+    "mix_documents",
+    "training_order_documents",
 ]
 
 
@@ -3656,3 +3661,177 @@ def contamination_documents(spark, sf_dir):
         "n_matched",
         F.round("contamination", 6).alias("contamination"),
     )
+
+
+# --- curation operators: line dedup, packing, mixing, training order
+
+
+_LINE_W = 8  # tokens per synthesized line (the fixture corpus has no newlines)
+
+ORACLE_LINE_DEDUP = f"""
+WITH d AS ({_DOC_TOKENS}),
+l AS (
+  SELECT doc_id, unnest(range(0, (len(toks) + {_LINE_W} - 1) // {_LINE_W}))::INT AS pos,
+         toks
+  FROM d
+),
+l2 AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos * {_LINE_W} + 1 : pos * {_LINE_W} + {_LINE_W}], ' ') AS line
+  FROM l
+),
+l3 AS (
+  SELECT *, md5(trim(line)) AS lh,
+         row_number() OVER (PARTITION BY md5(trim(line)) ORDER BY doc_id, pos) AS rk
+  FROM l2
+),
+kept AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM l3 WHERE rk = 1 GROUP BY 1
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l2 GROUP BY 1)
+SELECT tot.doc_id, md5(coalesce(kept.t, '')) AS dedup_md5, tot.n_lines,
+       coalesce(kept.n_kept, 0) AS n_kept
+FROM tot LEFT JOIN kept USING (doc_id)
+"""
+
+
+@query("line_dedup_documents", ORACLE_LINE_DEDUP)
+def line_dedup_documents(spark, sf_dir):
+    """CCNet-style corpus-level line dedup: every document is split into
+    lines (synthesized here as 8-token windows joined by newlines — the
+    fixture corpus is newline-free), each distinct line keeps only its
+    first occurrence by (doc_id, position), and documents are reassembled
+    from their surviving lines. Two bounded shuffles: line-hash survivor
+    election (map-side combined) + per-doc regroup."""
+    docs = _documents(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(_LINE_W)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * _LINE_W + 1, _LINE_W)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = curation.line_dedup(lined, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("text_deduped").alias("dedup_md5"),
+        "n_lines",
+        "n_kept",
+    )
+
+
+_PACK_BUDGET, _PACK_SHARDS = 64, 4
+
+_PACK_SHARD_SQL = (
+    "(" + _hex2int_sql("md5('42|' || doc_id::VARCHAR)", 1, 8)
+    + f" % 1000000 % {_PACK_SHARDS})::INT"
+)
+
+ORACLE_PACK_DOCS = f"""
+WITH RECURSIVE d AS ({_DOC_TOKENS}),
+t0 AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, {_PACK_SHARD_SQL} AS shard
+  FROM d
+),
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM t0
+),
+p AS (
+  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin_idx,
+         CAST(0 AS BIGINT) AS bin_pos, n_tokens AS fill
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET} THEN p.bin_idx + 1 ELSE p.bin_idx END,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET} THEN CAST(0 AS BIGINT) ELSE p.bin_pos + 1 END,
+         CASE WHEN p.fill + t.n_tokens > {_PACK_BUDGET} THEN t.n_tokens ELSE p.fill + t.n_tokens END
+  FROM p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, shard, bin_idx, bin_pos FROM p
+"""
+
+
+@query("pack_documents", ORACLE_PACK_DOCS)
+def pack_documents(spark, sf_dir):
+    """Greedy sequence packing into 64-token training bins across 4
+    hash-distributed shards — the curated-corpus → dense-training-example
+    step. The only Python path is the per-shard O(rows) greedy loop
+    (applyInPandas, one Arrow batch per shard); the oracle replays it as
+    a recursive CTE."""
+    docs = _documents(spark, sf_dir)
+    sized = docs.select("doc_id", F.size(text.tokens(F.col("text"))).alias("n_tokens"))
+    return curation.pack_sequences(
+        sized, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select(
+        F.col("id").alias("doc_id"), "n_tokens", "shard", "bin_idx", "bin_pos"
+    )
+
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+
+_MIX_W_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w!r}" for s, w in _MIX_WEIGHTS.items()
+) + " END"
+
+_MIX_BUCKET = _hex2int_sql("md5('42|' || doc_id::VARCHAR)", 1, 8) + " % 1000000"
+
+ORACLE_MIX_DOCS = f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS cnt, {_MIX_W_CASE} AS w
+  FROM documents WHERE source IN ({", ".join(f"'{s}'" for s in _MIX_WEIGHTS)})
+  GROUP BY source
+),
+s AS (SELECT min(cnt / w) AS scale FROM c),
+t AS (
+  SELECT c.source, CAST(floor(s.scale * c.w / c.cnt * 1000000) AS BIGINT) AS thr
+  FROM c, s
+)
+SELECT d.doc_id, d.source, round(t.thr / 1000000.0, 6) AS mix_rate
+FROM documents d JOIN t ON d.source = t.source
+WHERE {_MIX_BUCKET} < t.thr
+"""
+
+
+@query("mix_documents", ORACLE_MIX_DOCS)
+def mix_documents(spark, sf_dir):
+    """Corpus mixing to target source weights (src0 3× the others, src3
+    half): the binding source keeps rate 1.0, every other source is
+    hash-sampled down so expected proportions match the weights. Driver
+    collects only the per-source counts; the data path is one map-side
+    filter — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.mix_corpora(docs, _MIX_WEIGHTS)
+    return out.select("doc_id", "source", F.round("mix_rate", 6).alias("mix_rate"))
+
+
+_ORDER_SHARDS = 8
+
+_ORDER_BUCKET = "(" + _hex2int_sql("md5('42|' || doc_id::VARCHAR)", 1, 8) + " % 1000000)"
+
+ORACLE_TRAINING_ORDER = f"""
+SELECT doc_id, ({_ORDER_BUCKET} % {_ORDER_SHARDS})::INT AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY {_ORDER_BUCKET} % {_ORDER_SHARDS}
+         ORDER BY {_ORDER_BUCKET}, doc_id
+       ) - 1 AS BIGINT) AS shard_pos
+FROM documents
+"""
+
+
+@query("training_order_documents", ORACLE_TRAINING_ORDER)
+def training_order_documents(spark, sf_dir):
+    """Deterministic global training shuffle into 8 shards: shard and
+    within-shard order both derive from the same md5 bucket stream, so
+    the 'random' order is a pure function of the data — reproducible
+    across reruns, retries, and engines, with no global sort (the
+    per-shard sort rides the one shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = curation.training_order(docs, n_shards=_ORDER_SHARDS)
+    return out.select("doc_id", "shard", F.col("shard_pos").cast("long").alias("shard_pos"))

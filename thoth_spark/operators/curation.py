@@ -1,0 +1,236 @@
+"""Corpus-curation operators beyond per-document filtering: line-level
+dedup, sequence packing, corpus mixing, and deterministic training-order
+shuffling — the steps between "clean documents" and "training batches".
+
+Everything here is deterministic and engine-replayable (md5-keyed like
+:mod:`thoth_spark.operators.sampling`), because a training corpus that
+cannot be reproduced bit-for-bit cannot be audited. The only Python-path
+code is the greedy bin-packing loop in :func:`pack_sequences`, which is
+inherently sequential per shard and runs as one Arrow-batched
+``applyInPandas`` group per shard — every other operator is pure JVM
+column expressions and survives a 100 TB scan.
+
+Scale design notes per operator:
+
+- :func:`line_dedup` — two shuffles: one ``groupBy(line_hash)`` to elect
+  the surviving copy of each duplicated line (partial aggregation
+  map-side combines the common case of unique lines), one
+  ``groupBy(doc)`` to reassemble. Shuffle volume ∝ corpus lines, never
+  lines²; no broadcast of anything unbounded.
+- :func:`pack_sequences` — one shuffle to the packing shards; each shard
+  packs independently, so parallelism = ``n_shards`` (size it to the
+  cluster, e.g. 10k shards at 100 TB). Per-shard state is O(1).
+- :func:`mix_corpora` — one tiny per-source count aggregate collected to
+  the driver (#sources rows), then a map-side hash filter; no shuffle of
+  the data itself.
+- :func:`training_order` — one shuffle keyed by the target shard; the
+  within-shard sort rides the shuffle's sort-merge machinery.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from thoth_spark.operators.sampling import HASH_BUCKETS, _bucket
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    keep: str = "first",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Corpus-level line deduplication (the CCNet pre-processing step):
+    split every document on ``sep``, and for each distinct line keep only
+    its first occurrence — the copy in the smallest ``(id, position)``
+    (``keep='first'``) — or drop the line from ALL documents once it
+    appears in more than ``max_df`` documents (``keep='none'``, the
+    boilerplate-removal variant; requires ``max_df``).
+
+    Returns ``(id, text_deduped, n_lines, n_kept)`` with surviving lines
+    rejoined by ``sep`` in their original order. Lines are compared on
+    their md5 after trimming, so incidental surrounding whitespace does
+    not defeat the dedup but interior spacing differences do (reference
+    semantics: exact line match).
+    """
+    if keep not in ("first", "none"):
+        raise ValueError("keep must be 'first' or 'none'")
+    if keep == "none" and max_df is None:
+        raise ValueError("keep='none' requires max_df")
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.trim(F.col("line"))))
+
+    # One window pass over the line hash decides survival per line
+    # instance — exactly one shuffle keyed by lh, with NO join back and
+    # nothing broadcast (a survivor/doc-freq side table would be
+    # corpus-sized at 100 TB, far beyond broadcast range). The second
+    # and final shuffle is the per-document regroup below.
+    lh_w = W.partitionBy("lh")
+    if keep == "first":
+        survives = (
+            F.row_number().over(lh_w.orderBy("id", "pos")) == 1
+        )
+    else:
+        survives = F.size(F.collect_set("id").over(lh_w)) <= max_df
+    flagged = lines.withColumn("keep", survives)
+
+    kept_structs = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
+    )
+    return flagged.groupBy("id").agg(
+        F.array_join(
+            F.transform(kept_structs, lambda s: s["line"]), sep
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens_col: str = "n_tokens",
+    budget: int = 2048,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    bins (training context windows), first-fit in deterministic order —
+    the step that turns a curated corpus into dense training examples.
+
+    Documents are hash-distributed over ``n_shards`` independent packing
+    shards (pack quality is statistically identical to a global pack, and
+    each shard packs in parallel — the global greedy order would be a
+    single sequential scan of the whole corpus). Within a shard,
+    documents are taken in ``id`` order and appended to the current bin
+    until the next document would overflow ``budget``, which closes the
+    bin; a document larger than ``budget`` occupies a bin alone. The
+    running state is one (bin, fill) pair per shard, so the Arrow batch
+    loop is O(rows) with O(1) memory.
+
+    Returns ``(id, n_tokens, shard, bin_idx, bin_pos)``.
+    """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        (_bucket(F.col(id_col), seed) % n_shards).cast("int").alias("shard"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bins, poss = [], []
+        bin_idx, fill, pos = 0, 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_idx, fill, pos = bin_idx + 1, 0, 0
+            bins.append(bin_idx)
+            poss.append(pos)
+            fill += n
+            pos += 1
+        pdf["bin_idx"] = pd.Series(bins, dtype="int64")
+        pdf["bin_pos"] = pd.Series(poss, dtype="int64")
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(
+        _pack, "id long, n_tokens long, shard int, bin_idx long, bin_pos long"
+    )
+
+
+def mix_corpora(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Down-sample sources so the output mixture matches target
+    ``weights`` while keeping ALL of the scarcest source (relative to its
+    weight) — the standard corpus-mixing step before training.
+
+    For each source ``s`` with ``count_s`` rows and weight ``w_s``, the
+    keep rate is ``rate_s = C * w_s / count_s`` with
+    ``C = min_s(count_s / w_s)`` — the binding source keeps rate 1.0 and
+    every other source is deterministically hash-sampled down so expected
+    output proportions equal the weights. Sources absent from
+    ``weights`` are dropped (rate 0).
+
+    The per-source counts are a tiny aggregate collected to the driver
+    (#sources rows); the sampling itself is a map-side hash filter — the
+    data never shuffles. Deterministic in (data, weights, seed).
+
+    Returns the sampled rows with an extra ``mix_rate`` column (the
+    applied keep rate, for lineage).
+    """
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be a non-empty dict of positive numbers")
+
+    counts = {
+        r["s"]: r["c"]
+        for r in df.where(F.col(source_col).isin(list(weights)))
+        .groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources absent from the data: {sorted(missing)}")
+    scale = min(counts[s] / weights[s] for s in weights)
+    # Integer bucket thresholds so the survival predicate is exact and
+    # replayable: a row survives iff bucket < floor(rate * HASH_BUCKETS).
+    thresholds = {
+        s: int(scale * weights[s] / counts[s] * HASH_BUCKETS) for s in weights
+    }
+    thr_col = F.create_map(
+        *[F.lit(x) for kv in thresholds.items() for x in kv]
+    )[F.col(source_col)]
+    rate_col = F.create_map(
+        *[
+            F.lit(x)
+            for s in weights
+            for x in (s, float(thresholds[s]) / HASH_BUCKETS)
+        ]
+    )[F.col(source_col)]
+    return (
+        df.where(F.col(source_col).isin(list(weights)))
+        .where(_bucket(F.col(key_col), seed) < thr_col)
+        .withColumn("mix_rate", rate_col)
+    )
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: each row gets a
+    pseudo-random but reproducible ``(shard, shard_pos)`` — the write
+    order for sharded training files. Unlike ``df.orderBy(rand())`` this
+    is a pure function of the data (stable across reruns, retries, and
+    cluster layouts) and never needs a single global sort: one shuffle
+    keyed by shard, with the within-shard sort riding the shuffle.
+
+    Shard and order both derive from the same md5 bucket stream (ties
+    broken by id), so any engine replays the exact order.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    b = _bucket(F.col(id_col), seed)
+    w = W.partitionBy("shard").orderBy("__b", id_col)
+    return (
+        df.withColumn("__b", b)
+        .withColumn("shard", (F.col("__b") % n_shards).cast("int"))
+        .withColumn("shard_pos", F.row_number().over(w) - 1)
+        .drop("__b")
+    )
