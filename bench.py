@@ -66,6 +66,7 @@ HEADLINE = [
     "contamination_documents",
     "line_dedup_documents",
     "pack_documents",
+    "perplexity_documents",
 ]
 
 

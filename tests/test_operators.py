@@ -6,7 +6,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from thoth_spark.operators import curation, dedup, multimodal, relational, similarity, text
+from thoth_spark.operators import curation, dedup, lm, multimodal, relational, similarity, text
 
 
 # ---------------------------------------------------------------------------
@@ -737,3 +737,49 @@ def test_training_order_deterministic_permutation(spark):
     assert {(r["doc_id"], r["shard"], r["shard_pos"]) for r in again} == {
         (r["doc_id"], r["shard"], r["shard_pos"]) for r in out
     }
+
+
+# ---------------------------------------------------------------------------
+# bigram LM perplexity scoring
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_probabilities_sum_and_score(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c")], "doc_id long, text string"
+    )
+    model = lm.train_bigram_lm(df, vocab_size=10, add_k=0.5)
+    assert model.vocab_size == 3  # a, b, c
+    uni = {r["w1"]: r["c1"] for r in model.unigrams.collect()}
+    bi = {(r["w1"], r["w2"]): r["c12"] for r in model.bigrams.collect()}
+    # both docs start <s> -> a; "a b" occurs 3x, "b a" 2x, "a c" 1x
+    assert uni["<s>"] == 2 and bi[("<s>", "a")] == 2
+    assert bi[("a", "b")] == 3 and bi[("b", "a")] == 2 and bi[("a", "c")] == 1
+    out = {r["id"]: r for r in lm.perplexity_score(df, model).collect()}
+    assert out[1]["n_bigrams"] == 4  # <s>a, ab, ba, ab
+    # repeated common bigrams -> doc 1 is more probable than doc 2
+    assert out[1]["perplexity"] < out[2]["perplexity"]
+    # hand-check one bigram probability: c1(a)=4 ("a" precedes 4 tokens)
+    # -> P(b|a) = (3 + .5) / (4 + .5*(3+1)) = 3.5/6
+    assert uni["a"] == 4
+    p_b_a = (bi[("a", "b")] + 0.5) / (uni["a"] + 0.5 * (model.vocab_size + 1))
+    assert p_b_a == pytest.approx(3.5 / 6.0)
+
+
+def test_bigram_lm_oov_and_heldout(spark):
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    model = lm.train_bigram_lm(train, vocab_size=2, add_k=0.5)  # vocab: the, cat
+    kept = {r["token"] for r in model.vocab.collect()}
+    assert kept == {"the", "cat"}
+    # held-out doc with unseen tokens scores finitely (add-k + <unk>)
+    test_df = spark.createDataFrame([(9, "dog ate homework")], "doc_id long, text string")
+    out = lm.perplexity_score(test_df, model).collect()[0]
+    assert out["n_bigrams"] == 3
+    assert math.isfinite(out["perplexity"]) and out["perplexity"] > 1
+    # natural held-out text scores lower than OOV soup
+    nat = lm.perplexity_score(
+        spark.createDataFrame([(8, "the cat sat")], "doc_id long, text string"), model
+    ).collect()[0]
+    assert nat["avg_neg_log2_prob"] < out["avg_neg_log2_prob"]

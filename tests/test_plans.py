@@ -202,3 +202,40 @@ def test_simhash_pairs_no_cartesian_single_build(spark, sf_dir):
     # the upstream 64-sum aggregation is behind a checkpoint: it must not
     # appear in the pair plan at all
     assert "kll" not in plan.lower()
+
+
+def test_line_dedup_one_scan_no_broadcast(spark, sf_dir):
+    """line_dedup must be one corpus scan + (window-by-hash, regroup-by-doc)
+    shuffles. A survivor side-table join would broadcast a corpus-sized
+    frame at 100 TB — locked out here."""
+    plan = _plan(entry_queries.QUERIES["line_dedup_documents"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_perplexity_scoring_joins_are_broadcast(spark, sf_dir):
+    """The capped-vocab LM tables must broadcast into the scoring path —
+    never a sort-merge join against the corpus bigrams."""
+    plan = _plan(entry_queries.QUERIES["perplexity_documents"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # vocab (×2 paths) + bigram + unigram
+
+
+def test_mix_corpora_filter_reaches_scan(spark, sf_dir):
+    """Corpus mixing must stay a zero-shuffle map-side filter with the
+    source predicate pushed to the parquet scan."""
+    df = entry_queries.QUERIES["mix_documents"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange hashpartitioning" not in plan
+    formatted = _formatted(df, spark)
+    assert re.search(r"PushedFilters:.*In\(source", formatted)
+
+
+def test_training_order_single_shuffle(spark, sf_dir):
+    """Deterministic training shuffle = exactly one hash exchange (the
+    within-shard sort rides it); no global single-partition sort."""
+    plan = _plan(entry_queries.QUERIES["training_order_documents"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan

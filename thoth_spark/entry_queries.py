@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from thoth_spark.anomaly.models import DEFAULT_WINDOWS, SimpleModel
 from thoth_spark.anomaly.optimization import cross_validation, find_best_threshold
+from thoth_spark.operators import lm as lm_ops
 from thoth_spark.operators import (
     curation,
     dedup,
@@ -122,6 +123,8 @@ DRIVER_PRIORITY: list[str] = [
     "pack_documents",
     "mix_documents",
     "training_order_documents",
+    "perplexity_documents",
+    "streaming_curate_documents",
 ]
 
 
@@ -3835,3 +3838,126 @@ def training_order_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = curation.training_order(docs, n_shards=_ORDER_SHARDS)
     return out.select("doc_id", "shard", F.col("shard_pos").cast("long").alias("shard_pos"))
+
+
+# --- bigram-LM perplexity quality scoring
+
+
+_LM_V, _LM_K = 24, 0.5
+
+ORACLE_PERPLEXITY = f"""
+WITH d AS ({_DOC_TOKENS}),
+vocab AS (
+  SELECT token FROM (
+    SELECT unnest(toks) AS token FROM d
+  ) WHERE token <> '' GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT {_LM_V}
+),
+v AS (SELECT list(token) AS vl, count(*)::BIGINT AS nv FROM vocab),
+m AS (
+  SELECT doc_id,
+         ['<s>'] || list_transform(
+           list_filter(toks, t -> t <> ''),
+           t -> CASE WHEN list_contains(v.vl, t) THEN t ELSE '<unk>' END
+         ) AS ws
+  FROM d, v
+),
+bgi AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws) - 1))::INT AS i, ws
+  FROM m WHERE len(ws) >= 2
+),
+bg2 AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM bgi),
+bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg2 GROUP BY 1, 2),
+uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg2 GROUP BY 1),
+sc AS (
+  SELECT bg2.doc_id,
+         -log2((coalesce(bi.c12, 0) + {_LM_K}) /
+               (coalesce(uni.c1, 0) + {_LM_K} * (v.nv + 1))) AS nll
+  FROM bg2
+  LEFT JOIN bi USING (w1, w2)
+  LEFT JOIN uni USING (w1)
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nll), 6) AS avg_neg_log2_prob,
+       round(pow(2.0, avg(nll)), 6) AS perplexity
+FROM sc GROUP BY 1
+"""
+
+
+@query("perplexity_documents", ORACLE_PERPLEXITY)
+def perplexity_documents(spark, sf_dir):
+    """KenLM-style perplexity quality filter: train an add-k bigram LM
+    with a frequency-capped vocabulary (24 of the corpus' 31 tokens, so
+    <unk> genuinely fires) on the corpus, then score every document's
+    bigram cross-entropy under it. Scoring is one scan + broadcast joins
+    against the bounded model tables — the model never exceeds
+    vocab²."""
+    docs = _documents(spark, sf_dir)
+    model = lm_ops.train_bigram_lm(docs, vocab_size=_LM_V, add_k=_LM_K)
+    out = lm_ops.perplexity_score(docs, model)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_bigrams",
+        F.round("avg_neg_log2_prob", 6).alias("avg_neg_log2_prob"),
+        F.round("perplexity", 6).alias("perplexity"),
+    )
+
+
+# --- streaming curation: the batch quality pipeline under readStream
+
+
+ORACLE_STREAM_CURATE = f"""
+WITH d AS ({_DOC_TOKENS}),
+stats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+             / len(toks) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text) AS digit_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text) AS punct_ratio
+  FROM d JOIN documents USING (doc_id)
+),
+q AS (
+  SELECT doc_id,
+         least(n_tokens / 64.0, 1.0) * 0.3
+         + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3
+         + greatest(1.0 - abs(stopword_ratio - 0.08) * 2, 0.0) * 0.2
+         + (1.0 - least((digit_ratio + punct_ratio) * 4, 1.0)) * 0.2 AS qs
+  FROM stats
+)
+SELECT doc_id, round(qs, 6) AS quality_score FROM q WHERE qs >= 0.5
+"""
+
+
+@query("streaming_curate_documents", ORACLE_STREAM_CURATE)
+def streaming_curate_documents(spark, sf_dir):
+    """The batch curation scoring path run UNCHANGED under Structured
+    Streaming: `readStream` over the corpus → the same stateless
+    `quality_score` column expressions → quality-threshold filter →
+    sink. Stateless map transforms need no watermark and are exactly
+    batch-equivalent regardless of micro-batch boundaries — the point:
+    one code path curates both a static corpus and a live document
+    feed. At scale the memory sink becomes a parquet/Kafka sink; the
+    per-batch plan is the same scan-speed expression pipeline."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = (
+        text.quality_score(stream, "text")
+        .where(F.col("quality_score") >= 0.5)
+        .select("doc_id", F.round("quality_score", 6).alias("quality_score"))
+    )
+    name = f"stream_curate_{uuid.uuid4().hex[:8]}"
+    q = scored.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

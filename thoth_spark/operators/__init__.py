@@ -8,6 +8,24 @@ join keys, broadcast for small sides, and JVM-side expressions (no Python
 on the hot path except clearly-marked Pandas-UDF decode stubs).
 """
 
-from thoth_spark.operators import dedup, multimodal, relational, similarity, text
+from thoth_spark.operators import (
+    curation,
+    dedup,
+    lm,
+    multimodal,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "relational", "similarity", "text"]
+__all__ = [
+    "curation",
+    "dedup",
+    "lm",
+    "multimodal",
+    "relational",
+    "sampling",
+    "similarity",
+    "text",
+]
