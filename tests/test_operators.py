@@ -783,3 +783,18 @@ def test_bigram_lm_oov_and_heldout(spark):
         spark.createDataFrame([(8, "the cat sat")], "doc_id long, text string"), model
     ).collect()[0]
     assert nat["avg_neg_log2_prob"] < out["avg_neg_log2_prob"]
+
+
+def test_train_and_score_matches_two_step(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "c c b a"), (3, "a a a")], "doc_id long, text string"
+    )
+    model = lm.train_bigram_lm(df, vocab_size=2, add_k=0.5)
+    two_step = {r["id"]: r for r in lm.perplexity_score(df, model).collect()}
+    fused = {r["id"]: r for r in lm.train_and_score(df, vocab_size=2, add_k=0.5).collect()}
+    assert set(fused) == set(two_step)
+    for i in fused:
+        assert fused[i]["n_bigrams"] == two_step[i]["n_bigrams"]
+        assert fused[i]["avg_neg_log2_prob"] == pytest.approx(
+            two_step[i]["avg_neg_log2_prob"], rel=1e-12
+        )

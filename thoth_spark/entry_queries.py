@@ -3894,8 +3894,7 @@ def perplexity_documents(spark, sf_dir):
     against the bounded model tables — the model never exceeds
     vocab²."""
     docs = _documents(spark, sf_dir)
-    model = lm_ops.train_bigram_lm(docs, vocab_size=_LM_V, add_k=_LM_K)
-    out = lm_ops.perplexity_score(docs, model)
+    out = lm_ops.train_and_score(docs, vocab_size=_LM_V, add_k=_LM_K)
     return out.select(
         F.col("id").alias("doc_id"),
         "n_bigrams",

@@ -163,3 +163,44 @@ def perplexity_score(
         F.avg("nll").alias("avg_neg_log2_prob"),
         F.pow(F.lit(2.0), F.avg("nll")).alias("perplexity"),
     )
+
+
+def train_and_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 50_000,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Train on ``df`` and score ``df`` itself (the self-scoring quality
+    filter) computing the mapped-bigram frame ONCE — cached and reused by
+    the count aggregations and the scoring join, saving a full corpus
+    re-tokenization versus ``train_bigram_lm`` + ``perplexity_score``.
+    Cache the bigrams only when self-scoring the training corpus; for
+    held-out scoring use the two-step API (and train on a
+    ``hash_sample`` at 100 TB — the cache there would be corpus-sized)."""
+    if vocab_size <= 0 or add_k <= 0:
+        raise ValueError("vocab_size and add_k must be positive")
+    vocab = _vocab_tokens(df, text_col, vocab_size)
+    bg = _mapped_bigrams(df, id_col, text_col, vocab).cache()
+    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    denom_v = vocab.count() + 1
+    scored = (
+        bg.join(F.broadcast(bigrams), on=["w1", "w2"], how="left")
+        .join(F.broadcast(unigrams), on="w1", how="left")
+        .select(
+            "id",
+            (
+                -F.log2(
+                    (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(add_k))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(add_k * denom_v))
+                )
+            ).alias("nll"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("nll").alias("avg_neg_log2_prob"),
+        F.pow(F.lit(2.0), F.avg("nll")).alias("perplexity"),
+    )

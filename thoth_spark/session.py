@@ -21,6 +21,20 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
+    # Python workers inherit PYTHONPATH from the JVM's environment, not the
+    # driver's sys.path. A driver script that imports thoth_spark via a
+    # sys.path edit (or a cwd other than the repo root) would otherwise ship
+    # pickled mapInPandas/applyInPandas functions the workers cannot unpickle
+    # (ModuleNotFoundError: thoth_spark). Exporting the package root before
+    # the JVM forks makes every entry query location-independent; on a real
+    # cluster the same need is met by --py-files/pex, so this is a no-op there
+    # (workers that already resolve the package are unaffected).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + existing if existing else "")
+        )
     shuffle_partitions = shuffle_partitions or cpus
     builder = (
         SparkSession.builder.master(master)
