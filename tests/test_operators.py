@@ -365,6 +365,59 @@ def test_salted_join_equals_plain_join(spark):
     assert got_left == exp_left
 
 
+def test_range_join_equals_theta_join(spark):
+    import random
+
+    rng = random.Random(7)
+    points = spark.createDataFrame(
+        [(i, rng.uniform(-50.0, 50.0), i % 3) for i in range(300)],
+        "pid long, x double, g int",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (j, lo := rng.uniform(-60.0, 55.0), lo + rng.uniform(0.0, 12.0), j % 3)
+            for j in range(80)
+        ],
+        "iid long, lo double, hi double, g int",
+    )
+    expected = sorted(
+        points.alias("l")
+        .join(
+            intervals.alias("r"),
+            (F.col("l.x") >= F.col("r.lo")) & (F.col("l.x") <= F.col("r.hi")),
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    out = relational.range_join(points, intervals, "x", "lo", "hi", bin_width=8.0)
+    assert sorted(out.select("pid", "iid").collect()) == expected
+    # keyed variant: equi-key g restricts matches
+    exp_keyed = sorted(
+        points.alias("l")
+        .join(
+            intervals.alias("r"),
+            (F.col("l.x") >= F.col("r.lo"))
+            & (F.col("l.x") <= F.col("r.hi"))
+            & (F.col("l.g") == F.col("r.g")),
+        )
+        .select("pid", "iid")
+        .collect()
+    )
+    keyed = relational.range_join(
+        points, intervals, "x", "lo", "hi", bin_width=8.0, on=["g"]
+    )
+    assert sorted(keyed.select("pid", "iid").collect()) == exp_keyed
+    # semi variant: every matched point exactly once
+    semi = relational.range_join(
+        points, intervals, "x", "lo", "hi", bin_width=8.0, how="left_semi"
+    )
+    assert sorted(r["pid"] for r in semi.select("pid").collect()) == sorted(
+        {r["pid"] for r in expected}
+    )
+    with pytest.raises(ValueError):
+        relational.range_join(points, intervals, "x", "lo", "hi", bin_width=0.0)
+
+
 def test_connected_components_golden(spark):
     from thoth_spark.operators.dedup import connected_components
 

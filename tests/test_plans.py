@@ -13,6 +13,17 @@ from thoth_spark.operators import dedup
 from thoth_spark.sources import load_table
 
 
+@pytest.fixture(autouse=True)
+def _fresh_cache(spark):
+    """Plan-shape assertions are only meaningful against real scans: a
+    DataFrame cached by an EARLIER test with the same logical subtree
+    makes the cache manager substitute InMemoryTableScan here, erasing
+    PushedFilters and changing exchanges (observed as suite-order-
+    dependent flakiness in test_mix_corpora_filter_reaches_scan)."""
+    spark.catalog.clearCache()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -230,6 +241,15 @@ def test_mix_corpora_filter_reaches_scan(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     formatted = _formatted(df, spark)
     assert re.search(r"PushedFilters:.*In\(source", formatted)
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    """The interval join must plan as an equi-join on the date bin — a
+    BroadcastNestedLoopJoin/CartesianProduct here is the O(n·m) plan the
+    operator exists to avoid."""
+    plan = _plan(entry_queries.QUERIES["range_join_transit_orders"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_training_order_single_shuffle(spark, sf_dir):

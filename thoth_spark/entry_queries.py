@@ -125,6 +125,7 @@ DRIVER_PRIORITY: list[str] = [
     "training_order_documents",
     "perplexity_documents",
     "streaming_curate_documents",
+    "range_join_transit_orders",
 ]
 
 
@@ -2008,6 +2009,61 @@ def asof_join_purchase_click(spark, sf_dir):
     )
     return out.select(
         "event_id", "user_id", F.col("ts").alias("purchase_ts"), "click_event_id"
+    )
+
+
+ORACLE_RANGE_JOIN = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(l_shipdate::DATE) AS hi FROM lineitem GROUP BY 1
+),
+win AS (
+  SELECT o_orderpriority, o_orderdate::DATE AS lo, hi
+  FROM orders JOIN last_ship ON o_orderkey = l_orderkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+)
+SELECT w.o_orderpriority,
+       count(*) AS n_pairs,
+       count(DISTINCT p.o_orderkey) AS n_orders
+FROM orders p JOIN win w ON p.o_orderdate::DATE BETWEEN w.lo AND w.hi
+GROUP BY 1
+"""
+
+
+@query("range_join_transit_orders", ORACLE_RANGE_JOIN)
+def range_join_transit_orders(spark, sf_dir):
+    """Point-in-interval join at fact×fact scale: count orders placed
+    during each 1995-H1 order's fulfillment window ([o_orderdate,
+    max l_shipdate]), per window priority. A naive ``BETWEEN``
+    theta-join is a BroadcastNestedLoopJoin — O(orders × windows),
+    unrunnable at 100 TB; ``range_join`` bins the date line (bin ≈ the
+    typical ~2-month window) into one shuffled equi-join whose interval
+    side grows only ~2.5× from the bin explode (tests/test_plans.py
+    asserts the no-BNLJ shape)."""
+    last_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("hi_d"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    win = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.unix_date(F.col("o_orderdate").cast("date")).alias("lo"),
+            F.unix_date("hi_d").alias("hi"),
+        )
+    )
+    pts = o.select(
+        "o_orderkey", F.unix_date(F.col("o_orderdate").cast("date")).alias("od")
+    )
+    joined = relational.range_join(pts, win, "od", "lo", "hi", bin_width=64.0)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
     )
 
 

@@ -70,6 +70,73 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``right_lo <= left_point <= right_hi``)
+    as a shuffled EQUI-join instead of the O(n·m) nested-loop plan a
+    theta-join produces.
+
+    Spark turns a bare inequality join into BroadcastNestedLoopJoin (or
+    a cartesian product) — every left row is compared against every
+    right row, which is unrunnable at 100 TB. The classic bin trick
+    makes it an equi-join: bucket the number line into ``bin_width``-wide
+    bins; a left point belongs to exactly one bin, a right interval is
+    exploded onto every bin it overlaps, and the pair can only meet in
+    the point's bin — so joining on bin (plus any ``on`` equi-keys) finds
+    every candidate exactly once (no post-join dedup needed), and an
+    exact containment filter removes same-bin near-misses.
+
+    Scale: one shuffle on (bin, *on); the right side grows by
+    ``interval_width / bin_width + 1``×, so pick ``bin_width`` near the
+    TYPICAL interval width — explode factor stays O(1) while each bin's
+    population stays bounded. Point and bound columns must be numeric
+    (cast dates/timestamps via ``unix_date``/``unix_timestamp`` first).
+    Supports ``inner`` and ``left_semi``.
+    """
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"range_join supports inner/left_semi, got {how!r}")
+    on = on or []
+    l_binned = left.withColumn(
+        "__bin", F.floor(F.col(left_point).cast("double") / bin_width)
+    )
+    r_binned = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo).cast("double") / bin_width),
+                F.floor(F.col(right_hi).cast("double") / bin_width),
+            )
+        ),
+    )
+    contained = (F.col(f"l.{left_point}") >= F.col(f"r.{right_lo}")) & (
+        F.col(f"l.{left_point}") <= F.col(f"r.{right_hi}")
+    )
+    cond = contained & (F.col("l.__bin") == F.col("r.__bin"))
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    joined = l_binned.alias("l").join(r_binned.alias("r"), cond, how)
+    if how == "left_semi":
+        return joined.drop("__bin")
+    return joined.select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[
+            F.col(f"r.{c}")
+            for c in right.columns
+            if c not in on and c not in left.columns
+        ],
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],
