@@ -67,6 +67,8 @@ HEADLINE = [
     "line_dedup_documents",
     "pack_documents",
     "perplexity_documents",
+    "range_join_transit_orders",
+    "classifier_quality_documents",
 ]
 
 

@@ -267,6 +267,32 @@ def test_ivf_topk_runs(spark, embeddings_df):
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
 
 
+def test_ivf_full_probe_equals_brute_force(spark, embeddings_df):
+    """Probing every cell removes the approximation entirely — IVF must
+    then return exactly the brute-force neighbor set (the partition-scan
+    machinery itself loses nothing); partial probes must keep decent
+    recall of that set."""
+    queries = embeddings_df.where(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(embeddings_df, queries, k=3).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            embeddings_df, queries, k=3, n_centroids=8, nprobe=8
+        ).collect()
+    }
+    assert full == exact
+    partial = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(
+            embeddings_df, queries, k=3, n_centroids=8, nprobe=4
+        ).collect()
+    }
+    assert len(partial & exact) / len(exact) >= 0.5
+
+
 # ---------------------------------------------------------------------------
 # relational
 # ---------------------------------------------------------------------------
@@ -836,6 +862,43 @@ def test_bigram_lm_oov_and_heldout(spark):
         spark.createDataFrame([(8, "the cat sat")], "doc_id long, text string"), model
     ).collect()[0]
     assert nat["avg_neg_log2_prob"] < out["avg_neg_log2_prob"]
+
+
+def test_quality_classifier_separates_prose_from_noise(spark):
+    from thoth_spark.operators import classifier
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then walks to "
+        "the river where it drinks some water before returning home"
+    )
+    noise = "@@@@ 1234 #### $$$$ 5678 %%%% 9999 !!!! 0000 &&&& 1111 ****"
+    train = spark.createDataFrame(
+        [(i, f"{prose} variant {i}", 1.0) for i in range(20)]
+        + [(100 + i, f"{noise} {i}", 0.0) for i in range(20)],
+        "doc_id long, text string, label double",
+    )
+    model = classifier.train_quality_classifier(train, n_features=1 << 12)
+    held_out = spark.createDataFrame(
+        [(1, "the quick dog walks to the river and drinks some water"),
+         (2, "#### 1234 @@@@ 5678 %%%% !!!! 9999 ****")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in classifier.score_quality(held_out, model).collect()}
+    assert got[1]["quality_pred"] == 1 and got[2]["quality_pred"] == 0
+    assert got[1]["quality_prob"] > 0.5 > got[2]["quality_prob"]
+    assert set(got[1].asDict()) == {"doc_id", "text", "quality_prob", "quality_pred"}
+
+
+def test_weak_labels_drop_ambiguous_middle(spark, documents_df):
+    from thoth_spark.operators import classifier
+
+    # fixture quality_score spans ~[0.59, 0.83]; straddle the median
+    labeled = classifier.weak_labels(documents_df, low=0.72, high=0.78)
+    rows = labeled.groupBy("label").count().collect()
+    assert {r["label"] for r in rows} <= {0.0, 1.0}
+    assert labeled.count() < documents_df.count()  # middle dropped
+    with pytest.raises(ValueError):
+        classifier.weak_labels(documents_df, low=0.7, high=0.6)
 
 
 def test_train_and_score_matches_two_step(spark):

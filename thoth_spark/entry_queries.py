@@ -23,6 +23,7 @@ from thoth_spark.anomaly.models import DEFAULT_WINDOWS, SimpleModel
 from thoth_spark.anomaly.optimization import cross_validation, find_best_threshold
 from thoth_spark.operators import lm as lm_ops
 from thoth_spark.operators import (
+    classifier,
     curation,
     dedup,
     multimodal,
@@ -126,6 +127,7 @@ DRIVER_PRIORITY: list[str] = [
     "perplexity_documents",
     "streaming_curate_documents",
     "range_join_transit_orders",
+    "classifier_quality_documents",
 ]
 
 
@@ -2014,16 +2016,19 @@ def asof_join_purchase_click(spark, sf_dir):
 
 ORACLE_RANGE_JOIN = """
 WITH last_ship AS (
-  SELECT l_orderkey, max(l_shipdate::DATE) AS hi FROM lineitem GROUP BY 1
+  SELECT l_orderkey, max(l_shipdate::DATE) AS ship_hi FROM lineitem GROUP BY 1
 ),
 win AS (
-  SELECT o_orderpriority, o_orderdate::DATE AS lo, hi
+  SELECT o_orderpriority, o_orderdate::DATE AS lo,
+         least(ship_hi, o_orderdate::DATE + 45) AS hi
   FROM orders JOIN last_ship ON o_orderkey = l_orderkey
   WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+    AND ship_hi >= o_orderdate::DATE
 )
 SELECT w.o_orderpriority,
        count(*) AS n_pairs,
-       count(DISTINCT p.o_orderkey) AS n_orders
+       min(p.o_orderdate::DATE) AS first_day,
+       max(p.o_orderdate::DATE) AS last_day
 FROM orders p JOIN win w ON p.o_orderdate::DATE BETWEEN w.lo AND w.hi
 GROUP BY 1
 """
@@ -2032,17 +2037,19 @@ GROUP BY 1
 @query("range_join_transit_orders", ORACLE_RANGE_JOIN)
 def range_join_transit_orders(spark, sf_dir):
     """Point-in-interval join at fact×fact scale: count orders placed
-    during each 1995-H1 order's fulfillment window ([o_orderdate,
-    max l_shipdate]), per window priority. A naive ``BETWEEN``
-    theta-join is a BroadcastNestedLoopJoin — O(orders × windows),
-    unrunnable at 100 TB; ``range_join`` bins the date line (bin ≈ the
-    typical ~2-month window) into one shuffled equi-join whose interval
-    side grows only ~2.5× from the bin explode (tests/test_plans.py
-    asserts the no-BNLJ shape)."""
+    during the first 45 days of each 1995-H1 order's fulfillment window
+    ([o_orderdate, min(max l_shipdate, o_orderdate+45)]; the clip keeps
+    interval width bounded — this fixture's ship dates are synthetic and
+    independent of order dates, so unclipped windows span years). A
+    naive ``BETWEEN`` theta-join is a BroadcastNestedLoopJoin —
+    O(orders × windows), unrunnable at 100 TB; ``range_join`` bins the
+    date line (bin ≈ the 45-day window) into one shuffled equi-join
+    whose interval side grows ≤2× from the bin explode
+    (tests/test_plans.py asserts the no-BNLJ shape)."""
     last_ship = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("hi_d"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("ship_hi"))
     )
     o = load_table(spark, sf_dir, "orders")
     win = (
@@ -2051,19 +2058,28 @@ def range_join_transit_orders(spark, sf_dir):
             & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
         )
         .join(last_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .withColumn("lo_d", F.col("o_orderdate").cast("date"))
+        .where(F.col("ship_hi") >= F.col("lo_d"))
         .select(
             "o_orderpriority",
-            F.unix_date(F.col("o_orderdate").cast("date")).alias("lo"),
-            F.unix_date("hi_d").alias("hi"),
+            F.unix_date("lo_d").alias("lo"),
+            F.unix_date(F.least(F.col("ship_hi"), F.date_add("lo_d", 45))).alias(
+                "hi"
+            ),
         )
     )
     pts = o.select(
-        "o_orderkey", F.unix_date(F.col("o_orderdate").cast("date")).alias("od")
+        F.col("o_orderdate").cast("date").alias("od_date"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("od"),
     )
-    joined = relational.range_join(pts, win, "od", "lo", "hi", bin_width=64.0)
+    joined = relational.range_join(pts, win, "od", "lo", "hi", bin_width=46.0)
+    # partial-agg-only result: count/min/max combine map-side, so the
+    # ~30M join rows never shuffle (a countDistinct here would expand
+    # and exchange them all — 2× the wall time for one extra stat)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.min("od_date").alias("first_day"),
+        F.max("od_date").alias("last_day"),
     )
 
 
@@ -3957,6 +3973,25 @@ def perplexity_documents(spark, sf_dir):
         F.round("avg_neg_log2_prob", 6).alias("avg_neg_log2_prob"),
         F.round("perplexity", 6).alias("perplexity"),
     )
+
+
+@query("classifier_quality_documents")
+def classifier_quality_documents(spark, sf_dir):
+    """Model-based quality filter (the fasttext-classifier step of a
+    CCNet/LLaMA-style pipeline): weak-label the extremes of the
+    heuristic quality distribution, train a hashed-feature logistic
+    regression (MLlib — treeAggregate gradients, no vocabulary build),
+    score the WHOLE corpus with the broadcast model. No oracle: L-BFGS
+    training is iterative and not SQL-expressible; the driver records
+    rows+schema, and tests/test_operators.py asserts the learned
+    separation on held-out text."""
+    docs = _documents(spark, sf_dir)
+    labeled = classifier.weak_labels(docs, low=0.72, high=0.78)
+    model = classifier.train_quality_classifier(
+        labeled, n_features=1 << 14, max_iter=20
+    )
+    out = classifier.score_quality(docs, model)
+    return out.select("doc_id", "quality_prob", "quality_pred")
 
 
 # --- streaming curation: the batch quality pipeline under readStream
