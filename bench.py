@@ -69,6 +69,8 @@ HEADLINE = [
     "perplexity_documents",
     "range_join_transit_orders",
     "classifier_quality_documents",
+    "psi_drift_events",
+    "similarity_topk_quantized",
 ]
 
 

@@ -267,6 +267,35 @@ def test_ivf_topk_runs(spark, embeddings_df):
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
 
 
+def test_quantized_topk_equals_brute_force(spark, embeddings_df):
+    """int8 first pass + 10× rerank margin must recover the exact top-k;
+    the quantized approximate scores themselves must sit within
+    quantization error of the truth."""
+    queries = embeddings_df.where(F.col("vec_id") < 5)
+    exact = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(embeddings_df, queries, k=3).collect()
+    )
+    quant = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in similarity.quantized_topk(embeddings_df, queries, k=3).collect()
+    )
+    assert quant == exact
+
+
+def test_scalar_quantize_bounds_and_error(spark, embeddings_df):
+    from pyspark.sql import functions as F2
+
+    q = similarity.scalar_quantize(embeddings_df.limit(50))
+    rows = q.select(
+        F2.array_max(F2.transform("qvec", lambda x: F2.abs(x))).alias("m"),
+        "scale",
+        "vnorm",
+    ).collect()
+    assert all(r["m"] <= 127 for r in rows)
+    assert all(r["scale"] > 0 and r["vnorm"] > 0 for r in rows)
+
+
 def test_ivf_full_probe_equals_brute_force(spark, embeddings_df):
     """Probing every cell removes the approximation entirely — IVF must
     then return exactly the brute-force neighbor set (the partition-scan

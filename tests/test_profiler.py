@@ -296,3 +296,38 @@ def test_sketch_profile_validates_granularity(spark, events_df):
     daily = sketch_profile(events_df, "ts", distinct_cols=["event_type"])
     with _pytest.raises(ValueError, match="granularity"):
         rollup_sketches(daily, "fortnight")
+
+
+# PSI distribution drift
+
+
+def test_psi_daily_flags_shift_not_stability(spark):
+    import datetime
+
+    from thoth_spark.profiler import drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 7 reference days uniform [0,100); day 8 same shape; day 9 shifted
+    for day in range(9):
+        for i in range(500):
+            v = (i * 7919 % 500) / 5.0 + (200.0 if day == 8 else 0.0)
+            rows.append((base + datetime.timedelta(days=day, seconds=i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r["d"].day: r["psi"] for r in drift.psi_daily(df, "ts", "value", "2024-01-08").collect()}
+    assert got[8] < 0.01  # same distribution -> stable
+    assert got[9] > 1.0  # full shift -> every bucket emptied into the top
+    with pytest.raises(ValueError):
+        drift.quantile_edges(df, "value", n_bins=1)
+
+
+def test_psi_bucket_of_matches_edges(spark):
+    from pyspark.sql import functions as F
+
+    from thoth_spark.profiler import drift
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "value double")
+    edges = F.array(F.lit(2.5), F.lit(7.5))
+    out = df.select("value", drift.bucket_of(F.col("value"), edges).alias("b"))
+    got = {r["value"]: r["b"] for r in out.collect()}
+    assert got[0.0] == 0 and got[5.0] == 1 and got[9.0] == 2

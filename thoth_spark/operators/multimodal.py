@@ -125,6 +125,171 @@ def decode_real(df: DataFrame, media_col: str = "content") -> DataFrame:
     return decode(df, pil_decoder, media_col)
 
 
+#: audio metadata schema (see wav_decoder)
+AUDIO_META_SCHEMA = (
+    "media_md5 string, media_bytes bigint, sample_rate int, n_channels int,"
+    " n_samples bigint, duration_ms bigint, rms double"
+)
+
+#: image metadata schema with per-channel stats (see ppm_decoder)
+IMAGE_META_SCHEMA = (
+    "media_md5 string, media_bytes bigint, width int, height int,"
+    " n_channels int, format string, mean_r double, mean_g double,"
+    " mean_b double, mean_gray double"
+)
+
+
+def wav_decoder(blobs: pd.Series) -> pd.DataFrame:
+    """REAL audio decode for PCM WAV — stdlib ``wave`` parses the RIFF
+    header, numpy computes sample stats. No external codec library
+    needed; compressed formats (mp3/aac) still require an injected
+    decoder via :func:`decode`."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rows = []
+    for b in blobs:
+        with wave.open(io.BytesIO(bytes(b))) as w:
+            sr = w.getframerate()
+            nc = w.getnchannels()
+            nf = w.getnframes()
+            sw = w.getsampwidth()
+            raw = w.readframes(nf)
+        dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sw]
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        full = float(np.iinfo(dtype).max)
+        rms = float(np.sqrt(np.mean((x / full) ** 2))) if x.size else 0.0
+        rows.append(
+            {
+                "media_md5": hashlib.md5(bytes(b)).hexdigest(),
+                "media_bytes": len(b),
+                "sample_rate": sr,
+                "n_channels": nc,
+                "n_samples": nf,
+                "duration_ms": nf * 1000 // sr,
+                "rms": round(rms, 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def ppm_decoder(blobs: pd.Series) -> pd.DataFrame:
+    """REAL image decode for binary PPM/PGM (P6/P5) — header regex +
+    numpy pixel stats; the uncompressed-raster twin of the PIL path in
+    :func:`decode_real`."""
+    import re
+
+    import numpy as np
+
+    rows = []
+    for b in blobs:
+        bb = bytes(b)
+        m = re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", bb)
+        if not m:
+            raise ValueError("not a binary PPM/PGM (P6/P5) payload")
+        magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+        nc = 3 if magic == b"P6" else 1
+        px = np.frombuffer(
+            bb, dtype=np.uint8, count=w * h * nc, offset=m.end()
+        ).reshape(h, w, nc).astype(np.float64)
+        means = px.mean(axis=(0, 1))
+        r, g, bl = (means[0], means[1], means[2]) if nc == 3 else (means[0],) * 3
+        rows.append(
+            {
+                "media_md5": hashlib.md5(bb).hexdigest(),
+                "media_bytes": len(bb),
+                "width": w,
+                "height": h,
+                "n_channels": nc,
+                "format": "ppm" if nc == 3 else "pgm",
+                "mean_r": round(float(r), 6),
+                "mean_g": round(float(g), 6),
+                "mean_b": round(float(bl), 6),
+                "mean_gray": round(float(0.299 * r + 0.587 * g + 0.114 * bl), 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def decode_wav(df: DataFrame, media_col: str = "content") -> DataFrame:
+    """Real PCM-WAV decode through the standard :func:`decode` plumbing."""
+    return decode(df, wav_decoder, media_col, meta_schema=AUDIO_META_SCHEMA)
+
+
+def decode_ppm(df: DataFrame, media_col: str = "content") -> DataFrame:
+    """Real PPM/PGM decode through the standard :func:`decode` plumbing."""
+    return decode(df, ppm_decoder, media_col, meta_schema=IMAGE_META_SCHEMA)
+
+
+def synth_wav(df: DataFrame, id_col: str = "doc_id", media_col: str = "content") -> DataFrame:
+    """Synthesize a REAL mono 16-bit PCM WAV per row, deterministically
+    from the id (8 kHz; ``1000 + id % 500`` samples of a sine at
+    ``220 + (id % 10) * 110`` Hz). Test/fixture harness: the corpus
+    tables carry no media, so the demo queries materialize bit-exact
+    WAV files in-pipeline and the decoder genuinely parses them."""
+    import io
+    import wave
+
+    import numpy as np
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {media_col} binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n = 1000 + d % 500
+                freq = 220 + (d % 10) * 110
+                t = np.arange(n, dtype=np.float64) / 8000.0
+                x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(x.tobytes())
+                blobs.append(buf.getvalue())
+            out = pdf.copy()
+            out[media_col] = blobs
+            yield out
+
+    return df.mapInPandas(synth, schema=out_schema)
+
+
+def synth_ppm(df: DataFrame, id_col: str = "doc_id", media_col: str = "content") -> DataFrame:
+    """Synthesize a REAL binary PPM (P6) per row: ``16 + id % 16`` ×
+    ``16 + (3 * id) % 16`` constant-color raster with channel values
+    derived from the id — byte-exact, so decode results are closed-form
+    SQL-checkable (see ORACLE_MM_PPM)."""
+    import numpy as np
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {media_col} binary"
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                d = int(d)
+                w, h = 16 + d % 16, 16 + (3 * d) % 16
+                rgb = np.zeros((h, w, 3), dtype=np.uint8)
+                rgb[..., 0] = d % 256
+                rgb[..., 1] = (3 * d + 7) % 256
+                rgb[..., 2] = (5 * d + 11) % 256
+                blobs.append(b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes())
+            out = pdf.copy()
+            out[media_col] = blobs
+            yield out
+
+    return df.mapInPandas(synth, schema=out_schema)
+
+
 def frame_sample_stub(
     df: DataFrame, media_col: str = "content", every_n: int = 10
 ) -> DataFrame:

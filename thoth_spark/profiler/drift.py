@@ -1,0 +1,116 @@
+"""Distribution-drift detection: per-bucket Population Stability Index
+(PSI) of a numeric column against a frozen reference window.
+
+The anomaly layer (thoth_spark.anomaly) watches point metrics (mean,
+count, distinct...) over time; PSI watches the SHAPE of the value
+distribution — a mean-preserving regime change (e.g. variance doubling,
+bimodality appearing) sails through a mean monitor but moves PSI
+immediately. The usual reading: PSI < 0.1 stable, 0.1–0.25 drifting,
+> 0.25 population shift.
+
+Scale design (100 TB):
+- Reference quantile edges are ONE exact-percentile aggregation over the
+  reference window (a bounded slice), produced as a 1-row frame and
+  broadcast — no driver-side collect in the plan.
+- Bucketing is a JVM higher-order function (``size(filter(edges, ...))``)
+  — no UDF, no shuffle; the only exchanges are the two tiny
+  ``(bucket)`` / ``(day, bucket)`` count aggregations, whose volume is
+  O(#days × n_bins), independent of input rows.
+- Laplace smoothing (+0.5 per bucket) keeps PSI finite when a bucket
+  empties — the formula stays a pure column expression, replayable in
+  ANSI SQL (see ORACLE_PSI_DRIFT in entry_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def quantile_edges(
+    ref: DataFrame, value_col: str, n_bins: int = 10, round_to: int = 6
+) -> DataFrame:
+    """1-row frame with ``edges``: the ``n_bins - 1`` interior exact
+    quantiles of ``value_col`` over ``ref``, rounded so an independent
+    engine (the DuckDB oracle) derives bit-identical bucket boundaries."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    probs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+    return ref.agg(
+        F.transform(
+            F.percentile(F.col(value_col), probs),
+            lambda e: F.round(e, round_to),
+        ).alias("edges")
+    )
+
+
+def bucket_of(value: Column, edges: Column) -> Column:
+    """Bucket index in [0, n_bins): number of edges strictly below the
+    value — a JVM higher-order function, no UDF."""
+    return F.size(F.filter(edges, lambda e: value > e))
+
+
+def psi_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    ref_end: str,
+    n_bins: int = 10,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Per-day PSI of ``value_col`` against the reference window
+    ``ts < ref_end``; returns ``(d, n, psi)`` for days at/after
+    ``ref_end``. ``eps`` is the Laplace count added to every bucket."""
+    clean = df.where(F.col(value_col).isNotNull()).select(ts_col, value_col)
+    ref = clean.where(F.col(ts_col) < F.lit(ref_end).cast("timestamp"))
+    cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
+    edges = quantile_edges(ref, value_col, n_bins)
+
+    ref_b = (
+        ref.crossJoin(F.broadcast(edges))
+        .select(bucket_of(F.col(value_col), F.col("edges")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    day_b = (
+        cur.crossJoin(F.broadcast(edges))
+        .select(
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+            bucket_of(F.col(value_col), F.col("edges")).alias("b"),
+        )
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # dense (day × bucket) grid so empty buckets still contribute their
+    # smoothed term; the grid is O(#days × n_bins) rows — metadata-scale
+    grid = (
+        day_b.select("d")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                edges.select(
+                    F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("b")
+                )
+            )
+        )
+    )
+    ref_tot = ref_b.agg(F.sum("rc").alias("rn"))
+    day_tot = day_b.groupBy("d").agg(F.sum("c").alias("n"))
+    p = F.col("c_full") + F.lit(eps)
+    q = F.col("rc_full") + F.lit(eps)
+    pn = F.col("n") + F.lit(eps * n_bins)
+    qn = F.col("rn") + F.lit(eps * n_bins)
+    term = (p / pn - q / qn) * F.log((p / pn) / (q / qn))
+    return (
+        grid.join(day_b, ["d", "b"], "left")
+        .withColumn("c_full", F.coalesce(F.col("c"), F.lit(0)))
+        .join(F.broadcast(ref_b), "b", "left")
+        .withColumn("rc_full", F.coalesce(F.col("rc"), F.lit(0)))
+        .join(F.broadcast(day_tot), "d")
+        .crossJoin(F.broadcast(ref_tot))
+        .groupBy("d")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.sum(term), 6).alias("psi"),
+        )
+    )
