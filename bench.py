@@ -124,18 +124,25 @@ def main() -> None:
         for name in HEADLINE
         if small_timings.get(name)
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "scaling_ratio_vs_sf0.01": scaling,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "scaling_ratio_vs_sf0.01": scaling,
+    }
+    # Persist the full result next to the repo as well: BENCH_r02's stored
+    # stdout tail was truncated and lost the headline total, so stdout is
+    # not the only copy anymore.
+    try:
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(out_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -771,6 +771,30 @@ def test_line_dedup_boilerplate_mode(spark):
         curation.line_dedup(df, keep="none")
 
 
+def test_line_dedup_none_hot_boilerplate_key(spark):
+    """Adversarial skew: ONE boilerplate line present in every document
+    (the 100 TB hot-key case that broke the old window-collect_set plan).
+    The groupBy doc-frequency path must stay correct — the hot line is
+    dropped everywhere, per-doc uniques survive, and a same-line repeat
+    WITHIN one doc (line_df counts distinct docs, so df=1) is kept."""
+    n = 5000
+    rows = [(i, f"BOILERPLATE FOOTER\nunique {i}\nunique {i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = curation.line_dedup(df, keep="none", max_df=3)
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_lines").alias("lines"),
+        F.count(F.lit(1)).alias("docs"),
+    ).collect()[0]
+    assert agg["docs"] == n
+    assert agg["lines"] == 3 * n
+    # the boilerplate line (doc-frequency n > 3) drops from every doc;
+    # both copies of "unique i" (doc-frequency 1) survive
+    assert agg["kept"] == 2 * n
+    one = out.where(F.col("id") == 7).collect()[0]
+    assert one["text_deduped"] == "unique 7\nunique 7"
+
+
 def test_pack_sequences_greedy_fill(spark):
     df = spark.createDataFrame(
         [(i, 30) for i in range(10)], "doc_id long, n_tokens long"

@@ -225,6 +225,19 @@ def test_line_dedup_one_scan_no_broadcast(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_line_dedup_none_partial_aggregate_no_window(spark, sf_dir):
+    """keep='none' must compute per-line doc-frequency as a two-phase
+    hash aggregate (map-side partials absorb a hot boilerplate line) and
+    join it back — NEVER as a window over lh, whose collect_set would
+    buffer the hottest line's whole partition in a single task."""
+    plan = _plan(entry_queries.QUERIES["line_dedup_none_documents"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "collect_set" not in plan
+    # the distinct-count aggregate is present and two-phase
+    assert "count(distinct" in plan or "partial_count(distinct" in plan
+    assert "HashAggregate" in plan
+
+
 def test_perplexity_scoring_joins_are_broadcast(spark, sf_dir):
     """The capped-vocab LM tables must broadcast into the scoring path —
     never a sort-merge join against the corpus bigrams."""

@@ -60,76 +60,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()`` entries
-# (CORRECTNESS_r01.json stopped at exactly 50 in dict order). Round 1
-# checked the first 50 registered queries; this list front-loads the
-# queries that have NOT yet received a driver row — the two round-1 hash
-# fixes first, then the 32 previously-unchecked, then queries added this
-# round — so that across rounds every query accrues a green driver row.
-# Names not listed keep their registration order after these.
+# (CORRECTNESS_r01/r02 stopped at exactly 50 in dict order). Round-2
+# lesson: listing MORE than 50 names here silently drops the tail past
+# the window — so this list is now kept well under 50 and rotated each
+# round: every name already hash-green in r1∪r2 is dropped from the
+# head, and the list leads with (a) the 9 round-2 queries that have
+# never received a driver row, (b) the 5 formerly rows-only queries that
+# now carry derived deterministic oracles, (c) round-3 additions.
+# Names not listed keep registration order after these, so the remaining
+# ~30 slots of the driver's 50-query window re-verify earlier greens as
+# a regression check.
 DRIVER_PRIORITY: list[str] = [
-    # round-1 hash_match fixes (re-verify first)
-    "tpch_q12_priority_shipments",
-    "sessionize_events",
-    # previously driver-unchecked (round-1 positions 51-82)
-    "dedup_minhash_documents",
-    "dedup_simhash_documents",
-    "dedup_minhash_components",
-    "dedup_simhash_pairs_documents",
-    "text_quality_documents",
-    "profile_events_weekly",
-    "repository_roundtrip_profiling",
-    "text_stats_documents",
-    "lang_id_documents",
-    "fingerprint_documents",
-    "sample_documents_hash",
-    "sample_documents_stratified",
-    "sample_documents_budget",
-    "curate_documents_pipeline",
-    "similarity_topk_brute",
-    "embedding_neardup_exact",
-    "multimodal_decode_stub",
-    "profile_events_approx",
-    "anomaly_holt_validation",
-    "similarity_topk_vectorized",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "embedding_neardup_lsh",
-    "embedding_dedup_components",
-    "sample_documents_token_budget",
-    "token_count_documents",
-    "multimodal_frame_sample",
-    "dedup_minhash_survivors",
-    "streaming_watermark_profile_events",
-    "streaming_dedup_events",
-    "streaming_running_score",
-    "streaming_profile_events",
-    # round-2 additions (registered below; listed here to stay in the
-    # driver's 50-query window on their first round)
-    "anomaly_ar1_validation",
-    "anomaly_sarima_validation",
-    "repository_roundtrip_jdbc",
-    "viz_series_events",
-    "viz_score_band_events",
-    "viz_forecast_interval_events",
-    "accuracy_study_events",
-    "dedup_ngram_jaccard_capped",
-    "profile_events_kll",
-    "sketch_rollup_weekly_events",
-    "streaming_sketch_rollup_events",
-    "redact_pii_documents",
-    "chunk_documents",
-    "repetition_documents",
-    "contamination_documents",
-    "line_dedup_documents",
+    # (a) round-2 queries that never received a driver CORRECTNESS row
+    "range_join_transit_orders",
+    "similarity_topk_quantized",
+    "psi_drift_events",
     "pack_documents",
     "mix_documents",
     "training_order_documents",
     "perplexity_documents",
-    "streaming_curate_documents",
-    "range_join_transit_orders",
     "classifier_quality_documents",
-    "psi_drift_events",
-    "similarity_topk_quantized",
+    "streaming_curate_documents",
+    # (b) formerly rows-only, now carrying derived deterministic oracles
+    "profile_events_approx",
+    "profile_events_kll",
+    "similarity_topk_ivf",
+    "anomaly_sarima_validation",
+    "accuracy_study_events",
+    # (c) round-3 additions
+    "multimodal_decode_real",
+    "line_dedup_none_documents",
+    "anomaly_changepoint_validation",
 ]
 
 
@@ -159,12 +120,18 @@ def _events(spark, sf_dir):
 
 
 def _documents(spark, sf_dir):
-    """documents table spread across all cores: the test parquet is a
-    single file (one scan task), and the text queries are compute-bound
-    per row — a 1.5 MB round-robin shuffle buys full parallelism."""
-    return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """documents table, repartitioned ONLY when the scan is narrower than
+    the cluster: the test parquet is a single small file (one scan task)
+    and the text queries are compute-bound per row, so a 1.5 MB
+    round-robin shuffle buys full parallelism — but at 100 TB the input
+    already arrives in thousands of scan partitions and an unconditional
+    ``repartition`` would insert a gratuitous full-corpus exchange before
+    every text query. The check is plan-time only (no job runs)."""
+    df = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def _round_metrics(df: DataFrame) -> DataFrame:
@@ -3867,6 +3834,64 @@ def line_dedup_documents(spark, sf_dir):
         ).alias("text"),
     )
     out = curation.line_dedup(lined, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("text_deduped").alias("dedup_md5"),
+        "n_lines",
+        "n_kept",
+    )
+
+
+_LINE_MAX_DF = 2
+
+ORACLE_LINE_DEDUP_NONE = f"""
+WITH d AS ({_DOC_TOKENS}),
+l AS (
+  SELECT doc_id, unnest(range(0, (len(toks) + {_LINE_W} - 1) // {_LINE_W}))::INT AS pos,
+         toks
+  FROM d
+),
+l2 AS (
+  SELECT doc_id, pos,
+         array_to_string(toks[pos * {_LINE_W} + 1 : pos * {_LINE_W} + {_LINE_W}], ' ') AS line
+  FROM l
+),
+l3 AS (SELECT *, md5(trim(line)) AS lh FROM l2),
+freq AS (SELECT lh, count(DISTINCT doc_id) AS line_df FROM l3 GROUP BY 1),
+kept AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM l3 JOIN freq USING (lh) WHERE line_df <= {_LINE_MAX_DF} GROUP BY 1
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l2 GROUP BY 1)
+SELECT tot.doc_id, md5(coalesce(kept.t, '')) AS dedup_md5, tot.n_lines,
+       coalesce(kept.n_kept, 0) AS n_kept
+FROM tot LEFT JOIN kept USING (doc_id)
+"""
+
+
+@query("line_dedup_none_documents", ORACLE_LINE_DEDUP_NONE)
+def line_dedup_none_documents(spark, sf_dir):
+    """Boilerplate-removal line dedup (``keep='none'``): a line appearing
+    in more than ``max_df`` distinct documents is dropped from ALL of
+    them. Scale shape (round-3 fix): per-line doc-frequency is a
+    two-phase ``groupBy(lh).agg(count_distinct)`` shuffle-joined back on
+    ``lh`` — never a window ``collect_set`` (which would buffer a hot
+    boilerplate line's entire partition in one task)."""
+    docs = _documents(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(_LINE_W)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * _LINE_W + 1, _LINE_W)),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = curation.line_dedup(lined, "doc_id", "text", keep="none", max_df=_LINE_MAX_DF)
     return out.select(
         F.col("id").alias("doc_id"),
         F.md5("text_deduped").alias("dedup_md5"),

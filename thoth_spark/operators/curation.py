@@ -12,11 +12,14 @@ column expressions and survives a 100 TB scan.
 
 Scale design notes per operator:
 
-- :func:`line_dedup` — two shuffles: one ``groupBy(line_hash)`` to elect
-  the surviving copy of each duplicated line (partial aggregation
-  map-side combines the common case of unique lines), one
-  ``groupBy(doc)`` to reassemble. Shuffle volume ∝ corpus lines, never
-  lines²; no broadcast of anything unbounded.
+- :func:`line_dedup` — ``keep='first'``: two shuffles (one window keyed
+  by ``line_hash`` electing the surviving copy with O(1) row_number
+  state, one ``groupBy(doc)`` to reassemble). ``keep='none'``: per-line
+  doc-frequency via ``groupBy(lh).agg(count_distinct)`` (two-phase
+  partial aggregation absorbs hot boilerplate lines map-side) shuffle
+  equi-joined back on ``lh`` — never a window over ``lh`` (single-task
+  hot-key buffering) and never a broadcast (the frequency table is
+  corpus-sized). Shuffle volume ∝ corpus lines, never lines².
 - :func:`pack_sequences` — one shuffle to the packing shards; each shard
   packs independently, so parallelism = ``n_shards`` (size it to the
   cluster, e.g. 10k shards at 100 TB). Per-shard state is O(1).
@@ -67,19 +70,33 @@ def line_dedup(
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
     ).withColumn("lh", F.md5(F.trim(F.col("line"))))
 
-    # One window pass over the line hash decides survival per line
-    # instance — exactly one shuffle keyed by lh, with NO join back and
-    # nothing broadcast (a survivor/doc-freq side table would be
-    # corpus-sized at 100 TB, far beyond broadcast range). The second
-    # and final shuffle is the per-document regroup below.
-    lh_w = W.partitionBy("lh")
     if keep == "first":
-        survives = (
-            F.row_number().over(lh_w.orderBy("id", "pos")) == 1
-        )
+        # One window pass over the line hash decides survival per line
+        # instance — exactly one shuffle keyed by lh, no join back.
+        # row_number keeps O(1) running state per partition, so even a
+        # boilerplate line in 10^8 documents streams through one task
+        # without buffering.
+        survives = F.row_number().over(W.partitionBy("lh").orderBy("id", "pos")) == 1
+        flagged = lines.withColumn("keep", survives)
     else:
-        survives = F.size(F.collect_set("id").over(lh_w)) <= max_df
-    flagged = lines.withColumn("keep", survives)
+        # Per-line document frequency as a real two-phase aggregate, NOT
+        # a window: a window collect_set over lh would buffer every
+        # instance of a hot boilerplate line (plus its distinct-id set)
+        # inside a single task, while count_distinct plans as two
+        # hash-aggregate phases — dedup on (lh, id) then count per lh —
+        # with map-side partials absorbing the hot key. The frequency
+        # table is corpus-sized in the worst case, so it is
+        # shuffle-equi-joined back on lh (both sides hash-partition on
+        # lh; the aggregate output reuses the partitioning), never
+        # broadcast.
+        doc_freq = lines.groupBy("lh").agg(
+            F.count_distinct("id").alias("__line_df")
+        )
+        flagged = (
+            lines.join(doc_freq, "lh")
+            .withColumn("keep", F.col("__line_df") <= F.lit(int(max_df)))
+            .drop("__line_df")
+        )
 
     kept_structs = F.array_sort(
         F.collect_list(F.when(F.col("keep"), F.struct("pos", "line")))
