@@ -78,6 +78,22 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _write_local(payload: dict) -> None:
+    """Atomically persist the (possibly partial) payload next to the repo.
+
+    Written after EVERY query so a crash mid-run still leaves the timings
+    gathered so far (BENCH_r03 lost all numbers to one broken query)."""
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    tmp_path = out_path + ".tmp"
+    try:
+        with open(tmp_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+        os.replace(tmp_path, out_path)
+    except OSError as exc:
+        print(f"warning: BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -106,42 +122,47 @@ def main() -> None:
     # anything well beyond 10 is growing faster than its input.
     small_dir = os.environ.get("SPARK_GRAFT_SMALL_SF_DIR", "/root/testdata/sf0.01")
     small_timings: dict[str, float] = {}
-    if os.path.isdir(small_dir):
-        for name in HEADLINE:
-            t0 = time.perf_counter()
-            _run(queries[name](spark, small_dir))
-            small_timings[name] = round(time.perf_counter() - t0, 3)
-
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _run(queries[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    total = round(sum(timings.values()), 3)
-    scaling = {
-        name: round(timings[name] / small_timings[name], 2)
-        for name in HEADLINE
-        if small_timings.get(name)
-    }
-    payload = {
+    failures: dict[str, str] = {}
+    timings: dict[str, float | None] = {}
+    payload: dict = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": None,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "scaling_ratio_vs_sf0.01": scaling,
+        "scaling_ratio_vs_sf0.01": {},
+        "failures": failures,
     }
-    # Persist the full result next to the repo as well: BENCH_r02's stored
-    # stdout tail was truncated and lost the headline total, so stdout is
-    # not the only copy anymore.
-    try:
-        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-        with open(out_path, "w") as fh:
-            json.dump(payload, fh, indent=1)
-            fh.write("\n")
-    except OSError:
-        pass
+    # Every per-query run is individually guarded: one broken query must
+    # never zero the whole benchmark again (BENCH_r03 lost all numbers to
+    # a single plan-time AnalysisException in the first headline query).
+    if os.path.isdir(small_dir):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            try:
+                _run(queries[name](spark, small_dir))
+                small_timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:
+                failures[name] = f"sf0.01: {type(exc).__name__}: {exc}"[:300]
+
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        try:
+            _run(queries[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            timings[name] = None
+            failures.setdefault(name, f"{type(exc).__name__}: {exc}"[:300])
+        payload["value"] = round(sum(t for t in timings.values() if t), 3)
+        payload["scaling_ratio_vs_sf0.01"] = {
+            n: round(timings[n] / small_timings[n], 2)
+            for n in timings
+            if timings.get(n) and small_timings.get(n)
+        }
+        _write_local(payload)
+
+    if not failures:
+        del payload["failures"]
     print(json.dumps(payload))
 
 

@@ -312,6 +312,51 @@ def test_auto_prophet_meets_reference_ape_bar():
     assert ape < 0.23
 
 
+def test_changepoint_trend_meets_ape_bar_on_temperatures():
+    """The changepoint model must stay competitive on a series WITHOUT
+    trend breaks: 1-step APE ≤ 0.20 on the reference temperatures
+    fixture (tighter than the reference's 0.23 AutoProphet bar)."""
+    from thoth_spark.anomaly.models import changepoint_trend_forecaster
+
+    vals = _temperatures_values()
+    pred = changepoint_trend_forecaster()([], vals[:-1])
+    ape = abs(vals[-1] - pred) / vals[-1]
+    assert ape <= 0.20
+
+
+def test_changepoint_trend_beats_single_slope_on_step_change():
+    """A level shift defeats fourier_trend's single global slope but not
+    the ℓ1-selected piecewise trend: on a deterministic step fixture
+    (weekly seasonality, level 10→30 at t=80) the mean 1-step APE over
+    the post-step region must be under 0.18 for ChangepointTrend while
+    the single-slope model stays over 0.20 — the measured motivation for
+    the model (round-3 verdict item #6)."""
+    import numpy as np
+
+    from thoth_spark.anomaly.models import (
+        changepoint_trend_forecaster,
+        fourier_trend_forecaster,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 120
+    t = np.arange(n)
+    y = 10.0 + 2.0 * np.sin(2 * np.pi * t / 7) + rng.normal(0, 0.3, n)
+    y[80:] += 20.0
+
+    def mean_ape(f):
+        apes = [
+            abs(y[i] - f([], list(y[:i]))) / abs(y[i]) for i in range(83, 110)
+        ]
+        return sum(apes) / len(apes)
+
+    cp_ape = mean_ape(changepoint_trend_forecaster())
+    ft_ape = mean_ape(fourier_trend_forecaster())
+    assert cp_ape < 0.18
+    assert ft_ape > 0.20
+    assert cp_ape < ft_ape
+
+
 def test_auto_sarima_rolling_quality():
     """Stability beyond one point: mean 1-step APE over the last 30 folds
     stays well under the single-point bar."""

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from thoth_spark.profiler import Mean, ProfilingBuilder, Size, profile
-from thoth_spark.sources import load_table
+from thoth_spark.sources import load_events_stream, load_table
 from thoth_spark.streaming import (
     assess_foreach_batch,
     profile_stream,
@@ -20,19 +20,7 @@ BUILDER = ProfilingBuilder(analyzers=[Mean("value"), Size()])
 
 
 def _events_stream(spark, sf_dir):
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        .select("ts", "value")
-    )
+    return load_events_stream(spark, sf_dir).select("ts", "value")
 
 
 def _run_to_memory(df, mode):
@@ -122,23 +110,11 @@ def test_sketch_profile_stream_rolls_up(spark, sf_dir):
     from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
     from thoth_spark.streaming import sketch_profile_stream
 
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-            .select("ts", "value", "event_type")
-        )
-        daily_stream = sketch_profile_stream(
-            stream, "ts", distinct_cols=["event_type"], quantile_cols=["value"]
-        )
-        name = _run_to_memory(daily_stream, "append")
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    stream = load_events_stream(spark, sf_dir).select("ts", "value", "event_type")
+    daily_stream = sketch_profile_stream(
+        stream, "ts", distinct_cols=["event_type"], quantile_cols=["value"]
+    )
+    name = _run_to_memory(daily_stream, "append")
     streamed_daily = spark.table(name)
     assert {"ts", "row_count", "hll_event_type", "kll_value"} <= set(streamed_daily.columns)
     assert streamed_daily.count() > 0

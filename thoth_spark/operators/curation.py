@@ -16,10 +16,13 @@ Scale design notes per operator:
   by ``line_hash`` electing the surviving copy with O(1) row_number
   state, one ``groupBy(doc)`` to reassemble). ``keep='none'``: per-line
   doc-frequency via ``groupBy(lh).agg(count_distinct)`` (two-phase
-  partial aggregation absorbs hot boilerplate lines map-side) shuffle
-  equi-joined back on ``lh`` — never a window over ``lh`` (single-task
-  hot-key buffering) and never a broadcast (the frequency table is
-  corpus-sized). Shuffle volume ∝ corpus lines, never lines².
+  partial aggregation absorbs hot boilerplate lines map-side), filtered
+  to the over-``max_df`` DROP-LIST and left-joined back on ``lh`` —
+  never a window over ``lh`` (single-task hot-key buffering), and never
+  a join against the corpus-sized full frequency table (which would
+  re-concentrate a hot line's 10^8 instances into one join task; the
+  drop-list is tiny and broadcast/AQE-friendly). Shuffle volume ∝
+  corpus lines, never lines².
 - :func:`pack_sequences` — one shuffle to the packing shards; each shard
   packs independently, so parallelism = ``n_shards`` (size it to the
   cluster, e.g. 10k shards at 100 TB). Per-shard state is O(1).
@@ -84,18 +87,24 @@ def line_dedup(
         # instance of a hot boilerplate line (plus its distinct-id set)
         # inside a single task, while count_distinct plans as two
         # hash-aggregate phases — dedup on (lh, id) then count per lh —
-        # with map-side partials absorbing the hot key. The frequency
-        # table is corpus-sized in the worst case, so it is
-        # shuffle-equi-joined back on lh (both sides hash-partition on
-        # lh; the aggregate output reuses the partitioning), never
-        # broadcast.
-        doc_freq = lines.groupBy("lh").agg(
-            F.count_distinct("id").alias("__line_df")
+        # with map-side partials absorbing the hot key. Joining the FULL
+        # frequency table back would re-concentrate a hot boilerplate
+        # line (10^8 instances of one lh) into a single join task, so the
+        # join's right side is only the DROP-LIST — lines whose df
+        # exceeds max_df, typically a tiny fraction of distinct lines —
+        # left-joined on lh with keep = "not on the drop-list". That
+        # usually brings the right side under broadcast/AQE-split range;
+        # the hot key's instances then never leave their scan partitions.
+        drop_list = (
+            lines.groupBy("lh")
+            .agg(F.count_distinct("id").alias("__line_df"))
+            .where(F.col("__line_df") > F.lit(int(max_df)))
+            .select("lh", F.lit(True).alias("__dropped"))
         )
         flagged = (
-            lines.join(doc_freq, "lh")
-            .withColumn("keep", F.col("__line_df") <= F.lit(int(max_df)))
-            .drop("__line_df")
+            lines.join(drop_list, "lh", "left")
+            .withColumn("keep", F.col("__dropped").isNull())
+            .drop("__dropped")
         )
 
     kept_structs = F.array_sort(

@@ -102,9 +102,7 @@ def ngram_jaccard_pairs(
                 dropped,
                 max_shingle_df,
             )
-        inv = inv.withColumn(
-            "__df", F.count(F.lit(1)).over(W.partitionBy("shingle"))
-        ).where(F.col("__df") <= max_shingle_df).drop("__df")
+        inv = _cap_shingle_df(inv, max_shingle_df, key="shingle")
 
     a = inv.alias("a")
     b = inv.alias("b")
@@ -131,6 +129,24 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
+
+
+def _cap_shingle_df(inv: DataFrame, max_df: int, key: str = "s") -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``max_df`` from an
+    exploded ``(id, shingle)`` frame — via a drop-list LEFT join, never a
+    window over the shingle key: the over-cap list is tiny (it IS the
+    stop-shingle set) and broadcasts, while a ``count().over(
+    partitionBy(shingle))`` would funnel every instance of a hot
+    boilerplate shingle through one window task. Input rows are one per
+    (doc, distinct shingle), so ``count(*)`` per shingle equals its
+    document frequency."""
+    drop = (
+        inv.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > int(max_df))
+        .select(key, F.lit(True).alias("__hot"))
+    )
+    return inv.join(drop, key, "left").where(F.col("__hot").isNull()).drop("__hot")
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
@@ -199,6 +215,7 @@ def minhash_signatures(
     n: int = 3,
     shingles: DataFrame | None = None,
     seed: int = 7,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<bigint>``.
 
@@ -220,6 +237,15 @@ def minhash_signatures(
     """
     sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
     inv = sh.select("id", F.explode("sh").alias("s"))
+    if max_shingle_df is not None:
+        # Boilerplate shingles shared corpus-wide inflate every pairwise
+        # Jaccard (a stop-shingle in k docs pushes ~k²·P(band) candidate
+        # pairs through LSH — measured in tests/test_skew.py: 807k pairs
+        # on a 1.5k-doc boilerplate corpus vs <300 with the cap). Capped
+        # shingles carry no discriminative signal; dropping them leaves
+        # candidates ∝ true-duplicate density. Same trade as
+        # ngram_jaccard_pairs' cap, same drop-list mechanics.
+        inv = _cap_shingle_df(inv, max_shingle_df, key="s")
     x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     inv = inv.select("id", x.alias("x"))
     mins = [
