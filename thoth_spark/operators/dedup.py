@@ -102,7 +102,7 @@ def ngram_jaccard_pairs(
                 dropped,
                 max_shingle_df,
             )
-        inv = _cap_shingle_df(inv, max_shingle_df, key="shingle")
+        inv = cap_shingle_df(inv, max_shingle_df, key="shingle")
 
     a = inv.alias("a")
     b = inv.alias("b")
@@ -131,7 +131,7 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _cap_shingle_df(inv: DataFrame, max_df: int, key: str = "s") -> DataFrame:
+def cap_shingle_df(inv: DataFrame, max_df: int, key: str = "s") -> DataFrame:
     """Drop shingles whose document frequency exceeds ``max_df`` from an
     exploded ``(id, shingle)`` frame — via a drop-list LEFT join, never a
     window over the shingle key: the over-cap list is tiny (it IS the
@@ -245,7 +245,7 @@ def minhash_signatures(
         # shingles carry no discriminative signal; dropping them leaves
         # candidates ∝ true-duplicate density. Same trade as
         # ngram_jaccard_pairs' cap, same drop-list mechanics.
-        inv = _cap_shingle_df(inv, max_shingle_df, key="s")
+        inv = cap_shingle_df(inv, max_shingle_df, key="s")
     x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
     inv = inv.select("id", x.alias("x"))
     mins = [
