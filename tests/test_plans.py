@@ -291,7 +291,28 @@ def test_minhash_capped_droplist_no_window(spark, sf_dir):
     assert "LeftAnti" in plan or "left_anti" in plan.lower() or "isnull" in plan.lower()
 
 
-def test_training_order_single_shuffle(spark, sf_dir):
+def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
+    """Both sides arrive bucket-partitioned from storage, so the join
+    must plan with NO shuffle exchange between the scans and the join —
+    the whole point of paying the bucketing shuffle at write time. (The
+    aggregate above may still exchange on o_orderpriority.) Broadcast is
+    disabled for the assertion: at fixture scale Spark would otherwise
+    broadcast the small side, hiding the shape this lock protects at
+    fact×fact scale."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = entry_queries.QUERIES["bucketed_join_orders_lineitem"](spark, sf_dir)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1
+    # everything below (after, in toString order) the join is scan-side:
+    # no hash exchange may appear there
+    below = plan[join_pos:]
+    assert "Exchange hashpartitioning" not in below
+    assert plan.count("Bucketed: true") == 2
     """Deterministic training shuffle = exactly one hash exchange (the
     within-shard sort rides it); no global single-partition sort."""
     plan = _plan(entry_queries.QUERIES["training_order_documents"](spark, sf_dir))

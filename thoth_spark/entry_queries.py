@@ -2177,6 +2177,66 @@ g AS (
 )"""
 
 
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       count(DISTINCT o_orderkey) AS n_orders,
+       round(sum(l_extendedprice), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""
+
+
+@query("bucketed_join_orders_lineitem", ORACLE_BUCKETED_JOIN)
+def bucketed_join_orders_lineitem(spark, sf_dir):
+    """Co-located fact-to-fact join via bucketed storage: orders and
+    lineitem are written bucketed by orderkey (the shuffle paid ONCE at
+    write time), then the join matches HashPartitioning on both sides
+    and plans with ZERO exchanges below the join (plan-locked in
+    tests/test_plans.py) — the parquet-native stand-in for warehouse
+    distribution keys, and at 100 TB the difference between re-shuffling
+    two fact tables on every query and never shuffling them again.
+    Results are byte-identical to the plain join (the oracle)."""
+    import tempfile
+    import uuid
+
+    from thoth_spark.operators import storage
+
+    n_buckets = 8
+    # unique external locations per invocation: the default managed
+    # warehouse dir survives across sessions and blocks re-creation
+    run_dir = tempfile.mkdtemp(prefix=f"thoth_bkt_{uuid.uuid4().hex[:8]}_")
+    storage.write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+        "thoth_bkt_orders",
+        ["o_orderkey"],
+        n_buckets,
+        sort_cols=["o_orderkey"],
+        path=f"{run_dir}/orders",
+    )
+    storage.write_bucketed(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        ),
+        "thoth_bkt_lineitem",
+        ["l_orderkey"],
+        n_buckets,
+        sort_cols=["l_orderkey"],
+        path=f"{run_dir}/lineitem",
+    )
+    o = storage.read_bucketed(spark, "thoth_bkt_orders")
+    li = storage.read_bucketed(spark, "thoth_bkt_lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
 ORACLE_DEDUP_EXACT_EVENTS = """
 SELECT min(event_id) AS event_id
 FROM (SELECT *, date_trunc('day', ts) AS d FROM events) e

@@ -26,7 +26,14 @@ def write_bucketed(
     Both sides of a future join must use the same ``num_buckets`` and
     bucket columns to get the shuffle-free plan; ``sort_cols`` additionally
     lets sort-merge join skip its sort.
+
+    Any same-named catalog entry is dropped first: a managed-table
+    LOCATION from an earlier session would otherwise block re-creation
+    (LOCATION_ALREADY_EXISTS) even under overwrite mode. Pass ``path``
+    for an external location when the default warehouse dir may hold
+    stale data from a previous process.
     """
+    df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = (
         df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
     )
