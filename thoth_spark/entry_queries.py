@@ -88,6 +88,8 @@ DRIVER_PRIORITY: list[str] = [
     # (b) round-4 additions
     "multimodal_decode_real",
     "anomaly_changepoint_validation",
+    "dedup_minhash_capped_documents",
+    "bucketed_join_orders_lineitem",
     # (c) r3-regressed events queries — revival proof
     "profile_events_exact",
     "profile_events_minmax_sum",
@@ -111,10 +113,10 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_events",
     "repository_roundtrip_profiling",
     "repository_roundtrip_jdbc",
+    # (streaming_running_score / streaming_profile_events rotate to r5 —
+    # both pass the local oracle gate; slots ceded to the (b) additions)
     "streaming_watermark_profile_events",
     "streaming_dedup_events",
-    "streaming_running_score",
-    "streaming_profile_events",
     "streaming_sketch_rollup_events",
     # (d) last verified r2 — due under the two-round rotation rule
     "dedup_ngram_jaccard_documents",
