@@ -103,6 +103,42 @@ def test_assess_foreach_batch(spark, sf_dir):
     assert all(r["threshold"] is None for r in rows if r["name"] == "Size")
 
 
+def test_drift_foreach_batch_matches_batch_psi(spark, sf_dir):
+    """Streaming PSI (foreachBatch against a frozen broadcast reference)
+    must equal the batch drift detector when the stream drains: same
+    edges, same bucket counts, same smoothing — so per-day PSI rows are
+    bit-identical to psi_daily's."""
+    from thoth_spark.profiler.drift import freeze_reference, psi_daily
+    from thoth_spark.streaming import drift_foreach_batch
+
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    ref_end = "2024-01-08"
+    clean = events.where(F.col("value").isNotNull())
+    ref = clean.where(F.col("ts") < F.lit(ref_end).cast("timestamp"))
+    cur = clean.where(F.col("ts") >= F.lit(ref_end).cast("timestamp"))
+    edges, ref_b = freeze_reference(ref, "value", 10)
+    edges.cache().count(), ref_b.cache().count()  # freeze once, reuse per batch
+
+    with tempfile.TemporaryDirectory() as d:
+        cur.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(cur.schema).parquet(d)
+        seen = []
+        cb = drift_foreach_batch(
+            "ts", "value", edges, ref_b, lambda df, bid: seen.append(df.collect())
+        )
+        q = stream.writeStream.foreachBatch(cb).start()
+        q.processAllAvailable()
+        q.stop()
+    edges.unpersist(), ref_b.unpersist()
+
+    got = {r["d"]: (r["n"], r["psi"]) for rows in seen for r in rows}
+    expected = {
+        r["d"]: (r["n"], r["psi"])
+        for r in psi_daily(events, "ts", "value", ref_end).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
 def test_sketch_profile_stream_rolls_up(spark, sf_dir):
     """Streaming per-day sketches (append mode) merge into the same
     weekly distinct counts as batch sketching — the continuous half of

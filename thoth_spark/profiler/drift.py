@@ -50,6 +50,25 @@ def bucket_of(value: Column, edges: Column) -> Column:
     return F.size(F.filter(edges, lambda e: value > e))
 
 
+def freeze_reference(
+    ref: DataFrame, value_col: str, n_bins: int = 10
+) -> tuple[DataFrame, DataFrame]:
+    """Freeze a drift reference: the quantile ``edges`` (1 row) and the
+    reference bucket counts ``ref_b`` (≤ n_bins rows). Both are
+    metadata-scale and broadcastable — compute them ONCE over the
+    reference window, then score any number of current slices (batch
+    days or streaming micro-batches) against them without rescanning
+    the reference."""
+    edges = quantile_edges(ref, value_col, n_bins)
+    ref_b = (
+        ref.crossJoin(F.broadcast(edges))
+        .select(bucket_of(F.col(value_col), F.col("edges")).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("rc"))
+    )
+    return edges, ref_b
+
+
 def psi_daily(
     df: DataFrame,
     ts_col: str,
@@ -64,14 +83,22 @@ def psi_daily(
     clean = df.where(F.col(value_col).isNotNull()).select(ts_col, value_col)
     ref = clean.where(F.col(ts_col) < F.lit(ref_end).cast("timestamp"))
     cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
-    edges = quantile_edges(ref, value_col, n_bins)
+    edges, ref_b = freeze_reference(ref, value_col, n_bins)
+    return psi_against_reference(cur, ts_col, value_col, edges, ref_b, n_bins, eps)
 
-    ref_b = (
-        ref.crossJoin(F.broadcast(edges))
-        .select(bucket_of(F.col(value_col), F.col("edges")).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("rc"))
-    )
+
+def psi_against_reference(
+    cur: DataFrame,
+    ts_col: str,
+    value_col: str,
+    edges: DataFrame,
+    ref_b: DataFrame,
+    n_bins: int = 10,
+    eps: float = 0.5,
+) -> DataFrame:
+    """Per-day PSI of ``cur`` against a FROZEN reference (see
+    :func:`freeze_reference`) — the shared core of batch
+    :func:`psi_daily` and the streaming foreachBatch drift monitor."""
     day_b = (
         cur.crossJoin(F.broadcast(edges))
         .select(

@@ -15,11 +15,15 @@ maps onto three native pieces:
   incrementally — no retraining, no full-history scan;
 - :func:`assess_foreach_batch` — the reference's per-batch
   profile→score→assess loop as a ``foreachBatch`` sink callback against
-  the metrics repository.
+  the metrics repository;
+- :func:`drift_foreach_batch` — per-micro-batch PSI against a frozen
+  (broadcast) drift reference, pairing the batch drift detector with
+  the streaming surface.
 """
 
 from thoth_spark.streaming.stream import (
     assess_foreach_batch,
+    drift_foreach_batch,
     profile_stream,
     running_score_stream,
     sketch_profile_stream,
@@ -29,5 +33,6 @@ __all__ = [
     "profile_stream",
     "running_score_stream",
     "assess_foreach_batch",
+    "drift_foreach_batch",
     "sketch_profile_stream",
 ]

@@ -218,3 +218,43 @@ def assess_foreach_batch(
         on_result(metrics, batch_id)
 
     return callback
+
+
+def drift_foreach_batch(
+    ts_column: str,
+    value_column: str,
+    edges: DataFrame,
+    ref_bucket_counts: DataFrame,
+    on_result: Callable[[DataFrame, int], None],
+    n_bins: int = 10,
+    eps: float = 0.5,
+) -> Callable[[DataFrame, int], None]:
+    """Continuous distribution-drift monitoring: per-micro-batch PSI of
+    ``value_column`` against a FROZEN reference (``edges`` +
+    ``ref_bucket_counts`` from
+    :func:`thoth_spark.profiler.drift.freeze_reference`, computed ONCE
+    and broadcast into every batch — the raw reference window is never
+    rescanned).
+
+    foreachBatch rather than a streaming aggregation because PSI needs a
+    dense (day × bucket) grid join plus global count ratios — a
+    multi-stage batch plan per micro-batch, not an incremental state
+    update. Each callback result is the per-day PSI of THAT batch's
+    rows; with day-aligned micro-batches (the normal ingestion cadence)
+    that is the final per-day PSI, and finer batches give early partial
+    readings that the last batch of the day supersedes.
+    """
+    from thoth_spark.profiler.drift import psi_against_reference
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        clean = batch_df.where(F.col(value_column).isNotNull()).select(
+            ts_column, value_column
+        )
+        on_result(
+            psi_against_reference(
+                clean, ts_column, value_column, edges, ref_bucket_counts, n_bins, eps
+            ),
+            batch_id,
+        )
+
+    return callback
