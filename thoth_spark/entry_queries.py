@@ -2652,6 +2652,37 @@ def profile_events_weekly(spark, sf_dir):
     )
 
 
+ORACLE_MONTHLY = """
+SELECT m::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT date_trunc('month', ts::TIMESTAMP) AS m, 'Dataset' AS entity, '*' AS instance,
+         'Size' AS name, count(*)::DOUBLE AS value FROM events GROUP BY 1
+  UNION ALL
+  SELECT date_trunc('month', ts::TIMESTAMP), 'Column', 'value', 'Mean', avg(value)
+  FROM events GROUP BY 1
+) t
+"""
+
+
+@query("profile_events_monthly", ORACLE_MONTHLY)
+def profile_events_monthly(spark, sf_dir):
+    """MONTH granularity — completes the driver surface for all four
+    granularities (DAY/HOUR/WEEK/MONTH; the reference implements only
+    DAY, thoth/profiler.py:222-240)."""
+    from thoth_spark.profiler import Mean
+
+    df = _events(spark, sf_dir).select("ts", "value")
+    m = profile(
+        df, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]), Granularity.MONTH
+    )
+    return m.select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
+
+
 ORACLE_REPO_ROUNDTRIP = """
 WITH bounds AS (
   SELECT date_trunc('day', min(ts::TIMESTAMP)) + INTERVAL 7 DAY AS lo,
