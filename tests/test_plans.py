@@ -313,6 +313,9 @@ def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
     below = plan[join_pos:]
     assert "Exchange hashpartitioning" not in below
     assert plan.count("Bucketed: true") == 2
+
+
+def test_training_order_single_shuffle(spark, sf_dir):
     """Deterministic training shuffle = exactly one hash exchange (the
     within-shard sort rides it); no global single-partition sort."""
     plan = _plan(entry_queries.QUERIES["training_order_documents"](spark, sf_dir))

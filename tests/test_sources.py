@@ -87,3 +87,46 @@ def test_events_stream_matches_batch_load(spark, micro_dir):
     q.stop()
     got = sorted(r["ts"] for r in spark.table(name).select("ts").collect())
     assert got == INSTANTS
+
+
+def test_stream_load_leaves_session_conf_unchanged(spark, micro_dir, nano_dir):
+    """Round-5 fix: the legacy-nanosecond stream path must not leak
+    ``nanosAsLong`` into the caller's session conf (it previously set it
+    session-wide, silently changing later batch reads of other nano
+    parquet). Both encodings must leave the conf exactly as found."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, "false")
+    load_events_stream(spark, micro_dir)
+    assert spark.conf.get(key, "false") == before
+    load_events_stream(spark, nano_dir)
+    assert spark.conf.get(key, "false") == before
+
+
+def test_events_stream_legacy_nano_matches_batch(spark, nano_dir):
+    """The nano-encoded stream runs on a cloned session with the conf
+    scoped to it; values must match the batch loader bit-for-bit. The
+    memory sink registers in the stream's own session catalog."""
+    import uuid
+
+    stream = load_events_stream(spark, nano_dir)
+    assert isinstance(stream.schema["ts"].dataType, TimestampType)
+    name = f"src_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        r["ts"] for r in stream.sparkSession.table(name).select("ts").collect()
+    )
+    assert got == INSTANTS
+
+
+def test_load_table_missing_file_raises_not_masked(spark, tmp_path):
+    """A missing file must propagate, not be retried as the nano case."""
+    with pytest.raises(Exception) as ei:
+        load_table(spark, str(tmp_path), "events")
+    assert "nanosAsLong" not in str(ei.value)

@@ -2179,6 +2179,25 @@ g AS (
 )"""
 
 
+_BUCKETED_RUN_DIRS: dict[str, str] = {}
+
+
+def _bucketed_run_dir(sf_dir: str) -> str:
+    """Per-process scratch dir for bucketed-table copies, keyed by
+    sf_dir and removed at interpreter exit (ADVICE r4: mkdtemp per
+    invocation leaked a full orders+lineitem copy every run)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _BUCKETED_RUN_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="thoth_bkt_")
+        _BUCKETED_RUN_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 ORACLE_BUCKETED_JOIN = """
 SELECT o_orderpriority,
        count(DISTINCT o_orderkey) AS n_orders,
@@ -2198,15 +2217,13 @@ def bucketed_join_orders_lineitem(spark, sf_dir):
     distribution keys, and at 100 TB the difference between re-shuffling
     two fact tables on every query and never shuffling them again.
     Results are byte-identical to the plain join (the oracle)."""
-    import tempfile
-    import uuid
-
     from thoth_spark.operators import storage
 
     n_buckets = 8
-    # unique external locations per invocation: the default managed
-    # warehouse dir survives across sessions and blocks re-creation
-    run_dir = tempfile.mkdtemp(prefix=f"thoth_bkt_{uuid.uuid4().hex[:8]}_")
+    # one external location per (process, sf_dir), removed at interpreter
+    # exit: a fresh mkdtemp per invocation accumulated bucketed copies of
+    # both fact tables across repeated bench/correctness runs.
+    run_dir = _bucketed_run_dir(sf_dir)
     storage.write_bucketed(
         load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderpriority"

@@ -38,19 +38,32 @@ ALL_TABLES = TPCH_TABLES + ["events", "documents", "embeddings"]
 #: timestamp columns per table that must be normalized to TIMESTAMP
 _TS_COLUMNS = {"events": ["ts"]}
 
+#: substrings identifying Spark's "can't convert nanosecond parquet
+#: timestamps" schema error — anything else (missing file, permissions)
+#: must propagate, not be masked as the nanosecond case.
+_NANO_ERROR_MARKERS = ("Illegal Parquet type", "TIMESTAMP(NANOS", "nanosAsLong")
+
+
+def _is_nano_schema_error(exc: Exception) -> bool:
+    msg = str(exc)
+    return any(m in msg for m in _NANO_ERROR_MARKERS)
+
 
 def _read_parquet_ts_robust(spark: SparkSession, path: str) -> DataFrame:
     """Read a parquet file whose timestamp columns may be stored as
     nanosecond INT64 (legacy driver testdata) or native timestamps.
 
     A plain read handles every native encoding (us/ms, NTZ or not). Only
-    if schema inference rejects the file (nanosecond timestamps) do we
-    fall back to ``nanosAsLong`` — the conf is set just for schema
-    capture and restored immediately, as in rounds 1-2.
+    if schema inference rejects the file with the nanosecond-timestamp
+    conversion error do we fall back to ``nanosAsLong`` — the conf is
+    set just for schema capture and restored immediately; any other
+    exception (missing file, permissions) propagates unchanged.
     """
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except Exception as exc:
+        if not _is_nano_schema_error(exc):
+            raise
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
@@ -92,19 +105,24 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The schema is captured from a batch read (cheap footer-only job). In
     the legacy nanosecond case the ``nanosAsLong`` conf must also be
-    active while the stream's micro-batches scan the file; current
-    testdata is native timestamp[us], so that path sets the conf and
-    leaves it set for the session (documented trade-off — the conf is a
-    no-op for non-nano files).
+    active while the stream's micro-batches scan the file — so that path
+    builds the stream on a CLONED session (``spark.newSession()`` shares
+    the SparkContext but has isolated SQL conf) with the conf enabled,
+    leaving the caller's session conf untouched. Non-nano files take the
+    plain path on the caller's own session.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    reader = spark
     try:
         raw_schema = spark.read.parquet(path).schema
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw_schema = spark.read.parquet(path).schema
+    except Exception as exc:
+        if not _is_nano_schema_error(exc):
+            raise
+        reader = spark.newSession()
+        reader.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw_schema = reader.read.parquet(path).schema
     stream = (
-        spark.readStream.schema(raw_schema)
+        reader.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
