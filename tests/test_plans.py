@@ -322,3 +322,22 @@ def test_training_order_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_ivf_plan_size_independent_of_centroid_count(spark, sf_dir):
+    """Round-5 fix: IVF centroid assignment ships the centroid matrix in
+    the pandas-UDF closure, NOT as inlined expression literals — the
+    literal form grew the plan linearly in n_centroids (codegen breaks
+    past a few hundred; 4k+ centroids are normal at scale). Locked by
+    asserting the analyzed-plan string does not grow with n_centroids."""
+    from thoth_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(3)
+
+    def plan_len(n):
+        df = similarity.ivf_topk(emb, queries, k=3, n_centroids=n, nprobe=2)
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    small, big = plan_len(4), plan_len(16)
+    assert abs(big - small) < 200, (small, big)

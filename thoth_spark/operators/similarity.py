@@ -18,9 +18,14 @@
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -284,39 +289,41 @@ def ivf_topk(
     )
     km = KMeans(k=n_centroids, seed=seed, maxIter=10, initMode="random").fit(train)
     train.unpersist()
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())]
-    cent_df = F.array(
-        *[
-            F.struct(F.lit(i).alias("cid"), F.array(*[F.lit(x) for x in c]).alias("cv"))
-            for i, c in centroids
-        ]
+    cent_mat = np.asarray(
+        [[float(x) for x in c] for c in km.clusterCenters()], dtype=np.float64
     )
+    cent_sq = (cent_mat * cent_mat).sum(axis=1)  # ||c||² per centroid
 
-    def nearest(vec: Column, n: int) -> Column:
-        """ids of the n nearest centroids (L2), via sort over an inline
-        struct array — all expression-level."""
-        scored = F.transform(
-            cent_df,
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(vec, s["cv"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d"),
-                s["cid"].alias("cid"),
-            ),
-        )
-        return F.slice(F.array_sort(scored), 1, n)
+    def _nearest_udf(n: int):
+        """Arrow-batched nearest-centroid assignment: the centroid matrix
+        ships once per task in the UDF closure (a few MB even at 65k
+        centroids × 128 dims), so the PLAN stays O(1) in ``n_centroids``
+        — the round-4 expression-literal form inlined every centroid
+        into the expression tree, which breaks codegen past a few
+        hundred centroids. One BLAS matmul per Arrow batch; argmin over
+        ``||x||² − 2x·c + ||c||²`` (the ``||x||²`` term is rank-
+        invariant and dropped). Ties break on the lower cid via stable
+        argsort, matching the struct-sort tie-break it replaces."""
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def nearest_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vecs in it:
+                x = np.stack(vecs.to_numpy())  # (batch, dim)
+                d = cent_sq - 2.0 * (x @ cent_mat.T)  # (batch, n_centroids)
+                idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+                yield pd.Series(list(idx))
+
+        return nearest_cells
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cell", nearest(F.col("cv"), 1)[0]["cid"])
+    ).withColumn("cell", _nearest_udf(1)(F.col("cv"))[0])
 
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
-        .withColumn("cell", F.explode(F.transform(nearest(F.col("qv"), nprobe), lambda s: s["cid"])))
+        .withColumn("cell", F.explode(_nearest_udf(nprobe)(F.col("qv"))))
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
