@@ -658,18 +658,123 @@ def quality_assessment_events(spark, sf_dir):
     )
 
 
-@query("profile_events_kll")
+def _sketch_bounds_oracle(quantiles: list[float], margin: float, name_prefix: str) -> str:
+    """ε-bounds oracle for a quantile sketch: per day, the order
+    statistics at ranks ``φ·n ∓ (⌈margin·n⌉+1)`` (computed with identical
+    integer arithmetic by DuckDB) bracket where a sketch estimate with
+    rank error < margin MUST fall; the oracle asserts ``within = TRUE``.
+    A sketch regression (or a broken merge) flips Spark's ``within`` to
+    false → hash mismatch. Rank-space (element-indexing) bounds rather
+    than interpolated quantiles: at small n the interpolated quantile at
+    φ±margin can land INSIDE the one-element gap around the element the
+    sketch legitimately returns. The +1 rank slack absorbs the
+    floor/ceil edge. This upgrades the r1–r4 rows-only status ("it ran")
+    to a verifiable guarantee ("every estimate is within its proven rank
+    error")."""
+    bounds = ",\n         ".join(
+        f"round(vals[greatest(1, cast(floor({q!r} * n) AS INT) - slack)], 6) AS lo{i}, "
+        f"round(vals[least(n, cast(ceil({q!r} * n) AS INT) + slack)], 6) AS hi{i}"
+        for i, q in enumerate(quantiles)
+    )
+    selects = "\n  UNION ALL ".join(
+        f"SELECT d::DATE AS ts, 'Column' AS entity, 'value' AS instance, "
+        f"'{name_prefix}-{q}' AS name, lo{i} AS lower, hi{i} AS upper, "
+        f"TRUE AS within FROM bounds"
+        for i, q in enumerate(quantiles)
+    )
+    return f"""
+WITH e AS (SELECT date_trunc('day', ts) AS d, value FROM events WHERE value IS NOT NULL),
+s AS (
+  SELECT d, list_sort(list(value)) AS vals, cast(count(*) AS INT) AS n
+  FROM e GROUP BY d
+),
+slacked AS (
+  SELECT d, cast(ceil({margin!r} * n) AS INT) + 1 AS slack, vals, n FROM s
+),
+bounds AS (
+  SELECT d,
+         {bounds}
+  FROM slacked
+)
+{selects}
+"""
+
+
+def _sketch_bounds_rows(
+    agg_df: DataFrame, quantiles: list[float], margin: float, name_prefix: str, est_col: str
+):
+    """Long-format bound rows from a per-day agg frame carrying a sorted
+    ``vals`` array and per-quantile estimates. Bounds are order
+    statistics at ranks ``φ·n ∓ (⌈margin·n⌉+1)`` — the same integer
+    arithmetic the DuckDB oracle runs, so lower/upper hash-match, and
+    ``within`` verifies the sketch's rank-error guarantee."""
+    n = F.size("vals")
+    slack = F.ceil(F.lit(margin) * n).cast("int") + F.lit(1)
+
+    def lo(q):
+        r = F.greatest(F.lit(1), F.floor(F.lit(q) * n).cast("int") - slack)
+        return F.element_at("vals", r)
+
+    def hi(q):
+        r = F.least(n, F.ceil(F.lit(q) * n).cast("int") + slack)
+        return F.element_at("vals", r)
+
+    return agg_df.select(
+        F.col("d").cast("date").alias("ts"),
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit("Column").alias("entity"),
+                        F.lit("value").alias("instance"),
+                        F.lit(f"{name_prefix}-{q}").alias("name"),
+                        F.round(lo(q), 6).alias("lower"),
+                        F.round(hi(q), 6).alias("upper"),
+                        (
+                            (F.col(est_col)[i] >= lo(q))
+                            & (F.col(est_col)[i] <= hi(q))
+                        ).alias("within"),
+                    )
+                    for i, q in enumerate(quantiles)
+                ]
+            )
+        ),
+    )
+
+
+_KLL_QUANTILES = [0.25, 0.5, 0.75]
+#: KLL k=200 has ~1.65% normalized rank error at 99% confidence; 3× that
+#: margin makes a spurious exceedance astronomically unlikely while still
+#: catching any real sketch/merge regression.
+_KLL_MARGIN = 0.05
+
+
+@query("profile_events_kll", _sketch_bounds_oracle(_KLL_QUANTILES, _KLL_MARGIN, "KLLSketch"))
 def profile_events_kll(spark, sf_dir):
     """True KLLSketch analyzer parity (Deequ KLLSketch via Apache
-    DataSketches ``kll_sketch_agg_double``) — deterministic rows but the
-    sketch's compaction differs from any SQL engine's quantile, so
-    rows-only by design; accuracy vs exact quantiles is asserted in
-    tests/test_profiler.py."""
-    from thoth_spark.profiler import KLLQuantiles
-
-    df = _events(spark, sf_dir).select("ts", "value")
-    builder = ProfilingBuilder(analyzers=[KLLQuantiles("value"), Size()])
-    return _round_metrics(profile(df, "ts", builder))
+    DataSketches ``kll_sketch_agg_double``), verified by ε-bounds: each
+    per-day estimate must fall between the order statistics at ranks
+    φ·n ∓ (⌈0.05·n⌉+1) — 3× the k=200 sketch's 99%-confidence rank
+    error plus one-element slack — with the bounds computed identically
+    on both engines and the oracle pinning ``within = TRUE``. Point
+    accuracy is additionally asserted in tests/test_profiler.py."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("d"), F.col("value").cast("double").alias("value")
+    ).where(F.col("value").isNotNull())
+    agg = ev.groupBy("d").agg(
+        F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"),
+        F.sort_array(F.collect_list("value")).alias("vals"),
+    )
+    agg = agg.withColumn(
+        "est",
+        F.array(
+            *[
+                F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(float(q)))
+                for q in _KLL_QUANTILES
+            ]
+        ),
+    )
+    return _sketch_bounds_rows(agg, _KLL_QUANTILES, _KLL_MARGIN, "KLLSketch", "est")
 
 
 ORACLE_SKETCH_ROLLUP = """
@@ -3148,17 +3253,75 @@ def multimodal_decode_real(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("profile_events_approx")
+_GK_QUANTILES = [0.25, 0.5, 0.75]
+#: percentile_approx(accuracy=10000) guarantees rank error ≤ 1e-4; a
+#: 0.005 margin is 50× that — tight enough to catch a regression, loose
+#: enough that interpolation-vs-element edge effects can't flip it.
+_GK_MARGIN = 0.005
+#: approx_count_distinct's default relativeSD is 0.05; ±3σ bounds.
+_HLL_RSD = 0.05
+
+_ORACLE_APPROX_BOUNDS = (
+    _sketch_bounds_oracle(_GK_QUANTILES, _GK_MARGIN, "ApproxQuantiles").rstrip()
+    + f"""
+  UNION ALL SELECT d::DATE, 'Column', 'event_type', 'ApproxCountDistinct',
+    round(cd * {1 - 3 * _HLL_RSD!r}, 6), round(cd * {1 + 3 * _HLL_RSD!r}, 6), TRUE
+  FROM (SELECT date_trunc('day', ts) AS d, count(DISTINCT event_type)::DOUBLE AS cd
+        FROM events GROUP BY 1)
+  UNION ALL SELECT d::DATE, 'Dataset', '*', 'Size', n, n, TRUE
+  FROM (SELECT date_trunc('day', ts) AS d, count(*)::DOUBLE AS n
+        FROM events GROUP BY 1)
+"""
+)
+
+
+@query("profile_events_approx", _ORACLE_APPROX_BOUNDS)
 def profile_events_approx(spark, sf_dir):
     """Approximate profiling (GK quantile sketch + HLL++ distinct) — the
-    100 TB scale path; sketch internals differ per engine, so rows-only."""
-    from thoth_spark.profiler import ApproxCountDistinct, ApproxQuantiles
-
-    df = _events(spark, sf_dir).select("ts", "value", "event_type")
-    builder = ProfilingBuilder(
-        analyzers=[ApproxQuantiles("value"), ApproxCountDistinct("event_type"), Size()]
+    100 TB scale path — verified by ε-bounds: every GK estimate must sit
+    between the order statistics at ranks φ·n ∓ (⌈0.005·n⌉+1) (50× the
+    accuracy=10000 rank guarantee plus one-element slack), every HLL++
+    count within ±3·rsd of the exact distinct count, with the bounds
+    computed identically on both engines and the oracle pinning
+    ``within = TRUE``. Size rides along as an exact anchor."""
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.col("value").cast("double").alias("value"),
+        "event_type",
     )
-    return _round_metrics(profile(df, "ts", builder))
+    # collect_list drops nulls (matching the oracle's WHERE value IS NOT
+    # NULL bounds CTE) while count(*) stays unfiltered for the Size row.
+    q_arr = F.array(*[F.lit(q) for q in _GK_QUANTILES])
+    agg = ev.groupBy("d").agg(
+        F.percentile_approx("value", q_arr, F.lit(10000)).alias("est"),
+        F.sort_array(F.collect_list("value")).alias("vals"),
+        F.approx_count_distinct("event_type", _HLL_RSD).alias("acd"),
+        F.count_distinct("event_type").alias("cd"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    quantile_rows = _sketch_bounds_rows(agg, _GK_QUANTILES, _GK_MARGIN, "ApproxQuantiles", "est")
+    hll_rows = agg.select(
+        F.col("d").cast("date").alias("ts"),
+        F.lit("Column").alias("entity"),
+        F.lit("event_type").alias("instance"),
+        F.lit("ApproxCountDistinct").alias("name"),
+        F.round(F.col("cd") * (1 - 3 * _HLL_RSD), 6).alias("lower"),
+        F.round(F.col("cd") * (1 + 3 * _HLL_RSD), 6).alias("upper"),
+        (
+            (F.col("acd") >= F.col("cd") * (1 - 3 * _HLL_RSD))
+            & (F.col("acd") <= F.col("cd") * (1 + 3 * _HLL_RSD))
+        ).alias("within"),
+    )
+    size_rows = agg.select(
+        F.col("d").cast("date").alias("ts"),
+        F.lit("Dataset").alias("entity"),
+        F.lit("*").alias("instance"),
+        F.lit("Size").alias("name"),
+        F.col("n").alias("lower"),
+        F.col("n").alias("upper"),
+        F.lit(True).alias("within"),
+    )
+    return quantile_rows.unionByName(hll_rows).unionByName(size_rows)
 
 
 def _holt_oracle(alpha: float = 0.5, beta: float = 0.3) -> str:
