@@ -341,3 +341,36 @@ def test_ivf_plan_size_independent_of_centroid_count(spark, sf_dir):
 
     small, big = plan_len(4), plan_len(16)
     assert abs(big - small) < 200, (small, big)
+
+
+def test_fused_frequency_exchanges_independent_of_columns(spark, sf_dir):
+    """Round-5 fusion: ALL single-column frequency analyzers share one
+    explode(map)-based groupBy(ts, colname, value) pass, so the exchange
+    count and the number of events scans must NOT grow with the number
+    of profiled columns (previously one groupBy + one scan per column)."""
+    from thoth_spark.profiler import (
+        Entropy,
+        Histogram,
+        ProfilingBuilder,
+        Uniqueness,
+        UniqueValueRatio,
+        profile,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def shape(cols):
+        analyzers = []
+        for c in cols:
+            analyzers += [Uniqueness(c), UniqueValueRatio(c), Entropy(c), Histogram(c)]
+        m = profile(ev.select("ts", *cols), "ts", ProfilingBuilder(analyzers=analyzers))
+        plan = _plan(m)
+        fmt = _formatted(m, spark)
+        return (
+            plan.count("Exchange hashpartitioning"),
+            len(re.findall(r"Location:.*events", fmt)),
+        )
+
+    one = shape(["event_type"])
+    three = shape(["event_type", "user_id", "props"])
+    assert one == three, (one, three)

@@ -12,9 +12,18 @@ Execution shape (scale rationale):
   (The reference runs one Deequ job per time partition in a driver loop —
   ``/root/reference/thoth/profiler.py:313-336`` — which is O(#partitions)
   jobs; at 100 TB with years of history that's thousands of scans.)
-- Plus one ``groupBy(ts, column)`` job per column that has
-  frequency-based analyzers attached (shared across all such analyzers on
-  the same column).
+- Plus ONE fused frequency pass for ALL single-column frequency
+  analyzers (Uniqueness/UniqueValueRatio/Entropy/Histogram): the
+  profiled columns are exploded as ``(column_name, value)`` map entries
+  and counted in a single ``groupBy(ts, colname, value)`` — exchange
+  count independent of how many columns are profiled (round 5; the
+  previous shape ran one ``groupBy(ts, column)`` per column, i.e. 100
+  profiled string columns = 100 shuffles AND 100 scans). Per-column
+  metric selection happens via ``CASE WHEN`` on the column-name column,
+  never via per-column filters — a filter would be pushed below the
+  shared aggregate and split the scan per column again. Column pairs
+  (MutualInformation) and unknown GroupingAnalyzer subclasses keep the
+  per-grouping path.
 - Exact ``countDistinct`` over many columns triggers Spark's expand-based
   multi-distinct plan; the builder keeps it for reference parity, and
   :class:`~thoth_spark.profiler.analyzers.ApproxCountDistinct` is the
@@ -81,7 +90,10 @@ def profile(
     parts: list[DataFrame] = []
     if singles:
         parts.append(_single_pass(base, singles))
-    for grouping_cols, alist in _group_by_grouping(groupings).items():
+    fused, rest = _split_fusable(groupings)
+    if fused:
+        parts.extend(_fused_frequency_rows(base, fused))
+    for grouping_cols, alist in _group_by_grouping(rest).items():
         counts = _value_counts(base, grouping_cols)
         for analyzer in alist:
             parts.append(analyzer.long_rows(counts))
@@ -138,3 +150,171 @@ def _value_counts(base: DataFrame, grouping_cols: tuple[str, ...]) -> DataFrame:
         .groupBy(F.col("__ts__"), *sel)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused frequency pass (round 5)
+# ---------------------------------------------------------------------------
+
+def _split_fusable(
+    groupings: list[GroupingAnalyzer],
+) -> tuple[list[GroupingAnalyzer], list[GroupingAnalyzer]]:
+    """Fusable = single-column analyzers of the four known frequency
+    types; anything else (column pairs, user subclasses with custom
+    ``long_rows``) keeps the per-grouping path."""
+    from thoth_spark.profiler.analyzers import (
+        Entropy,
+        Histogram,
+        UniqueValueRatio,
+        Uniqueness,
+    )
+
+    fusable_types = (Uniqueness, UniqueValueRatio, Entropy, Histogram)
+    fused, rest = [], []
+    for a in groupings:
+        exact_type = type(a) in fusable_types  # subclasses may override long_rows
+        (fused if len(a.grouping) == 1 and exact_type else rest).append(a)
+    return fused, rest
+
+
+def _fused_counts(base: DataFrame, cols: list[str]) -> DataFrame:
+    """``(__ts__, __col__, __val__, cnt)`` for ALL profiled columns in
+    one scan + one exchange: explode a colname→value map, count. Shuffle
+    bytes equal the sum of the per-column passes this replaces (map-side
+    partial aggregation still applies); scans drop from N to 1."""
+    entries: list[Column] = []
+    for c in cols:
+        entries.extend([F.lit(c), F.col(c).cast("string")])
+    return (
+        base.select("__ts__", F.explode(F.create_map(*entries)).alias("__col__", "__val__"))
+        .where(F.col("__val__").isNotNull())
+        .groupBy("__ts__", "__col__", "__val__")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _fused_frequency_rows(
+    base: DataFrame, analyzers: list[GroupingAnalyzer]
+) -> list[DataFrame]:
+    """Metric rows for all fusable frequency analyzers from the shared
+    counts frame. Exchange count is constant in #columns:
+    one for the fused counts, one window/agg pass on (__ts__, __col__)
+    for the scalar metrics, and the same partitioning reused for the
+    histogram ranks."""
+    from pyspark.sql import Window as W
+    from thoth_spark.profiler.analyzers import (
+        Entropy,
+        Histogram,
+        UniqueValueRatio,
+        Uniqueness,
+    )
+
+    cols = sorted({a.grouping[0] for a in analyzers})
+    counts = _fused_counts(base, cols)
+    w = W.partitionBy("__ts__", "__col__")
+    enriched = counts.withColumn("total", F.sum("cnt").over(w)).withColumn(
+        "p", F.col("cnt") / F.col("total")
+    )
+
+    by_col: dict[str, list[GroupingAnalyzer]] = {}
+    for a in analyzers:
+        by_col.setdefault(a.grouping[0], []).append(a)
+
+    parts: list[DataFrame] = []
+
+    scalar_wanted = {
+        c: {type(a) for a in alist if not isinstance(a, Histogram)}
+        for c, alist in by_col.items()
+    }
+    if any(scalar_wanted.values()):
+        scalar = enriched.groupBy("__ts__", "__col__").agg(
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum("cnt").alias("total"),
+            F.count(F.lit(1)).alias("nvals"),
+            (-F.sum(F.col("p") * F.log("p"))).alias("entropy"),
+        )
+        exprs = {
+            Uniqueness: ("Uniqueness", F.col("n1") / F.col("total")),
+            UniqueValueRatio: ("UniqueValueRatio", F.col("n1") / F.col("nvals")),
+            Entropy: ("Entropy", F.col("entropy")),
+        }
+        # CASE WHEN per column (NOT a filter: a per-column filter would be
+        # pushed below the shared aggregate and re-split the scan)
+        chain = None
+        for c in cols:
+            structs = [
+                F.struct(
+                    F.lit("Column").alias("entity"),
+                    F.lit(c).alias("instance"),
+                    F.lit(name).alias("name"),
+                    expr.cast("double").alias("value"),
+                )
+                for typ, (name, expr) in exprs.items()
+                if typ in scalar_wanted.get(c, set())
+            ]
+            arr = F.array(*structs) if structs else F.array().cast(
+                "array<struct<entity:string,instance:string,name:string,value:double>>"
+            )
+            chain = (
+                F.when(F.col("__col__") == c, arr)
+                if chain is None
+                else chain.when(F.col("__col__") == c, arr)
+            )
+        parts.append(
+            scalar.select(
+                F.col("__ts__").alias("ts"), F.explode(chain).alias("m")
+            ).select("ts", "m.*")
+        )
+
+    hists = {a.grouping[0]: a for a in analyzers if isinstance(a, Histogram)}
+    if hists:
+        rank_w = w.orderBy(F.col("cnt").desc(), F.col("__val__"))
+        ranked = (
+            enriched.withColumn("nbins", F.count(F.lit(1)).over(w))
+            .withColumn("rk", F.row_number().over(rank_w))
+        )
+
+        chain = None
+        empty = F.array().cast(
+            "array<struct<entity:string,instance:string,name:string,value:double>>"
+        )
+        for c in cols:
+            h = hists.get(c)
+            if h is None:
+                arr = empty
+            else:
+                abs_s = F.struct(
+                    F.lit("Column").alias("entity"),
+                    F.lit(c).alias("instance"),
+                    F.concat(F.lit("Histogram.abs."), F.col("__val__")).alias("name"),
+                    F.col("cnt").cast("double").alias("value"),
+                )
+                ratio_s = F.struct(
+                    F.lit("Column").alias("entity"),
+                    F.lit(c).alias("instance"),
+                    F.concat(F.lit("Histogram.ratio."), F.col("__val__")).alias("name"),
+                    (F.col("cnt") / F.col("total")).cast("double").alias("value"),
+                )
+                bins_s = F.struct(
+                    F.lit("Column").alias("entity"),
+                    F.lit(c).alias("instance"),
+                    F.lit("Histogram.bins").alias("name"),
+                    F.col("nbins").cast("double").alias("value"),
+                )
+                in_rank = F.when(
+                    F.col("rk") <= F.lit(h.max_bins), F.array(abs_s, ratio_s)
+                ).otherwise(empty)
+                arr = F.when(
+                    F.col("rk") == 1, F.concat(in_rank, F.array(bins_s))
+                ).otherwise(in_rank)
+            chain = (
+                F.when(F.col("__col__") == c, arr)
+                if chain is None
+                else chain.when(F.col("__col__") == c, arr)
+            )
+        parts.append(
+            ranked.select(
+                F.col("__ts__").alias("ts"), F.explode(chain).alias("m")
+            ).select("ts", "m.*")
+        )
+    return parts
