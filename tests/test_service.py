@@ -338,3 +338,63 @@ def test_dashboard_page_views(spark, events_df, tmp_path):
     assert sc["forecast_interval"].count() > 0
     with pytest.raises(ValueError, match="Unknown view"):
         dashboard_page(repo, "my://dash", "nope")
+
+
+def test_public_api_parity_flow(spark, events_df, tmp_path):
+    """Round 5: the reference's thin service exports
+    (``/root/reference/thoth/__init__.py:20-38`` — init_db,
+    is_db_initialized, profile_create, get_datasets, get_optimization,
+    get_scoring, select_profiling) driven purely through the top-level
+    package API, ending in a self-contained HTML dashboard export."""
+    import os
+
+    import thoth_spark as th
+
+    repo = th.init_db(spark, str(tmp_path / "store"))
+    assert th.is_db_initialized(repo) is False
+
+    last_day = datetime.datetime(2024, 1, 30)
+    history = events_df.where(F.col("ts") < F.lit(last_day)).select("ts", "value")
+
+    metrics = th.profile_create(
+        history,
+        dataset_uri="my://api",
+        ts_column="ts",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+    )
+    assert th.is_db_initialized(repo) is True
+    assert [d["dataset_uri"] for d in th.get_datasets(repo)] == ["my://api"]
+    assert th.get_dataset(repo, "my://api")["ts_column"] == "ts"
+    assert th.select_profiling(repo, "my://api").count() == metrics.count() > 0
+
+    # optimize + persist through the orchestration, then read back
+    th.profile_create_optimize(
+        history,
+        dataset_uri="my://api",
+        ts_column="ts",
+        repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+        confidence=0.85,
+    )
+    opt = th.get_optimization(repo, "my://api")
+    assert opt.count() == 3  # Size, Mean(value), Completeness(value)
+
+    new_batch = events_df.where(F.col("ts") >= F.lit(last_day)).select("ts", "value")
+    assert (
+        th.assess_new_ts(
+            new_batch,
+            ts=last_day,
+            dataset_uri="my://api",
+            repo=repo,
+            profiling_builder=SimpleProfilingBuilder(),
+        )
+        is True
+    )
+    assert th.get_scoring(repo, "my://api").count() == 3
+
+    out = th.export_dashboard_html(repo, "my://api", str(tmp_path / "dash.html"))
+    assert os.path.exists(out)
+    page = open(out, encoding="utf-8").read()
+    assert "<svg" in page and "my://api" in page
+    assert "score vs threshold" in page and "observed vs expected band" in page

@@ -28,9 +28,21 @@ from thoth_spark.profiler import (
     SimpleProfilingBuilder,
     profile,
 )
+from thoth_spark.dashboard_html import export_dashboard_html, render_dashboard_html
 from thoth_spark.quality import AnomalousScore, LogHandler, NotificationHandler, assess_quality
 from thoth_spark.repository import DatasetValidationError, MetricsRepository
-from thoth_spark.service import assess_new_ts, profile_create_optimize
+from thoth_spark.service import (
+    assess_new_ts,
+    get_dataset,
+    get_datasets,
+    get_optimization,
+    get_scoring,
+    init_db,
+    is_db_initialized,
+    profile_create,
+    profile_create_optimize,
+    select_profiling,
+)
 from thoth_spark.session import get_spark
 
 __all__ = [
@@ -47,9 +59,19 @@ __all__ = [
     "assess_new_ts",
     "assess_quality",
     "collect_timeseries",
+    "export_dashboard_html",
+    "get_dataset",
+    "get_datasets",
+    "get_optimization",
+    "get_scoring",
     "get_spark",
+    "init_db",
+    "is_db_initialized",
     "optimize",
     "profile",
+    "profile_create",
     "profile_create_optimize",
+    "render_dashboard_html",
     "score",
+    "select_profiling",
 ]

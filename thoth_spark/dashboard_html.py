@@ -1,0 +1,220 @@
+"""Runnable dashboard: self-contained HTML export of the three reference
+dashboard views (``/root/reference/ui.py:97-293`` — profiling series,
+scoring band, forecast interval) rendered as inline SVG. No plotting
+dependency, no server: the output opens in any browser, so the engine's
+monitoring surface is usable without the reference's Streamlit stack.
+
+The data comes from the same :mod:`thoth_spark.viz` views the reference
+plots; collection happens HERE, at the presentation boundary, and is
+bounded: a dashboard page renders at most ``max_points`` points per
+metric (the newest ones), exactly like any BI tool's query limit — the
+underlying views stay lazy/distributed for programmatic consumers.
+"""
+
+from __future__ import annotations
+
+import datetime
+import html
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from thoth_spark import viz
+
+_KEY = ["entity", "instance", "name"]
+
+_W, _H, _PAD = 640, 180, 42
+
+
+def _fmt(v: float) -> str:
+    return f"{v:.4g}"
+
+
+def _scale(points, width=_W, height=_H, pad=_PAD):
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points if p[1] is not None]
+    if not ys:
+        return None
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    if x1 == x0:
+        x1 = x0 + 1
+    if y1 == y0:
+        y1 = y0 + 1
+
+    def sx(x):
+        return pad + (x - x0) / (x1 - x0) * (width - 2 * pad)
+
+    def sy(y):
+        return height - pad / 2 - (y - y0) / (y1 - y0) * (height - 1.5 * pad)
+
+    return sx, sy, (x0, x1, y0, y1)
+
+
+def _polyline(points, sx, sy, color, dash=""):
+    pts = " ".join(
+        f"{sx(x):.1f},{sy(y):.1f}" for x, y in points if y is not None
+    )
+    dash_attr = f' stroke-dasharray="{dash}"' if dash else ""
+    return (
+        f'<polyline fill="none" stroke="{color}" stroke-width="1.5"'
+        f'{dash_attr} points="{pts}"/>'
+    )
+
+
+def _chart(title: str, series: list[tuple[str, str, str, list]], markers=None) -> str:
+    """One SVG chart. ``series`` = [(label, color, dash, [(x, y)...])];
+    ``markers`` = [(x, y, color)] highlighted points."""
+    all_pts = [p for _, _, _, pts in series for p in pts]
+    scaled = _scale(all_pts)
+    if scaled is None:
+        return f"<h3>{html.escape(title)}</h3><p>(no data)</p>"
+    sx, sy, (x0, x1, y0, y1) = scaled
+    parts = [
+        f'<svg viewBox="0 0 {_W} {_H}" width="{_W}" height="{_H}" '
+        f'style="background:#fff;border:1px solid #ddd">',
+        f'<text x="{_PAD}" y="14" font-size="12" font-weight="bold">'
+        f"{html.escape(title)}</text>",
+    ]
+    legend_x = _PAD
+    for label, color, dash, pts in series:
+        parts.append(_polyline(pts, sx, sy, color, dash))
+        parts.append(
+            f'<text x="{legend_x}" y="28" font-size="10" fill="{color}">'
+            f"{html.escape(label)}</text>"
+        )
+        legend_x += 9 * len(label) + 18
+    for x, y, color in markers or []:
+        if y is not None:
+            parts.append(
+                f'<circle cx="{sx(x):.1f}" cy="{sy(y):.1f}" r="3.5" '
+                f'fill="{color}"/>'
+            )
+    parts.append(
+        f'<text x="2" y="{_H - _PAD / 2:.0f}" font-size="9">{_fmt(y0)}</text>'
+        f'<text x="2" y="{_PAD / 2 + 8:.0f}" font-size="9">{_fmt(y1)}</text>'
+    )
+    lo = datetime.datetime.fromtimestamp(x0, datetime.timezone.utc)
+    hi = datetime.datetime.fromtimestamp(x1, datetime.timezone.utc)
+    parts.append(
+        f'<text x="{_PAD}" y="{_H - 4}" font-size="9">{lo:%Y-%m-%d}</text>'
+        f'<text x="{_W - _PAD - 52}" y="{_H - 4}" font-size="9">{hi:%Y-%m-%d}</text>'
+    )
+    parts.append("</svg>")
+    return "".join(parts)
+
+
+def _tail_per_metric(df: DataFrame, max_points: int) -> DataFrame:
+    w = W.partitionBy(*_KEY).orderBy(F.col("ts").desc())
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .where(F.col("__rn__") <= max_points)
+        .drop("__rn__")
+    )
+
+
+def _collect_by_metric(df: DataFrame, max_points: int):
+    rows = _tail_per_metric(df, max_points).orderBy(*_KEY, "ts").collect()
+    by_metric: dict[tuple, list] = {}
+    for r in rows:
+        by_metric.setdefault((r["entity"], r["instance"], r["name"]), []).append(r)
+    return by_metric
+
+
+def _epoch(ts) -> float:
+    if isinstance(ts, datetime.datetime):
+        return ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+    return datetime.datetime.combine(
+        ts, datetime.time(), tzinfo=datetime.timezone.utc
+    ).timestamp()
+
+
+def render_dashboard_html(
+    repo, dataset_uri: str, max_points: int = 1000
+) -> str:
+    """The full three-view dashboard page for one dataset as a single
+    HTML string. Works with either repository adapter (parquet or JDBC)."""
+    sections: list[str] = [
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>thoth_spark — {html.escape(dataset_uri)}</title>"
+        "<style>body{font-family:sans-serif;margin:24px}"
+        "h2{border-bottom:1px solid #ccc;padding-bottom:4px}</style></head><body>",
+        f"<h1>thoth_spark dashboard — {html.escape(dataset_uri)}</h1>",
+    ]
+
+    metrics = repo.select_profiling(dataset_uri)
+    sections.append("<h2>&#128100; Profiling</h2>")
+    for key, rows in _collect_by_metric(
+        viz.timeseries_view(metrics), max_points
+    ).items():
+        pts = [(_epoch(r["ts"]), r["value"]) for r in rows]
+        sections.append(
+            _chart(" / ".join(key), [("value", "#1f77b4", "", pts)])
+        )
+
+    try:
+        opt = repo.get_optimization(dataset_uri)
+        scoring = repo.select_scoring(dataset_uri)
+    except Exception:
+        sections.append("</body></html>")
+        return "".join(sections)
+
+    sections.append("<h2>&#128200; Optimization &amp; &#128175; Scoring</h2>")
+    band = viz.scoring_view(scoring, opt)
+    for key, rows in _collect_by_metric(band, max_points).items():
+        pts_score = [(_epoch(r["ts"]), r["score"]) for r in rows]
+        pts_thr = [(_epoch(r["ts"]), r["threshold"]) for r in rows]
+        anomalous = [
+            (_epoch(r["ts"]), r["score"], "#d62728")
+            for r in rows
+            if r["is_anomalous"]
+        ]
+        sections.append(
+            _chart(
+                " / ".join(key) + " — score vs threshold",
+                [
+                    ("score", "#1f77b4", "", pts_score),
+                    ("threshold", "#d62728", "4 3", pts_thr),
+                ],
+                markers=anomalous,
+            )
+        )
+
+    interval = viz.forecast_interval_view(scoring, opt)
+    for key, rows in _collect_by_metric(interval, max_points).items():
+        sections.append(
+            _chart(
+                " / ".join(key) + " — observed vs expected band",
+                [
+                    (
+                        "observed",
+                        "#1f77b4",
+                        "",
+                        [(_epoch(r["ts"]), r["observed"]) for r in rows],
+                    ),
+                    (
+                        "expected_min",
+                        "#2ca02c",
+                        "4 3",
+                        [(_epoch(r["ts"]), r["expected_min"]) for r in rows],
+                    ),
+                    (
+                        "expected_max",
+                        "#2ca02c",
+                        "4 3",
+                        [(_epoch(r["ts"]), r["expected_max"]) for r in rows],
+                    ),
+                ],
+            )
+        )
+
+    sections.append("</body></html>")
+    return "".join(sections)
+
+
+def export_dashboard_html(repo, dataset_uri: str, path: str, max_points: int = 1000) -> str:
+    """Write :func:`render_dashboard_html` to ``path``; returns the path."""
+    content = render_dashboard_html(repo, dataset_uri, max_points)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(content)
+    return path

@@ -113,3 +113,79 @@ def assess_new_ts(
         notification_handlers=notification_handlers,
         dataset_uri=dataset_uri,
     )
+
+
+# ---------------------------------------------------------------------------
+# Thin service wrappers — API parity with the reference's 18 exported
+# functions (``/root/reference/thoth/__init__.py:20-38``). The reference
+# builds a SQLAlchemy engine from env config; the Spark-native analogue
+# of "the database" is a MetricsRepository rooted at a storage path
+# (parquet) — or the JDBC adapter for an actual RDBMS.
+# ---------------------------------------------------------------------------
+
+
+def init_db(spark, base_path: str) -> MetricsRepository:
+    """Create (or open) the metrics repository at ``base_path`` —
+    reference ``init_db``/``build_engine`` (``service_layer.py:24-36``):
+    there is no DDL to run for parquet tables, so init is just rooting
+    the repository; tables materialize on first write."""
+    return MetricsRepository(spark, base_path)
+
+
+def is_db_initialized(repo: MetricsRepository) -> bool:
+    """True once the repository's dataset registry exists — reference
+    ``is_db_initialized`` (``service_layer.py:38-41``) checks for the
+    ``dataset`` table's existence; the parquet analogue is the
+    ``datasets`` directory's existence."""
+    return repo._table_exists(repo._path("datasets"))
+
+
+def profile_create(
+    df: DataFrame,
+    dataset_uri: str,
+    ts_column: str,
+    repo: MetricsRepository,
+    profiling_builder: ProfilingBuilder | None = None,
+    granularity: str = Granularity.DAY,
+) -> DataFrame:
+    """Profile a dataset AND register it + persist the metrics —
+    reference ``profile_create`` (``service_layer.py:207-242``).
+    Returns the metrics DataFrame (long format)."""
+    metrics = profile(df, ts_column, profiling_builder, granularity)
+    repo.add_dataset(
+        dataset_uri, ts_column, [c for c in df.columns if c != ts_column], granularity
+    )
+    repo.add_profiling(dataset_uri, metrics, granularity)
+    return metrics
+
+
+def get_datasets(repo: MetricsRepository) -> list[dict]:
+    """All registered datasets — reference ``get_datasets``."""
+    return repo.get_datasets()
+
+
+def get_dataset(repo: MetricsRepository, dataset_uri: str) -> dict | None:
+    """One dataset's registration record — reference ``get_dataset``."""
+    return repo.get_dataset(dataset_uri)
+
+
+def get_optimization(repo: MetricsRepository, dataset_uri: str) -> DataFrame:
+    """The stored optimization for a dataset — reference
+    ``get_optimization``."""
+    return repo.get_optimization(dataset_uri)
+
+
+def get_scoring(
+    repo: MetricsRepository, dataset_uri: str, start_ts=None, end_ts=None
+) -> DataFrame:
+    """Stored scoring events (closed interval) — reference
+    ``get_scoring``."""
+    return repo.select_scoring(dataset_uri, start_ts=start_ts, end_ts=end_ts)
+
+
+def select_profiling(
+    repo: MetricsRepository, dataset_uri: str, start_ts=None, end_ts=None
+) -> DataFrame:
+    """Stored profiling metrics (closed interval) — reference
+    ``select_profiling``."""
+    return repo.select_profiling(dataset_uri, start_ts=start_ts, end_ts=end_ts)
