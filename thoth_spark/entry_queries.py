@@ -62,77 +62,80 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot round-4 window, rotated
-# so every catalogue query gets a driver row no older than two rounds:
-# (a) queries that have never had a green driver row (psi_drift errored
-#     before ever going green; the rest are rows-only by design and get
-#     the weaker rows-only record);
-# (b) round-4 additions (real PPM decode with a closed-form oracle;
-#     ℓ1-changepoint trend CV, rows-only);
-# (c) the events-based queries that regressed in r3 via the loader bug —
-#     green in r1/r2, fixed this round by the dtype-robust load_table —
-#     so CORRECTNESS_r04 proves the revival;
-# (d) queries last driver-verified in round 2 (dedup/embedding families,
-#     remaining TPC-H) now due under the two-round rule.
-# Names not listed keep registration order after these; r3's 25 green
-# rows (TPC-H core, curation/LM family) rotate back in next round.
+# entries, so this list is exactly the 50-slot round-5 window. Rotation
+# policy: every catalogue query's last driver row stays ≤ 2 rounds old
+# where the 113-query catalogue allows it (113 > 2×50, so a 13-query
+# tail is always exactly 3 rounds old; r4 covered 50, this window covers
+# the entire due set). Composition:
+# (a) never windowed at all (profile_events_monthly — registration-order
+#     accident in r1-r4);
+# (b) last driver row r1 — the oldest debt (TPC-H window/rollup family,
+#     asof, json props);
+# (c) last driver row r2 — text/curation/sampling/similarity families
+#     and the two streaming queries that ceded their r4 slots;
+# (d) round-5 upgrades that MUST re-verify: profile_events_approx/kll
+#     (rows-only → ε-bounds oracles this round) and
+#     profile_events_frequency/histogram (same oracles, new fused
+#     frequency implementation underneath);
+# (e) 8 of the 25 r3-green queries (the rest stay 3 rounds old and lead
+#     the r6 window: tpch q3-q14/q16.., mix, training_order,
+#     line_dedup, streaming_curate).
 DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-green
-    "psi_drift_events",
+    # (a) never windowed
+    "profile_events_monthly",
+    # (b) last driver row r1
+    "tpch_q16_supplier_counts",
+    "tpch_q20_part_promotion",
+    "top_orders_per_customer",
+    "trailing_window_revenue",
+    "customer_revenue_deciles",
+    "set_ops_customers",
+    "rollup_orders",
+    "cube_orders",
+    "grouping_sets_orders",
+    "asof_join_purchase_click",
+    "events_json_props",
+    "dedup_exact_documents",
+    # (c) last driver row r2
+    "sessionize_events",
+    "text_quality_documents",
+    "text_stats_documents",
+    "lang_id_documents",
+    "fingerprint_documents",
+    "sample_documents_hash",
+    "sample_documents_stratified",
+    "sample_documents_budget",
+    "curate_documents_pipeline",
+    "similarity_topk_brute",
+    "embedding_neardup_exact",
+    "multimodal_decode_stub",
+    "anomaly_holt_validation",
+    "anomaly_ar1_validation",
+    "similarity_topk_vectorized",
+    "sample_documents_token_budget",
+    "token_count_documents",
+    "multimodal_frame_sample",
+    "streaming_running_score",
+    "streaming_profile_events",
+    "redact_pii_documents",
+    "chunk_documents",
+    "repetition_documents",
+    "contamination_documents",
+    "line_dedup_documents",
+    # (d) round-5 upgrades re-verifying under new oracles/implementation
     "profile_events_approx",
     "profile_events_kll",
-    "similarity_topk_ivf",
-    "anomaly_sarima_validation",
-    "accuracy_study_events",
-    "classifier_quality_documents",
-    # (b) round-4 additions
-    "multimodal_decode_real",
-    "anomaly_changepoint_validation",
-    "dedup_minhash_capped_documents",
-    "bucketed_join_orders_lineitem",
-    # (c) r3-regressed events queries — revival proof
-    "profile_events_exact",
-    "profile_events_minmax_sum",
-    "profile_events_extended",
     "profile_events_frequency",
     "profile_events_histogram",
-    "profile_events_inferred_types",
-    "profile_events_hourly_size",
-    "profile_events_weekly",
-    "anomaly_sm_window_preds",
-    "anomaly_sm_validation",
-    "anomaly_sm_threshold",
-    "anomaly_scoring_events",
-    "quality_assessment_events",
-    "sketch_rollup_weekly_events",
-    "viz_series_events",
-    "viz_score_band_events",
-    "viz_forecast_interval_events",
-    "anomaly_seasonal_naive_validation",
-    "anomaly_multimodel_threshold",
-    "dedup_exact_events",
-    "repository_roundtrip_profiling",
-    "repository_roundtrip_jdbc",
-    # (streaming_running_score / streaming_profile_events rotate to r5 —
-    # both pass the local oracle gate; slots ceded to the (b) additions)
-    "streaming_watermark_profile_events",
-    "streaming_dedup_events",
-    "streaming_sketch_rollup_events",
-    # (d) last verified r2 — due under the two-round rotation rule
-    "dedup_ngram_jaccard_documents",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_documents",
-    "dedup_simhash_documents",
-    "dedup_minhash_components",
-    "dedup_simhash_pairs_documents",
-    "dedup_minhash_survivors",
-    "similarity_topk_lsh",
-    "embedding_neardup_lsh",
-    "embedding_dedup_components",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume_customer",
-    "tpch_q21_waiting_suppliers",
+    # (e) r3 greens rotating back in
+    "profile_documents_mutual_information",
+    "tpch_q1_pricing_summary",
+    "range_join_transit_orders",
+    "similarity_topk_quantized",
+    "line_dedup_none_documents",
+    "pack_documents",
+    "perplexity_documents",
+    "streaming_curate_documents",
 ]
 
 
@@ -168,10 +171,15 @@ def _documents(spark, sf_dir):
     round-robin shuffle buys full parallelism — but at 100 TB the input
     already arrives in thousands of scan partitions and an unconditional
     ``repartition`` would insert a gratuitous full-corpus exchange before
-    every text query. The check is plan-time only (no job runs)."""
+    every text query. The probe is file-count metadata only (round-5 fix:
+    the previous ``df.rdd.getNumPartitions()`` forced a full RDD plan
+    conversion on every query construction). File count is a lower bound
+    on scan partitions (big files split by maxPartitionBytes), so the
+    only error mode is an extra repartition on a few-giant-files layout —
+    safe, and real 100 TB corpora arrive as thousands of files."""
     df = load_table(spark, sf_dir, "documents")
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         df = df.repartition(target)
     return df
 
