@@ -795,6 +795,76 @@ def test_line_dedup_none_hot_boilerplate_key(spark):
     assert one["text_deduped"] == "unique 7\nunique 7"
 
 
+def test_passage_dedup_cross_doc_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two alpha beta gamma delta seven"),
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in curation.passage_dedup(df, window=3).collect()}
+    # the shared 4-token run spans two duplicated 3-windows; their union
+    # is removed from BOTH docs (no surviving copy — ExactSubstr semantics)
+    assert out[1]["text_deduped"] == "epsilon zeta"
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (6, 2)
+    assert out[2]["text_deduped"] == "one two seven"
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (7, 3)
+    # below-window docs generate no windows and pass through unchanged
+    assert out[3]["text_deduped"] == "tiny doc"
+    assert (out[3]["n_tokens"], out[3]["n_kept"]) == (2, 2)
+
+
+def test_passage_dedup_within_doc_repeat(spark):
+    """min_count counts instances, not documents: a passage repeated
+    inside ONE document is still a duplicate; overlapping duplicated
+    windows cover the whole doc here."""
+    df = spark.createDataFrame(
+        [(1, "x y z q x y z q"), (2, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in curation.passage_dedup(df, window=3).collect()}
+    assert out[1]["text_deduped"] == ""
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (8, 0)
+    assert out[2]["text_deduped"] == "totally unrelated words here"
+    assert (out[2]["n_tokens"], out[2]["n_kept"]) == (4, 4)
+
+
+def test_passage_dedup_validates_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="window"):
+        curation.passage_dedup(df, window=0)
+    with pytest.raises(ValueError, match="min_count"):
+        curation.passage_dedup(df, min_count=1)
+
+
+def test_passage_dedup_hot_boilerplate_window(spark):
+    """Adversarial skew: one boilerplate passage in EVERY document (the
+    licence-header case). The dup set stays tiny (distinct window
+    hashes), instances join linearly — correctness: the footer is gone
+    from all docs, per-doc unique text survives."""
+    n = 2000
+    rows = [
+        (i, f"COMMON LICENSE HEADER TEXT unique{i} body{i} tail{i}")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = curation.passage_dedup(df, window=4)
+    agg = out.agg(
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_tokens").alias("toks"),
+        F.count(F.lit(1)).alias("docs"),
+    ).collect()[0]
+    assert agg["docs"] == n
+    assert agg["toks"] == 7 * n
+    # only the 4-token header window duplicates; "text unique{i} ..." windows
+    # differ per doc, so coverage is exactly the header's 4 positions
+    assert agg["kept"] == 3 * n
+    one = out.where(F.col("id") == 11).collect()[0]
+    assert one["text_deduped"] == "unique11 body11 tail11"
+
+
 def test_pack_sequences_greedy_fill(spark):
     df = spark.createDataFrame(
         [(i, 30) for i in range(10)], "doc_id long, n_tokens long"

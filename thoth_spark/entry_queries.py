@@ -4337,6 +4337,65 @@ def line_dedup_none_documents(spark, sf_dir):
     )
 
 
+_PASSAGE_W = 12  # duplicated-window length in tokens
+
+ORACLE_PASSAGE_DEDUP = f"""
+WITH d AS ({_DOC_TOKENS}),
+w AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - {_PASSAGE_W} + 1))::INT - 1 AS pos,
+         toks
+  FROM d WHERE len(toks) >= {_PASSAGE_W}
+),
+wh AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(toks[pos + 1 : pos + {_PASSAGE_W}], ' ')) AS h
+  FROM w
+),
+dup AS (SELECT h FROM wh GROUP BY h HAVING count(*) >= 2),
+starts AS (SELECT doc_id, pos FROM wh JOIN dup USING (h)),
+cov AS (
+  SELECT DISTINCT doc_id,
+         unnest(generate_series(pos, pos + {_PASSAGE_W} - 1))::INT AS pos
+  FROM starts
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) - 1 AS pos
+  FROM d
+),
+kept AS (
+  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS txt,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.pos IS NULL GROUP BY 1
+)
+SELECT d.doc_id, md5(coalesce(kept.txt, '')) AS dedup_md5,
+       CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept
+FROM d LEFT JOIN kept USING (doc_id)
+"""
+
+
+@query("passage_dedup_documents", ORACLE_PASSAGE_DEDUP)
+def passage_dedup_documents(spark, sf_dir):
+    """Exact-substring passage dedup (window-quantized Lee et al.
+    ExactSubstr): every 12-token run whose exact content occurs >= 2
+    times corpus-wide is removed from ALL occurrences, and documents are
+    reassembled from surviving tokens. Catches duplicated REGIONS inside
+    otherwise-unique documents (licence headers, templated paragraphs) —
+    the gap document-level MinHash/SimHash leave open. Scale shape: one
+    window explode + two-phase groupBy(window-hash) + instance join +
+    per-doc regroup — candidate volume linear in corpus tokens, never
+    all-pairs (operators/curation.py passage_dedup)."""
+    docs = _documents(spark, sf_dir)
+    out = curation.passage_dedup(docs, "doc_id", "text", window=_PASSAGE_W, min_count=2)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.md5("text_deduped").alias("dedup_md5"),
+        "n_tokens",
+        "n_kept",
+    )
+
+
 _PACK_BUDGET, _PACK_SHARDS = 64, 4
 
 _PACK_SHARD_SQL = (

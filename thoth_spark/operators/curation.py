@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from thoth_spark.operators.sampling import HASH_BUCKETS, _bucket
+from thoth_spark.operators.text import tokens as text_tokens
 
 
 def line_dedup(
@@ -116,6 +117,126 @@ def line_dedup(
         ).alias("text_deduped"),
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+
+
+def duplicated_passage_starts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Start positions (0-based token index) of every duplicated passage
+    window: length-``window`` token runs whose exact content appears at
+    least ``min_count`` times corpus-wide (across documents OR repeated
+    inside one document). Returns ``(id, pos)``.
+
+    This is the window-quantized form of exact-substring training-data
+    dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22 — public): the suffix-array formulation finds every
+    duplicated substring ≥ L tokens; quantizing to stride-1 windows of
+    exactly L tokens finds the same duplicated regions (any duplicated
+    run ≥ L tokens contains ≥ 1 duplicated window; runs < L are below
+    the dedup threshold by definition) and maps onto two hash shuffles
+    instead of a distributed suffix array.
+
+    Scale shape: one explode to (doc, pos, window-hash) — corpus tokens ×
+    1 rows, each carrying a 32-hex hash, not the window text — then a
+    two-phase ``groupBy(wh)`` count (map-side partials absorb hot
+    boilerplate windows) and a shuffle join of the instance frame against
+    the duplicated-hash set. Never all-pairs: candidate volume is linear
+    in corpus tokens regardless of duplicate density.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = text_tokens(F.col(text_col))
+    wins = (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .where(F.size("__toks") >= window)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__toks") - (window - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i, window))),
+                )
+            ).alias("pos", "wh"),
+        )
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= int(min_count))
+        .select("wh")
+    )
+    return wins.join(dup, "wh").select("id", "pos")
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring passage dedup: remove every token covered by a
+    duplicated length-``window`` token run (see
+    :func:`duplicated_passage_starts`) from ALL of its occurrences, and
+    reassemble each document from its surviving tokens. The standard
+    LLM-corpus step for memorization/repetition control — unlike
+    document-level near-dup (MinHash/SimHash) it removes duplicated
+    REGIONS inside otherwise-unique documents (licence headers, quoted
+    boilerplate, templated paragraphs).
+
+    Note this drops the duplicated text everywhere (no surviving copy) —
+    Lee et al.'s ExactSubstr semantics, which measured no quality loss
+    from removing all copies; use :func:`line_dedup` ``keep='first'``
+    when a canonical copy must survive.
+
+    Returns ``(id, text_deduped, n_tokens, n_kept)`` for every input
+    document (documents shorter than ``window`` tokens pass through
+    unchanged).
+
+    Scale shape beyond the window-finding pass: covered positions expand
+    each duplicated window start into ``window`` rows — expansion ∝
+    duplicated-text volume × window, bounded by corpus tokens × window
+    in the degenerate all-duplicate corpus, and de-duplicated per (doc,
+    position) before the anti-join; the survivor anti-join and the
+    reassembly ``groupBy(id)`` share one hash partitioning on id. No
+    step buffers a whole document's hot key in one task except the
+    per-document reassembly itself (bounded by document length).
+    """
+    starts = duplicated_passage_starts(df, id_col, text_col, window, min_count)
+    covered = starts.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (window - 1))).alias("pos")
+    ).distinct()
+    tokpos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(text_tokens(F.col(text_col))).alias("pos", "tok"),
+    ).repartition("id")
+    kept = tokpos.join(covered, ["id", "pos"], "left_anti")
+    kept_structs = F.array_sort(F.collect_list(F.struct("pos", "tok")))
+    reassembled = kept.groupBy("id").agg(
+        F.array_join(F.transform(kept_structs, lambda s: s["tok"]), " ").alias(
+            "text_deduped"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(text_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    return (
+        base.join(reassembled, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
+            "n_tokens",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
     )
 
 
