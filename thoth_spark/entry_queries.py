@@ -3593,6 +3593,22 @@ def similarity_topk_ivf(spark, sf_dir):
     )
 
 
+@query("similarity_topk_ivf_fullprobe", ORACLE_TOPK_EMB)
+def similarity_topk_ivf_fullprobe(spark, sf_dir):
+    """The SAME IVF code path (K-Means training, pandas-UDF centroid
+    assignment, cell equi-join) run at ``nprobe = n_centroids``: every
+    query probes every cell, so the candidate set is the whole corpus
+    and the result equals exact brute-force REGARDLESS of where K-Means
+    put the centroids — which makes the IVF dataflow hash-verifiable
+    against the exact top-k oracle (the partial-probe query above stays
+    rows-only by its approximate nature). This is the standard
+    recall=1.0 calibration point any IVF deployment measures first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=8
+    )
+
+
 def _neardup_lsh_oracle(nbits: int = 6, threshold: float = 0.4) -> str:
     from thoth_spark.operators.similarity import _hyperplanes
 
