@@ -321,6 +321,34 @@ def test_psi_daily_flags_shift_not_stability(spark):
         drift.quantile_edges(df, "value", n_bins=1)
 
 
+def test_ks_daily_alarms_on_shift_only(spark):
+    import datetime
+
+    from thoth_spark.profiler import drift
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 7 reference days uniform [0,100); day 8 same shape; day 9 fully
+    # shifted; day 10 half-shifted (KS should sit near 0.5)
+    for day in range(10):
+        for i in range(500):
+            v = (i * 7919 % 500) / 5.0
+            if day == 8:
+                v += 200.0
+            elif day == 9 and i % 2 == 0:
+                v += 200.0
+            rows.append((base + datetime.timedelta(days=day, seconds=i), v))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    got = {r["d"].day: r for r in drift.ks_daily(df, "ts", "value", "2024-01-08").collect()}
+    assert got[8]["ks"] < 0.05 and got[8]["ks_alarm"] == 0
+    # every value above every reference edge -> max CDF gap ~= 1 - 1/bins
+    assert got[9]["ks"] > 0.9 and got[9]["ks_alarm"] == 1
+    assert 0.4 < got[10]["ks"] < 0.6 and got[10]["ks_alarm"] == 1
+    assert all(r["n"] == 500 for r in got.values())
+    with pytest.raises(ValueError, match="n_bins"):
+        drift.ks_against_reference(df, "ts", "value", None, None, n_bins=1)
+
+
 def test_psi_bucket_of_matches_edges(spark):
     from pyspark.sql import functions as F
 

@@ -4055,6 +4055,71 @@ FROM terms GROUP BY 1, 2
 """
 
 
+_KS_BINS = 20
+_KS_PROBS = ",".join(repr(i / _KS_BINS) for i in range(1, _KS_BINS))
+
+ORACLE_KS_DRIFT = f"""
+WITH clean AS (
+  SELECT ts::TIMESTAMP AS ts, value FROM events WHERE value IS NOT NULL
+),
+ref AS (SELECT value FROM clean WHERE ts < TIMESTAMP '2024-01-08'),
+ed AS (
+  SELECT list_transform(
+           quantile_cont(value, [{_KS_PROBS}]),
+           x -> round(x, 6)) AS edges
+  FROM ref
+),
+refb AS (
+  SELECT len(list_filter(ed.edges, x -> value > x)) AS b, count(*) AS rc
+  FROM ref CROSS JOIN ed GROUP BY 1
+),
+rn AS (SELECT CAST(sum(rc) AS DOUBLE) AS rn FROM refb),
+cur AS (
+  SELECT date_trunc('day', ts) AS d,
+         len(list_filter(ed.edges, x -> value > x)) AS b
+  FROM clean CROSS JOIN ed WHERE ts >= TIMESTAMP '2024-01-08'
+),
+dayb AS (SELECT d, b, count(*) AS c FROM cur GROUP BY 1, 2),
+dayn AS (SELECT d, CAST(sum(c) AS DOUBLE) AS n FROM dayb GROUP BY 1),
+grid AS (
+  SELECT days.d, gs.b
+  FROM (SELECT DISTINCT d FROM dayb) days
+  CROSS JOIN (SELECT unnest(range({_KS_BINS})) AS b) gs
+),
+cdf AS (
+  SELECT g.d, g.b,
+         sum(coalesce(dayb.c, 0)::DOUBLE) OVER (PARTITION BY g.d ORDER BY g.b) AS cum_c,
+         sum(coalesce(refb.rc, 0)::DOUBLE) OVER (PARTITION BY g.d ORDER BY g.b) AS cum_rc,
+         dayn.n, rn.rn
+  FROM grid g
+  LEFT JOIN dayb ON g.d = dayb.d AND g.b = dayb.b
+  LEFT JOIN refb ON g.b = refb.b
+  JOIN dayn ON g.d = dayn.d
+  CROSS JOIN rn
+)
+SELECT d::TIMESTAMP AS d, CAST(n AS BIGINT) AS n,
+       round(max(CASE WHEN b < {_KS_BINS - 1} THEN abs(cum_c / n - cum_rc / rn) END), 6) AS ks,
+       CASE WHEN max(CASE WHEN b < {_KS_BINS - 1} THEN abs(cum_c / n - cum_rc / rn) END)
+            > max(1.358 * sqrt((n + rn) / (n * rn))) THEN 1 ELSE 0 END AS ks_alarm
+FROM cdf GROUP BY d, n
+"""
+
+
+@query("ks_drift_events", ORACLE_KS_DRIFT)
+def ks_drift_events(spark, sf_dir):
+    """Per-day two-sample Kolmogorov–Smirnov drift of `value` against
+    the first week as the frozen reference: max CDF gap on the
+    reference's 20-quantile grid, with the distribution-free α=0.05
+    rejection bound as an alarm column. Complements psi_drift_events
+    (probability-unit gap + principled threshold vs PSI's log-weighted
+    index); identical scale shape — input rows never shuffle, all
+    post-count frames are O(#days × bins)."""
+    from thoth_spark.profiler import drift
+
+    ev = _events(spark, sf_dir)
+    return drift.ks_daily(ev, "ts", "value", "2024-01-08", n_bins=_KS_BINS)
+
+
 @query("psi_drift_events", ORACLE_PSI_DRIFT)
 def psi_drift_events(spark, sf_dir):
     """Per-day Population Stability Index of `value` against the first

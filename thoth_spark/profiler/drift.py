@@ -23,8 +23,12 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+#: Kolmogorov critical-value coefficient c(α) at α = 0.05: reject
+#: equality when D > c(α)·sqrt((n+m)/(n·m)) (two-sample asymptotic).
+KS_COEFF_05 = 1.358
 
 
 def quantile_edges(
@@ -85,6 +89,106 @@ def psi_daily(
     cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
     edges, ref_b = freeze_reference(ref, value_col, n_bins)
     return psi_against_reference(cur, ts_col, value_col, edges, ref_b, n_bins, eps)
+
+
+def ks_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    ref_end: str,
+    n_bins: int = 20,
+    alpha_coeff: float = KS_COEFF_05,
+) -> DataFrame:
+    """Per-day two-sample Kolmogorov–Smirnov drift of ``value_col``
+    against the reference window ``ts < ref_end``: the max |ΔCDF|
+    between each day and the reference, evaluated on the reference's
+    frozen ``n_bins``-quantile grid (binned KS — the grid bounds the
+    statistic's resolution at 1/n_bins, which is exactly the drift
+    magnitude worth alarming on; raise ``n_bins`` for finer
+    sensitivity). Complements PSI: KS reads in probability units
+    (max CDF gap) with a distribution-free critical value, while PSI
+    weights tail buckets logarithmically.
+
+    Returns ``(d, n, ks, ks_alarm)`` where ``ks_alarm`` applies the
+    asymptotic α=0.05 rejection bound ``c(α)·sqrt((n+m)/(n·m))``.
+
+    Same scale shape as :func:`psi_daily`: one exact-percentile pass
+    over the bounded reference, bucketing as a JVM higher-order
+    function, and every post-count frame is O(#days × n_bins)
+    metadata (the CDF cumulative windows run on that tiny grid, never
+    on input rows)."""
+    clean = df.where(F.col(value_col).isNotNull()).select(ts_col, value_col)
+    ref = clean.where(F.col(ts_col) < F.lit(ref_end).cast("timestamp"))
+    cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
+    edges, ref_b = freeze_reference(ref, value_col, n_bins)
+    return ks_against_reference(
+        cur, ts_col, value_col, edges, ref_b, n_bins, alpha_coeff
+    )
+
+
+def ks_against_reference(
+    cur: DataFrame,
+    ts_col: str,
+    value_col: str,
+    edges: DataFrame,
+    ref_b: DataFrame,
+    n_bins: int = 20,
+    alpha_coeff: float = KS_COEFF_05,
+) -> DataFrame:
+    """Per-day binned KS of ``cur`` against a FROZEN reference (see
+    :func:`freeze_reference` — pass the same ``n_bins``)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    day_b = (
+        cur.crossJoin(F.broadcast(edges))
+        .select(
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+            bucket_of(F.col(value_col), F.col("edges")).alias("b"),
+        )
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        day_b.select("d")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                edges.select(
+                    F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("b")
+                )
+            )
+        )
+    )
+    ref_tot = ref_b.agg(F.sum("rc").alias("rn"))
+    day_tot = day_b.groupBy("d").agg(F.sum("c").alias("n"))
+    # CDF gap at each interior quantile edge e_{b+1} = |prefix-share
+    # difference through bucket b|; the final bucket's prefix is 1 for
+    # both sides, so it is excluded from the max. The cumulative windows
+    # partition by day over n_bins rows — metadata-scale, never input.
+    wcum = W.partitionBy("d").orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    gap = F.abs(
+        F.sum("c_full").over(wcum) / F.col("n")
+        - F.sum("rc_full").over(wcum) / F.col("rn")
+    )
+    # counts as doubles BEFORE multiplying: n·m on longs overflows once
+    # day × reference row counts pass ~9.2e18 (real at 100 TB)
+    nn, mm = F.col("n").cast("double"), F.col("rn").cast("double")
+    crit = F.lit(alpha_coeff) * F.sqrt((nn + mm) / (nn * mm))
+    return (
+        grid.join(day_b, ["d", "b"], "left")
+        .withColumn("c_full", F.coalesce(F.col("c"), F.lit(0)).cast("double"))
+        .join(F.broadcast(ref_b), "b", "left")
+        .withColumn("rc_full", F.coalesce(F.col("rc"), F.lit(0)).cast("double"))
+        .join(F.broadcast(day_tot), "d")
+        .crossJoin(F.broadcast(ref_tot))
+        .withColumn("__gap", F.when(F.col("b") < n_bins - 1, gap))
+        .groupBy("d")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(F.max("__gap"), 6).alias("ks"),
+            (F.max("__gap") > F.max(crit)).cast("int").alias("ks_alarm"),
+        )
+    )
 
 
 def psi_against_reference(
