@@ -298,6 +298,27 @@ def test_sketch_profile_validates_granularity(spark, events_df):
         rollup_sketches(daily, "fortnight")
 
 
+def test_approx_topk_exact_at_low_cardinality(spark):
+    import datetime
+
+    from thoth_spark.profiler import profile
+    from thoth_spark.profiler.analyzers import ApproxTopK
+    from thoth_spark.profiler.builder import ProfilingBuilder
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = (
+        [(base, "a")] * 5 + [(base, "b")] * 3 + [(base, "c")] * 2 + [(base, None)]
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, v string")
+    out = profile(df, "ts", ProfilingBuilder(analyzers=[ApproxTopK("v", k=2)]))
+    got = {r["name"]: r["value"] for r in out.collect()}
+    # k=2 < cardinality 3: only the two heaviest values emitted, counts
+    # exact, nulls ignored, and no empty-slot rows
+    assert got == {"ApproxTopK.abs.a": 5.0, "ApproxTopK.abs.b": 3.0}
+    with pytest.raises(ValueError, match="k must be"):
+        ApproxTopK("v", k=0)
+
+
 # PSI distribution drift
 
 

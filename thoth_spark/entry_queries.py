@@ -325,6 +325,28 @@ def profile_events_histogram(spark, sf_dir):
     return _round_metrics(profile(df, "ts", ProfilingBuilder(analyzers=[Histogram("event_type")])))
 
 
+ORACLE_APPROX_TOPK = """
+SELECT date_trunc('day', ts::TIMESTAMP)::TIMESTAMP AS ts, 'Column' AS entity,
+       'event_type' AS instance, 'ApproxTopK.abs.' || event_type AS name,
+       count(*)::DOUBLE AS value
+FROM events WHERE event_type IS NOT NULL
+GROUP BY 1, event_type
+"""
+
+
+@query("profile_events_topk", ORACLE_APPROX_TOPK)
+def profile_events_topk(spark, sf_dir):
+    """Heavy hitters per day via Spark's approx_top_k sketch — bounded
+    state (max_tracked counters/bucket, mergeable map-side) where
+    Histogram materializes the full frequency table; exact while bucket
+    cardinality ≤ max_tracked, which the fixture satisfies (5 event
+    types), so the oracle pins the exact per-value counts."""
+    from thoth_spark.profiler.analyzers import ApproxTopK
+
+    df = _events(spark, sf_dir).select("ts", "event_type")
+    return profile(df, "ts", ProfilingBuilder(analyzers=[ApproxTopK("event_type", k=8)]))
+
+
 ORACLE_MUTUAL_INFO = """
 WITH c AS (
   SELECT lang, source, count(*) AS cnt FROM documents

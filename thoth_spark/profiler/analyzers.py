@@ -141,6 +141,54 @@ class ApproxCountDistinct(_SimpleAgg):
     _fn, _name = staticmethod(F.approx_count_distinct), "ApproxCountDistinct"
 
 
+class ApproxTopK(Analyzer):
+    """Sketch-based heavy hitters (Spark ``approx_top_k``): emits
+    ``ApproxTopK.abs.<item>`` = estimated count for the up-to-``k`` most
+    frequent values of the column per time bucket.
+
+    The scale path for "most frequent values": :class:`Histogram`
+    materializes the FULL per-value frequency table (shuffle rows ∝
+    distinct values), while this tracks at most ``max_tracked`` counters
+    per bucket inside the shared single-pass aggregation — bounded state
+    at any cardinality, mergeable map-side. Estimates are EXACT while a
+    bucket's distinct count stays ≤ ``max_tracked`` (the fixture regime
+    the oracle pins); beyond that they carry the usual space-saving
+    over-count bias. Buckets with fewer than ``k`` distinct values emit
+    only the existing ones (null slots are dropped by the profiler)."""
+
+    def __init__(self, column: str, k: int = 8, max_tracked: int = 10000):
+        super().__init__(column)
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        self.k = k
+        self.max_tracked = max_tracked
+
+    def agg_exprs(self):
+        return [
+            (
+                self.key(),
+                F.expr(
+                    f"approx_top_k(`{self.column}`, {self.k}, {self.max_tracked})"
+                ),
+            )
+        ]
+
+    def outputs(self):
+        arr = F.col(self.key())
+        out = []
+        for i in range(1, self.k + 1):
+            # try_element_at: ranks past the bucket's distinct count are
+            # empty slots (null name → dropped), not ANSI index errors
+            e = F.try_element_at(arr, F.lit(i))
+            out.append(
+                (
+                    F.concat(F.lit("ApproxTopK.abs."), e["item"].cast("string")),
+                    e["count"],
+                )
+            )
+        return out
+
+
 class MaxLength(Analyzer):
     def agg_exprs(self):
         return [(self.key(), F.max(F.length(self.column)))]

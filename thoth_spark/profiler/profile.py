@@ -117,15 +117,23 @@ def _single_pass(base: DataFrame, singles: list[Analyzer]) -> DataFrame:
         F.struct(
             F.lit(a.entity).alias("entity"),
             F.lit(a.instance).alias("instance"),
-            F.lit(name).alias("name"),
+            # names are usually literals; analyzers with data-dependent
+            # metric names (ApproxTopK's items) pass Column expressions
+            (F.lit(name) if isinstance(name, str) else name).alias("name"),
             expr.cast("double").alias("value"),
         )
         for a in singles
         for name, expr in a.outputs()
     ]
-    return agged.select(
-        F.col("__ts__").alias("ts"), F.explode(F.array(*structs)).alias("m")
-    ).select("ts", "m.*")
+    return (
+        agged.select(
+            F.col("__ts__").alias("ts"), F.explode(F.array(*structs)).alias("m")
+        )
+        .select("ts", "m.*")
+        # a null name marks an empty dynamic slot (e.g. top-k rank beyond
+        # the bucket's distinct count) — not a metric
+        .where(F.col("name").isNotNull())
+    )
 
 
 def _group_by_grouping(
