@@ -398,3 +398,26 @@ def test_public_api_parity_flow(spark, events_df, tmp_path):
     page = open(out, encoding="utf-8").read()
     assert "<svg" in page and "my://api" in page
     assert "score vs threshold" in page and "observed vs expected band" in page
+
+    # round 5: the same views served live over HTTP (reference ui.py
+    # page structure: home + per-dataset dashboard + about)
+    from urllib.error import HTTPError
+    from urllib.request import urlopen
+
+    with th.serve_dashboard(repo) as srv:
+        home = urlopen(srv.url + "/").read().decode()
+        assert "/dataset?uri=my://api" in home
+        served = urlopen(srv.url + "/dataset?uri=my://api").read().decode()
+        assert served == page  # server renders exactly the exported page
+        about = urlopen(srv.url + "/about").read().decode()
+        assert "About" in about
+        for bad, code in [
+            ("/dataset?uri=no://such", 404),
+            ("/dataset", 400),
+            ("/nope", 404),
+        ]:
+            try:
+                urlopen(srv.url + bad)
+                raise AssertionError(f"{bad} should fail")
+            except HTTPError as e:
+                assert e.code == code

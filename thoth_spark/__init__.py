@@ -44,9 +44,11 @@ from thoth_spark.service import (
     select_profiling,
 )
 from thoth_spark.session import get_spark
+from thoth_spark.ui import DashboardServer, serve_dashboard
 
 __all__ = [
     "AnomalousScore",
+    "DashboardServer",
     "DatasetValidationError",
     "DefaultProfilingBuilder",
     "Granularity",
@@ -74,4 +76,5 @@ __all__ = [
     "render_dashboard_html",
     "score",
     "select_profiling",
+    "serve_dashboard",
 ]
