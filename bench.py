@@ -75,6 +75,12 @@ HEADLINE = [
     "dedup_minhash_capped_documents",
     "multimodal_decode_real",
     "anomaly_changepoint_validation",
+    # round-5 capabilities
+    "passage_dedup_documents",
+    "classifier_nb_documents",
+    "ks_drift_events",
+    "profile_events_topk",
+    "similarity_topk_ivf_fullprobe",
 ]
 
 

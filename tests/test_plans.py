@@ -374,3 +374,33 @@ def test_fused_frequency_exchanges_independent_of_columns(spark, sf_dir):
     one = shape(["event_type"])
     three = shape(["event_type", "user_id", "props"])
     assert one == three, (one, three)
+
+
+def test_passage_dedup_single_corpus_scan_no_cartesian(spark, sf_dir):
+    """Round 5: the passage pipeline has three consumers of the tokenized
+    corpus (window hashing, token positions, per-doc sizes) behind ONE
+    lazy checkpoint barrier — the physical plan must contain no repeated
+    documents FileScan (all consumers read the checkpointed RDD) and no
+    cartesian candidate generation."""
+    plan = _plan(entry_queries.QUERIES["passage_dedup_documents"](spark, sf_dir))
+    assert plan.count("FileScan") <= 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nb_classifier_model_join_is_broadcast(spark, sf_dir):
+    """The ≤ n_features-row NB weight table must broadcast into the
+    corpus scoring join — never a shuffle of the corpus keyed by
+    feature bucket."""
+    plan = _plan(entry_queries.QUERIES["classifier_nb_documents"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_input_rows_never_shuffle(spark, sf_dir):
+    """KS drift must aggregate raw rows map-side into (day, bucket)
+    counts; every exchange in the plan carries metadata-scale frames
+    (counts/grids), so no sort-merge join of input-sized sides may
+    appear and the CDF windows must not run over a corpus-sized frame."""
+    plan = _plan(entry_queries.QUERIES["ks_drift_events"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan

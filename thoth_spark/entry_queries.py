@@ -122,20 +122,29 @@ DRIVER_PRIORITY: list[str] = [
     "repetition_documents",
     "contamination_documents",
     "line_dedup_documents",
-    # (d) round-5 upgrades re-verifying under new oracles/implementation
+    # (d) round-5 upgrades re-verifying under new oracles/implementation:
+    # sketch ε-bounds oracles, the fused frequency pass, the
+    # capped-minhash direct-inverted-frame signature path, and
+    # profile_events_exact as the representative of the single-pass
+    # family (its assembly gained the dynamic-name/null-slot filter)
     "profile_events_approx",
     "profile_events_kll",
     "profile_events_frequency",
     "profile_events_histogram",
-    # (e) r3 greens rotating back in
+    "dedup_minhash_capped_documents",
+    "profile_events_exact",
+    # (e) round-5 NEW queries — never windowed, each with a full oracle;
+    # these displace seven r3-green slots (tpch_q1, range_join,
+    # similarity_topk_quantized, line_dedup_none, pack, perplexity,
+    # streaming_curate), which therefore lead the r6 window: fresh driver
+    # evidence for new/changed code outranks re-confirming stable code
+    "passage_dedup_documents",
+    "classifier_nb_documents",
+    "ks_drift_events",
+    "profile_events_topk",
+    "similarity_topk_ivf_fullprobe",
+    # (f) r3 green rotating back in (last driver row r2/r3)
     "profile_documents_mutual_information",
-    "tpch_q1_pricing_summary",
-    "range_join_transit_orders",
-    "similarity_topk_quantized",
-    "line_dedup_none_documents",
-    "pack_documents",
-    "perplexity_documents",
-    "streaming_curate_documents",
 ]
 
 
@@ -2589,14 +2598,14 @@ def dedup_minhash_capped_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_sets(docs, "doc_id", "text", n=3)
     inv = sh.select("id", F.explode("sh").alias("s"))
-    sh_capped = (
-        dedup.cap_shingle_df(inv, _MINHASH_CAP_DF, key="s")
-        .groupBy("id")
-        .agg(F.collect_set("s").alias("sh"))
-        .cache()
-    )
+    # cache the capped INVERTED frame (round-5 fix): signatures consume
+    # it directly and only the verification join needs the collected
+    # sets — previously the sets were collected first and re-exploded
+    # inside minhash_signatures (one full extra explode of the corpus)
+    inv_capped = dedup.cap_shingle_df(inv, _MINHASH_CAP_DF, key="s").cache()
+    sh_capped = inv_capped.groupBy("id").agg(F.collect_set("s").alias("sh"))
     sigs = dedup.minhash_signatures(
-        docs, "doc_id", "text", num_hashes=32, n=3, shingles=sh_capped
+        docs, "doc_id", "text", num_hashes=32, n=3, inverted=inv_capped
     )
     cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
     verified = (

@@ -152,19 +152,31 @@ def duplicated_passage_starts(
         raise ValueError(f"window must be >= 1, got {window}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    toks = text_tokens(F.col(text_col))
-    wins = (
-        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
-        .where(F.size("__toks") >= window)
-        .select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("__toks") - (window - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i, window))),
-                )
-            ).alias("pos", "wh"),
-        )
+    return _passage_starts(
+        _tokenized(df, id_col, text_col), window, min_count
+    ).select("id", "pos")
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, __toks)`` lazily checkpointed: the passage pipeline has
+    three consumers of the tokenized corpus (window hashing, per-token
+    positions, per-doc sizes) — the checkpoint barrier makes the corpus
+    SCAN + tokenization run once instead of once per consumer (at 100 TB
+    the re-scans, not the joins, would dominate)."""
+    return df.select(
+        F.col(id_col).alias("id"), text_tokens(F.col(text_col)).alias("__toks")
+    ).localCheckpoint(eager=False)
+
+
+def _passage_starts(toks_df: DataFrame, window: int, min_count: int) -> DataFrame:
+    wins = toks_df.where(F.size("__toks") >= window).select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__toks") - (window - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i, window))),
+            )
+        ).alias("pos", "wh"),
     )
     dup = (
         wins.groupBy("wh")
@@ -172,7 +184,7 @@ def duplicated_passage_starts(
         .where(F.col("__cnt") >= int(min_count))
         .select("wh")
     )
-    return wins.join(dup, "wh").select("id", "pos")
+    return wins.join(dup, "wh")
 
 
 def passage_dedup(
@@ -209,13 +221,17 @@ def passage_dedup(
     step buffers a whole document's hot key in one task except the
     per-document reassembly itself (bounded by document length).
     """
-    starts = duplicated_passage_starts(df, id_col, text_col, window, min_count)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks_df = _tokenized(df, id_col, text_col)
+    starts = _passage_starts(toks_df, window, min_count)
     covered = starts.select(
         "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (window - 1))).alias("pos")
     ).distinct()
-    tokpos = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(text_tokens(F.col(text_col))).alias("pos", "tok"),
+    tokpos = toks_df.select(
+        "id", F.posexplode("__toks").alias("pos", "tok")
     ).repartition("id")
     kept = tokpos.join(covered, ["id", "pos"], "left_anti")
     kept_structs = F.array_sort(F.collect_list(F.struct("pos", "tok")))
@@ -225,10 +241,7 @@ def passage_dedup(
         ),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(text_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-    )
+    base = toks_df.select("id", F.size("__toks").cast("long").alias("n_tokens"))
     return (
         base.join(reassembled, "id", "left")
         .select(

@@ -216,6 +216,7 @@ def minhash_signatures(
     shingles: DataFrame | None = None,
     seed: int = 7,
     max_shingle_df: int | None = None,
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<bigint>``.
 
@@ -235,8 +236,15 @@ def minhash_signatures(
     re-shingles per seed and falls out of codegen — measured ~100×
     slower.)
     """
-    sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
-    inv = sh.select("id", F.explode("sh").alias("s"))
+    if inverted is not None:
+        # an already-exploded ``(id, s)`` distinct-shingle frame (e.g. the
+        # output of :func:`cap_shingle_df`): skips re-collecting sets just
+        # to explode them again — one pipeline stage less when the caller
+        # also needs the inverted layout
+        inv = inverted
+    else:
+        sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
+        inv = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
         # Boilerplate shingles shared corpus-wide inflate every pairwise
         # Jaccard (a stop-shingle in k docs pushes ~k²·P(band) candidate
