@@ -267,3 +267,61 @@ def test_fused_frequency_hot_value_skew(spark):
         assert got[(col, "Uniqueness")] == uniq, col
         assert abs(got[(col, "Entropy")] - ent) < 1e-9, col
     assert wall < 60.0
+
+
+def test_passage_dedup_all_duplicate_corpus(spark):
+    """Round-5 passage dedup under the WORST case: the entire corpus is
+    one 40-token document repeated 2000×. Every window hash is a hot key
+    with df=2000 (the groupBy count absorbs it map-side), coverage
+    expansion hits its corpus_tokens × window upper bound, and the exact
+    result is fully determined: every document empties."""
+    n = 2000
+    text = " ".join(f"tok{i % 40}" for i in range(40))
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("doc_id"), F.lit(text).alias("text"))
+        .repartition(16)
+    )
+    (rows, wall) = _timed(
+        lambda: curation.passage_dedup(df, window=12).collect()
+    )
+    assert len(rows) == n
+    assert all(r["n_tokens"] == 40 and r["n_kept"] == 0 for r in rows)
+    assert all(r["text_deduped"] == "" for r in rows)
+    assert wall < 60.0
+
+
+def test_nb_classifier_hot_token_skew(spark):
+    """Round-5 NB classifier with a corpus-wide hot token (in EVERY
+    document of both classes — the boilerplate case). The hot feature's
+    groupBy count is absorbed map-side and its learned weight is ~0
+    (equal class document-frequency), so class-specific tokens still
+    decide; scoring stays a broadcast join."""
+    from thoth_spark.operators import classifier
+
+    n = 2000
+    half = n // 2
+    train = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit("common boiler plate "),
+                F.when(F.col("id") < half, F.lit("alpha beta gamma"))
+                .otherwise(F.lit("zeta eta theta")),
+                F.lit(" u"), F.col("id").cast("string"),
+            ).alias("text"),
+            F.when(F.col("id") < half, F.lit(1.0)).otherwise(F.lit(0.0)).alias("label"),
+        )
+        .repartition(16)
+    )
+    model = classifier.train_nb_quality(train, n_features=1 << 12)
+    held = spark.createDataFrame(
+        [(1, "common boiler plate alpha beta gamma"),
+         (2, "common boiler plate zeta eta theta")],
+        "doc_id long, text string",
+    )
+    (rows, wall) = _timed(lambda: classifier.score_nb(held, model).collect())
+    got = {r["doc_id"]: r for r in rows}
+    assert got[1]["nb_pred"] == 1 and got[2]["nb_pred"] == 0
+    assert wall < 60.0
