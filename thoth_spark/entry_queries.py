@@ -3615,6 +3615,86 @@ def similarity_topk_lsh(spark, sf_dir):
     )
 
 
+def _lsh_recall_oracle(nbits: int = 6, n_tables: int = 4, k: int = 5) -> str:
+    """Recall@k of the LSH pipeline vs exact top-k, both replayed in SQL
+    (the LSH legs reuse the same seeded planes as `_lsh_topk_oracle`)."""
+    from thoth_spark.operators.similarity import _hyperplanes
+
+    corpus_legs, query_legs = [], []
+    for t in range(n_tables):
+        sig = _sig_sql("v", _hyperplanes(64, nbits, seed=42 + t))
+        off = t * 2**nbits
+        corpus_legs.append(
+            f"SELECT vec_id AS neighbor_id, v, {sig} + {off} AS bucket FROM e"
+        )
+        query_legs.append(f"SELECT vec_id AS query_id, v, {sig} + {off} AS bucket FROM q")
+        query_legs += [
+            f"SELECT vec_id AS query_id, v, xor({sig}::BIGINT, {2**f})::BIGINT + {off} AS bucket FROM q"
+            for f in range(nbits)
+        ]
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+cb AS ({' UNION ALL '.join(corpus_legs)}),
+qb AS ({' UNION ALL '.join(query_legs)}),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM qb JOIN cb USING (bucket) WHERE neighbor_id != query_id
+),
+lscored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(qv.v, cv.v) /
+         (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(cv.v, cv.v))) AS cos
+  FROM cand c JOIN e qv ON qv.vec_id = c.query_id JOIN e cv ON cv.vec_id = c.neighbor_id
+),
+ltop AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM lscored QUALIFY rk <= {k}
+),
+escored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id
+),
+etop AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+  FROM escored QUALIFY rk <= {k}
+)
+SELECT et.query_id, round(count(lt.neighbor_id)::DOUBLE / {k}, 6) AS recall_at_k
+FROM etop et LEFT JOIN ltop lt USING (query_id, neighbor_id)
+GROUP BY et.query_id
+"""
+
+
+@query("similarity_lsh_recall", _lsh_recall_oracle())
+def similarity_lsh_recall(spark, sf_dir):
+    """ANN evaluation harness: per-query recall@5 of the multi-table
+    hyperplane LSH against the exact top-5 — the number every ANN
+    deployment tunes against (nbits/n_tables/probe_flips trade recall
+    for candidate volume). Both pipelines are deterministic, so recall
+    itself is hash-verifiable; at scale the exact side runs on a held-out
+    query SAMPLE (here the same 10 fixture queries), never the full
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    lsh = similarity.hyperplane_lsh_topk(
+        emb, q, k=5, nbits=6, n_tables=4, dim=64
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    return (
+        exact.join(lsh, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(5.0), 6
+            ).alias("recall_at_k")
+        )
+    )
+
+
 @query("similarity_topk_ivf")
 def similarity_topk_ivf(spark, sf_dir):
     """IVF (K-Means coarse quantizer) approximate top-k."""
