@@ -1,0 +1,93 @@
+"""LLM training-data curation end-to-end on the bundled test corpus.
+
+Run:  python examples/curation_pipeline.py  [sf_dir]
+
+The pipeline a 100 TB curation job runs, at fixture scale:
+
+1. heuristic quality score + language ID (pure column expressions)
+2. model-based quality filter — Bernoulli Naive Bayes trained on
+   balanced weak labels (closed-form, deterministic)
+3. exact-substring passage dedup (duplicated 12-token runs removed
+   from every occurrence — licence headers, templated paragraphs)
+4. MinHash-LSH near-duplicate removal (document level)
+5. token-budget packing + deterministic training order
+6. sharded training-data sink (bit-stable on rerun)
+
+Every step is engine-replayable (md5-keyed hashing throughout), so the
+resulting corpus is auditable: the same inputs produce the same shards
+byte-for-byte on any cluster layout.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from thoth_spark import get_spark
+from thoth_spark.operators import classifier, curation, dedup, text
+from thoth_spark.sinks import write_training_shards
+from thoth_spark.sources import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(shuffle_partitions=8, app_name="curation-pipeline")
+    docs = load_table(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. heuristic signals
+    scored = text.quality_score(docs, "text").select(
+        "doc_id", "text", "quality_score"
+    )
+
+    # 2. NB quality filter: label the extremes, balance, train, score all
+    labeled = classifier.balance_labels(
+        classifier.weak_labels(docs, low=0.72, high=0.78)
+    )
+    model = classifier.train_nb_quality(labeled, n_features=4096)
+    kept = (
+        classifier.score_nb(scored, model)
+        .where(F.col("nb_pred") == 1)
+        .select("doc_id", "text")
+    )
+    n1 = kept.count()
+
+    # 3. passage dedup (ExactSubstr): drop duplicated 12-token runs
+    passages = curation.passage_dedup(kept, "doc_id", "text", window=12)
+    cleaned = (
+        passages.where(F.col("n_kept") > 0)
+        .select(F.col("id").alias("doc_id"), F.col("text_deduped").alias("text"))
+    )
+    n2 = cleaned.count()
+
+    # 4. document-level near-dup removal (MinHash + LSH + verify)
+    unique_docs = dedup.minhash_dedup(cleaned, "doc_id", "text", threshold=0.8)
+    n3 = unique_docs.count()
+
+    # 5. pack into 256-token bins (first-fit per hash shard)
+    sized = unique_docs.withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
+    packed = curation.pack_sequences(sized, budget=256, n_shards=4)
+    with_bins = unique_docs.join(
+        packed.select(F.col("id").alias("doc_id"), "bin_idx"), "doc_id"
+    )
+
+    # 6. sharded sink (deterministic training order inside) — rerunning
+    # produces byte-identical files
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="curated_"), "shards")
+    write_training_shards(with_bins, out_dir, n_shards=4)
+
+    print(f"corpus:          {n0} docs")
+    print(f"quality-kept:    {n1} docs (NB filter)")
+    print(f"passage-cleaned: {n2} docs (empty after dedup dropped)")
+    print(f"near-dup-unique: {n3} docs (MinHash survivors)")
+    print(f"shards written:  {out_dir}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
