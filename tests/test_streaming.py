@@ -139,6 +139,46 @@ def test_drift_foreach_batch_matches_batch_psi(spark, sf_dir):
     assert got == expected and len(got) > 0
 
 
+def test_drift_foreach_batch_ks_matches_batch(spark, sf_dir):
+    """The same streaming drift callback with stat='ks' must drain to
+    per-day rows bit-identical to the batch ks_daily detector."""
+    import pytest
+
+    from thoth_spark.profiler.drift import freeze_reference, ks_daily
+    from thoth_spark.streaming import drift_foreach_batch
+
+    events = load_table(spark, sf_dir, "events").select("ts", "value")
+    ref_end = "2024-01-08"
+    clean = events.where(F.col("value").isNotNull())
+    ref = clean.where(F.col("ts") < F.lit(ref_end).cast("timestamp"))
+    cur = clean.where(F.col("ts") >= F.lit(ref_end).cast("timestamp"))
+    edges, ref_b = freeze_reference(ref, "value", 20)
+    edges.cache().count(), ref_b.cache().count()
+
+    with tempfile.TemporaryDirectory() as d:
+        cur.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(cur.schema).parquet(d)
+        seen = []
+        cb = drift_foreach_batch(
+            "ts", "value", edges, ref_b,
+            lambda df, bid: seen.append(df.collect()),
+            n_bins=20, stat="ks",
+        )
+        q = stream.writeStream.foreachBatch(cb).start()
+        q.processAllAvailable()
+        q.stop()
+    edges.unpersist(), ref_b.unpersist()
+
+    got = {r["d"]: (r["n"], r["ks"], r["ks_alarm"]) for rows in seen for r in rows}
+    expected = {
+        r["d"]: (r["n"], r["ks"], r["ks_alarm"])
+        for r in ks_daily(events, "ts", "value", ref_end, n_bins=20).collect()
+    }
+    assert got == expected and len(got) > 0
+    with pytest.raises(ValueError, match="stat"):
+        drift_foreach_batch("ts", "value", edges, ref_b, lambda df, bid: None, stat="chi2")
+
+
 def test_sketch_profile_stream_rolls_up(spark, sf_dir):
     """Streaming per-day sketches (append mode) merge into the same
     weekly distinct counts as batch sketching — the continuous half of

@@ -228,6 +228,7 @@ def drift_foreach_batch(
     on_result: Callable[[DataFrame, int], None],
     n_bins: int = 10,
     eps: float = 0.5,
+    stat: str = "psi",
 ) -> Callable[[DataFrame, int], None]:
     """Continuous distribution-drift monitoring: per-micro-batch PSI of
     ``value_column`` against a FROZEN reference (``edges`` +
@@ -243,18 +244,30 @@ def drift_foreach_batch(
     rows; with day-aligned micro-batches (the normal ingestion cadence)
     that is the final per-day PSI, and finer batches give early partial
     readings that the last batch of the day supersedes.
+
+    ``stat='ks'`` swaps the statistic for the two-sample binned KS
+    (:func:`thoth_spark.profiler.drift.ks_against_reference` — rows
+    ``(d, n, ks, ks_alarm)``); the freeze/broadcast/grid mechanics are
+    identical, so batch and streaming readings stay bit-equal either
+    way (same n_bins must be used when freezing).
     """
-    from thoth_spark.profiler.drift import psi_against_reference
+    from thoth_spark.profiler.drift import ks_against_reference, psi_against_reference
+
+    if stat not in ("psi", "ks"):
+        raise ValueError(f"stat must be 'psi' or 'ks', got {stat!r}")
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         clean = batch_df.where(F.col(value_column).isNotNull()).select(
             ts_column, value_column
         )
-        on_result(
-            psi_against_reference(
+        if stat == "psi":
+            out = psi_against_reference(
                 clean, ts_column, value_column, edges, ref_bucket_counts, n_bins, eps
-            ),
-            batch_id,
-        )
+            )
+        else:
+            out = ks_against_reference(
+                clean, ts_column, value_column, edges, ref_bucket_counts, n_bins
+            )
+        on_result(out, batch_id)
 
     return callback
