@@ -2323,6 +2323,19 @@ g AS (
 )"""
 
 
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp + atexit rmtree: every scratch dir a query materializes
+    (metric stores, stream staging) is reclaimed at interpreter exit, so
+    repeated bench/correctness runs don't accumulate disk."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 _BUCKETED_RUN_DIRS: dict[str, str] = {}
 
 
@@ -2875,7 +2888,7 @@ def repository_roundtrip_profiling(spark, sf_dir):
 
     df = _events(spark, sf_dir).select("ts", "value")
     metrics = profile(df, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]))
-    repo = MetricsRepository(spark, tempfile.mkdtemp(prefix="thoth_repo_"))
+    repo = MetricsRepository(spark, _scratch_dir("thoth_repo_"))
     uri = "events://demo"
     repo.add_dataset(uri, ts_column="ts", columns=["value"], granularity="DAY")
     repo.add_profiling(uri, metrics)
@@ -2908,7 +2921,7 @@ def repository_roundtrip_jdbc(spark, sf_dir):
 
     df = _events(spark, sf_dir).select("ts", "value")
     metrics = profile(df, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]))
-    repo = JdbcMetricsRepository(spark, tempfile.mkdtemp(prefix="thoth_jdbc_") + "/db")
+    repo = JdbcMetricsRepository(spark, _scratch_dir("thoth_jdbc_") + "/db")
     uri = "events://demo"
     repo.add_dataset(uri, ts_column="ts", columns=["value"], granularity="DAY")
     repo.add_profiling(uri, metrics)
@@ -4003,7 +4016,7 @@ def streaming_running_score(spark, sf_dir):
     from thoth_spark.streaming import running_score_stream
 
     metrics = _metric_series(spark, sf_dir).select(*KEY, "ts", "value")
-    d = tempfile.mkdtemp(prefix="thoth_stream_")
+    d = _scratch_dir("thoth_stream_")
     metrics.write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(metrics.schema).parquet(d)
     name = f"stream_score_{uuid.uuid4().hex[:8]}"
