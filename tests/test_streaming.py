@@ -209,3 +209,55 @@ def test_sketch_profile_stream_rolls_up(spark, sf_dir):
         for r in rollup_sketches(batch_subset, "week").collect()
     }
     assert weekly_from_stream == weekly_from_batch and len(weekly_from_stream) > 0
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir):
+    """Streaming sessionization must equal batch sessionize once a
+    finite stream drains — INCLUDING sessions spanning micro-batch
+    boundaries: the events are delivered as three time-ordered file
+    slices (one file per slice, maxFilesPerTrigger=1), so per-user
+    state genuinely carries across batches."""
+    from thoth_spark.operators.relational import sessionize
+    from thoth_spark.streaming import sessionize_stream
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    with tempfile.TemporaryDirectory() as d:
+        c1, c2 = "2024-01-11", "2024-01-21"
+        slices = [
+            events.where(F.col("ts") < F.lit(c1).cast("timestamp")),
+            events.where(
+                (F.col("ts") >= F.lit(c1).cast("timestamp"))
+                & (F.col("ts") < F.lit(c2).cast("timestamp"))
+            ),
+            events.where(F.col("ts") >= F.lit(c2).cast("timestamp")),
+        ]
+        for s in slices:  # sequential appends -> ascending file mod times
+            s.coalesce(1).write.mode("append").parquet(d)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        out = sessionize_stream(stream, ("user_id",), "ts", 3600, ("event_id",))
+        name = "sess_stream_test"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+        q.stop()
+        got = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in spark.table(name).collect()
+        }
+    assert n_batches >= 3  # the state path across batches was exercised
+    expected = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(
+            events, ["user_id"], "ts", 3600, tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    assert got == expected and len(got) == events.count()

@@ -4038,6 +4038,53 @@ def streaming_running_score(spark, sf_dir):
     )
 
 
+@query("streaming_sessionize_events", ORACLE_SESSIONIZE)
+def streaming_sessionize_events(spark, sf_dir):
+    """Per-event session ids assigned CONTINUOUSLY (round 5,
+    applyInPandasWithState: state = last event time + session index per
+    user, O(1) per key): the events arrive as three time-ordered file
+    slices (maxFilesPerTrigger=1), so sessions genuinely span
+    micro-batch boundaries; once drained, the per-session rollup equals
+    the batch sessionize oracle bit-for-bit."""
+    import uuid
+
+    from thoth_spark.streaming import sessionize_stream
+
+    events = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    d = _scratch_dir("thoth_sess_")
+    for lo, hi in [(None, "2024-01-11"), ("2024-01-11", "2024-01-21"), ("2024-01-21", None)]:
+        s = events
+        if lo:
+            s = s.where(F.col("ts") >= F.lit(lo).cast("timestamp"))
+        if hi:
+            s = s.where(F.col("ts") < F.lit(hi).cast("timestamp"))
+        s.coalesce(1).write.mode("append").parquet(d)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream, ("user_id",), "ts", 3600, ("event_id",))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return (
+        spark.table(name)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 ORACLE_STREAM_COMPLETE = """
 WITH e AS (SELECT date_trunc('day', ts::TIMESTAMP) AS d, * FROM events)
 SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (

@@ -16,9 +16,12 @@ maps onto three native pieces:
 - :func:`assess_foreach_batch` — the reference's per-batch
   profile→score→assess loop as a ``foreachBatch`` sink callback against
   the metrics repository;
-- :func:`drift_foreach_batch` — per-micro-batch PSI against a frozen
-  (broadcast) drift reference, pairing the batch drift detector with
-  the streaming surface.
+- :func:`drift_foreach_batch` — per-micro-batch PSI or KS against a
+  frozen (broadcast) drift reference, pairing the batch drift detectors
+  with the streaming surface;
+- :func:`sessionize_stream` — per-event gap-based session ids as a
+  custom stateful operator (the continuous twin of the batch
+  ``sessionize``).
 """
 
 from thoth_spark.streaming.stream import (
@@ -26,6 +29,7 @@ from thoth_spark.streaming.stream import (
     drift_foreach_batch,
     profile_stream,
     running_score_stream,
+    sessionize_stream,
     sketch_profile_stream,
 )
 
@@ -34,5 +38,6 @@ __all__ = [
     "running_score_stream",
     "assess_foreach_batch",
     "drift_foreach_batch",
+    "sessionize_stream",
     "sketch_profile_stream",
 ]

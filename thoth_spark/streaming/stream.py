@@ -190,6 +190,80 @@ def running_score_stream(
     )
 
 
+def sessionize_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("user_id",),
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Streaming gap-based sessionization as a custom stateful operator:
+    the continuous twin of
+    :func:`thoth_spark.operators.relational.sessionize`, emitting a
+    PER-EVENT 1-based ``session_id`` per key.
+
+    Why not Spark's built-in ``session_window`` aggregation: it produces
+    per-SESSION aggregate rows under a watermark, but cannot tag each
+    event with its session id in append mode — the id assignment needs
+    per-key running state, which is exactly what
+    ``applyInPandasWithState`` provides. State per key is two scalars
+    (last event time, current session index) — O(1), spillable,
+    independent of stream length.
+
+    Ordering contract: events must arrive in (ts, tiebreak) order per
+    key ACROSS micro-batches (within a batch they are sorted here) —
+    the replay/backfill cadence where file slices arrive oldest-first.
+    For genuinely out-of-order production streams, use the watermarked
+    ``session_window`` aggregation for session-level rollups instead;
+    per-event ids under reordering are not well-defined until the
+    watermark closes a session. Once a finite stream drains, the output
+    equals the batch ``sessionize`` result bit-for-bit (asserted in
+    tests and replayed by the driver oracle).
+    """
+    cols = [*key_cols, *tiebreak_cols, ts_col]
+    fields = {f.name: f for f in stream.schema.fields}
+    out_schema = (
+        ", ".join(f"{c} {fields[c].dataType.simpleString()}" for c in cols)
+        + ", session_id bigint"
+    )
+    state_schema = "last_ts double, sid bigint"
+
+    def assign(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last_ts, sid = state.get if state.exists else (float("-inf"), 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, *tiebreak_cols])
+            for row in pdf.itertuples(index=False):
+                t = getattr(row, ts_col).timestamp()
+                if t - last_ts > gap_seconds:
+                    sid += 1
+                out.append(
+                    (
+                        *key,
+                        *(getattr(row, c) for c in tiebreak_cols),
+                        getattr(row, ts_col),
+                        sid,
+                    )
+                )
+                last_ts = t
+        state.update((last_ts, sid))
+        yield pd.DataFrame(out, columns=[*cols, "session_id"])
+
+    return (
+        stream.select(*cols)
+        .groupBy(*key_cols)
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def assess_foreach_batch(
     ts_column: str,
     on_result: Callable[[DataFrame, int], None],
