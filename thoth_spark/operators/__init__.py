@@ -9,6 +9,7 @@ on the hot path except clearly-marked Pandas-UDF decode stubs).
 """
 
 from thoth_spark.operators import (
+    classifier,
     curation,
     dedup,
     lm,
@@ -20,6 +21,7 @@ from thoth_spark.operators import (
 )
 
 __all__ = [
+    "classifier",
     "curation",
     "dedup",
     "lm",

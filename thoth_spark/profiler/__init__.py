@@ -17,6 +17,7 @@ from thoth_spark.profiler.analyzers import (
     Analyzer,
     ApproxCountDistinct,
     ApproxQuantiles,
+    ApproxTopK,
     Completeness,
     Compliance,
     Correlation,
@@ -53,6 +54,7 @@ from thoth_spark.profiler.profile import Granularity, profile
 __all__ = [
     "Analyzer",
     "ApproxCountDistinct",
+    "ApproxTopK",
     "ApproxQuantiles",
     "Completeness",
     "Compliance",

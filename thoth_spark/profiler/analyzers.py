@@ -160,6 +160,11 @@ class ApproxTopK(Analyzer):
         super().__init__(column)
         if k < 1:
             raise ValueError(f"k must be >= 1, got {k}")
+        if max_tracked < k:
+            raise ValueError(
+                f"max_tracked ({max_tracked}) must be >= k ({k}): the sketch "
+                "cannot report more items than it tracks"
+            )
         self.k = k
         self.max_tracked = max_tracked
 
