@@ -136,8 +136,11 @@ DRIVER_PRIORITY: list[str] = [
     # (e) round-5 NEW queries — never windowed, each with a full oracle;
     # these displace seven r3-green slots (tpch_q1, range_join,
     # similarity_topk_quantized, line_dedup_none, pack, perplexity,
-    # streaming_curate), which therefore lead the r6 window: fresh driver
-    # evidence for new/changed code outranks re-confirming stable code
+    # streaming_curate), which therefore lead the r6 window TOGETHER
+    # WITH the two round-5 queries added after the window froze
+    # (similarity_lsh_recall, streaming_sessionize_events — both
+    # oracle-gate green locally): fresh driver evidence for new/changed
+    # code outranks re-confirming stable code
     "passage_dedup_documents",
     "classifier_nb_documents",
     "ks_drift_events",
