@@ -298,6 +298,58 @@ def test_sketch_profile_validates_granularity(spark, events_df):
         rollup_sketches(daily, "fortnight")
 
 
+def test_check_constraints_pass_fail_and_nulls(spark):
+    from thoth_spark.profiler.check import Check, run_check
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "a"), (2, -1.0, "b"), (3, None, "a"), (4, 2.0, None)],
+        "id long, v double, cat string",
+    )
+    check = (
+        Check("t")
+        .has_size(min_value=4, max_value=4)
+        .is_complete("id")
+        .has_completeness("v", min_value=0.9)     # 0.75 -> fail
+        .is_unique("id")
+        .is_non_negative("v")                      # -1 present -> fail; null ok
+        .is_contained_in("cat", ["a", "b"])        # null allowed -> pass
+        .has_mean("v", min_value=0.0)              # mean 2.0 -> pass
+    )
+    got = {r["constraint"]: r for r in run_check(df, check).collect()}
+    assert got["Size"]["passed"] == 1 and got["Size"]["metric"] == 4.0
+    assert got["Completeness(id)"]["passed"] == 1
+    assert got["Completeness(v)"]["passed"] == 0
+    assert got["Completeness(v)"]["metric"] == 0.75
+    assert got["Distinctness(id)"]["passed"] == 1
+    assert got["NonNegative(v)"]["passed"] == 0 and got["NonNegative(v)"]["metric"] == 0.75
+    assert got["ContainedIn(cat)"]["passed"] == 1
+    assert got["Mean(v)"]["passed"] == 1 and got["Mean(v)"]["metric"] == 2.0
+    assert all(r["check"] == "t" for r in got.values())
+
+    with pytest.raises(ValueError, match="min_value or max_value"):
+        Check("x").has_mean("v")
+    with pytest.raises(ValueError, match="no constraints"):
+        run_check(df, Check("empty"))
+
+
+def test_check_single_pass_plan(spark):
+    """However many constraints, run_check must stay ONE aggregation
+    job: a single partial+final hash aggregate over one scan."""
+    from thoth_spark.profiler.check import Check, run_check
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    check = (
+        Check("p")
+        .has_size(min_value=1)
+        .has_mean("v", min_value=0)
+        .has_max("v", max_value=10)
+        .has_completeness("v", min_value=0.5)
+    )
+    plan = run_check(df, check)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # the single partial->final handoff
+    assert "Join" not in plan
+
+
 def test_approx_topk_exact_at_low_cardinality(spark):
     import datetime
 

@@ -359,6 +359,66 @@ def profile_events_topk(spark, sf_dir):
     return profile(df, "ts", ProfilingBuilder(analyzers=[ApproxTopK("event_type", k=8)]))
 
 
+ORACLE_CHECK = """
+WITH a AS (
+  SELECT count(*)::DOUBLE AS n,
+         (count(value)::DOUBLE / count(*)) AS compl_value,
+         (count(user_id)::DOUBLE / count(*)) AS compl_user,
+         (count(DISTINCT event_id)::DOUBLE / count(event_id)) AS dist_eid,
+         avg(value) AS mean_value,
+         max(value)::DOUBLE AS max_value,
+         stddev_pop(value) AS sd_value,
+         (sum(CASE WHEN event_type IN ('click','view','purchase','signup','error')
+                        OR event_type IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS cont_et,
+         (sum(CASE WHEN value >= 0 OR value IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS nonneg,
+         (sum(CASE WHEN regexp_matches(props, '^\\{') THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS pat
+  FROM events
+)
+SELECT 'events-quality' AS "check", c."constraint", round(c.metric, 6) AS metric, c.passed FROM a, LATERAL (VALUES
+  ('Size', a.n, CASE WHEN a.n >= 100 THEN 1 ELSE 0 END),
+  ('Completeness(value)', a.compl_value, CASE WHEN a.compl_value >= 1.0 THEN 1 ELSE 0 END),
+  ('Completeness(user_id)', a.compl_user, CASE WHEN a.compl_user >= 0.9 THEN 1 ELSE 0 END),
+  ('Distinctness(event_id)', a.dist_eid, CASE WHEN a.dist_eid >= 1.0 THEN 1 ELSE 0 END),
+  ('Mean(value)', a.mean_value, CASE WHEN a.mean_value >= 0.0 AND a.mean_value <= 10.0 THEN 1 ELSE 0 END),
+  ('Maximum(value)', a.max_value, CASE WHEN a.max_value <= 100.0 THEN 1 ELSE 0 END),
+  ('StandardDeviation(value)', a.sd_value, CASE WHEN a.sd_value >= 1.0 THEN 1 ELSE 0 END),
+  ('ContainedIn(event_type)', a.cont_et, CASE WHEN a.cont_et >= 1.0 THEN 1 ELSE 0 END),
+  ('NonNegative(value)', a.nonneg, CASE WHEN a.nonneg >= 1.0 THEN 1 ELSE 0 END),
+  ('PatternMatch(props)', a.pat, CASE WHEN a.pat >= 1.0 THEN 1 ELSE 0 END)
+) AS c("constraint", metric, passed)
+"""
+
+
+@query("check_events_constraints", ORACLE_CHECK)
+def check_events_constraints(spark, sf_dir):
+    """Deequ-style constraint verification (round 5,
+    profiler/check.py): ten declarative data-quality gates — size,
+    completeness, distinctness/uniqueness, mean/max/stddev bounds,
+    containment, non-negativity, pattern — ALL evaluated in ONE
+    partial+final hash aggregation over one scan (the profiler's
+    single-pass philosophy applied to gating); the result is
+    #constraints metadata rows. Two constraints intentionally fail on
+    the fixture (mean and max bounds) so `passed` carries both values
+    through the oracle."""
+    from thoth_spark.profiler.check import Check, run_check
+
+    ev = _events(spark, sf_dir)
+    check = (
+        Check("events-quality")
+        .has_size(min_value=100)
+        .is_complete("value")
+        .has_completeness("user_id", min_value=0.9)
+        .is_unique("event_id")
+        .has_mean("value", min_value=0.0, max_value=10.0)
+        .has_max("value", max_value=100.0)
+        .has_standard_deviation("value", min_value=1.0)
+        .is_contained_in("event_type", ["click", "view", "purchase", "signup", "error"])
+        .is_non_negative("value")
+        .has_pattern("props", r"^\{", min_value=1.0)
+    )
+    return run_check(ev, check)
+
+
 ORACLE_MUTUAL_INFO = """
 WITH c AS (
   SELECT lang, source, count(*) AS cnt FROM documents

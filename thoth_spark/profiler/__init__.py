@@ -42,6 +42,7 @@ from thoth_spark.profiler.analyzers import (
     Uniqueness,
     UniqueValueRatio,
 )
+from thoth_spark.profiler.check import Check, run_check
 from thoth_spark.profiler.builder import (
     DefaultProfilingBuilder,
     ExactProfilingBuilder,
@@ -55,6 +56,7 @@ __all__ = [
     "Analyzer",
     "ApproxCountDistinct",
     "ApproxTopK",
+    "Check",
     "ApproxQuantiles",
     "Completeness",
     "Compliance",
@@ -84,6 +86,7 @@ __all__ = [
     "Sum",
     "Type2Analyzers",
     "Uniqueness",
+    "run_check",
     "UniqueValueRatio",
     "profile",
 ]
