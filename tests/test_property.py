@@ -104,3 +104,74 @@ def test_exact_dedup_invariants(spark, keys):
     assert sorted(r["k"] for r in out) == sorted(set(keys))
     for r in out:
         assert r["id"] == min(i for i, k in enumerate(keys) if k == r["k"])
+
+
+token_strategy = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]), min_size=0, max_size=24
+)
+docs_strategy = st.lists(token_strategy, min_size=1, max_size=8)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=docs_strategy)
+def test_passage_dedup_invariants(spark, docs):
+    """For ANY corpus: (a) every input doc appears exactly once in the
+    output; (b) n_kept <= n_tokens with equality for docs shorter than
+    the window; (c) appending an exact duplicate of the longest doc
+    empties every >=window-token copy of it (ExactSubstr removes all
+    occurrences)."""
+    from thoth_spark.operators.curation import passage_dedup
+
+    W = 4
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in passage_dedup(df, window=W).collect()}
+    assert set(out) == set(range(len(docs)))
+    for i, toks in enumerate(docs):
+        n = max(len(toks), 1)  # empty text still tokenizes to ['']
+        assert out[i]["n_kept"] <= out[i]["n_tokens"] == n
+        if n < W:
+            assert out[i]["n_kept"] == n
+
+    longest = max(range(len(docs)), key=lambda i: len(docs[i]))
+    if len(docs[longest]) >= W:
+        dup_rows = rows + [(len(docs), rows[longest][1])]
+        df2 = spark.createDataFrame(dup_rows, "doc_id long, text string")
+        out2 = {r["id"]: r for r in passage_dedup(df2, window=W).collect()}
+        assert out2[longest]["n_kept"] == 0
+        assert out2[len(docs)]["n_kept"] == 0
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_nb_label_flip_negates_log_odds(spark, seed):
+    """Bernoulli NB symmetry: with balanced classes, flipping every
+    label exactly negates each document's log-odds (weights, absence
+    terms and prior all negate) — a strong end-to-end correctness
+    invariant of the closed-form training."""
+    import random
+
+    from thoth_spark.operators.classifier import score_nb, train_nb_quality
+
+    rng = random.Random(seed)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum"]
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(vocab, k=rng.randint(1, 8))),
+            float(i % 2),  # balanced labels by construction
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    flipped = df.withColumn("label", 1.0 - F.col("label"))
+    m1 = train_nb_quality(df, n_features=256)
+    m2 = train_nb_quality(flipped, n_features=256)
+    held = spark.createDataFrame(
+        [(100, "red green plum"), (101, "teal teal unknowntoken")],
+        "doc_id long, text string",
+    )
+    s1 = {r["doc_id"]: r["nb_log_odds"] for r in score_nb(held, m1).collect()}
+    s2 = {r["doc_id"]: r["nb_log_odds"] for r in score_nb(held, m2).collect()}
+    for k in s1:
+        assert math.isclose(s1[k], -s2[k], abs_tol=1e-5), (k, s1[k], s2[k])
