@@ -81,6 +81,8 @@ HEADLINE = [
     "ks_drift_events",
     "profile_events_topk",
     "similarity_topk_ivf_fullprobe",
+    "similarity_lsh_recall",
+    "check_events_constraints",
 ]
 
 
