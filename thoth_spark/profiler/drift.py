@@ -63,12 +63,20 @@ def freeze_reference(
     reference window, then score any number of current slices (batch
     days or streaming micro-batches) against them without rescanning
     the reference."""
-    edges = quantile_edges(ref, value_col, n_bins)
+    # lazy checkpoints: edges and the bucket counts each feed SEVERAL
+    # consumers downstream (reference bucketing, day bucketing, the
+    # dense grid, totals) — without the barrier every consumer re-plans
+    # the whole reference scan + percentile aggregation (measured: 11
+    # FileScans in one ks_daily plan), which at 100 TB re-reads the
+    # reference window per consumer. Values are unchanged (the frames
+    # are materialized once and reread), so oracle hashes are unaffected.
+    edges = quantile_edges(ref, value_col, n_bins).localCheckpoint(eager=False)
     ref_b = (
         ref.crossJoin(F.broadcast(edges))
         .select(bucket_of(F.col(value_col), F.col("edges")).alias("b"))
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("rc"))
+        .localCheckpoint(eager=False)
     )
     return edges, ref_b
 
@@ -147,6 +155,9 @@ def ks_against_reference(
         )
         .groupBy("d", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers (grid days, the count join, day totals) — one
+        # barrier instead of three scans of the current-side input
+        .localCheckpoint(eager=False)
     )
     grid = (
         day_b.select("d")
@@ -211,6 +222,9 @@ def psi_against_reference(
         )
         .groupBy("d", "b")
         .agg(F.count(F.lit(1)).alias("c"))
+        # three consumers (grid days, the count join, day totals) — one
+        # barrier instead of three scans of the current-side input
+        .localCheckpoint(eager=False)
     )
     # dense (day × bucket) grid so empty buckets still contribute their
     # smoothed term; the grid is O(#days × n_bins) rows — metadata-scale
