@@ -1,12 +1,17 @@
-"""Distribution-drift detection: per-bucket Population Stability Index
-(PSI) of a numeric column against a frozen reference window.
+"""Distribution-drift detection against a frozen reference window: the
+per-bucket Population Stability Index (:func:`psi_daily`) and the
+two-sample binned Kolmogorov–Smirnov distance (:func:`ks_daily`,
+round 5) of a numeric column.
 
 The anomaly layer (thoth_spark.anomaly) watches point metrics (mean,
-count, distinct...) over time; PSI watches the SHAPE of the value
+count, distinct...) over time; these watch the SHAPE of the value
 distribution — a mean-preserving regime change (e.g. variance doubling,
-bimodality appearing) sails through a mean monitor but moves PSI
-immediately. The usual reading: PSI < 0.1 stable, 0.1–0.25 drifting,
-> 0.25 population shift.
+bimodality appearing) sails through a mean monitor but moves both
+immediately. PSI reads as a log-weighted divergence index (< 0.1
+stable, 0.1–0.25 drifting, > 0.25 population shift); KS reads in
+probability units (max CDF gap) and carries a distribution-free
+critical value, so it alarms on principled significance rather than a
+rule of thumb.
 
 Scale design (100 TB):
 - Reference quantile edges are ONE exact-percentile aggregation over the
