@@ -119,6 +119,40 @@ def test_minhash_candidates_superset_check(spark, neardup_df):
     assert (1, 2) in cands or (1, 4) in cands  # high-sim pairs found
 
 
+def test_minhash_incremental_union_equivalence(spark, documents_df):
+    """Incremental LSH pairing (new batch vs stored band index) must
+    satisfy: index-build pairs ∪ incremental pairs == one full-corpus
+    run — i.e. growing the corpus batch-by-batch loses no candidate
+    pair and re-finds no indexed×indexed pair."""
+    sh = dedup.shingle_sets(documents_df, "doc_id", "text", n=3).cache()
+    split = 400
+    sigs_all = dedup.minhash_signatures(documents_df, "doc_id", "text", shingles=sh)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(sigs_all).collect()
+    }
+    sigs_old = dedup.minhash_signatures(
+        documents_df, "doc_id", "text", shingles=sh.where(F.col("id") < split)
+    )
+    sigs_new = dedup.minhash_signatures(
+        documents_df, "doc_id", "text", shingles=sh.where(F.col("id") >= split)
+    )
+    index_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(sigs_old).collect()
+    }
+    incr = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs_incremental(
+            dedup.minhash_bands(sigs_new), dedup.minhash_bands(sigs_old)
+        ).collect()
+    }
+    assert index_pairs | incr == full
+    # no indexed×indexed pair leaks into the incremental result
+    assert all(a >= split or b >= split for a, b in incr)
+    assert incr  # the fixture's duplicate pairs straddle the split
+
+
 def test_simhash_near_dups(spark, neardup_df):
     hashes = dedup.simhash(neardup_df, "id", "text")
     rows = {r["id"]: (r["sim_hi"], r["sim_lo"]) for r in hashes.collect()}

@@ -2625,6 +2625,72 @@ def dedup_minhash_documents(spark, sf_dir):
     return verified.select("id_a", "id_b", "jaccard")
 
 
+_INCR_SPLIT = 400  # docs >= this id form the "new batch" of the incremental run
+
+ORACLE_MINHASH_INCREMENTAL = f"""
+WITH {_DOC_SHINGLES},
+{_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, b,
+         md5(list_aggregate(list_transform(sg[b * 4 + 1 : b * 4 + 4],
+             v -> v::VARCHAR), 'string_agg', '|')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 7) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (b, bh)
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id >= {_INCR_SPLIT} OR b.doc_id >= {_INCR_SPLIT})
+)
+SELECT id_a, id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+      (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+"""
+
+
+@query("dedup_minhash_incremental", ORACLE_MINHASH_INCREMENTAL)
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental corpus dedup (round 5): the first 400 documents stand
+    for an already-indexed corpus (their LSH band index is persistable,
+    `dedup.minhash_bands`); the last 100 are the NEW batch. Only the new
+    batch's shingles/signatures/bands are computed and joined against
+    the index — the indexed corpus is never re-banded, so adding 1 TB to
+    100 TB costs ∝ batch size, not corpus size. Pairs touching the new
+    batch (new×indexed and new×new) are verified with exact Jaccard;
+    the oracle replays the full-corpus banding restricted to the same
+    pair set (the two are provably equal — indexed×indexed pairs were
+    found when the index was built, and the union equivalence is also
+    asserted in tests/test_operators.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3).cache()
+    sh_old = sh.where(F.col("id") < _INCR_SPLIT)
+    sh_new = sh.where(F.col("id") >= _INCR_SPLIT)
+    index_bands = dedup.minhash_bands(
+        dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingles=sh_old)
+    )
+    new_bands = dedup.minhash_bands(
+        dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingles=sh_new)
+    )
+    cands = dedup.minhash_lsh_pairs_incremental(new_bands, index_bands)
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 # Capped-minhash replay: the df-capped shingle sets rebuild CTE ``g``
 # (over-cap shingles removed corpus-wide), then the standard signature /
 # band / verify pipeline runs unchanged on the reduced sets. Cap = 4

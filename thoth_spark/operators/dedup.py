@@ -267,22 +267,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """LSH candidate pairs: documents agreeing on all rows of ≥1 band.
-
-    Band hash = md5 of the concatenated signature slice; the groupBy on
-    (band, band_hash) co-locates only probable duplicates — candidate
-    count scales with true-duplicate density, not corpus size². Buckets
-    are capped implicitly by the band width; returns distinct
-    (id_a, id_b) with id_a < id_b.
-
-    The banded frame feeds both sides of the self-join and is lazily
-    local-checkpointed so the signature pipeline executes once, not
-    twice.
-    """
-    banded = signatures.select(
+    """Band the signatures: ``(id, band, bh)`` with band hash = md5 of
+    the concatenated signature slice. This frame IS the persistable LSH
+    index — write it once per corpus (partitioned by ``band``), then
+    incremental batches join against it
+    (:func:`minhash_lsh_pairs_incremental`) without re-processing the
+    indexed corpus."""
+    return signatures.select(
         "id",
         F.explode(
             F.transform(
@@ -303,13 +297,64 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "bb.band", "bb.bh").localCheckpoint(eager=False)
+    ).select("id", "bb.band", "bb.bh")
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: documents agreeing on all rows of ≥1 band.
+
+    Band hash = md5 of the concatenated signature slice; the groupBy on
+    (band, band_hash) co-locates only probable duplicates — candidate
+    count scales with true-duplicate density, not corpus size². Buckets
+    are capped implicitly by the band width; returns distinct
+    (id_a, id_b) with id_a < id_b.
+
+    The banded frame feeds both sides of the self-join and is lazily
+    local-checkpointed so the signature pipeline executes once, not
+    twice.
+    """
+    banded = minhash_bands(signatures, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
         a.join(b, on=["band", "bh"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs_incremental(
+    new_bands: DataFrame, index_bands: DataFrame
+) -> DataFrame:
+    """Candidate pairs for an INCREMENTAL batch against an existing LSH
+    index (both sides ``(id, band, bh)`` from :func:`minhash_bands`):
+    every pair with at least one NEW document — new×indexed and
+    new×new — and never indexed×indexed (already found when the index
+    was built). This is the production shape for growing corpora: adding
+    1 TB to a 100 TB corpus joins the new batch's bands against the
+    stored index instead of re-processing the corpus; join volume ∝
+    new-batch size × duplicate density.
+
+    Equivalence: over the union corpus, ``(index pairs) ∪ (incremental
+    pairs)`` equals a full :func:`minhash_lsh_pairs` run — asserted in
+    tests. Returns distinct (id_a, id_b), id_a < id_b.
+    """
+    new_b = new_bands.localCheckpoint(eager=False)
+    both = index_bands.unionByName(new_b)
+    a = new_b.alias("a")
+    b = both.alias("b")
+    return (
+        a.join(b, on=["band", "bh"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
         .distinct()
     )
 
