@@ -298,6 +298,34 @@ def test_sketch_profile_validates_granularity(spark, events_df):
         rollup_sketches(daily, "fortnight")
 
 
+def test_profile_by_segments_match_filtered_runs(spark):
+    import datetime
+
+    from thoth_spark.profiler import Mean, ProfilingBuilder, Size, profile
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base, "a", 1.0), (base, "a", 3.0), (base, "b", 10.0),
+        (base + datetime.timedelta(days=1), "b", 20.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, src string, value double")
+    builder = ProfilingBuilder(analyzers=[Size(), Mean("value")])
+    got = {
+        (r["ts"].day, r["instance"], r["name"]): r["value"]
+        for r in profile(df, "ts", builder, by=("src",)).collect()
+    }
+    # each (day, segment) equals a filtered single-segment run
+    assert got[(1, "a/*", "Size")] == 2.0 and got[(1, "a/value", "Mean")] == 2.0
+    assert got[(1, "b/*", "Size")] == 1.0 and got[(1, "b/value", "Mean")] == 10.0
+    assert got[(2, "b/*", "Size")] == 1.0 and got[(2, "b/value", "Mean")] == 20.0
+    assert (1, "a/src", "Mean") not in got  # by columns are not profiled
+
+    from thoth_spark.profiler import Entropy
+
+    with pytest.raises(ValueError, match="single-pass"):
+        profile(df, "ts", ProfilingBuilder(analyzers=[Entropy("value")]), by=("src",))
+
+
 def test_check_constraints_pass_fail_and_nulls(spark):
     from thoth_spark.profiler.check import Check, run_check
 

@@ -35,6 +35,7 @@ from thoth_spark.operators import (
     text,
 )
 from thoth_spark.profiler import (
+    Completeness,
     Compliance,
     Correlation,
     Distinctness,
@@ -44,6 +45,7 @@ from thoth_spark.profiler import (
     Histogram,
     MaxLength,
     Maximum,
+    Mean,
     MinLength,
     Minimum,
     PatternMatch,
@@ -335,6 +337,38 @@ SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
 def profile_events_histogram(spark, sf_dir):
     df = _events(spark, sf_dir).select("ts", "event_type")
     return _round_metrics(profile(df, "ts", ProfilingBuilder(analyzers=[Histogram("event_type")])))
+
+
+ORACLE_PROFILE_BY = """
+WITH e AS (SELECT date_trunc('day', ts::TIMESTAMP) AS d, * FROM events)
+SELECT d::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT d, 'Dataset' AS entity, event_type || '/*' AS instance,
+         'Size' AS name, count(*)::DOUBLE AS value
+  FROM e GROUP BY d, event_type
+  UNION ALL
+  SELECT d, 'Column', event_type || '/value', 'Mean', avg(value)
+  FROM e GROUP BY d, event_type
+  UNION ALL
+  SELECT d, 'Column', event_type || '/value', 'Completeness',
+         count(value)::DOUBLE / count(*)
+  FROM e GROUP BY d, event_type
+) t
+"""
+
+
+@query("profile_events_by_type", ORACLE_PROFILE_BY)
+def profile_events_by_type(spark, sf_dir):
+    """Segmented profiling (round 5, `profile(..., by=("event_type",))`):
+    per-(day × event_type) metric series in the SAME long schema — the
+    per-source corpus-quality monitoring shape; every segment becomes
+    its own series for the anomaly layer (instance = "click/value").
+    Still ONE aggregation pass: the by column just joins the groupBy
+    key, so the shuffle stays O(buckets × segments × metrics)."""
+    df = _events(spark, sf_dir).select("ts", "event_type", "value")
+    builder = ProfilingBuilder(
+        analyzers=[Size(), Mean("value"), Completeness("value")]
+    )
+    return _round_metrics(profile(df, "ts", builder, by=("event_type",)))
 
 
 ORACLE_APPROX_TOPK = """

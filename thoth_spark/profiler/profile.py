@@ -63,15 +63,26 @@ def profile(
     ts_column: str,
     profiling_builder: ProfilingBuilder | None = None,
     granularity: str = Granularity.DAY,
+    by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Profile every column of ``df`` per time partition.
 
     Args:
-        df: input data; every column except ``ts_column`` is profiled.
+        df: input data; every column except ``ts_column`` (and any
+            ``by`` columns) is profiled.
         ts_column: timestamp column defining the partitions.
         profiling_builder: analyzer set; defaults to
             :class:`DefaultProfilingBuilder`.
         granularity: one of :class:`Granularity`.
+        by: optional segmentation columns — metrics are computed per
+            (time bucket × by-group) and the metric ``instance`` is
+            prefixed with the group values (``"crawl/value"``), giving
+            per-source/per-type metric time series in the SAME long
+            schema (so the whole anomaly layer monitors each segment as
+            its own series). Still ONE aggregation pass — the by columns
+            just join the groupBy key. Supported for single-pass
+            analyzers only; high-cardinality ``by`` multiplies output
+            rows, not shuffles.
 
     Returns:
         Long metrics DataFrame ``(ts timestamp, entity string,
@@ -79,17 +90,23 @@ def profile(
         collected to the driver.
     """
     builder = profiling_builder or DefaultProfilingBuilder()
-    analyzers = builder.build_analyzers(df.drop(ts_column).schema.fields)
+    profiled = df.drop(ts_column, *by)
+    analyzers = builder.build_analyzers(profiled.schema.fields)
     if not analyzers:
         raise ValueError("ProfilingBuilder produced no analyzers for this schema.")
     base = df.withColumn("__ts__", truncate_ts(F.col(ts_column), granularity))
 
     singles = [a for a in analyzers if not isinstance(a, GroupingAnalyzer)]
     groupings = [a for a in analyzers if isinstance(a, GroupingAnalyzer)]
+    if by and groupings:
+        raise ValueError(
+            "by-segmented profiling supports single-pass analyzers only; "
+            f"got grouping analyzers {[type(a).__name__ for a in groupings]}"
+        )
 
     parts: list[DataFrame] = []
     if singles:
-        parts.append(_single_pass(base, singles))
+        parts.append(_single_pass(base, singles, by))
     fused, rest = _split_fusable(groupings)
     if fused:
         parts.extend(_fused_frequency_rows(base, fused))
@@ -104,19 +121,29 @@ def profile(
     return result
 
 
-def _single_pass(base: DataFrame, singles: list[Analyzer]) -> DataFrame:
-    """All single-pass analyzers in ONE groupBy(ts).agg(...)."""
+def _single_pass(
+    base: DataFrame, singles: list[Analyzer], by: tuple[str, ...] = ()
+) -> DataFrame:
+    """All single-pass analyzers in ONE groupBy(ts[, by...]).agg(...)."""
     agg_map: dict[str, Column] = {}
     for a in singles:
         for alias, expr in a.agg_exprs():
             agg_map.setdefault(alias, expr)
-    agged = base.groupBy("__ts__").agg(
+    agged = base.groupBy("__ts__", *by).agg(
         *[expr.alias(alias) for alias, expr in agg_map.items()]
     )
+
+    def _instance(a: Analyzer) -> Column:
+        if not by:
+            return F.lit(a.instance)
+        return F.concat_ws(
+            "/", *[F.col(b).cast("string") for b in by], F.lit(a.instance)
+        )
+
     structs = [
         F.struct(
             F.lit(a.entity).alias("entity"),
-            F.lit(a.instance).alias("instance"),
+            _instance(a).alias("instance"),
             # names are usually literals; analyzers with data-dependent
             # metric names (ApproxTopK's items) pass Column expressions
             (F.lit(name) if isinstance(name, str) else name).alias("name"),
