@@ -83,6 +83,8 @@ HEADLINE = [
     "similarity_topk_ivf_fullprobe",
     "similarity_lsh_recall",
     "check_events_constraints",
+    "dedup_minhash_incremental",
+    "profile_events_by_type",
 ]
 
 

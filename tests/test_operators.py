@@ -153,6 +153,34 @@ def test_minhash_incremental_union_equivalence(spark, documents_df):
     assert incr  # the fixture's duplicate pairs straddle the split
 
 
+def test_simhash_incremental_union_equivalence(spark, documents_df):
+    """SimHash twin of the minhash incremental contract: index pairs ∪
+    incremental pairs == full-corpus pairs, with no indexed×indexed pair
+    in the incremental result."""
+    split, mh, blocks = 400, 3, 6
+    hashes = dedup.simhash(documents_df, "doc_id", "text").cache()
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(hashes, mh, blocks).collect()
+    }
+    old_h = hashes.where(F.col("id") < split)
+    new_h = hashes.where(F.col("id") >= split)
+    index_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(old_h, mh, blocks).collect()
+    }
+    incr_rows = dedup.simhash_pairs_incremental(
+        dedup.simhash_chunks(new_h, mh, blocks),
+        dedup.simhash_chunks(old_h, mh, blocks),
+        mh,
+    ).collect()
+    incr = {(r["id_a"], r["id_b"]) for r in incr_rows}
+    assert index_pairs | incr == full
+    assert all(a >= split or b >= split for a, b in incr)
+    assert all(r["hamming"] <= mh for r in incr_rows)
+    hashes.unpersist()
+
+
 def test_simhash_near_dups(spark, neardup_df):
     hashes = dedup.simhash(neardup_df, "id", "text")
     rows = {r["id"]: (r["sim_hi"], r["sim_lo"]) for r in hashes.collect()}

@@ -463,6 +463,89 @@ def _simhash_block_value(start: int, end: int) -> Column:
     return out.cast("long")
 
 
+def simhash_chunks(
+    hashes: DataFrame, max_hamming: int = 3, blocks: int = 6
+) -> DataFrame:
+    """The pigeonhole block-combination keys for a fingerprint frame:
+    ``(id, sim_hi, sim_lo, ci, cv)`` — one row per C(blocks,
+    blocks−max_hamming) combination per document. Like
+    :func:`minhash_bands`, this frame IS the persistable near-dup index
+    (partition by ``(ci, cv)``); incremental batches join against it via
+    :func:`simhash_pairs_incremental`. Requires ``max_hamming >= 1``
+    (distance 0 uses the plain fingerprint equi-join)."""
+    from itertools import combinations
+    from math import comb
+
+    if max_hamming < 1:
+        raise ValueError(f"max_hamming must be >= 1 for chunk keys, got {max_hamming}")
+    if blocks <= max_hamming or blocks > 64:
+        raise ValueError(f"need max_hamming < blocks <= 64, got blocks={blocks}")
+    n_combos = comb(blocks, blocks - max_hamming)
+    if n_combos > 256:
+        raise ValueError(
+            f"C({blocks}, {blocks - max_hamming}) = {n_combos} combination "
+            "tables is an excessive fan-out; lower `blocks` toward "
+            f"max_hamming+1 (= {max_hamming + 1}) — fewer, narrower keys."
+        )
+    # block i covers bits [bounds[i], bounds[i+1]) of the 64-bit hash
+    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
+    bounds = [0]
+    for s in sizes:
+        bounds.append(bounds[-1] + s)
+    block_vals = [
+        _simhash_block_value(bounds[i], bounds[i + 1]) for i in range(blocks)
+    ]
+
+    combo_structs = []
+    for ci, combo in enumerate(combinations(range(blocks), blocks - max_hamming)):
+        # pack the combination's block values into one long key:
+        # shift-accumulate by each block's width (sum of widths <= 64-d)
+        key = block_vals[combo[0]]
+        for bi in combo[1:]:
+            key = key * (1 << sizes[bi]) + block_vals[bi]
+        combo_structs.append(
+            F.struct(F.lit(ci).alias("ci"), key.alias("cv"))
+        )
+    return hashes.select(
+        "id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(F.array(*combo_structs)).alias("c"),
+    ).select("id", "sim_hi", "sim_lo", "c.ci", "c.cv")
+
+
+def _hamming_cols() -> Column:
+    return F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+
+
+def simhash_pairs_incremental(
+    new_chunks: DataFrame, index_chunks: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL batch against a stored SimHash
+    chunk index (both sides from :func:`simhash_chunks` with the SAME
+    (max_hamming, blocks)): every verified pair with at least one new
+    document — new×indexed and new×new, never indexed×indexed. Same
+    contract as :func:`minhash_lsh_pairs_incremental`: (index-build
+    pairs) ∪ (incremental pairs) equals a full run over the union."""
+    new_c = new_chunks.localCheckpoint(eager=False)
+    both = index_chunks.unionByName(new_c)
+    a = new_c.alias("a")
+    b = both.alias("b")
+    return (
+        a.join(b, on=["ci", "cv"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            _hamming_cols().alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_dup_pairs(
     hashes: DataFrame, max_hamming: int = 3, blocks: int = 6
 ) -> DataFrame:
@@ -520,41 +603,7 @@ def simhash_near_dup_pairs(
             )
             .distinct()
         )
-    from itertools import combinations
-    from math import comb
-
-    n_combos = comb(blocks, blocks - max_hamming)
-    if n_combos > 256:
-        raise ValueError(
-            f"C({blocks}, {blocks - max_hamming}) = {n_combos} combination "
-            "tables is an excessive fan-out; lower `blocks` toward "
-            f"max_hamming+1 (= {max_hamming + 1}) — fewer, narrower keys."
-        )
-    # block i covers bits [bounds[i], bounds[i+1]) of the 64-bit hash
-    sizes = [64 // blocks + (1 if i < 64 % blocks else 0) for i in range(blocks)]
-    bounds = [0]
-    for s in sizes:
-        bounds.append(bounds[-1] + s)
-    block_vals = [
-        _simhash_block_value(bounds[i], bounds[i + 1]) for i in range(blocks)
-    ]
-
-    combo_structs = []
-    for ci, combo in enumerate(combinations(range(blocks), blocks - max_hamming)):
-        # pack the combination's block values into one long key:
-        # shift-accumulate by each block's width (sum of widths <= 64-d)
-        key = block_vals[combo[0]]
-        for bi in combo[1:]:
-            key = key * (1 << sizes[bi]) + block_vals[bi]
-        combo_structs.append(
-            F.struct(F.lit(ci).alias("ci"), key.alias("cv"))
-        )
-    chunks = hashes.select(
-        "id",
-        "sim_hi",
-        "sim_lo",
-        F.explode(F.array(*combo_structs)).alias("c"),
-    ).select("id", "sim_hi", "sim_lo", "c.ci", "c.cv")
+    chunks = simhash_chunks(hashes, max_hamming, blocks)
     a = chunks.alias("a")
     b = chunks.alias("b")
     dist = F.bit_count(
