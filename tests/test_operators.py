@@ -1139,3 +1139,78 @@ def test_train_and_score_matches_two_step(spark):
         assert fused[i]["avg_neg_log2_prob"] == pytest.approx(
             two_step[i]["avg_neg_log2_prob"], rel=1e-12
         )
+
+
+# --- BM25 retrieval (operators/retrieval.py)
+
+
+def test_bm25_closed_form(spark):
+    """3-doc corpus with hand-computable BM25: the rare term must
+    dominate, and scores must equal the closed-form values."""
+    import math
+
+    from thoth_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry cherry cherry"),
+            (3, "banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: (r["n_terms_matched"], r["score"])
+        for r in retrieval.bm25_topk(
+            docs, "doc_id", "text", ["apple", "cherry"], k=3
+        ).collect()
+    }
+    # doc 2 matches both terms incl. the rare 'cherry' -> top score
+    assert set(out) == {1, 2}
+    assert out[2][0] == 2 and out[1][0] == 1
+    assert out[2][1] > out[1][1]
+    # closed form for doc 1: tf(apple)=2, df(apple)=2, N=3, dl=3, avgdl=10/3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    expect = idf * (2 * 2.2) / (2 + 1.2 * (1 - 0.75 + 0.75 * 3 / (10 / 3)))
+    assert abs(out[1][1] - round(expect, 6)) < 1e-9
+
+
+def test_bm25_k_limit_and_tiebreak(spark):
+    """k truncates; equal-score docs resolve by ascending id."""
+    from thoth_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [(i, "same text here") for i in range(6)], "doc_id long, text string"
+    )
+    out = retrieval.bm25_topk(docs, "doc_id", "text", ["same"], k=4).collect()
+    assert [r["id"] for r in out] == [0, 1, 2, 3]
+
+
+def test_bm25_multi_matches_per_query_single(spark):
+    """Each query's rows in the multi-query result equal an independent
+    single-query run — the shared-scan batching changes the physical
+    shape, never the answer."""
+    from thoth_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark stream batch stream"),
+            (2, "spark spark query scan"),
+            (3, "window stream window"),
+            (4, "query scan scan scan window"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("a", "spark"), ("a", "scan"), ("b", "stream"), ("b", "window")],
+        "query_id string, term string",
+    )
+    multi = retrieval.bm25_topk_multi(docs, "doc_id", "text", queries, k=3)
+    got = {
+        (r["query_id"], r["id"]): (r["n_terms_matched"], r["score"])
+        for r in multi.collect()
+    }
+    for qid, terms in [("a", ["spark", "scan"]), ("b", ["stream", "window"])]:
+        single = retrieval.bm25_topk(docs, "doc_id", "text", terms, k=3)
+        for r in single.collect():
+            assert got[(qid, r["id"])] == (r["n_terms_matched"], r["score"])

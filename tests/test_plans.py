@@ -404,3 +404,36 @@ def test_ks_drift_input_rows_never_shuffle(spark, sf_dir):
     appear and the CDF windows must not run over a corpus-sized frame."""
     plan = _plan(entry_queries.QUERIES["ks_drift_events"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered_and_broadcast_only(spark, sf_dir):
+    """BM25 scale shape: the top-k must plan as TakeOrderedAndProject
+    (per-partition partial top-k, no global Sort+Exchange), every join in
+    the scoring path must be broadcast (df / N / avgdl are tiny), and the
+    only shuffle is the postings tf aggregation."""
+    plan = _plan(entry_queries.QUERIES["bm25_topk_documents"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan
+
+
+def test_bm25_term_filter_before_tf_aggregation(spark, sf_dir):
+    """The query-term filter must sit UNDER the tf exchange: only
+    matching postings may shuffle. A plan where the filter runs after the
+    groupBy would shuffle the whole exploded corpus."""
+    from thoth_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = retrieval.term_postings(docs, "doc_id", "text", ["spark", "stream"])
+    plan = _plan(postings)
+    # the filter on the exploded term column appears in the plan below
+    # (i.e. listed after, in child position) the single exchange
+    exch = plan.index("Exchange")
+    assert re.search(r"Filter term.* IN ", plan[exch:]), (
+        "term filter must be under the exchange"
+    )
+    # exactly one shuffle: the (id, term) tf aggregation — with a partial
+    # (map-side) aggregate below it
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan

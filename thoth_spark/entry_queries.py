@@ -30,6 +30,7 @@ from thoth_spark.operators import (
     dedup,
     multimodal,
     relational,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -5160,3 +5161,121 @@ def streaming_curate_documents(spark, sf_dir):
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+# --- BM25 keyword retrieval (operators/retrieval.py)
+
+
+_BM25_TERMS = ("spark", "stream", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+ORACLE_BM25 = f"""
+WITH d AS ({_DOC_TOKENS}),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+post AS (
+  SELECT doc_id, token AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+  WHERE token IN ('spark', 'stream', 'vector')
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+sc AS (
+  SELECT p.doc_id,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * {_BM25_K1 + 1})
+           / (p.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                   + ({_BM25_B} * l.dl) / s.avgdl)) AS contrib
+  FROM post p
+  JOIN dfreq f USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id AS id, count(*)::BIGINT AS n_terms_matched,
+       round(sum(contrib), 6) AS score
+FROM sc GROUP BY 1
+ORDER BY score DESC, id LIMIT 10
+"""
+
+
+@query("bm25_topk_documents", ORACLE_BM25)
+def bm25_topk_documents(spark, sf_dir):
+    """BM25 top-10 for a 3-term probe query — the eval-curation /
+    corpus-audit search primitive. The corpus explode is filtered to the
+    query terms BEFORE any aggregation (only matching postings shuffle),
+    df/N/avgdl are tiny broadcast aggregates, and the top-k plans as
+    TakeOrderedAndProject (partial per-partition top-k, no global
+    sort). Scores rounded to 6 decimals on both sides (unordered double
+    summation)."""
+    docs = _documents(spark, sf_dir)
+    return retrieval.bm25_topk(
+        docs, "doc_id", "text", list(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+ORACLE_BM25_MULTI = f"""
+WITH d AS ({_DOC_TOKENS}),
+q(query_id, term) AS (
+  VALUES ('q_engine', 'spark'), ('q_engine', 'query'), ('q_engine', 'scan'),
+         ('q_stream', 'stream'), ('q_stream', 'batch'), ('q_stream', 'window')
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM d),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+post AS (
+  SELECT doc_id, token AS term, count(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM d)
+  WHERE token IN (SELECT DISTINCT term FROM q)
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+sc AS (
+  SELECT q.query_id, p.doc_id,
+         ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.tf * {_BM25_K1 + 1})
+           / (p.tf + {_BM25_K1} * (1 - {_BM25_B}
+                                   + ({_BM25_B} * l.dl) / s.avgdl)) AS contrib
+  FROM post p
+  JOIN q USING (term)
+  JOIN dfreq f USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT query_id, doc_id AS id, count(*)::BIGINT AS n_terms_matched,
+         round(sum(contrib), 6) AS score
+  FROM sc GROUP BY 1, 2
+),
+rk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, id
+  )::INT AS rank FROM agg
+)
+SELECT query_id, id, n_terms_matched, score, rank FROM rk WHERE rank <= 5
+"""
+
+
+@query("bm25_multiquery_documents", ORACLE_BM25_MULTI)
+def bm25_multiquery_documents(spark, sf_dir):
+    """Per-query BM25 top-5 for a TABLE of probe queries: ONE corpus
+    explode serves every query (postings join the broadcast query table
+    on term), so auditing a thousand probes costs one scan, not a scan
+    per probe. Top-k per query is a single window partitioned by
+    query_id."""
+    docs = _documents(spark, sf_dir)
+    queries = docs.sparkSession.createDataFrame(
+        [
+            ("q_engine", "spark"),
+            ("q_engine", "query"),
+            ("q_engine", "scan"),
+            ("q_stream", "stream"),
+            ("q_stream", "batch"),
+            ("q_stream", "window"),
+        ],
+        "query_id string, term string",
+    )
+    out = retrieval.bm25_topk_multi(
+        docs, "doc_id", "text", queries, k=5, k1=_BM25_K1, b=_BM25_B
+    )
+    return out.select(
+        "query_id", "id", "n_terms_matched", "score", F.col("rank").cast("int").alias("rank")
+    )
