@@ -1214,3 +1214,74 @@ def test_bm25_multi_matches_per_query_single(spark):
         single = retrieval.bm25_topk(docs, "doc_id", "text", terms, k=3)
         for r in single.collect():
             assert got[(qid, r["id"])] == (r["n_terms_matched"], r["score"])
+
+
+# --- weighted sampling (Efraimidis-Spirakis)
+
+
+def _es_python(rows, seed, n):
+    """Reference E-S draw with the sampler's exact md5-bucket u."""
+    import hashlib
+    import math
+
+    keyed = []
+    for key, w in rows:
+        h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
+        bucket = int(h[:8], 16) % 1_000_000
+        u = (bucket + 1) / 1_000_000.0
+        keyed.append((math.log(u) / w, -key, key))
+    keyed.sort(reverse=True)
+    return {k for _, _, k in keyed[:n]}
+
+
+def test_weighted_sample_matches_reference_impl(spark):
+    """Spark draw == the Python reference draw, exactly, for several
+    seeds and sizes (the sample is a pure function of the data)."""
+    from thoth_spark.operators import sampling
+
+    rows = [(i, 1 + (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    for seed, n in [(42, 25), (7, 50), (99, 1)]:
+        got = {
+            r["doc_id"]
+            for r in sampling.weighted_sample(df, "doc_id", "w", n, seed=seed).collect()
+        }
+        assert got == _es_python(rows, seed, n), (seed, n)
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    """10x-weighted rows must dominate the sample (the point of the
+    operator); deterministic given the fixed hash stream."""
+    from thoth_spark.operators import sampling
+
+    rows = [(i, 10 if i >= 100 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, "doc_id", "w", 50).collect()
+    ]
+    heavy = sum(1 for i in got if i >= 100)
+    assert len(got) == 50 and heavy > 38, heavy
+
+
+# --- corpus snapshot diff
+
+
+def test_corpus_diff_statuses(spark):
+    from thoth_spark.operators import curation
+
+    old = spark.createDataFrame(
+        [(1, "keep me"), (2, "will change"), (3, "will vanish"), (4, "Spacing   Change")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "keep me"), (2, "has changed"), (4, "spacing change"), (5, "brand new")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in curation.corpus_diff(old, new, "doc_id", "text").collect()
+    }
+    # doc 4: only case/whitespace churn -> unchanged under the canonical
+    # fingerprint
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 5: "added"}

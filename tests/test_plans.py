@@ -437,3 +437,53 @@ def test_bm25_term_filter_before_tf_aggregation(spark, sf_dir):
     # (map-side) aggregate below it
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """E-S top-n must plan as TakeOrderedAndProject (per-partition
+    partial top-n) — a Sort + single-partition Exchange would serialize
+    the corpus through one task."""
+    plan = _plan(entry_queries.QUERIES["sample_documents_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """100 TB join-pruning path: for a shuffle join with a selectively
+    filtered build side, Catalyst must inject a runtime bloom filter
+    (`might_contain(...)`) on the probe side so fact rows that cannot
+    match are dropped BEFORE the shuffle. We lock the injection (on
+    test-sized thresholds) rather than hand-rolling a bloom operator —
+    at production thresholds the same rule fires automatically."""
+    from pyspark.sql import functions as F
+
+    spark.range(0, 200_000).withColumn("k", F.col("id") % 10_000).withColumn(
+        "pay", F.md5(F.col("id").cast("string"))
+    ).write.parquet(str(tmp_path / "fact"))
+    spark.range(0, 20_000).withColumn("k", F.col("id")).withColumn(
+        "attr", F.col("id") % 97
+    ).write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim")).where(F.col("attr") == 3)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        assert (
+            spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+            == "true"
+        )
+        plan = _plan(fact.join(dim, "k"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_scan,
+        )
+    assert "might_contain" in plan, "runtime bloom filter not injected"

@@ -261,3 +261,59 @@ def test_sessionize_stream_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got == expected and len(got) == events.count()
+
+
+def test_interval_join_stream_across_micro_batches(spark, tmp_path):
+    """Stream-stream interval join must match across micro-batch
+    boundaries: clicks arrive in one file/batch, purchases in another
+    (maxFilesPerTrigger=1), so every match requires the click to be
+    served from the join STATE STORE, not from the same batch. Result
+    must equal the batch interval join exactly."""
+    import datetime as dt
+
+    from thoth_spark.streaming.stream import interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    clicks = [
+        (100 + i, 1 + (i % 2), t0 + dt.timedelta(minutes=i)) for i in range(10)
+    ]
+    # purchases 5-40 min after t0: some clicks in the 30-min window, some not
+    purchases = [
+        (200 + i, 1 + (i % 2), t0 + dt.timedelta(minutes=5 + 7 * i)) for i in range(6)
+    ]
+    cdf = spark.createDataFrame(clicks, "click_id long, c_user long, c_ts timestamp")
+    pdf = spark.createDataFrame(
+        purchases, "purchase_id long, p_user long, p_ts timestamp"
+    )
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    cdf.coalesce(1).write.parquet(cdir)
+    pdf.coalesce(1).write.parquet(pdir)
+
+    cs = (
+        spark.readStream.schema(cdf.schema).option("maxFilesPerTrigger", 1).parquet(cdir)
+    )
+    ps = (
+        spark.readStream.schema(pdf.schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    )
+    joined = interval_join_stream(
+        ps, cs, "p_user", "c_user", "p_ts", "c_ts",
+        max_delay="30 minutes", watermark="2 hours",
+    ).select("purchase_id", "click_id")
+    name = f"t_ij_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()}
+
+    batch = (
+        pdf.join(
+            cdf,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes")),
+        )
+        .select("purchase_id", "click_id")
+        .collect()
+    )
+    want = {(r["purchase_id"], r["click_id"]) for r in batch}
+    assert got == want and len(want) > 0

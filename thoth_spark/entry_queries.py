@@ -5279,3 +5279,131 @@ def bm25_multiquery_documents(spark, sf_dir):
     return out.select(
         "query_id", "id", "n_terms_matched", "score", F.col("rank").cast("int").alias("rank")
     )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis)
+
+
+_WSAMPLE_N = 100
+
+ORACLE_WEIGHTED_SAMPLE = f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ln((({_SAMPLE_BUCKET}) + 1) / 1000000.0) / n_chars AS es
+  FROM documents
+)
+SELECT doc_id, source, n_chars
+FROM r ORDER BY es DESC, doc_id LIMIT {_WSAMPLE_N}
+"""
+
+
+@query("sample_documents_weighted", ORACLE_WEIGHTED_SAMPLE)
+def sample_documents_weighted(spark, sf_dir):
+    """Exactly 100 documents drawn without replacement with probability
+    proportional to length (Efraimidis-Spirakis keys off the md5 bucket
+    stream): the deterministic 'oversample long/high-quality docs'
+    curation op. Rank key is ln(u)/w — engine-identical doubles — and
+    the top-n plans as TakeOrderedAndProject, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_sample(docs, "doc_id", "n_chars", _WSAMPLE_N).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# --- corpus snapshot diff (incremental-pipeline audit primitive)
+
+
+ORACLE_CORPUS_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 10 <> 0
+),
+new AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed' ELSE text END
+         )), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE doc_id % 13 <> 0
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS id,
+       CASE WHEN old.fp IS NULL THEN 'added'
+            WHEN new.fp IS NULL THEN 'removed'
+            WHEN old.fp = new.fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
+@query("corpus_diff_documents", ORACLE_CORPUS_DIFF)
+def corpus_diff_documents(spark, sf_dir):
+    """Diff two simulated snapshots of the corpus (10% of ids absent from
+    the old crawl, every 7th doc's text refreshed, every 13th dropped
+    from the new): one row per id with added/removed/changed/unchanged.
+    Each side reduces to (id, md5 fingerprint) before the single
+    full-outer join — shuffle carries 32-byte fingerprints, never
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" refreshed"))
+        ).otherwise(F.col("text")),
+    )
+    return curation.corpus_diff(old, new, "doc_id", "text")
+
+
+# --- stream-stream interval join (attribution)
+
+
+ORACLE_STREAM_INTERVAL_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id AS user_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
+@query("streaming_interval_join_events", ORACLE_STREAM_INTERVAL_JOIN)
+def streaming_interval_join_events(spark, sf_dir):
+    """Stream-stream attribution: purchases joined to the same user's
+    clicks from the preceding 30 minutes, both sides LIVE streams — the
+    canonical watermarked two-stream interval join. The time-bounded
+    condition is what keeps state finite (a click expires once the
+    purchase watermark passes click_ts + 30 min); with the watermark ≥
+    the fixture's span the inner join is exactly batch-equivalent, which
+    the SQL oracle replays."""
+    import uuid
+
+    from thoth_spark.sources import load_events_stream
+    from thoth_spark.streaming.stream import interval_join_stream
+
+    ev = load_events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = interval_join_stream(
+        purchases,
+        clicks,
+        "user_id",
+        "c_user_id",
+        "p_ts",
+        "c_ts",
+        max_delay="30 minutes",
+        watermark="90 days",
+    ).select("purchase_id", "click_id", "user_id")
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

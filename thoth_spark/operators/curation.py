@@ -394,3 +394,38 @@ def training_order(
         .withColumn("shard_pos", F.row_number().over(w) - 1)
         .drop("__b")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per document id
+    with status ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    (content compared by the canonical md5 fingerprint, so whitespace
+    and case churn don't count as changes).
+
+    The audit primitive for incremental pipelines: before reprocessing a
+    refreshed crawl, diff it against the previous snapshot and run the
+    expensive stages (dedup, classify, embed) on ``added`` + ``changed``
+    only. Physical shape: each side reduces to (id, fingerprint) map-side
+    — 32 bytes/doc, not the text — then ONE full-outer sort-merge join
+    keyed by id; shuffle volume ∝ #docs, independent of document size."""
+    from thoth_spark.operators.text import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("__old_fp")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("__new_fp")
+    )
+    joined = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("__old_fp").isNull(), F.lit("added"))
+        .when(F.col("__new_fp").isNull(), F.lit("removed"))
+        .when(F.col("__old_fp") == F.col("__new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select("id", status.alias("status"))

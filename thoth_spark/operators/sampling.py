@@ -128,6 +128,35 @@ def budget_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n`` rows sampled WITHOUT replacement with probability
+    proportional to ``weight_col`` (Efraimidis–Spirakis A-ES): each row
+    gets the key ``u^(1/w)`` for a uniform ``u``, and the n largest keys
+    are the sample. Used to e.g. oversample high-quality documents while
+    keeping the draw reproducible.
+
+    ``u`` comes from the same md5 bucket as the other samplers, so the
+    draw is a pure function of the data (stable across reruns, layouts,
+    and engines). The ranking uses the monotone-equivalent ``ln(u)/w``
+    (no pow; identical IEEE doubles in any engine), and top-n plans as
+    TakeOrderedAndProject — per-partition partial top-n, no global sort.
+    Weights must be > 0."""
+    u = (_bucket(F.col(key_col), seed) + 1) / F.lit(float(HASH_BUCKETS))
+    es = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("__es", es)
+        .orderBy(F.desc("__es"), F.col(key_col))
+        .limit(n)
+        .drop("__es")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     key_col: str,

@@ -21,11 +21,15 @@ maps onto three native pieces:
   with the streaming surface;
 - :func:`sessionize_stream` — per-event gap-based session ids as a
   custom stateful operator (the continuous twin of the batch
-  ``sessionize``).
+  ``sessionize``);
+- :func:`interval_join_stream` — watermarked stream-stream interval
+  join (attribution); the time-bounded condition keeps join state
+  finite.
 """
 
 from thoth_spark.streaming.stream import (
     assess_foreach_batch,
+    interval_join_stream,
     drift_foreach_batch,
     profile_stream,
     running_score_stream,
@@ -39,5 +43,6 @@ __all__ = [
     "assess_foreach_batch",
     "drift_foreach_batch",
     "sessionize_stream",
+    "interval_join_stream",
     "sketch_profile_stream",
 ]

@@ -345,3 +345,40 @@ def drift_foreach_batch(
         on_result(out, batch_id)
 
     return callback
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    the right events sharing its key that occurred within ``max_delay``
+    BEFORE it (attribution: purchases ← preceding clicks).
+
+    This is the canonical Structured Streaming two-stream join — both
+    sides carry a watermark and the join condition bounds ``right_ts``
+    to ``[left_ts - max_delay, left_ts]``, which is what lets Spark
+    expire buffered state: a right row can be dropped once the left
+    watermark passes ``right_ts + max_delay``, so state is bounded by
+    (event rate x (watermark + max_delay)) regardless of how long the
+    streams run. Without the time bound the join would buffer both
+    streams forever.
+
+    Inner-join semantics are exactly batch-equivalent for events no
+    later than ``watermark``; choose it ≥ the pipeline's real lateness
+    bound. Column names must be disjoint across the two sides (rename
+    before joining, as with any self-join)."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) <= F.col(left_ts))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")
