@@ -85,6 +85,12 @@ HEADLINE = [
     "check_events_constraints",
     "dedup_minhash_incremental",
     "profile_events_by_type",
+    # round-5 late additions
+    "bm25_topk_documents",
+    "bm25_multiquery_documents",
+    "sample_documents_weighted",
+    "corpus_diff_documents",
+    "streaming_interval_join_events",
 ]
 
 

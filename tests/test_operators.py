@@ -1285,3 +1285,26 @@ def test_corpus_diff_statuses(spark):
     # doc 4: only case/whitespace churn -> unchanged under the canonical
     # fingerprint
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 5: "added"}
+
+
+# --- train/val/test split
+
+
+def test_split_partitions_exhaustively_and_stably(spark):
+    from thoth_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = sampling.train_val_test_split(df, "doc_id", 0.1, 0.2)
+    rows = out.collect()
+    assert len(rows) == 2000 and all(r["split"] in ("train", "val", "test") for r in rows)
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # hash-uniformity: within loose bands of the requested fractions
+    assert 120 < counts["val"] < 280 and 300 < counts["test"] < 500
+    # split assignment survives repartition/reordering bit-for-bit
+    again = {
+        r["doc_id"]: r["split"]
+        for r in sampling.train_val_test_split(df.repartition(7), "doc_id", 0.1, 0.2).collect()
+    }
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)

@@ -487,3 +487,15 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
             prev_scan,
         )
     assert "might_contain" in plan, "runtime bloom filter not injected"
+
+
+def test_corpus_diff_shuffles_fingerprints_not_text(spark, sf_dir):
+    """The diff's two shuffles must carry (id, md5) only — each side
+    reduces to a 32-byte fingerprint BEFORE its exchange, so shuffle
+    volume is per-doc constant, independent of document size."""
+    plan = _plan(entry_queries.QUERIES["corpus_diff_documents"](spark, sf_dir))
+    assert "FullOuter" in plan
+    # each exchange's child projects the md5 fingerprint, not raw text:
+    # no text column may appear above the exchanges (join + output)
+    top = plan.split("Exchange", 1)[0]
+    assert "text#" not in top

@@ -200,3 +200,27 @@ def token_budget_sample(
         .where(F.col("__start") + F.col("__cum") <= budget)
         .drop("__b", "__rng", "__cum", "__start")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic train/val/test assignment in ONE map-side pass: a
+    ``split`` column derived from the key's hash bucket — no shuffle, no
+    three-scan anti-join dance, and membership is a pure function of the
+    key (a document keeps its split across reruns, repartitions, and
+    corpus refreshes — the property that prevents silent val→train
+    leakage when the corpus is rebuilt)."""
+    val_cut = int(val_fraction * HASH_BUCKETS)
+    test_cut = val_cut + int(test_fraction * HASH_BUCKETS)
+    b = _bucket(F.col(key_col), seed)
+    split = (
+        F.when(b < val_cut, F.lit("val"))
+        .when(b < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
