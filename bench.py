@@ -91,6 +91,10 @@ HEADLINE = [
     "sample_documents_weighted",
     "corpus_diff_documents",
     "streaming_interval_join_events",
+    "split_documents",
+    "dedup_lsh_eval",
+    "hybrid_retrieval_documents",
+    "mad_outliers_events",
 ]
 
 

@@ -421,3 +421,32 @@ def test_ar1_folds_match_numpy_ols(spark):
         (a, b), *_ = np.linalg.lstsq(A, y, rcond=None)
         expected = a + b * vals[i - 1]
         assert folds[i]["predicted"] == pytest.approx(expected, rel=1e-6), i
+
+
+# --- robust MAD outliers
+
+
+def test_mad_outliers_flags_injected_spike(spark):
+    """A 30-day flat series with one spike: the spike (and only the
+    spike) must be flagged, and the robust stats must be immune to it."""
+    from thoth_spark.anomaly.robust import mad_outliers
+
+    rows = [("m", i, 10.0 + (0.1 if i % 2 else -0.1)) for i in range(30)]
+    rows[17] = ("m", 17, 99.0)
+    df = spark.createDataFrame(rows, "g string, day int, v double")
+    out = {r["day"]: r for r in mad_outliers(df, "v", ["g"]).collect()}
+    assert out[17]["is_outlier"] is True
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+    # median/MAD unmoved by the spike
+    assert abs(out[0]["grp_median"] - 10.0) < 0.11
+    assert abs(out[0]["grp_mad"] - 0.1) < 1e-9
+
+
+def test_mad_outliers_zero_mad_degeneracy(spark):
+    """All-identical group: MAD=0; only strictly different points flag."""
+    from thoth_spark.anomaly.robust import mad_outliers
+
+    rows = [("g", i, 5.0) for i in range(10)] + [("g", 10, 5.5)]
+    df = spark.createDataFrame(rows, "g string, day int, v double")
+    out = {r["day"]: r["is_outlier"] for r in mad_outliers(df, "v", ["g"]).collect()}
+    assert out[10] is True and not any(v for d, v in out.items() if d < 10)

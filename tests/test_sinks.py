@@ -69,3 +69,51 @@ def test_jsonl_roundtrip(spark, tmp_path):
     sinks.write_jsonl(df, p)
     back = sinks.read_jsonl(spark, p, "doc_id long, text string, score double")
     assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    from thoth_spark.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(0, 20_000).withColumn("k", F.col("id") % 100)
+    df.repartition(64).write.parquet(src)  # 64 tiny files
+    stats = compact_parquet(spark, src, dst, target_file_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] < 8
+    out = spark.read.parquet(dst)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("id")).collect()[0][0] == sum(range(20_000))
+
+
+def test_compact_parquet_clustering_gives_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by must produce (near-)disjoint per-file key ranges so
+    parquet min/max stats can prune whole files on later filtered
+    scans."""
+    import pyarrow.parquet as pq
+
+    from thoth_spark.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(0, 30_000).withColumn("k", (F.col("id") * 7919) % 1000).repartition(
+        32
+    ).write.parquet(src)
+    compact_parquet(
+        spark, src, dst, target_file_bytes=60 * 1024, cluster_by=["k"]
+    )
+    import glob
+
+    ranges = []
+    for f in glob.glob(dst + "/*.parquet"):
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # k
+            st = col.statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3
+    ranges.sort()
+    # ranges must not nest/overlap beyond the single boundary value a
+    # range partitioner may share between adjacent partitions
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2 + 1, (ranges,)

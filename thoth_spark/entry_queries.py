@@ -5602,3 +5602,55 @@ def hybrid_retrieval_documents(spark, sf_dir):
         .where(F.col("rank") <= 10)
         .select("id", "bm25_score", F.round("cos", 6).alias("cos_sim"), "rank")
     )
+
+
+# --- robust (median/MAD) outlier flags over the daily metric series
+
+
+ORACLE_MAD_OUTLIERS = """
+WITH s AS (
+  SELECT event_type, date_trunc('day', ts) AS d,
+         round(avg(value), 6) AS daily_mean
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, quantile_cont(daily_mean, 0.5) AS grp_median
+  FROM s GROUP BY 1
+),
+mad AS (
+  SELECT s.event_type,
+         quantile_cont(abs(s.daily_mean - med.grp_median), 0.5) AS grp_mad
+  FROM s JOIN med USING (event_type) GROUP BY 1, grp_median
+)
+SELECT s.event_type, s.d, s.daily_mean,
+       round(med.grp_median, 6) AS grp_median,
+       round(mad.grp_mad, 6) AS grp_mad,
+       CASE WHEN mad.grp_mad > 0
+            THEN abs(s.daily_mean - med.grp_median) > 3.0 * 1.4826 * mad.grp_mad
+            ELSE abs(s.daily_mean - med.grp_median) > 0 END AS is_outlier
+FROM s JOIN med USING (event_type) JOIN mad USING (event_type)
+"""
+
+
+@query("mad_outliers_events", ORACLE_MAD_OUTLIERS)
+def mad_outliers_events(spark, sf_dir):
+    """Hampel-filter outlier flags on the per-type daily mean series:
+    the cheap assumption-free sibling of the model-based scorers (50%
+    breakdown point — anomalies can't drag the threshold). Runs on the
+    profiled series (days x types rows), never raw events; exact
+    medians, group stats broadcast back; fully SQL-replayed."""
+    from thoth_spark.anomaly.robust import mad_outliers
+
+    events = _events(spark, sf_dir)
+    series = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(F.round(F.avg("value"), 6).alias("daily_mean"))
+    out = mad_outliers(series, "daily_mean", ["event_type"], k=3.0)
+    return out.select(
+        "event_type",
+        "d",
+        "daily_mean",
+        F.round("grp_median", 6).alias("grp_median"),
+        F.round("grp_mad", 6).alias("grp_mad"),
+        "is_outlier",
+    )

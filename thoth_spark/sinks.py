@@ -70,3 +70,49 @@ def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> Data
     """Read JSONL with an explicit schema — never inferred: inference is
     a second full scan at corpus scale and can silently widen types."""
     return spark.read.schema(schema).json(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    mode: str = "error",
+) -> dict:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files —
+    the small-files compaction every long-running ingestion pipeline
+    needs (a 100 TB table accreted from streaming micro-batches or
+    per-hour jobs ends up as millions of KB-sized files; open/seek
+    overhead then dominates scans and crushes the driver's file index).
+
+    With ``cluster_by`` the rewrite also range-partitions and sorts by
+    those columns, so each output file covers a narrow key range —
+    parquet min/max statistics then let later filtered scans skip whole
+    files (the poor man's Z-ordering, exactly how Delta/Iceberg OPTIMIZE
+    implements single-dimension clustering).
+
+    File count = ceil(input bytes / target); sizing uses the source's
+    listed file sizes (works for any Hadoop-visible FS via the JVM
+    FileSystem API). Returns {files_before, files_after, bytes}.
+    """
+    import math
+
+    df = spark.read.parquet(src)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    summary = fs.getContentSummary(path)
+    total = summary.getLength()
+    files_before = len(df.inputFiles())
+    n = max(1, math.ceil(total / target_file_bytes))
+    if cluster_by:
+        out = df.repartitionByRange(n, *[F.col(c) for c in cluster_by]).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        out = df.repartition(n)
+    out.write.mode(mode).parquet(dst)
+    files_after = len(spark.read.parquet(dst).inputFiles())
+    return {"files_before": files_before, "files_after": files_after, "bytes": total}
