@@ -175,3 +175,68 @@ def test_nb_label_flip_negates_log_odds(spark, seed):
     s2 = {r["doc_id"]: r["nb_log_odds"] for r in score_nb(held, m2).collect()}
     for k in s1:
         assert math.isclose(s1[k], -s2[k], abs_tol=1e-5), (k, s1[k], s2[k])
+
+
+texts = st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=24), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=texts)
+def test_corpus_diff_invariants(spark, docs):
+    """For ANY corpus: diff(X, X) is all-unchanged; removing a doc from
+    the new side yields exactly one 'removed'; statuses partition the
+    id universe."""
+    from thoth_spark.operators.curation import corpus_diff
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    same = corpus_diff(df, df, "doc_id", "text").collect()
+    assert all(r["status"] == "unchanged" for r in same)
+    assert len(same) == len(docs)
+
+    new = df.where(F.col("doc_id") != 0)
+    d2 = {r["id"]: r["status"] for r in corpus_diff(df, new, "doc_id", "text").collect()}
+    assert d2[0] == "removed"
+    assert all(s == "unchanged" for i, s in d2.items() if i != 0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    weights=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=30),
+    n=st.integers(min_value=0, max_value=35),
+)
+def test_weighted_sample_invariants(spark, weights, n):
+    """For ANY weights: the sample is a subset of the input, has exactly
+    min(n, |input|) rows, and is invariant to partitioning."""
+    from thoth_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "doc_id long, w long"
+    )
+    got = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", n).collect())
+    assert len(got) == min(n, len(weights))
+    assert set(got) <= set(range(len(weights)))
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_sample(df.repartition(5), "doc_id", "w", n).collect()
+    )
+    assert got == again
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=texts)
+def test_bm25_score_invariants(spark, docs):
+    """For ANY corpus: BM25 scores are positive, every returned doc
+    matched >= 1 term, and no more than k rows return."""
+    from thoth_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = bm25_topk(df, "doc_id", "text", ["a", "b"], k=5).collect()
+    assert len(out) <= 5
+    for r in out:
+        assert r["score"] > 0 and r["n_terms_matched"] >= 1

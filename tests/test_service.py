@@ -421,3 +421,15 @@ def test_public_api_parity_flow(spark, events_df, tmp_path):
                 raise AssertionError(f"{bad} should fail")
             except HTTPError as e:
                 assert e.code == code
+
+
+def test_add_dataset_explicit_registration(spark, tmp_path):
+    """Reference-parity `add_dataset`: explicit registration without
+    profiling, visible via get_datasets/get_dataset."""
+    import thoth_spark as ts
+
+    repo = ts.init_db(spark, str(tmp_path / "repo"))
+    ts.add_dataset(repo, "datasets://manual", "ts", ["value", "kind"])
+    ds = ts.get_dataset(repo, "datasets://manual")
+    assert ds is not None and ds["ts_column"] == "ts"
+    assert any(d["dataset_uri"] == "datasets://manual" for d in ts.get_datasets(repo))

@@ -32,6 +32,7 @@ from thoth_spark.dashboard_html import export_dashboard_html, render_dashboard_h
 from thoth_spark.quality import AnomalousScore, LogHandler, NotificationHandler, assess_quality
 from thoth_spark.repository import DatasetValidationError, MetricsRepository
 from thoth_spark.service import (
+    add_dataset,
     assess_new_ts,
     get_dataset,
     get_datasets,
@@ -58,6 +59,7 @@ __all__ = [
     "OptimizationFailedError",
     "ProfilingBuilder",
     "SimpleProfilingBuilder",
+    "add_dataset",
     "assess_new_ts",
     "assess_quality",
     "collect_timeseries",

@@ -159,6 +159,19 @@ def profile_create(
     return metrics
 
 
+def add_dataset(
+    repo: MetricsRepository,
+    dataset_uri: str,
+    ts_column: str,
+    columns: Sequence[str],
+    granularity: str = Granularity.DAY,
+) -> None:
+    """Register a dataset without profiling it — reference
+    ``add_dataset`` (``service_layer.py:163-177``). ``profile_create``
+    registers implicitly; this is the explicit-registration path."""
+    repo.add_dataset(dataset_uri, ts_column, list(columns), granularity)
+
+
 def get_datasets(repo: MetricsRepository) -> list[dict]:
     """All registered datasets — reference ``get_datasets``."""
     return repo.get_datasets()
