@@ -95,6 +95,8 @@ HEADLINE = [
     "dedup_lsh_eval",
     "hybrid_retrieval_documents",
     "mad_outliers_events",
+    "funnel_events",
+    "quality_percentile_documents",
 ]
 
 

@@ -1308,3 +1308,39 @@ def test_split_partitions_exhaustively_and_stably(spark):
         for r in sampling.train_val_test_split(df.repartition(7), "doc_id", 0.1, 0.2).collect()
     }
     assert all(again[r["doc_id"]] == r["split"] for r in rows)
+
+
+# --- funnel analysis
+
+
+def test_funnel_ordering_and_breaks(spark):
+    """Stages must respect strict event ordering: a purchase BEFORE the
+    click doesn't count; a broken stage nulls all later stages."""
+    import datetime as dt
+
+    from thoth_spark.operators import relational
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # user 1: full funnel in order
+        (1, t(0), "signup"), (1, t(5), "click"), (1, t(9), "purchase"),
+        # user 2: purchase precedes click -> only 2 stages
+        (2, t(0), "signup"), (2, t(3), "purchase"), (2, t(6), "click"),
+        # user 3: never signed up -> 0 stages
+        (3, t(1), "click"), (3, t(2), "purchase"),
+        # user 4: signup only
+        (4, t(7), "signup"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        r["user_id"]: r
+        for r in relational.funnel(
+            df, ["user_id"], "ts", "event_type", ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert out[1]["stages_completed"] == 3 and out[1]["stage3_ts"] == t(9)
+    assert out[2]["stages_completed"] == 2 and out[2]["stage3_ts"] is None
+    assert out[3]["stages_completed"] == 0 and out[3]["stage1_ts"] is None
+    assert out[4]["stages_completed"] == 1
+    # user 2's click at t6 counts (after signup), purchase t3 doesn't
+    assert out[2]["stage2_ts"] == t(6)

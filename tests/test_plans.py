@@ -499,3 +499,11 @@ def test_corpus_diff_shuffles_fingerprints_not_text(spark, sf_dir):
     # no text column may appear above the exchanges (join + output)
     top = plan.split("Exchange", 1)[0]
     assert "text#" not in top
+
+
+def test_funnel_single_shuffle_no_window(spark, sf_dir):
+    """The whole k-stage funnel must cost ONE hash exchange (the key
+    groupBy) — no per-stage passes, no window exchange, no join."""
+    plan = _plan(entry_queries.QUERIES["funnel_events"](spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan

@@ -5654,3 +5654,78 @@ def mad_outliers_events(spark, sf_dir):
         F.round("grp_mad", 6).alias("grp_mad"),
         "is_outlier",
     )
+
+
+# --- ordered funnel analysis (signup -> click -> purchase)
+
+
+ORACLE_FUNNEL = """
+WITH f AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM f WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (
+  SELECT f.user_id, min(f.ts) AS t2
+  FROM f JOIN s1 USING (user_id)
+  WHERE f.event_type = 'click' AND f.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT f.user_id, min(f.ts) AS t3
+  FROM f JOIN s2 USING (user_id)
+  WHERE f.event_type = 'purchase' AND f.ts > s2.t2 GROUP BY 1
+)
+SELECT u.user_id, s1.t1 AS stage1_ts, s2.t2 AS stage2_ts, s3.t3 AS stage3_ts,
+       ((s1.t1 IS NOT NULL)::INT + (s2.t2 IS NOT NULL)::INT
+        + (s3.t3 IS NOT NULL)::INT) AS stages_completed
+FROM (SELECT DISTINCT user_id FROM f) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+@query("funnel_events", ORACLE_FUNNEL)
+def funnel_events(spark, sf_dir):
+    """Ordered conversion funnel signup -> click -> purchase per user:
+    each stage's earliest event strictly after the previous stage.
+    One map-side step filter + ONE shuffle; the stage recursion folds
+    over per-key events in JVM array expressions (the oracle replays it
+    as chained per-stage min-aggregations — k passes, same answer)."""
+    events = _events(spark, sf_dir)
+    return relational.funnel(
+        events, ["user_id"], "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+# --- quality percentile-rank normalization (distributed, no global sort)
+
+
+ORACLE_QUALITY_PERCENTILE = f"""
+WITH q AS ({ORACLE_TEXT_QUALITY.strip()})
+SELECT doc_id, quality_score,
+       round(row_number() OVER (ORDER BY quality_score, doc_id)
+             / (count(*) OVER ())::DOUBLE, 6) AS quality_pct
+FROM q
+"""
+
+
+@query("quality_percentile_documents", ORACLE_QUALITY_PERCENTILE)
+def quality_percentile_documents(spark, sf_dir):
+    """Percentile-rank normalization of the quality score: thresholds
+    like 'drop the bottom 20%' stay meaningful when the raw score
+    distribution drifts between crawls. The global ordinal rank uses the
+    range-partition + offset scheme (`relational.global_rank`) — a
+    parallel range sort plus a broadcast per-partition offset table,
+    never a single-partition window; ties break on doc_id so the rank
+    (and hash) is deterministic."""
+    docs = _documents(spark, sf_dir)
+    scored = text.quality_score(docs, "text").select("doc_id", "quality_score")
+    ranked = relational.global_rank(
+        scored, ["quality_score", "doc_id"], rank_col="__r", keep_total=True
+    )
+    return ranked.select(
+        "doc_id",
+        "quality_score",
+        F.round(F.col("__r") / F.col("__total"), 6).alias("quality_pct"),
+    )

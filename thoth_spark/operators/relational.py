@@ -269,3 +269,62 @@ def distributed_ntile(
         F.col("__gr") <= big_span, F.floor((F.col("__gr") - 1) / (base + 1)) + 1
     ).otherwise(rem + F.floor((F.col("__gr") - big_span - 1) / base) + 1)
     return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__gr", "__total")
+
+
+def funnel(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    step_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the furthest stage reached where
+    each stage's event must occur strictly AFTER the previous stage's
+    earliest qualifying event (signup → click → purchase, in order).
+
+    Returns one row per key with ``stage_i_ts`` (earliest qualifying
+    timestamp per stage, null once the funnel breaks) and
+    ``stages_completed``. The per-stage conversion table is then a tiny
+    ``groupBy(stages_completed)`` away.
+
+    Physical shape: events filter map-side to the step set, then ONE
+    shuffle keyed by the funnel key; the stage recursion
+    (``stage_k = min(ts WHERE step = steps[k] AND ts > stage_{k-1})``)
+    folds over the per-key event list with JVM array expressions — no
+    windows, no joins, no per-stage passes regardless of funnel length.
+    Memory bound: the per-key list holds only FUNNEL-STEP events inside
+    the analysis window (ObjectHashAggregate spills past
+    ``spark.sql.objectHashAggregate.sortBased.fallbackThreshold``); a
+    key with pathologically many funnel events degrades to a sort-based
+    fold, not an OOM. If per-key funnel volume is truly unbounded,
+    chain k filtered min-aggregations instead (k shuffles, O(1)
+    state)."""
+    relevant = df.where(F.col(step_col).isin(steps))
+    grouped = relevant.groupBy(*key_cols).agg(
+        F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col(step_col).alias("s"))).alias(
+            "__ev"
+        )
+    )
+    # fold the ordered-stage recursion over the collected event list with
+    # array expressions (JVM-side; per-key event counts are session-scale)
+    def _first_pred(step):
+        return lambda e: e["s"] == F.lit(step)
+
+    def _chain_pred(step, prev_col):
+        return lambda e: (e["s"] == F.lit(step)) & (e["t"] > prev_col)
+
+    cols = []
+    prev = None
+    for i, step in enumerate(steps):
+        pred = _first_pred(step) if prev is None else _chain_pred(step, prev)
+        expr = F.array_min(
+            F.transform(F.filter(F.col("__ev"), pred), lambda e: e["t"])
+        )
+        alias = f"stage{i + 1}_ts"
+        grouped = grouped.withColumn(alias, expr)
+        prev = F.col(alias)
+        cols.append(alias)
+    completed = sum(
+        (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols), F.lit(0)
+    )
+    return grouped.select(*key_cols, *cols, completed.alias("stages_completed"))
