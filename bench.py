@@ -97,6 +97,7 @@ HEADLINE = [
     "mad_outliers_events",
     "funnel_events",
     "quality_percentile_documents",
+    "cohort_retention_events",
 ]
 
 

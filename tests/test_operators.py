@@ -1344,3 +1344,28 @@ def test_funnel_ordering_and_breaks(spark):
     assert out[4]["stages_completed"] == 1
     # user 2's click at t6 counts (after signup), purchase t3 doesn't
     assert out[2]["stage2_ts"] == t(6)
+
+
+# --- cohort retention
+
+
+def test_cohort_retention_closed_form(spark):
+    import datetime as dt
+
+    from thoth_spark.operators import relational
+
+    w0, w1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
+    rows = (
+        [(u, w0) for u in range(4)]          # 4 users start week 0
+        + [(u, w1) for u in (0, 1)]          # 2 of them return week 1
+        + [(9, w1)]                           # 1 new user starts week 1
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (str(r["cohort"]), r["offset"]): (r["active"], r["cohort_size"], r["retention_rate"])
+        for r in relational.cohort_retention(df, ["user_id"], "ts").collect()
+    }
+    assert got[("2024-01-01", 0)] == (4, 4, 1.0)
+    assert got[("2024-01-01", 7)] == (2, 4, 0.5)
+    assert got[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(got) == 3

@@ -5729,3 +5729,43 @@ def quality_percentile_documents(spark, sf_dir):
         "quality_score",
         F.round(F.col("__r") / F.col("__total"), 6).alias("quality_pct"),
     )
+
+
+# --- cohort retention triangle
+
+
+ORACLE_COHORT = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('week', ts))::DATE AS cohort
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS p FROM events
+),
+joined AS (
+  SELECT f.cohort, datediff('day', f.cohort, a.p) AS "offset", a.user_id
+  FROM active a JOIN first f USING (user_id)
+),
+counts AS (
+  SELECT cohort, "offset", count(*)::BIGINT AS active FROM joined GROUP BY 1, 2
+),
+sizes AS (SELECT cohort, count(*)::BIGINT AS cohort_size FROM first GROUP BY 1)
+SELECT c.cohort, c."offset"::INT AS offset, c.active, s.cohort_size,
+       round(c.active / s.cohort_size::DOUBLE, 6) AS retention_rate
+FROM counts c JOIN sizes s USING (cohort)
+"""
+
+
+@query("cohort_retention_events", ORACLE_COHORT)
+def cohort_retention_events(spark, sf_dir):
+    """Weekly cohort retention triangle over the events table: users
+    bucketed by first-activity week, per (cohort, day-offset) the
+    fraction still active. Shuffles stay keyed on user_id until the
+    frame is aggregate-sized; cohort sizes broadcast back — the hot
+    cohort key never partitions raw data."""
+    events = _events(spark, sf_dir)
+    out = relational.cohort_retention(events, ["user_id"], "ts", bucket="week")
+    return out.select(
+        "cohort", F.col("offset").cast("int").alias("offset"),
+        "active", "cohort_size", "retention_rate",
+    )

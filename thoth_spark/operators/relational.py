@@ -328,3 +328,44 @@ def funnel(
         (F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols), F.lit(0)
     )
     return grouped.select(*key_cols, *cols, completed.alias("stages_completed"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by their FIRST-activity
+    period, then for each (cohort, period-offset) the fraction of the
+    cohort active in that period.
+
+    Returns (cohort, offset, active, cohort_size, retention_rate) with
+    offset 0 = the cohort's first period (retention 1.0 by construction).
+
+    Physical shape: one ``groupBy(key)`` min for cohort assignment, one
+    distinct over (key, period) for activity — both shuffle on the user
+    key and AQE coalesces them — then the retention aggregation runs on
+    the (users × active periods) frame and cohort sizes (a
+    #cohorts-row aggregate) broadcast back. Nothing is ever keyed by the
+    (tiny, hot) cohort value until the data is already aggregate-sized."""
+    period = F.date_trunc(bucket, F.col(ts_col)).cast("date")
+    first = df.groupBy(*key_cols).agg(F.min(period).alias("cohort"))
+    active = df.select(*key_cols, period.alias("__p")).distinct()
+    joined = active.join(first, key_cols).withColumn(
+        "offset", F.datediff(F.col("__p"), F.col("cohort"))
+    )
+    counts = joined.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).alias("active")
+    )
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        counts.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "active",
+            "cohort_size",
+            F.round(F.col("active") / F.col("cohort_size"), 6).alias("retention_rate"),
+        )
+    )
