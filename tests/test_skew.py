@@ -325,3 +325,100 @@ def test_nb_classifier_hot_token_skew(spark):
     got = {r["doc_id"]: r for r in rows}
     assert got[1]["nb_pred"] == 1 and got[2]["nb_pred"] == 0
     assert wall < 60.0
+
+
+def test_funnel_hot_user_skew(spark):
+    """One user owns 100k funnel events (alternating clicks/purchases
+    after one signup); 1000 normal users complete a clean 3-step funnel.
+    The collect_list fold must absorb the hot key (ObjectHashAggregate
+    spills to sort-based, never OOM) and every stage timestamp must be
+    exact."""
+    hot = (
+        spark.range(100_000)
+        .select(
+            F.lit(0).alias("user_id"),
+            (F.lit(BASE) + F.make_interval(secs=F.col("id") + 1)).alias("ts"),
+            F.when(F.col("id") % 2 == 0, "click").otherwise("purchase").alias(
+                "event_type"
+            ),
+        )
+    )
+    hot_signup = spark.createDataFrame(
+        [(0, BASE, "signup")], "user_id long, ts timestamp, event_type string"
+    )
+    normal = (
+        spark.range(1, 1001)
+        .select(
+            F.col("id").alias("user_id"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(BASE).alias("t"), F.lit("signup").alias("s")),
+                    F.struct(
+                        (F.lit(BASE) + F.make_interval(secs=F.lit(60))).alias("t"),
+                        F.lit("click").alias("s"),
+                    ),
+                    F.struct(
+                        (F.lit(BASE) + F.make_interval(secs=F.lit(120))).alias("t"),
+                        F.lit("purchase").alias("s"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("user_id", F.col("e.t").alias("ts"), F.col("e.s").alias("event_type"))
+    )
+    df = hot.unionByName(hot_signup).unionByName(normal)
+    out, wall = _timed(
+        lambda: {
+            r["user_id"]: r
+            for r in relational.funnel(
+                df, ["user_id"], "ts", "event_type", ["signup", "click", "purchase"]
+            ).collect()
+        }
+    )
+    # hot user: signup at t0, first click at t0+1s, first purchase after
+    # that is at t0+2s (id=1)
+    assert out[0]["stages_completed"] == 3
+    assert (out[0]["stage2_ts"] - out[0]["stage1_ts"]).total_seconds() == 1
+    assert (out[0]["stage3_ts"] - out[0]["stage2_ts"]).total_seconds() == 1
+    assert all(out[u]["stages_completed"] == 3 for u in (1, 500, 1000))
+    assert wall < 60, wall
+
+
+def test_cohort_retention_hot_cohort_skew(spark):
+    """99% of 100k users share ONE cohort week. Correct-by-construction
+    retention plus a wall bound: the cohort key must never partition
+    raw events (user-keyed shuffles + broadcast sizes only)."""
+    import datetime as dt
+
+    n_users = 100_000
+    ev = (
+        spark.range(n_users)
+        .select(
+            F.col("id").alias("user_id"),
+            F.when(F.col("id") % 100 < 99, F.lit(BASE))
+            .otherwise(F.lit(BASE + dt.timedelta(days=7)))
+            .alias("ts"),
+        )
+    )
+    # half of the hot cohort returns in week 1
+    returns = (
+        spark.range(0, n_users, 2)
+        .where(F.col("id") % 100 < 99)
+        .select(
+            F.col("id").alias("user_id"),
+            F.lit(BASE + dt.timedelta(days=7)).alias("ts"),
+        )
+    )
+    df = ev.unionByName(returns)
+    out, wall = _timed(
+        lambda: {
+            (str(r["cohort"]), r["offset"]): r
+            for r in relational.cohort_retention(df, ["user_id"], "ts").collect()
+        }
+    )
+    hot0 = out[("2024-01-01", 0)]
+    assert hot0["cohort_size"] == 99_000 and hot0["retention_rate"] == 1.0
+    hot1 = out[("2024-01-01", 7)]
+    # exactly the even ids in the hot cohort returned
+    assert hot1["active"] == sum(1 for i in range(0, n_users, 2) if i % 100 < 99)
+    assert wall < 60, wall
