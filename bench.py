@@ -98,6 +98,7 @@ HEADLINE = [
     "funnel_events",
     "quality_percentile_documents",
     "cohort_retention_events",
+    "quality_percentile_by_source",
 ]
 
 

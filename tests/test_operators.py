@@ -1369,3 +1369,33 @@ def test_cohort_retention_closed_form(spark):
     assert got[("2024-01-01", 7)] == (2, 4, 0.5)
     assert got[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(got) == 3
+
+
+# --- grouped global rank
+
+
+def test_grouped_global_rank_matches_window(spark):
+    """Exact equivalence with the single-task window form on a corpus
+    small enough to run both."""
+    from pyspark.sql import Window as W
+
+    from thoth_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 5}", (i * 7919) % 1000) for i in range(5000)],
+        "id long, g string, v long",
+    )
+    got = {
+        (r["g"], r["id"]): r["rank"]
+        for r in relational.grouped_global_rank(
+            df, ["g"], ["v", "id"], num_partitions=8
+        ).collect()
+    }
+    want = {
+        (r["g"], r["id"]): r["rank"]
+        for r in df.withColumn(
+            "rank",
+            F.row_number().over(W.partitionBy("g").orderBy("v", "id")),
+        ).collect()
+    }
+    assert got == want

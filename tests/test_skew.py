@@ -422,3 +422,36 @@ def test_cohort_retention_hot_cohort_skew(spark):
     # exactly the even ids in the hot cohort returned
     assert hot1["active"] == sum(1 for i in range(0, n_users, 2) if i % 100 < 99)
     assert wall < 60, wall
+
+
+def test_grouped_rank_hot_group_skew(spark):
+    """One group owns 95% of 200k rows. grouped_global_rank must spread
+    that group across partitions (never one sort task) and still produce
+    exact per-group ranks."""
+    n = 200_000
+    df = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 20 < 19, "hot").otherwise("cold").alias("g"),
+        ((F.col("id") * 7919) % 1_000_003).alias("v"),
+    )
+    out, wall = _timed(
+        lambda: relational.grouped_global_rank(
+            df, ["g"], ["v", "id"], keep_group_total=True
+        )
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rank").alias("mn"),
+            F.max("rank").alias("mx"),
+            F.sum("rank").alias("s"),
+        )
+        .collect()
+    )
+    stats = {r["g"]: r for r in out}
+    for g in ("hot", "cold"):
+        n_g = stats[g]["n"]
+        # ranks are exactly 1..n_g (min/max/sum pin the full permutation)
+        assert stats[g]["mn"] == 1 and stats[g]["mx"] == n_g
+        assert stats[g]["s"] == n_g * (n_g + 1) // 2
+    assert stats["hot"]["n"] == 190_000
+    assert wall < 60, wall

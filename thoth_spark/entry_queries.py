@@ -5769,3 +5769,45 @@ def cohort_retention_events(spark, sf_dir):
         "cohort", F.col("offset").cast("int").alias("offset"),
         "active", "cohort_size", "retention_rate",
     )
+
+
+# --- per-source quality percentile (grouped distributed rank)
+
+
+ORACLE_QUALITY_PCT_BY_SOURCE = f"""
+WITH q AS ({ORACLE_TEXT_QUALITY.strip()})
+SELECT d.source, q.doc_id, q.quality_score,
+       round(row_number() OVER (PARTITION BY d.source
+                                ORDER BY q.quality_score, q.doc_id)
+             / (count(*) OVER (PARTITION BY d.source))::DOUBLE, 6)
+         AS quality_pct_in_source
+FROM q JOIN documents d USING (doc_id)
+"""
+
+
+@query("quality_percentile_by_source", ORACLE_QUALITY_PCT_BY_SOURCE)
+def quality_percentile_by_source(spark, sf_dir):
+    """Per-SOURCE quality percentiles: normalize each crawl source's
+    score distribution onto [0,1] so one threshold means the same thing
+    for every source. A window partitioned by source would funnel a
+    dominant source through one task; `grouped_global_rank` range-
+    partitions on (source, score) so hot groups span partitions, with
+    per-(group, partition) offsets broadcast back — exact ranks, no
+    hot-group bottleneck."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "text").select(
+        "doc_id", "source", "quality_score"
+    )
+    ranked = relational.grouped_global_rank(
+        scored,
+        ["source"],
+        ["quality_score", "doc_id"],
+        rank_col="__r",
+        keep_group_total=True,
+    )
+    return ranked.select(
+        "source",
+        "doc_id",
+        "quality_score",
+        F.round(F.col("__r") / F.col("__gtotal"), 6).alias("quality_pct_in_source"),
+    )

@@ -369,3 +369,62 @@ def cohort_retention(
             F.round(F.col("active") / F.col("cohort_size"), 6).alias("retention_rate"),
         )
     )
+
+
+def grouped_global_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+    keep_group_total: bool = False,
+) -> DataFrame:
+    """Per-group total-order ranking WITHOUT per-group windows.
+
+    ``row_number().over(Window.partitionBy(group).orderBy(...))`` puts
+    each group in ONE task — a group owning half the corpus (one crawl
+    source, one language) serializes through a single sort. Instead:
+    range-repartition on (group, order) so groups SPAN partitions while
+    staying contiguous, rank locally, then add per-(group, partition)
+    cumulative offsets — a #groups × #partitions-row aggregate,
+    broadcast back. Output is exact: rank 1..n within each group.
+
+    ``order_cols`` should end with a unique tiebreak column (range
+    boundaries are sampled; a total order keeps results deterministic).
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(parts, *gcols, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "__lr",
+        F.row_number().over(
+            W.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+        ),
+    )
+    offsets = (
+        local.groupBy("__pid", *group_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__off",
+            F.coalesce(
+                F.sum("__n").over(
+                    W.partitionBy(*group_cols)
+                    .orderBy("__pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "__gtotal", F.sum("__n").over(W.partitionBy(*group_cols))
+        )
+        .select("__pid", *group_cols, "__off", "__gtotal")
+    )
+    out = (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn(rank_col, F.col("__off") + F.col("__lr"))
+        .drop("__pid", "__lr", "__off")
+    )
+    return out if keep_group_total else out.drop("__gtotal")
