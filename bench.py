@@ -99,6 +99,8 @@ HEADLINE = [
     "quality_percentile_documents",
     "cohort_retention_events",
     "quality_percentile_by_source",
+    "pagerank_documents_calibration",
+    "source_keywords_documents",
 ]
 
 

@@ -1399,3 +1399,50 @@ def test_grouped_global_rank_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+# --- PageRank
+
+
+def test_pagerank_uniform_cycle(spark):
+    """A directed cycle is perfectly symmetric: every node must converge
+    to rank exactly 1.0."""
+    from thoth_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(edges).collect()}
+    assert len(got) == 6
+    for v in got.values():
+        assert abs(v - 1.0) < 1e-6
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Exact parity with a dense numpy power iteration (same damping,
+    same dangling handling) on a small asymmetric graph with a dangling
+    node."""
+    import numpy as np
+
+    from thoth_spark.operators.graph import pagerank
+
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 dangles via (2,4)
+    edge_list.append((2, 4))
+    n = 5
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(edges, tol=None, max_iterations=40).collect()}
+
+    M = np.zeros((n, n))
+    for s, t in edge_list:
+        M[t, s] += 1
+    deg = M.sum(axis=0)
+    M = np.divide(M, deg, where=deg > 0, out=M)
+    r = np.ones(n)
+    d = 0.85
+    for _ in range(40):
+        dangling = r[deg == 0].sum()
+        r = (1 - d) + d * (M @ r + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # rank mass conserved: sums to n
+    assert abs(sum(got.values()) - n) < 1e-6

@@ -5811,3 +5811,128 @@ def quality_percentile_by_source(spark, sf_dir):
         "quality_score",
         F.round(F.col("__r") / F.col("__gtotal"), 6).alias("quality_pct_in_source"),
     )
+
+
+# --- PageRank calibration (2 unrolled iterations, hash-verified)
+
+
+ORACLE_PAGERANK_CAL = """
+WITH e AS (
+  SELECT doc_id AS s, doc_id % 97 AS t FROM documents WHERE doc_id % 97 <> doc_id
+),
+nodes AS (SELECT DISTINCT id FROM (SELECT s AS id FROM e UNION SELECT t AS id FROM e)),
+deg AS (SELECT s, count(*)::DOUBLE AS deg FROM e GROUP BY 1),
+p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT id, 1.0 AS rank FROM nodes),
+dang0 AS (
+  SELECT coalesce(sum(r0.rank), 0) AS dm FROM r0
+  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r0.id)
+),
+in1 AS (
+  SELECT e.t AS id, sum(r0.rank / deg.deg) AS inflow
+  FROM e JOIN deg USING (s) JOIN r0 ON r0.id = e.s GROUP BY 1
+),
+r1 AS (
+  SELECT nodes.id,
+         0.15 + 0.85 * (coalesce(in1.inflow, 0) + dang0.dm / p.n) AS rank
+  FROM nodes LEFT JOIN in1 USING (id) CROSS JOIN dang0 CROSS JOIN p
+),
+dang1 AS (
+  SELECT coalesce(sum(r1.rank), 0) AS dm FROM r1
+  WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.s = r1.id)
+),
+in2 AS (
+  SELECT e.t AS id, sum(r1.rank / deg.deg) AS inflow
+  FROM e JOIN deg USING (s) JOIN r1 ON r1.id = e.s GROUP BY 1
+),
+r2 AS (
+  SELECT nodes.id,
+         0.15 + 0.85 * (coalesce(in2.inflow, 0) + dang1.dm / p.n) AS rank
+  FROM nodes LEFT JOIN in2 USING (id) CROSS JOIN dang1 CROSS JOIN p
+)
+SELECT id, round(rank, 6) AS rank FROM r2
+"""
+
+
+@query("pagerank_documents_calibration", ORACLE_PAGERANK_CAL)
+def pagerank_documents_calibration(spark, sf_dir):
+    """The PageRank dataflow hash-verified end-to-end: two power
+    iterations (unrolled in the SQL oracle) over a deterministic hub
+    graph on the documents table (doc -> doc_id % 97; ids < 97 are
+    dangling, so the dangling-mass redistribution is exercised too).
+    Production runs `pagerank` to convergence on a real link/similarity
+    graph — this is the calibration point proving join + inflow +
+    dangling arithmetic, the same pattern as the IVF full-probe
+    query."""
+    from thoth_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = docs.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") % 97).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    out = pagerank(edges, tol=None, max_iterations=2)
+    return out.select("id", F.round("rank", 6).alias("rank"))
+
+
+# --- per-source distinguishing keywords (class-based TF-IDF)
+
+
+ORACLE_SOURCE_KEYWORDS = f"""
+WITH d AS ({_DOC_TOKENS}),
+tok AS (
+  SELECT doc.source, t.token
+  FROM d JOIN documents doc USING (doc_id), unnest(d.toks) AS t(token)
+  WHERE t.token <> ''
+),
+tf AS (SELECT source, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, sum(tf)::DOUBLE AS n_tok FROM tf GROUP BY 1),
+sdf AS (SELECT token, count(DISTINCT source)::BIGINT AS df FROM tf GROUP BY 1),
+ns AS (SELECT count(DISTINCT source)::BIGINT AS n FROM tf),
+sc AS (
+  SELECT tf.source, tf.token,
+         (tf.tf / stot.n_tok) * ln(1.0 + ns.n / sdf.df) AS score
+  FROM tf JOIN stot USING (source) JOIN sdf USING (token) CROSS JOIN ns
+),
+rk AS (
+  SELECT source, token, round(score, 6) AS ctfidf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, token)::INT AS rank
+  FROM sc
+)
+SELECT source, token, ctfidf, rank FROM rk WHERE rank <= 5
+"""
+
+
+@query("source_keywords_documents", ORACLE_SOURCE_KEYWORDS)
+def source_keywords_documents(spark, sf_dir):
+    """Top-5 distinguishing terms per source (class-based TF-IDF,
+    BERTopic's c-TF-IDF recipe): term rate within the source weighted by
+    cross-source rarity — the 'what is this crawl source actually made
+    of' audit. One corpus explode + aggregate-sized frames; the
+    per-source top-k window runs on #sources x #terms rows, never raw
+    tokens."""
+    docs = _documents(spark, sf_dir)
+    tok = docs.select(
+        "source", F.explode(text.tokens(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    stot = tf.groupBy("source").agg(F.sum("tf").cast("double").alias("n_tok"))
+    sdf = tf.groupBy("token").agg(F.count_distinct("source").alias("df"))
+    ns = tf.agg(F.count_distinct("source").alias("n"))
+    sc = (
+        tf.join(F.broadcast(stot), "source")
+        .join(F.broadcast(sdf), "token")
+        .crossJoin(F.broadcast(ns))
+        .withColumn(
+            "score",
+            (F.col("tf") / F.col("n_tok")) * F.log(1.0 + F.col("n") / F.col("df")),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("score").desc(), F.col("token"))
+    )
+    return (
+        sc.withColumn("rank", rk.cast("int"))
+        .where(F.col("rank") <= 5)
+        .select("source", "token", F.round("score", 6).alias("ctfidf"), "rank")
+    )
