@@ -101,6 +101,7 @@ HEADLINE = [
     "quality_percentile_by_source",
     "pagerank_documents_calibration",
     "source_keywords_documents",
+    "profile_diff_events",
 ]
 
 

@@ -317,3 +317,48 @@ def test_interval_join_stream_across_micro_batches(spark, tmp_path):
     )
     want = {(r["purchase_id"], r["click_id"]) for r in batch}
     assert got == want and len(want) > 0
+
+
+def test_interval_join_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer semantics: purchases with no click in their window
+    must emit null-joined — but only after the watermark passes their
+    join window, so a later batch advances event time past the early
+    rows' expiry."""
+    import datetime as dt
+
+    from thoth_spark.streaming.stream import interval_join_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    # user 1's purchase has a click in-window; user 2's does not
+    purchases = [(201, 1, t0), (202, 2, t0)]
+    clicks = [(101, 1, t0 - dt.timedelta(minutes=5))]
+    # much later watermark-driver events on BOTH streams: the join's
+    # event-time watermark is the MIN across inputs, so both must advance
+    late_t = t0 + dt.timedelta(hours=3)
+    pdf = spark.createDataFrame(purchases, "purchase_id long, p_user long, p_ts timestamp")
+    ldf = spark.createDataFrame(
+        [(299, 3, late_t)], "purchase_id long, p_user long, p_ts timestamp"
+    )
+    cdf = spark.createDataFrame(clicks, "click_id long, c_user long, c_ts timestamp")
+    lcdf = spark.createDataFrame(
+        [(199, 3, late_t)], "click_id long, c_user long, c_ts timestamp"
+    )
+    pdir, cdir = str(tmp_path / "p"), str(tmp_path / "c")
+    pdf.coalesce(1).write.parquet(pdir)
+    ldf.coalesce(1).write.mode("append").parquet(pdir)
+    cdf.coalesce(1).write.parquet(cdir)
+    lcdf.coalesce(1).write.mode("append").parquet(cdir)
+
+    ps = spark.readStream.schema(pdf.schema).option("maxFilesPerTrigger", 1).parquet(pdir)
+    cs = spark.readStream.schema(cdf.schema).option("maxFilesPerTrigger", 1).parquet(cdir)
+    joined = interval_join_stream(
+        ps, cs, "p_user", "c_user", "p_ts", "c_ts",
+        max_delay="30 minutes", watermark="10 minutes", how="left_outer",
+    ).select("purchase_id", "click_id")
+    name = f"t_loj_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()}
+    assert (201, 101) in got          # matched pair
+    assert (202, None) in got         # unmatched -> null right side

@@ -5936,3 +5936,75 @@ def source_keywords_documents(spark, sf_dir):
         .where(F.col("rank") <= 5)
         .select("source", "token", F.round("score", 6).alias("ctfidf"), "rank")
     )
+
+
+# --- profiling-run diff (metric regression detection)
+
+
+ORACLE_PROFILE_DIFF = """
+WITH oldm AS (
+  SELECT date_trunc('day', ts)::DATE AS ts, 'Dataset' AS entity, '*' AS instance,
+         'Size' AS name, count(*)::DOUBLE AS value
+  FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY 1
+  UNION ALL
+  SELECT date_trunc('day', ts)::DATE, 'Column', 'value', 'Mean', avg(value)
+  FROM events WHERE ts < TIMESTAMP '2024-01-21' GROUP BY 1
+),
+newm AS (
+  SELECT date_trunc('day', ts)::DATE AS ts, 'Dataset' AS entity, '*' AS instance,
+         'Size' AS name, count(*)::DOUBLE AS value
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT date_trunc('day', ts)::DATE, 'Column', 'value', 'Mean',
+         avg(CASE WHEN user_id % 5 = 0 THEN value * 2 ELSE value END)
+  FROM events GROUP BY 1
+),
+o AS (SELECT ts, entity, instance, name, round(value, 6) AS old_value FROM oldm),
+n AS (SELECT ts, entity, instance, name, round(value, 6) AS new_value FROM newm)
+SELECT coalesce(o.ts, n.ts) AS ts,
+       coalesce(o.entity, n.entity) AS entity,
+       coalesce(o.instance, n.instance) AS instance,
+       coalesce(o.name, n.name) AS name,
+       o.old_value, n.new_value,
+       CASE WHEN o.old_value IS NULL THEN 'added'
+            WHEN n.new_value IS NULL THEN 'removed'
+            WHEN o.old_value = n.new_value THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n
+  ON o.ts = n.ts AND o.entity = n.entity AND o.instance = n.instance AND o.name = n.name
+"""
+
+
+@query("profile_diff_events", ORACLE_PROFILE_DIFF)
+def profile_diff_events(spark, sf_dir):
+    """Metric-regression detection between two pipeline versions: the
+    'old' run profiles the first 20 days, the 'new' run profiles all 30
+    days of a changed pipeline (every 5th user's values doubled). The
+    diff pinpoints WHICH statistic moved on WHICH day — Means change,
+    Sizes stay, days 21+ are added. One full-outer join over
+    aggregate-sized metric frames; raw data never joins."""
+    from thoth_spark.profiler import Mean, ProfilingBuilder, Size
+    from thoth_spark.profiler.drift import profile_diff
+
+    events = _events(spark, sf_dir)
+    builder = ProfilingBuilder(analyzers=[Size(), Mean("value")])
+    old = profile(
+        events.where(F.col("ts") < "2024-01-21").select("ts", "value"), "ts", builder
+    )
+    changed = events.withColumn(
+        "value",
+        F.when(F.col("user_id") % 5 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    new = profile(changed.select("ts", "value"), "ts", builder)
+    diff = profile_diff(_round_metrics(old), _round_metrics(new))
+    return diff.select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        "old_value",
+        "new_value",
+        "status",
+    )

@@ -264,3 +264,45 @@ def psi_against_reference(
             F.round(F.sum(term), 6).alias("psi"),
         )
     )
+
+
+def profile_diff(
+    old_metrics: DataFrame,
+    new_metrics: DataFrame,
+    key_cols: list[str] | None = None,
+    rel_tol: float = 0.0,
+) -> DataFrame:
+    """Metric-level diff between two profiling runs — the data-quality
+    twin of the corpus snapshot diff: after changing a pipeline (new
+    parser, new dedup setting), profile the output and diff against the
+    previous run's metrics to see exactly WHICH statistic moved on WHICH
+    day. Returns one row per metric point with status
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` and both
+    values; ``rel_tol`` treats relative changes up to the tolerance as
+    unchanged (0 = exact).
+
+    One full-outer join on the metric key — both sides are
+    aggregate-sized metric frames (days × metrics), so this is
+    driver-cheap at any raw-data scale."""
+    key_cols = key_cols or ["ts", "entity", "instance", "name"]
+    o = old_metrics.select(*key_cols, F.col("value").alias("old_value"))
+    n = new_metrics.select(*key_cols, F.col("value").alias("new_value"))
+    j = o.join(n, key_cols, "full_outer")
+    same = (
+        F.col("old_value").eqNullSafe(F.col("new_value"))
+        if rel_tol == 0
+        else (
+            F.col("old_value").eqNullSafe(F.col("new_value"))
+            | (
+                F.abs(F.col("new_value") - F.col("old_value"))
+                <= rel_tol * F.abs(F.col("old_value"))
+            )
+        )
+    )
+    status = (
+        F.when(F.col("old_value").isNull() & F.col("new_value").isNotNull(), "added")
+        .when(F.col("new_value").isNull() & F.col("old_value").isNotNull(), "removed")
+        .when(same, "unchanged")
+        .otherwise("changed")
+    )
+    return j.select(*key_cols, "old_value", "new_value", status.alias("status"))

@@ -356,10 +356,18 @@ def interval_join_stream(
     right_ts: str,
     max_delay: str = "30 minutes",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair each left event with
     the right events sharing its key that occurred within ``max_delay``
     BEFORE it (attribution: purchases ← preceding clicks).
+
+    ``how='left_outer'`` additionally emits unmatched left events with
+    nulls on the right side — but only once the watermark has passed the
+    left event's join window (Spark must be sure no matching right row
+    can still arrive), so outer results trail the watermark by
+    ``watermark + max_delay``. Inner results emit as soon as both rows
+    have met.
 
     This is the canonical Structured Streaming two-stream join — both
     sides carry a watermark and the join condition bounds ``right_ts``
@@ -381,4 +389,4 @@ def interval_join_stream(
         & (F.col(right_ts) <= F.col(left_ts))
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
