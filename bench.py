@@ -102,6 +102,7 @@ HEADLINE = [
     "pagerank_documents_calibration",
     "source_keywords_documents",
     "profile_diff_events",
+    "collocations_documents",
 ]
 
 

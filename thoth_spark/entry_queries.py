@@ -6008,3 +6008,82 @@ def profile_diff_events(spark, sf_dir):
         "new_value",
         "status",
     )
+
+
+# --- collocation mining (pointwise mutual information over bigrams)
+
+
+_PMI_MIN_COUNT = 5  # the conventional phrase-mining noise floor
+
+ORACLE_COLLOCATIONS = f"""
+WITH d AS ({_DOC_TOKENS}),
+bg AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE toks[i] <> '' AND toks[i + 1] <> ''
+),
+n AS (SELECT count(*)::DOUBLE AS total FROM bg),
+bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY 1, 2),
+u1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg GROUP BY 1),
+u2 AS (SELECT w2, count(*)::BIGINT AS c2 FROM bg GROUP BY 1),
+sc AS (
+  SELECT bc.w1, bc.w2, bc.c12,
+         ln((bc.c12 / n.total) / ((u1.c1 / n.total) * (u2.c2 / n.total))) AS pmi
+  FROM bc JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+  WHERE bc.c12 >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12, round(pmi, 6) AS pmi
+FROM sc ORDER BY pmi DESC, w1, w2 LIMIT 20
+"""
+
+
+@query("collocations_documents", ORACLE_COLLOCATIONS)
+def collocations_documents(spark, sf_dir):
+    """Top-20 collocations by PMI (adjacent-bigram pointwise mutual
+    information, min count 5 — the conventional phrase-mining noise
+    floor; the top-k LIMIT, not the floor, bounds output at any corpus
+    scale) — the phrase-mining primitive behind tokenizer merge
+    candidates and boilerplate phrase discovery. One corpus bigram explode + one groupBy; unigram margins
+    are vocabulary-sized broadcast joins; top-k is TakeOrdered."""
+    docs = _documents(spark, sf_dir)
+    toks = text.tokens(F.col("text"))
+    bg = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("w1"),
+                            F.element_at(toks, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).cache()
+    total = bc.agg(F.sum("c12").cast("double").alias("total"))
+    u1 = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    u2 = bc.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    sc = (
+        bc.where(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("c12") / F.col("total"))
+                / ((F.col("c1") / F.col("total")) * (F.col("c2") / F.col("total")))
+            ),
+        )
+    )
+    return (
+        sc.select("w1", "w2", "c12", F.round("pmi", 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )
