@@ -1446,3 +1446,61 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     # rank mass conserved: sums to n
     assert abs(sum(got.values()) - n) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact joins (AllPairs / containment)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_prefix_equals_full_inverted_index(spark, documents_df):
+    """Prefix filtering is an EXACT optimization: at any threshold its
+    result must equal the full-inverted-index Jaccard join (no cap)."""
+    full = dedup.ngram_jaccard_pairs(
+        documents_df, "doc_id", "text", n=3, threshold=0.5, max_shingle_df=None
+    )
+    pref = dedup.jaccard_prefix_pairs(
+        documents_df, "doc_id", "text", n=3, threshold=0.5
+    )
+    f = {(r["id_a"], r["id_b"], r["jaccard"]) for r in full.collect()}
+    p = {(r["id_a"], r["id_b"], r["jaccard"]) for r in pref.collect()}
+    assert p == f and len(p) > 0
+
+
+def test_containment_finds_subsumption_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment = 1.0 on
+    the (short, long) direction while symmetric Jaccard stays tiny."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, filler + " " + short + " " + filler), (3, "other text entirely here")],
+        "id long, text string",
+    )
+    cont = dedup.containment_pairs(df, "id", "text", n=3, threshold=0.9, max_token_df=None)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in cont.collect()}
+    assert got.get((1, 2)) == pytest.approx(1.0)
+    assert (2, 1) not in got  # the long side is NOT contained in the short
+    jac = dedup.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.5, max_shingle_df=None)
+    assert not any(
+        {r["id_a"], r["id_b"]} == {1, 2} for r in jac.collect()
+    )
+
+
+def test_prefix_excludes_hot_tokens(spark):
+    """Under df-ascending ranking, a boilerplate shingle shared by every
+    document must never enter any document's prefix (that is the whole
+    skew story: hot postings generate zero candidates)."""
+    boiler = "this footer appears on every single page"
+    docs = [(i, f"unique{i} uncommon{i} rare{i} " + boiler) for i in range(20)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    sets = dedup.shingle_sets(df, "id", "text", n=3)
+    ranked = dedup.ranked_tokens(sets)
+    t = 0.8
+    from pyspark.sql import functions as F
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    )
+    hot = [r["s"] for r in prefix.collect() if "footer" in r["s"] and "this footer appears" in r["s"]]
+    # the all-document shingle 'this footer appears' has df=20 (max) so
+    # it must rank last and stay out of every 2-element prefix
+    assert hot == []

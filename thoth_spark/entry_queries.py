@@ -6087,3 +6087,61 @@ def collocations_documents(spark, sf_dir):
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact similarity joins (round 5 continuation)
+# ---------------------------------------------------------------------------
+
+ORACLE_JACCARD_PREFIX = f"""
+WITH {_DOC_SHINGLES},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS s FROM g)
+SELECT id_a, id_b, round(inter::DOUBLE / (sa.s + sb.s - inter), 6) AS jaccard
+FROM pairs JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+WHERE inter::DOUBLE / (sa.s + sb.s - inter) >= 0.6
+"""
+
+
+@query("dedup_jaccard_prefix_documents", ORACLE_JACCARD_PREFIX)
+def dedup_jaccard_prefix_documents(spark, sf_dir):
+    """EXACT Jaccard >= 0.6 pairs via AllPairs/PPJoin prefix filtering
+    (dedup.jaccard_prefix_pairs): each document indexes only its
+    |s| - ceil(t|s|) + 1 globally-RAREST shingles, so hot boilerplate
+    never generates candidates and no df cap (with its semantics trade)
+    is needed — the scale path that stays exact. The oracle is the
+    straightforward full-inverted-index Jaccard join: prefix filtering
+    must reproduce it verbatim (completeness theorem + exact verify)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.6)
+
+
+ORACLE_CONTAINMENT = f"""
+WITH {_DOC_SHINGLES},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS s FROM g)
+SELECT id_a, id_b, round(inter::DOUBLE / sa.s, 6) AS containment
+FROM pairs JOIN sz sa ON sa.doc_id = id_a
+WHERE inter::DOUBLE / sa.s >= 0.7
+"""
+
+
+@query("dedup_containment_documents", ORACLE_CONTAINMENT)
+def dedup_containment_documents(spark, sf_dir):
+    """Asymmetric near-containment pairs (|A∩B|/|A| >= 0.7): subsumption
+    duplicates (a short doc quoted inside a long one) that symmetric
+    Jaccard structurally misses when |B| >> |A|. Prefix filter applies
+    on the contained side only; max_token_df=None pins exact semantics
+    to match the oracle (production keeps the finite default)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7, max_token_df=None
+    )

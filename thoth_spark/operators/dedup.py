@@ -682,3 +682,152 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT similarity joins (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def ranked_tokens(sets: DataFrame, id_col: str = "id", set_col: str = "sh") -> DataFrame:
+    """Explode shingle sets into ``(id, s, pos, sz)`` with tokens ranked
+    per document by ASCENDING global document frequency (ties broken by
+    token text, so the order is a deterministic TOTAL order shared by
+    every document — the precondition of the prefix-filter theorem).
+
+    The df ranking is what makes prefix filtering effective: a
+    document's prefix is its RAREST tokens, so candidate generation
+    joins on rare postings and hot boilerplate tokens never pair
+    anything (they sort to the suffix). The per-document ``row_number``
+    window is bounded by document size — partitioned on id, never a
+    global sort."""
+    inv = sets.select(
+        F.col(id_col).alias("id"),
+        F.size(set_col).alias("sz"),
+        F.explode(set_col).alias("s"),
+    )
+    dfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+    w = W.partitionBy("id").orderBy("__df", "s")
+    return (
+        inv.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .select("id", "s", "pos", "sz")
+    )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs with Jaccard(word-n-gram sets) >= threshold — EXACT, via
+    AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    Chaudhuri et al., ICDE'06).
+
+    Unlike :func:`ngram_jaccard_pairs` (full inverted index, where a
+    stop-shingle in k docs contributes k^2 candidates and the finite
+    ``max_shingle_df`` default trades exactness for survival), prefix
+    filtering is the scale path WITHOUT an approximation: each document
+    indexes only its ``|s| - ceil(t*|s|) + 1`` globally-rarest tokens
+    (any qualifying pair shares >= t*|s| tokens, so at least one shared
+    token lands in both prefixes under the shared total order), plus the
+    length filter ``t*|B| <= |A|``. Hot boilerplate tokens sort to the
+    suffix and never generate a candidate, so candidate volume is
+    bounded by RARE-token postings — results are still exactly the
+    threshold-t Jaccard join (verified with ``array_intersect`` on the
+    full sets before emitting).
+
+    Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
+    """
+    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
+    ranked = ranked_tokens(sets)
+    # prefix length |s| - ceil(t*|s|) + 1; the 1e-9 nudge keeps float
+    # noise in t*|s| (e.g. 0.8*35 -> 28.000000000000004) from rounding
+    # the ceiling UP and illegally shrinking the prefix.
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9)) + 1
+    )
+    t = float(threshold)
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            # length filter: t*|B| <= |A| and t*|A| <= |B|
+            & (F.lit(t) * F.col("b.sz") <= F.col("a.sz") + F.lit(1e-9))
+            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter / (F.size("__sha") + F.size("__shb") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__jac", jac)
+        .where(F.col("__jac") >= F.lit(t))
+        .select("id_a", "id_b", F.round("__jac", 6).alias("jaccard"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_token_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-containment pairs: ``|A∩B| / |A| >= threshold`` —
+    document A's shingles are (nearly) a subset of B's. Jaccard misses
+    these when |B| >> |A| (a wire story quoted inside a long article has
+    tiny Jaccard but containment ~1), so subsumption dedup needs its own
+    operator; keep the LARGER side as the survivor.
+
+    Prefix filter on the CONTAINED side only: ``I >= t*|A|`` means A's
+    ``|A| - ceil(t*|A|) + 1`` rarest tokens must hit B, but B gets no
+    prefix bound (it can be arbitrarily large), so the B side is a full
+    inverted index — ``max_token_df`` caps its hot postings exactly like
+    :func:`ngram_jaccard_pairs` (same documented exactness trade; pass
+    ``None`` for exact semantics). The containment score itself is always
+    computed on the FULL sets.
+
+    Returns ``(id_a, id_b, containment)`` where id_a is contained in
+    id_b (a pair of mutually-containing distinct docs appears twice,
+    once per direction).
+    """
+    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
+    ranked = ranked_tokens(sets)
+    t = float(threshold)
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    )
+    full = ranked.select("id", "s", "sz")
+    if max_token_df is not None:
+        full = cap_shingle_df(full, max_token_df)
+    cand = (
+        prefix.alias("a")
+        .join(full.alias("b"), "s")
+        .where(
+            (F.col("a.id") != F.col("b.id"))
+            # |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
+            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
+    contain = F.size(F.array_intersect("__sha", "__shb")) / F.size("__sha")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__cont", contain)
+        .where(F.col("__cont") >= F.lit(t))
+        .select("id_a", "id_b", F.round("__cont", 6).alias("containment"))
+    )
