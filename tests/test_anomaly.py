@@ -450,3 +450,38 @@ def test_mad_outliers_zero_mad_degeneracy(spark):
     df = spark.createDataFrame(rows, "g string, day int, v double")
     out = {r["day"]: r["is_outlier"] for r in mad_outliers(df, "v", ["g"]).collect()}
     assert out[10] is True and not any(v for d, v in out.items() if d < 10)
+
+
+def test_ewma_detects_persistent_small_shift(spark):
+    """A +1.5-sigma persistent shift (too small for any single-point
+    rule) must trip the EWMA chart within a few points of onset, and a
+    stable prefix must stay alarm-free."""
+    from thoth_spark.anomaly.robust import ewma_control
+
+    base = [10.0 + (0.2 if i % 2 else -0.2) for i in range(40)]
+    shifted = base[:30] + [v + 0.7 for v in base[30:]]
+    rows = [
+        ("m", datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), v)
+        for i, v in enumerate(shifted)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = ewma_control(df, "v", ["g"], "ts", lam=0.2, L=3.0).collect()
+    by_day = sorted(out, key=lambda r: r["ts"])
+    alarms = [i for i, r in enumerate(by_day) if r["is_alarm"]]
+    assert alarms and min(alarms) >= 30, alarms  # fires only after onset
+    assert min(alarms) <= 36  # ...and within a few points of it
+    # limits widen monotonically toward the asymptote
+    ucls = [r["ucl"] for r in by_day[:10]]
+    assert all(a <= b + 1e-12 for a, b in zip(ucls, ucls[1:]))
+
+
+def test_ewma_constant_series_no_alarm(spark):
+    from thoth_spark.anomaly.robust import ewma_control
+
+    rows = [
+        ("g", datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), 7.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = ewma_control(df, "v", ["g"], "ts").collect()
+    assert not any(r["is_alarm"] for r in out)

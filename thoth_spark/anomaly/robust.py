@@ -55,3 +55,72 @@ def mad_outliers(
         F.col("grp_mad") > 0, dev > thresh
     ).otherwise(dev > 0)
     return out.withColumn("is_outlier", flag)
+
+
+def ewma_control(
+    series: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    ts_col: str,
+    lam: float = 0.2,
+    L: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart per metric series (NIST/SEMATECH 6.3.2.4).
+
+    Complements :func:`mad_outliers` (memoryless, level-shift robust)
+    with the classic small-persistent-shift detector: the smoothed state
+    ``z_t = lam*x_t + (1-lam)*z_{t-1}`` (``z_0`` = the series mean)
+    accumulates a drift that any single-point rule dilutes, alarming when
+    ``|z_t - mu| > L*sigma*sqrt(lam/(2-lam) * (1-(1-lam)^(2t)))`` — the
+    exact time-varying control limit, not the asymptotic one, so early
+    points are not over-flagged.
+
+    One ``applyInPandas`` task per series, running on the PROFILED
+    metric frame (days x metrics rows), never raw events; per-series
+    state is a handful of floats. The recurrence is replayed exactly in
+    a recursive-CTE oracle; the alarm margin is rounded to 6 decimals on
+    BOTH sides so FP dust cannot flip a boundary alarm.
+
+    Returns group_cols + (ts, value, ewma, lcl, ucl, is_alarm).
+    """
+    import math
+
+    import pandas as pd
+
+    lam = float(lam)
+    L = float(L)
+
+    out_fields = ", ".join(f"{c} string" for c in group_cols)
+    schema = (
+        f"{out_fields}, {ts_col} timestamp, value double, ewma double, "
+        "lcl double, ucl double, is_alarm boolean"
+    )
+
+    def _chart(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        x = pdf[value_col].astype(float).to_numpy()
+        n = len(x)
+        mu = float(x.sum()) / n
+        sigma = math.sqrt(float(((x - mu) ** 2).sum()) / n)
+        fac = L * sigma * math.sqrt(lam / (2.0 - lam))
+        z = mu
+        ewma, lcl, ucl, alarm = [], [], [], []
+        for t in range(1, n + 1):
+            z = lam * x[t - 1] + (1.0 - lam) * z
+            lim = fac * math.sqrt(1.0 - (1.0 - lam) ** (2 * t))
+            ewma.append(z)
+            lcl.append(mu - lim)
+            ucl.append(mu + lim)
+            alarm.append(round(abs(z - mu) - lim, 6) > 0)
+        out = pdf[group_cols].copy()
+        out[ts_col] = pdf[ts_col]
+        out["value"] = x
+        out["ewma"] = ewma
+        out["lcl"] = lcl
+        out["ucl"] = ucl
+        out["is_alarm"] = alarm
+        return out
+
+    return series.select(*group_cols, ts_col, value_col).groupBy(
+        *group_cols
+    ).applyInPandas(_chart, schema)

@@ -6145,3 +6145,68 @@ def dedup_containment_documents(spark, sf_dir):
     return dedup.containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.7, max_token_df=None
     )
+
+
+def _ewma_oracle(lam: float = 0.2, L: float = 3.0) -> str:
+    """EWMA recurrence as a recursive CTE, mirroring ewma_control's
+    Python operation order (constants injected via repr, same
+    expression shapes) so DuckDB's doubles land within round(6) of
+    Spark's; the alarm MARGIN is rounded on both sides, so a boundary
+    alarm cannot flip on FP dust."""
+    la, ila, l_ = repr(float(lam)), f"(1.0 - {lam!r})", repr(float(L))
+    return f"""WITH RECURSIVE {_SERIES_SQL},
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY entity, instance, name ORDER BY ts) AS i
+  FROM series
+),
+m AS (SELECT entity, instance, name, avg(value) AS mu FROM series GROUP BY 1, 2, 3),
+stats AS (
+  SELECT s.entity, s.instance, s.name, m.mu,
+         sqrt(sum((s.value - m.mu) * (s.value - m.mu)) / count(*)) AS sigma
+  FROM series s JOIN m USING (entity, instance, name)
+  GROUP BY 1, 2, 3, m.mu
+),
+rec AS (
+  SELECT entity, instance, name, 0 AS i, mu AS z FROM stats
+  UNION ALL
+  SELECT r.entity, r.instance, r.name, r.i + 1,
+         {la} * x.value + {ila} * r.z
+  FROM rec r JOIN idx x USING (entity, instance, name)
+  WHERE x.i = r.i + 1
+),
+chart AS (
+  SELECT x.entity, x.instance, x.name, x.ts, x.value, r.z, s.mu,
+         ({l_} * s.sigma * sqrt({la} / (2.0 - {la})))
+           * sqrt(1.0 - power({ila}, 2 * x.i)) AS lim
+  FROM idx x
+  JOIN rec r USING (entity, instance, name, i)
+  JOIN stats s USING (entity, instance, name)
+)
+SELECT entity, instance, name, ts::DATE AS ts,
+       round(value, 6) AS value, round(z, 6) AS ewma,
+       round(mu - lim, 6) AS lcl, round(mu + lim, 6) AS ucl,
+       (round(abs(z - mu) - lim, 6) > 0) AS is_alarm
+FROM chart
+"""
+
+
+@query("ewma_control_events", _ewma_oracle())
+def ewma_control_events(spark, sf_dir):
+    """EWMA control chart on the profiled metric series: the classic
+    small-persistent-shift detector (smoothed state accumulates drift a
+    memoryless rule dilutes), with the exact time-varying control limit.
+    One applyInPandas task per series over the days x metrics frame;
+    the recurrence replays exactly in a recursive-CTE oracle."""
+    from thoth_spark.anomaly.robust import ewma_control
+
+    metrics = _metric_series(spark, sf_dir)
+    out = ewma_control(metrics, "value", KEY, "ts", lam=0.2, L=3.0)
+    return out.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("value", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("lcl", 6).alias("lcl"),
+        F.round("ucl", 6).alias("ucl"),
+        "is_alarm",
+    )
