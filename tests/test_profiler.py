@@ -460,3 +460,41 @@ def test_psi_bucket_of_matches_edges(spark):
     out = df.select("value", drift.bucket_of(F.col("value"), edges).alias("b"))
     got = {r["value"]: r["b"] for r in out.collect()}
     assert got[0.0] == 0 and got[5.0] == 1 and got[9.0] == 2
+
+
+def test_fill_gaps_densifies_and_flags(spark):
+    """Missing buckets appear exactly once per series with is_gap=true;
+    Size gaps fill 0, other metrics stay null; observed rows unchanged."""
+    import datetime
+
+    from thoth_spark.profiler import fill_gaps
+
+    d = lambda i: datetime.datetime(2024, 3, 1) + datetime.timedelta(days=i)
+    rows = [
+        (d(i), "Dataset", "*", "Size", float(100 + i)) for i in (0, 1, 3, 4)
+    ] + [(d(i), "Column", "v", "Mean", 1.5 * i) for i in (0, 1, 3, 4)]
+    m = spark.createDataFrame(
+        rows, "ts timestamp, entity string, instance string, name string, value double"
+    )
+    out = fill_gaps(m, fill={"Size": 0.0}).collect()
+    assert len(out) == 10  # 5 dense days x 2 series
+    gaps = {(r["name"], r["ts"].day): r for r in out if r["is_gap"]}
+    assert set(gaps) == {("Size", 3), ("Mean", 3)}
+    assert gaps[("Size", 3)]["value"] == 0.0
+    assert gaps[("Mean", 3)]["value"] is None
+    observed = [r for r in out if not r["is_gap"]]
+    assert all(r["value"] is not None for r in observed)
+
+
+def test_fill_gaps_hourly_step(spark):
+    import datetime
+
+    from thoth_spark.profiler import Granularity, fill_gaps
+
+    h = lambda i: datetime.datetime(2024, 3, 1, i)
+    m = spark.createDataFrame(
+        [(h(0), "Dataset", "*", "Size", 5.0), (h(3), "Dataset", "*", "Size", 7.0)],
+        "ts timestamp, entity string, instance string, name string, value double",
+    )
+    out = fill_gaps(m, granularity=Granularity.HOUR).collect()
+    assert len(out) == 4 and sum(r["is_gap"] for r in out) == 2

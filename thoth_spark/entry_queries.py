@@ -6210,3 +6210,47 @@ def ewma_control_events(spark, sf_dir):
         F.round("ucl", 6).alias("ucl"),
         "is_alarm",
     )
+
+
+ORACLE_GAP_FILL = """
+WITH ev AS (SELECT * FROM events WHERE date_part('day', ts) % 5 <> 0),
+series AS (
+  SELECT 'Column' AS entity, 'value' AS instance, 'Mean' AS name,
+         date_trunc('day', ts) AS ts, avg(value) AS value FROM ev GROUP BY 4
+  UNION ALL SELECT 'Dataset', '*', 'Size', date_trunc('day', ts), count(*)::DOUBLE
+  FROM ev GROUP BY 4
+),
+bounds AS (SELECT min(ts) AS lo, max(ts) AS hi FROM series),
+grid AS (SELECT unnest(generate_series(lo, hi, interval '1 day')) AS ts FROM bounds),
+keys AS (SELECT DISTINCT entity, instance, name FROM series),
+dense AS (SELECT g.ts, k.entity, k.instance, k.name FROM grid g CROSS JOIN keys k)
+SELECT d.ts::DATE AS ts, d.entity, d.instance, d.name,
+       round(CASE WHEN s.value IS NULL AND d.name = 'Size' THEN 0.0 ELSE s.value END, 6) AS value,
+       (s.value IS NULL) AS is_gap
+FROM dense d LEFT JOIN series s
+  ON s.ts = d.ts AND s.entity = d.entity AND s.instance = d.instance AND s.name = d.name
+"""
+
+
+@query("profile_events_gap_fill", ORACLE_GAP_FILL)
+def profile_events_gap_fill(spark, sf_dir):
+    """Dense metric series via fill_gaps: days with zero rows are
+    invisible to groupBy(date_trunc) but are often the strongest signal
+    (the pipeline didn't run) — and window/lag models need a dense grid
+    to mean anything. The fixture filters out every 5th calendar day to
+    create REAL gaps, profiles Mean+Size, then densifies: gap rows get
+    Size = 0 (an absent day had zero rows) and null Mean, flagged
+    is_gap. Grid built from a one-row bounds aggregate x distinct keys;
+    nothing collected to the driver."""
+    from thoth_spark.profiler import fill_gaps
+
+    ev = _events(spark, sf_dir).where(F.dayofmonth("ts") % 5 != 0)
+    builder = ProfilingBuilder(analyzers=[Mean("value"), Size()])
+    m = profile(ev.select("ts", "value"), "ts", builder)
+    out = fill_gaps(m, fill={"Size": 0.0})
+    return out.select(
+        F.col("ts").cast("date").alias("ts"),
+        *KEY,
+        F.round("value", 6).alias("value"),
+        "is_gap",
+    )

@@ -50,7 +50,7 @@ from thoth_spark.profiler.builder import (
     SimpleProfilingBuilder,
     Type2Analyzers,
 )
-from thoth_spark.profiler.profile import Granularity, profile
+from thoth_spark.profiler.profile import Granularity, fill_gaps, profile
 
 __all__ = [
     "Analyzer",
@@ -88,5 +88,6 @@ __all__ = [
     "Uniqueness",
     "run_check",
     "UniqueValueRatio",
+    "fill_gaps",
     "profile",
 ]

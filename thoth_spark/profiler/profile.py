@@ -353,3 +353,60 @@ def _fused_frequency_rows(
             ).select("ts", "m.*")
         )
     return parts
+
+
+#: sequence() step per granularity for gap-filling dense grids.
+_STEP = {
+    "DAY": "interval 1 day",
+    "HOUR": "interval 1 hour",
+    "WEEK": "interval 7 days",
+    "MONTH": "interval 1 month",
+}
+
+
+def fill_gaps(
+    metrics: DataFrame,
+    granularity: str = Granularity.DAY,
+    fill: dict[str, float] | None = None,
+) -> DataFrame:
+    """Densify a long metrics frame: emit one row for EVERY time bucket
+    between the observed min and max ts, for every (entity, instance,
+    name) series — missing buckets appear with ``is_gap = true``.
+
+    Empty partitions are invisible to ``groupBy(date_trunc(ts))`` — a
+    day with zero events simply produces no rows — but the anomaly
+    layer treats a missing bucket as "no information" when it is often
+    the strongest signal there is (the pipeline didn't run). Gap-filled
+    series also keep window/recurrence models honest: a 7-day seasonal
+    lag is only lag-7 ROWS if the grid is dense.
+
+    ``fill`` maps metric name → fill value for gap rows (e.g.
+    ``{"Size": 0.0}`` — an absent day genuinely had zero rows); metrics
+    not in the map stay null (a Mean over zero rows has no value).
+
+    Scale shape: runs on the aggregate-sized metrics frame, never raw
+    data. The bucket grid is built with ``sequence(min_ts, max_ts,
+    step)`` from a ONE-ROW bounds aggregate cross-joined with the
+    distinct series keys — both sides are tiny, nothing is collected to
+    the driver, and the observed frame joins back on the grid's
+    broadcast."""
+    step = _STEP[granularity]
+    bounds = metrics.agg(F.min("ts").alias("__lo"), F.max("ts").alias("__hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("__lo", "__hi", F.expr(step))).alias("ts")
+    )
+    keys = metrics.select("entity", "instance", "name").distinct()
+    dense = grid.crossJoin(keys)
+    out = dense.join(metrics, ["ts", "entity", "instance", "name"], "left")
+    is_gap = F.col("value").isNull()
+    value = F.col("value")
+    if fill:
+        fill_expr = F.lit(None).cast("double")
+        for metric_name, v in fill.items():
+            fill_expr = F.when(F.col("name") == metric_name, F.lit(float(v))).otherwise(
+                fill_expr
+            )
+        value = F.coalesce(F.col("value"), fill_expr)
+    return out.select(
+        "ts", "entity", "instance", "name", value.alias("value"), is_gap.alias("is_gap")
+    )
