@@ -498,3 +498,55 @@ def test_fill_gaps_hourly_step(spark):
     )
     out = fill_gaps(m, granularity=Granularity.HOUR).collect()
     assert len(out) == 4 and sum(r["is_gap"] for r in out) == 2
+
+
+def test_trailing_distinct_matches_exact_rescan(spark):
+    """WAU from daily sketch merges == exact trailing distinct (HLL is
+    exact at this cardinality), including ramp-up buckets."""
+    import datetime
+
+    from thoth_spark.profiler.sketches import sketch_profile, trailing_distinct
+
+    rows = []
+    for day in range(10):
+        for u in range(day, day + 5):  # sliding user population
+            rows.append(
+                (datetime.datetime(2024, 1, 1 + day, 12), u)
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    daily = sketch_profile(df, "ts", distinct_cols=["user_id"])
+    out = {
+        r["ts"].day: r
+        for r in trailing_distinct(daily, window_buckets=3).collect()
+    }
+    # day 1: ramp-up (1 bucket, users 0-4); day 3: users 0-6 → 7 distinct
+    assert out[1]["trailing_buckets"] == 1 and out[1]["trailing_distinct_user_id"] == 5
+    assert out[3]["trailing_buckets"] == 3 and out[3]["trailing_distinct_user_id"] == 7
+    assert out[10]["trailing_distinct_user_id"] == 7  # days 8,9,10 → users 7..13
+    assert out[10]["trailing_rows"] == 15
+
+
+def test_chi2_daily_flags_mix_shift_and_unseen_category(spark):
+    import datetime
+
+    from thoth_spark.profiler.drift import chi2_daily
+
+    rows = []
+    for day in range(14):
+        ts = datetime.datetime(2024, 1, 1 + day, 6)
+        if day == 10:
+            cats = ["zz_new"] * 40  # unseen-in-reference category takes over
+        elif day == 12:
+            cats = ["a"] * 38 + ["b"] * 2  # strong share shift
+        else:
+            cats = ["a"] * 20 + ["b"] * 20  # reference mix
+        rows += [(ts, c) for c in cats]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = {
+        r["d"].day: r
+        for r in chi2_daily(df, "ts", "event_type", "2024-01-08", critical=5.991).collect()
+    }
+    assert out[11]["chi2_alarm"] and out[13]["chi2_alarm"]
+    assert out[11]["chi2"] > out[13]["chi2"]  # unseen category is the loudest drift
+    quiet = [d for d in out if d not in (11, 13)]
+    assert not any(out[d]["chi2_alarm"] for d in quiet)

@@ -6254,3 +6254,89 @@ def profile_events_gap_fill(spark, sf_dir):
         F.round("value", 6).alias("value"),
         "is_gap",
     )
+
+
+ORACLE_TRAILING_WAU = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM daily)
+SELECT days.d::DATE AS ts,
+       count(DISTINCT daily.d) AS trailing_buckets,
+       count(*) AS trailing_rows,
+       count(DISTINCT daily.user_id) AS trailing_distinct_user_id
+FROM days JOIN daily
+  ON daily.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+GROUP BY 1
+"""
+
+
+@query("sketch_trailing_wau_events", ORACLE_TRAILING_WAU)
+def sketch_trailing_wau_events(spark, sf_dir):
+    """Trailing-7-day active users (WAU) from per-day HLL sketches: the
+    raw events are scanned ONCE into daily sketches; every trailing
+    window is then a union of 7 sketch blobs — distincts don't sum
+    (overlapping users double-count), which is exactly what the
+    mergeable sketch solves, and at 100 TB it turns a 7-day rescan per
+    dashboard point into byte-sized merges. Exact below the HLL
+    promotion threshold, so it hash-matches the exact DISTINCT oracle
+    at fixture cardinality."""
+    from thoth_spark.profiler.sketches import sketch_profile, trailing_distinct
+
+    ev = _events(spark, sf_dir)
+    daily = sketch_profile(ev, "ts", distinct_cols=["user_id"])
+    out = trailing_distinct(daily, window_buckets=7)
+    return out.select(
+        F.col("ts").cast("date").alias("ts"),
+        "trailing_buckets",
+        "trailing_rows",
+        "trailing_distinct_user_id",
+    )
+
+
+def _chi2_oracle(ref_end: str = "2024-01-08", eps: float = 0.5,
+                 critical: float = 9.487729036781154) -> str:
+    return f"""
+WITH clean AS (SELECT ts, event_type AS c FROM events WHERE event_type IS NOT NULL),
+cats AS (SELECT DISTINCT c FROM clean),
+k AS (SELECT count(*) AS k FROM cats),
+ref AS (SELECT * FROM clean WHERE ts < TIMESTAMP '{ref_end}'),
+refn AS (SELECT count(*) AS rn FROM ref),
+rc AS (SELECT c, count(*) AS rc FROM ref GROUP BY 1),
+probs AS (
+  SELECT cats.c,
+         (coalesce(rc.rc, 0) + {eps!r}) / (refn.rn + {eps!r} * k.k) AS p
+  FROM cats LEFT JOIN rc USING (c), refn, k
+),
+cur AS (SELECT date_trunc('day', ts) AS d, c FROM clean WHERE ts >= TIMESTAMP '{ref_end}'),
+dc AS (SELECT d, c, count(*) AS o FROM cur GROUP BY 1, 2),
+days AS (SELECT d, sum(o) AS n FROM dc GROUP BY 1),
+dense AS (
+  SELECT days.d, days.n, probs.c, probs.p, coalesce(dc.o, 0)::DOUBLE AS o
+  FROM days CROSS JOIN probs LEFT JOIN dc ON dc.d = days.d AND dc.c = probs.c
+)
+SELECT d, n, round(sum((o - n * p) * (o - n * p) / (n * p)), 6) AS chi2,
+       (sum((o - n * p) * (o - n * p) / (n * p)) > {critical!r}) AS chi2_alarm
+FROM dense GROUP BY 1, 2
+"""
+
+
+@query("chi2_drift_events", _chi2_oracle())
+def chi2_drift_events(spark, sf_dir):
+    """Per-day chi-square drift of the event-type MIX vs the first week
+    — the categorical member of the drift family (PSI = numeric shape,
+    KS = numeric CDF gap, chi2 = category shares: language mix, source
+    mix). Laplace-smoothed reference probabilities keep
+    unseen-in-reference categories finite and loud; alarm at the
+    α=0.05, df=4 critical value. All post-count frames are
+    days x categories metadata."""
+    from thoth_spark.profiler.drift import chi2_daily
+
+    ev = _events(spark, sf_dir)
+    out = chi2_daily(ev, "ts", "event_type", "2024-01-08")
+    return out.select(
+        F.col("d").cast("date").alias("d"),
+        "n",
+        F.round("chi2", 6).alias("chi2"),
+        "chi2_alarm",
+    )

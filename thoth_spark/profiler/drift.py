@@ -306,3 +306,73 @@ def profile_diff(
         .otherwise("changed")
     )
     return j.select(*key_cols, "old_value", "new_value", status.alias("status"))
+
+
+def chi2_daily(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    ref_end: str,
+    eps: float = 0.5,
+    critical: float = 9.487729036781154,
+) -> DataFrame:
+    """Per-day chi-square drift of a CATEGORICAL column against the
+    reference window ``ts < ref_end`` — completes the drift family:
+    PSI (log-weighted, numeric bins), KS (max CDF gap, numeric), chi2
+    (the classic goodness-of-fit test for category mixes: event-type
+    shares, language mix, source mix).
+
+    ``chi2 = sum_c (o_c - n*p_c)^2 / (n*p_c)`` over the union of
+    categories seen anywhere in ``df``; reference probabilities are
+    Laplace-smoothed with ``eps`` so a category unseen in the reference
+    (the loudest drift there is) contributes a large, finite term
+    instead of a division by zero. ``critical`` is the rejection bound
+    for ``chi2_alarm`` — the default is the α=0.05 quantile for df=4
+    (five categories); pass the value for your df.
+
+    Scale shape: one ``groupBy(category)`` over the reference, one
+    ``groupBy(day, category)`` over the current rows — both shuffles
+    keyed on low-cardinality columns; every later frame is
+    O(days x categories) metadata and the per-category reference
+    probabilities broadcast.
+
+    Returns ``(d, n, chi2, chi2_alarm)``.
+    """
+    clean = df.where(F.col(cat_col).isNotNull()).select(ts_col, cat_col)
+    ref = clean.where(F.col(ts_col) < F.lit(ref_end).cast("timestamp"))
+    cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
+
+    cats = clean.select(F.col(cat_col).alias("c")).distinct()
+    k = cats.count()  # bounded: the category space is small by assumption
+    ref_n = ref.count()
+    ref_counts = ref.groupBy(F.col(cat_col).alias("c")).agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    probs = cats.join(ref_counts, "c", "left").select(
+        "c",
+        (
+            (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(float(eps)))
+            / F.lit(float(ref_n) + float(eps) * k)
+        ).alias("p"),
+    )
+
+    day_counts = cur.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+        F.col(cat_col).alias("c"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    days = day_counts.groupBy("d").agg(F.sum("o").alias("n"))
+    dense = days.crossJoin(F.broadcast(probs)).join(
+        day_counts, ["d", "c"], "left"
+    )
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    e = F.col("n") * F.col("p")
+    return (
+        dense.groupBy("d", "n")
+        .agg(F.sum((o - e) * (o - e) / e).alias("chi2"))
+        .select(
+            "d",
+            "n",
+            "chi2",
+            (F.col("chi2") > F.lit(float(critical))).alias("chi2_alarm"),
+        )
+    )

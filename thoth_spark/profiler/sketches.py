@@ -104,3 +104,45 @@ def rollup_sketches(
         F.date_trunc(granularity, F.col("ts")).alias("ts")
     ).agg(*aggs)
     return merged.select("ts", "row_count", *outs)
+
+
+def trailing_distinct(
+    sketch_df: DataFrame,
+    hll_cols: list[str] | None = None,
+    window_buckets: int = 7,
+) -> DataFrame:
+    """Trailing-window distinct counts from stored per-bucket sketches —
+    the WAU/MAU pattern: day d's trailing-7 distinct users = the HLL
+    union of days d-6..d, so a year of daily actives costs 365 sketch
+    merges instead of 365 rescans of raw events (at 100 TB the
+    difference between a dashboard query and a cluster-day). Distinct
+    counts don't sum — overlapping users would double-count — which is
+    exactly what the mergeable sketch solves.
+
+    Self-joins the bucket-level sketch table (one row per bucket:
+    aggregate-sized metadata, broadcast) on a bucket-range predicate,
+    then one ``hll_union_agg`` per trailing window. Trailing row counts
+    come from exact sums (counts ARE additive).
+
+    Returns ``(ts, trailing_buckets, trailing_rows,
+    trailing_distinct_<col>...)`` — ramp-up rows at the series start
+    use however many buckets exist (their count is reported)."""
+    hll_cols = hll_cols or [
+        f.name[4:] for f in sketch_df.schema.fields if f.name.startswith("hll_")
+    ]
+    anchor = sketch_df.select(F.col("ts").alias("__d")).distinct()
+    lo = F.col("__d") - F.expr(f"interval {int(window_buckets) - 1} days")
+    joined = anchor.join(
+        sketch_df, (F.col("ts") >= lo) & (F.col("ts") <= F.col("__d"))
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("trailing_buckets"),
+        F.sum("row_count").alias("trailing_rows"),
+    ]
+    outs = [F.col("__d").alias("ts"), "trailing_buckets", "trailing_rows"]
+    for c in hll_cols:
+        aggs.append(F.hll_union_agg(f"hll_{c}").alias(f"__u_{c}"))
+        outs.append(
+            F.hll_sketch_estimate(F.col(f"__u_{c}")).alias(f"trailing_distinct_{c}")
+        )
+    return joined.groupBy("__d").agg(*aggs).select(*outs)
