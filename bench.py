@@ -103,6 +103,14 @@ HEADLINE = [
     "source_keywords_documents",
     "profile_diff_events",
     "collocations_documents",
+    # round-5 continuation: prefix-filtered exact joins, EWMA chart,
+    # gap-filled series, sketch-merge WAU, categorical drift
+    "dedup_jaccard_prefix_documents",
+    "dedup_containment_documents",
+    "ewma_control_events",
+    "profile_events_gap_fill",
+    "sketch_trailing_wau_events",
+    "chi2_drift_events",
 ]
 
 

@@ -455,3 +455,40 @@ def test_grouped_rank_hot_group_skew(spark):
         assert stats[g]["s"] == n_g * (n_g + 1) // 2
     assert stats["hot"]["n"] == 190_000
     assert wall < 60, wall
+
+
+def test_jaccard_prefix_boilerplate_candidate_bound(spark):
+    """Adversarial boilerplate corpus: 400 documents sharing one long
+    footer, otherwise disjoint. The full inverted index would generate
+    ~n²/2 ≈ 80k candidate pairs from the footer shingles alone; the
+    df-ranked prefix join must generate (near) ZERO candidates — hot
+    tokens sort to every document's suffix — while still returning the
+    exact (empty) qualifying-pair set."""
+    from pyspark.sql import functions as F
+
+    from thoth_spark.operators import dedup
+
+    footer = "all rights reserved contact us at the usual address for details"
+    rows = [
+        (i, f"doc{i} alpha{i} beta{i} gamma{i} delta{i} " + footer)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sets = dedup.shingle_sets(df, "id", "text", n=3)
+    candidates = dedup.jaccard_prefix_candidates(sets, 0.5).count()
+    full_index_pairs = (
+        sets.select("id", F.explode("sh").alias("s"))
+        .alias("a")
+        .join(sets.select("id", F.explode("sh").alias("s")).alias("b"), "s")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id")
+        .distinct()
+        .count()
+    )
+    assert full_index_pairs > 70_000  # the blowup prefix filtering avoids
+    assert candidates == 0
+    pairs, wall = _timed(
+        lambda: dedup.jaccard_prefix_pairs(df, "id", "text", n=3, threshold=0.5).count()
+    )
+    assert pairs == 0
+    assert wall < 60

@@ -90,15 +90,24 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q16_supplier_counts",
     "tpch_q20_part_promotion",
     "top_orders_per_customer",
-    "trailing_window_revenue",
-    "customer_revenue_deciles",
-    "set_ops_customers",
-    "rollup_orders",
-    "cube_orders",
-    "grouping_sets_orders",
     "asof_join_purchase_click",
     "events_json_props",
     "dedup_exact_documents",
+    # (h) round-5 continuation queries (this session) — never windowed,
+    # every one with a full DuckDB oracle: prefix-filtered exact joins,
+    # EWMA chart, gap-filled series, sketch-merge WAU, categorical
+    # drift. They take six (b) slots previously held by pure unchanged
+    # Catalyst-SQL constructs (trailing_window_revenue,
+    # customer_revenue_deciles, set_ops_customers, rollup_orders,
+    # cube_orders, grouping_sets_orders) — plain SQL surfaces where the
+    # local oracle gate is maximally informative and driver
+    # re-confirmation carries the least; those six lead the r6 window.
+    "dedup_jaccard_prefix_documents",
+    "dedup_containment_documents",
+    "ewma_control_events",
+    "profile_events_gap_fill",
+    "sketch_trailing_wau_events",
+    "chi2_drift_events",
     # (c) last driver row r2. Seven of the original (c) entries —
     # text_stats, lang_id, fingerprint, token_count, sample_hash,
     # multimodal_decode_stub, multimodal_frame_sample — ceded their
@@ -6339,4 +6348,41 @@ def chi2_drift_events(spark, sf_dir):
         "n",
         F.round("chi2", 6).alias("chi2"),
         "chi2_alarm",
+    )
+
+
+ORACLE_ROLLING_BAND = f"""
+WITH {_SERIES_SQL}
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS value,
+       count(*) OVER w AS band_n,
+       round(avg(value) OVER w, 6) AS roll_mean,
+       round(quantile_cont(value, 0.5) OVER w, 6) AS roll_median,
+       round(avg(value) OVER w - 2.0 * coalesce(stddev_pop(value) OVER w, 0.0), 6) AS band_lo,
+       round(avg(value) OVER w + 2.0 * coalesce(stddev_pop(value) OVER w, 0.0), 6) AS band_hi
+FROM series
+WINDOW w AS (PARTITION BY entity, instance, name ORDER BY ts
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("viz_rolling_band_events", ORACLE_ROLLING_BAND)
+def viz_rolling_band_events(spark, sf_dir):
+    """Rolling-statistics dashboard band (trailing-7 mean ± 2·stddev +
+    rolling exact median) over the profiled metric series — the smoothed
+    trend + shaded normal band every metrics dashboard draws. Trailing
+    ROW frames partitioned per metric key on the aggregate-sized
+    frame."""
+    from thoth_spark.viz import rolling_band_view
+
+    metrics = _metric_series(spark, sf_dir)
+    out = rolling_band_view(metrics, window=7, k=2.0)
+    return out.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("value", 6).alias("value"),
+        "band_n",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.round("roll_median", 6).alias("roll_median"),
+        F.round("band_lo", 6).alias("band_lo"),
+        F.round("band_hi", 6).alias("band_hi"),
     )

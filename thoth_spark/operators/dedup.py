@@ -715,6 +715,51 @@ def ranked_tokens(sets: DataFrame, id_col: str = "id", set_col: str = "sh") -> D
     )
 
 
+def jaccard_prefix_candidates(sets: DataFrame, threshold: float) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs of the prefix-filtered Jaccard
+    join over a ``(id, sh)`` shingle-set frame: prefix self-join + length
+    filter + PPJoin positional filter (see :func:`jaccard_prefix_pairs`
+    for the theory). Exposed separately so the candidate volume — THE
+    scale metric of this family — is directly measurable."""
+    t = float(threshold)
+    ranked = ranked_tokens(sets)
+    # prefix length |s| - ceil(t*|s|) + 1; the 1e-9 nudge keeps float
+    # noise in t*|s| (e.g. 0.8*35 -> 28.000000000000004) from rounding
+    # the ceiling UP and illegally shrinking the prefix.
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    )
+    meetings = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "s")
+        .where(
+            (F.col("a.id") < F.col("b.id"))
+            # length filter: t*|B| <= |A| and t*|A| <= |B|
+            & (F.lit(t) * F.col("b.sz") <= F.col("a.sz") + F.lit(1e-9))
+            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("__sza"),
+            F.col("b.sz").alias("__szb"),
+            F.struct(F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb")).alias("__m"),
+        )
+    )
+    # positional filter at the first shared token (min position pair —
+    # the same token is first-shared on both sides under the total order)
+    first = meetings.groupBy("id_a", "id_b", "__sza", "__szb").agg(
+        F.min("__m").alias("__m")
+    )
+    min_overlap = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("__sza") + F.col("__szb")) - F.lit(1e-9)
+    )
+    upper = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__m.pa"), F.col("__szb") - F.col("__m.pb")
+    )
+    return first.where(upper >= min_overlap).select("id_a", "id_b")
+
+
 def jaccard_prefix_pairs(
     df: DataFrame,
     id_col: str,
@@ -733,35 +778,26 @@ def jaccard_prefix_pairs(
     indexes only its ``|s| - ceil(t*|s|) + 1`` globally-rarest tokens
     (any qualifying pair shares >= t*|s| tokens, so at least one shared
     token lands in both prefixes under the shared total order), plus the
-    length filter ``t*|B| <= |A|``. Hot boilerplate tokens sort to the
-    suffix and never generate a candidate, so candidate volume is
-    bounded by RARE-token postings — results are still exactly the
-    threshold-t Jaccard join (verified with ``array_intersect`` on the
-    full sets before emitting).
+    length filter ``t*|B| <= |A|`` and PPJoin's POSITIONAL filter. Hot
+    boilerplate tokens sort to the suffix and rarely enter a prefix; when
+    document structure forces them in anyway (short docs that are mostly
+    boilerplate), the positional filter kills the clique: at the FIRST
+    shared token (positions ``pa``, ``pb`` under the total order) the
+    overlap can't exceed ``1 + min(|A|-pa, |B|-pb)``, and a qualifying
+    pair needs overlap ``>= ceil(t/(1+t) * (|A|+|B|))`` — boilerplate
+    meetings happen deep in both orderings, so the bound fails and the
+    pair is pruned without ever fetching the full sets. (Sound because a
+    qualifying pair's first shared token always lies inside both
+    prefixes — the prefix theorem — so the minimum-position meeting we
+    observe IS the first shared token.) Survivors are verified with
+    ``array_intersect`` on the full sets, so results are exactly the
+    threshold-t Jaccard join.
 
     Returns ``(id_a, id_b, jaccard)`` with id_a < id_b.
     """
     sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
-    ranked = ranked_tokens(sets)
-    # prefix length |s| - ceil(t*|s|) + 1; the 1e-9 nudge keeps float
-    # noise in t*|s| (e.g. 0.8*35 -> 28.000000000000004) from rounding
-    # the ceiling UP and illegally shrinking the prefix.
-    prefix = ranked.where(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(float(threshold)) * F.col("sz") - F.lit(1e-9)) + 1
-    )
+    cand = jaccard_prefix_candidates(sets, threshold)
     t = float(threshold)
-    cand = (
-        prefix.alias("a")
-        .join(prefix.alias("b"), "s")
-        .where(
-            (F.col("a.id") < F.col("b.id"))
-            # length filter: t*|B| <= |A| and t*|A| <= |B|
-            & (F.lit(t) * F.col("b.sz") <= F.col("a.sz") + F.lit(1e-9))
-            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))
@@ -807,10 +843,10 @@ def containment_pairs(
     prefix = ranked.where(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
     )
-    full = ranked.select("id", "s", "sz")
+    full = ranked.select("id", "s", "pos", "sz")
     if max_token_df is not None:
         full = cap_shingle_df(full, max_token_df)
-    cand = (
+    meetings = (
         prefix.alias("a")
         .join(full.alias("b"), "s")
         .where(
@@ -818,9 +854,27 @@ def containment_pairs(
             # |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
             & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("__sza"),
+            F.col("b.sz").alias("__szb"),
+            F.struct(F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb")).alias("__m"),
+        )
     )
+    # positional filter at the minimum-position meeting: a qualifying
+    # pair's first shared token lies inside A's prefix (pigeonhole on
+    # I >= t*|A|), so the bound 1 + min(|A|-pa, |B|-pb) >= ceil(t*|A|)
+    # is sound — boilerplate meetings deep in both orderings are pruned
+    # before the full sets are ever fetched.
+    first = meetings.groupBy("id_a", "id_b", "__sza", "__szb").agg(
+        F.min("__m").alias("__m")
+    )
+    min_overlap = F.ceil(F.lit(t) * F.col("__sza") - F.lit(1e-9))
+    upper = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__m.pa"), F.col("__szb") - F.col("__m.pb")
+    )
+    cand = first.where(upper >= min_overlap).select("id_a", "id_b")
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
     contain = F.size(F.array_intersect("__sha", "__shb")) / F.size("__sha")

@@ -60,3 +60,42 @@ def forecast_interval_view(
         (F.col("predicted") / (1 + F.col("threshold"))).alias("expected_min"),
         (F.col("predicted") / (1 - F.col("threshold"))).alias("expected_max"),
     )
+
+
+def rolling_band_view(
+    metrics_df: DataFrame,
+    window: int = 7,
+    k: float = 2.0,
+) -> DataFrame:
+    """Trailing rolling-statistics band per metric series: the smoothed
+    dashboard overlay (rolling mean ± k·stddev plus the rolling median)
+    that turns a noisy daily series into a readable trend with a shaded
+    normal band.
+
+    Trailing ``window``-ROW frame partitioned per metric key — the
+    window runs over the aggregate-sized metrics frame (days × metrics),
+    so per-series ordering cost is bounded by series length, never by
+    input rows. ``band_n`` reports how many points each statistic saw
+    (< window during ramp-up). Population stddev (matching the
+    profiler's StandardDeviation convention); single-point frames yield
+    stddev 0, keeping the band defined from the first row."""
+    w = (
+        W.partitionBy(*_KEY)
+        .orderBy("ts")
+        .rowsBetween(-(int(window) - 1), W.currentRow)
+    )
+    mean = F.avg("value").over(w)
+    sd = F.coalesce(F.stddev_pop(F.col("value")).over(w), F.lit(0.0))
+    return metrics_df.select(
+        *_KEY,
+        "ts",
+        "value",
+        F.count(F.lit(1)).over(w).alias("band_n"),
+        mean.alias("roll_mean"),
+        F.expr(
+            f"percentile(value, 0.5) OVER (PARTITION BY entity, instance, name "
+            f"ORDER BY ts ROWS BETWEEN {int(window) - 1} PRECEDING AND CURRENT ROW)"
+        ).alias("roll_median"),
+        (mean - F.lit(float(k)) * sd).alias("band_lo"),
+        (mean + F.lit(float(k)) * sd).alias("band_hi"),
+    )
