@@ -362,3 +362,38 @@ def test_interval_join_stream_left_outer_emits_unmatched(spark, tmp_path):
     got = {(r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()}
     assert (201, 101) in got          # matched pair
     assert (202, None) in got         # unmatched -> null right side
+
+
+def test_chi2_foreach_batch_matches_batch(spark, sf_dir):
+    """Streaming categorical drift (frozen probability reference with
+    the __other__ slot) must drain to per-day rows bit-identical to the
+    batch chi2_daily detector."""
+    from thoth_spark.profiler.drift import chi2_daily, freeze_categorical_reference
+    from thoth_spark.streaming import chi2_foreach_batch
+
+    events = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    ref_end = "2024-01-08"
+    clean = events.where(F.col("event_type").isNotNull())
+    ref = clean.where(F.col("ts") < F.lit(ref_end).cast("timestamp"))
+    cur = clean.where(F.col("ts") >= F.lit(ref_end).cast("timestamp"))
+    probs = freeze_categorical_reference(ref, "event_type")
+    probs.cache().count()  # freeze once, reuse per batch
+
+    with tempfile.TemporaryDirectory() as d:
+        cur.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(cur.schema).parquet(d)
+        seen = []
+        cb = chi2_foreach_batch(
+            "ts", "event_type", probs, lambda df, bid: seen.append(df.collect())
+        )
+        q = stream.writeStream.foreachBatch(cb).start()
+        q.processAllAvailable()
+        q.stop()
+    probs.unpersist()
+
+    got = {r["d"]: (r["n"], r["chi2"], r["chi2_alarm"]) for rows in seen for r in rows}
+    expected = {
+        r["d"]: (r["n"], r["chi2"], r["chi2_alarm"])
+        for r in chi2_daily(events, "ts", "event_type", ref_end).collect()
+    }
+    assert got == expected and len(got) > 0

@@ -6304,20 +6304,23 @@ def sketch_trailing_wau_events(spark, sf_dir):
 
 
 def _chi2_oracle(ref_end: str = "2024-01-08", eps: float = 0.5,
-                 critical: float = 9.487729036781154) -> str:
+                 critical: float = 11.070497693516351) -> str:
     return f"""
 WITH clean AS (SELECT ts, event_type AS c FROM events WHERE event_type IS NOT NULL),
-cats AS (SELECT DISTINCT c FROM clean),
-k AS (SELECT count(*) AS k FROM cats),
 ref AS (SELECT * FROM clean WHERE ts < TIMESTAMP '{ref_end}'),
 refn AS (SELECT count(*) AS rn FROM ref),
 rc AS (SELECT c, count(*) AS rc FROM ref GROUP BY 1),
+k AS (SELECT count(*) AS k FROM rc),
 probs AS (
-  SELECT cats.c,
-         (coalesce(rc.rc, 0) + {eps!r}) / (refn.rn + {eps!r} * k.k) AS p
-  FROM cats LEFT JOIN rc USING (c), refn, k
+  SELECT c, (rc + {eps!r}) / (refn.rn + {eps!r} * (k.k + 1)) AS p FROM rc, refn, k
+  UNION ALL
+  SELECT '__other__', {eps!r} / (refn.rn + {eps!r} * (k.k + 1)) FROM refn, k
 ),
-cur AS (SELECT date_trunc('day', ts) AS d, c FROM clean WHERE ts >= TIMESTAMP '{ref_end}'),
+cur AS (
+  SELECT date_trunc('day', ts) AS d,
+         CASE WHEN c IN (SELECT c FROM rc) THEN c ELSE '__other__' END AS c
+  FROM clean WHERE ts >= TIMESTAMP '{ref_end}'
+),
 dc AS (SELECT d, c, count(*) AS o FROM cur GROUP BY 1, 2),
 days AS (SELECT d, sum(o) AS n FROM dc GROUP BY 1),
 dense AS (
@@ -6335,10 +6338,13 @@ def chi2_drift_events(spark, sf_dir):
     """Per-day chi-square drift of the event-type MIX vs the first week
     — the categorical member of the drift family (PSI = numeric shape,
     KS = numeric CDF gap, chi2 = category shares: language mix, source
-    mix). Laplace-smoothed reference probabilities keep
-    unseen-in-reference categories finite and loud; alarm at the
-    α=0.05, df=4 critical value. All post-count frames are
-    days x categories metadata."""
+    mix). The reference freeze carries Laplace-smoothed probabilities
+    plus an __other__ slot, so a category never seen in the reference
+    alarms loudly instead of leaking into the freeze (no look-ahead);
+    the same frozen probs drive the streaming monitor bit-equally.
+    Alarm at the α=0.05, df=5 critical value (5 reference categories +
+    other-slot − 1). All post-count frames are days x categories
+    metadata."""
     from thoth_spark.profiler.drift import chi2_daily
 
     ev = _events(spark, sf_dir)

@@ -308,62 +308,75 @@ def profile_diff(
     return j.select(*key_cols, "old_value", "new_value", status.alias("status"))
 
 
-def chi2_daily(
-    df: DataFrame,
+#: synthetic category absorbing current values unseen in the reference.
+CHI2_OTHER = "__other__"
+
+
+def freeze_categorical_reference(
+    ref: DataFrame, cat_col: str, eps: float = 0.5
+) -> DataFrame:
+    """Frozen per-category reference probabilities for chi-square drift:
+    ``(c, p)`` over the reference's categories PLUS a ``__other__`` slot
+    holding the Laplace mass for categories never seen in the reference
+    — so a future batch introducing a brand-new category (the loudest
+    drift there is) gets a finite, loud expected count instead of being
+    silently dropped or dividing by zero. Probabilities are
+    ``(count + eps) / (n + eps*(k+1))`` — they sum to 1 across the k
+    reference categories plus the other-slot.
+
+    Computed ONCE (one groupBy over the bounded reference window) and
+    broadcast into every later comparison — the streaming monitor never
+    rescans the reference."""
+    ref_n = ref.count()
+    rc = ref.groupBy(F.col(cat_col).alias("c")).agg(F.count(F.lit(1)).alias("rc"))
+    k = rc.count()
+    denom = float(ref_n) + float(eps) * (k + 1)
+    probs = rc.select(
+        "c", ((F.col("rc") + F.lit(float(eps))) / F.lit(denom)).alias("p")
+    )
+    other = ref.sparkSession.createDataFrame(
+        [(CHI2_OTHER, float(eps) / denom)], "c string, p double"
+    )
+    return probs.unionByName(other)
+
+
+def chi2_against_reference(
+    cur: DataFrame,
     ts_col: str,
     cat_col: str,
-    ref_end: str,
-    eps: float = 0.5,
-    critical: float = 9.487729036781154,
+    probs: DataFrame,
+    critical: float = 11.070497693516351,
 ) -> DataFrame:
-    """Per-day chi-square drift of a CATEGORICAL column against the
-    reference window ``ts < ref_end`` — completes the drift family:
-    PSI (log-weighted, numeric bins), KS (max CDF gap, numeric), chi2
-    (the classic goodness-of-fit test for category mixes: event-type
-    shares, language mix, source mix).
+    """Per-day chi-square statistic of ``cat_col``'s category mix
+    against frozen reference probabilities from
+    :func:`freeze_categorical_reference`:
+    ``chi2 = sum_c (o_c - n*p_c)^2 / (n*p_c)`` over the frozen category
+    set, with current values unseen in the reference mapped to the
+    ``__other__`` slot. ``critical`` is the ``chi2_alarm`` rejection
+    bound — default is the α=0.05 quantile for df=5 (five reference
+    categories + other-slot − 1); pass the value for your df.
 
-    ``chi2 = sum_c (o_c - n*p_c)^2 / (n*p_c)`` over the union of
-    categories seen anywhere in ``df``; reference probabilities are
-    Laplace-smoothed with ``eps`` so a category unseen in the reference
-    (the loudest drift there is) contributes a large, finite term
-    instead of a division by zero. ``critical`` is the rejection bound
-    for ``chi2_alarm`` — the default is the α=0.05 quantile for df=4
-    (five categories); pass the value for your df.
+    Scale shape: one ``groupBy(day, category)`` over current rows (a
+    low-cardinality-keyed shuffle with map-side partial aggregation);
+    every later frame is O(days × categories) metadata and the frozen
+    probabilities broadcast into the mapping join AND the dense grid.
 
-    Scale shape: one ``groupBy(category)`` over the reference, one
-    ``groupBy(day, category)`` over the current rows — both shuffles
-    keyed on low-cardinality columns; every later frame is
-    O(days x categories) metadata and the per-category reference
-    probabilities broadcast.
-
-    Returns ``(d, n, chi2, chi2_alarm)``.
-    """
-    clean = df.where(F.col(cat_col).isNotNull()).select(ts_col, cat_col)
-    ref = clean.where(F.col(ts_col) < F.lit(ref_end).cast("timestamp"))
-    cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
-
-    cats = clean.select(F.col(cat_col).alias("c")).distinct()
-    k = cats.count()  # bounded: the category space is small by assumption
-    ref_n = ref.count()
-    ref_counts = ref.groupBy(F.col(cat_col).alias("c")).agg(
-        F.count(F.lit(1)).alias("rc")
+    Returns ``(d, n, chi2, chi2_alarm)``."""
+    known = probs.where(F.col("c") != CHI2_OTHER).select("c")
+    mapped = (
+        cur.where(F.col(cat_col).isNotNull())
+        .select(
+            F.date_trunc("day", F.col(ts_col)).alias("d"),
+            F.col(cat_col).alias("c"),
+        )
+        .join(F.broadcast(known.withColumn("__k", F.lit(True))), "c", "left")
+        .select(
+            "d", F.when(F.col("__k").isNotNull(), F.col("c")).otherwise(CHI2_OTHER).alias("c")
+        )
     )
-    probs = cats.join(ref_counts, "c", "left").select(
-        "c",
-        (
-            (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(float(eps)))
-            / F.lit(float(ref_n) + float(eps) * k)
-        ).alias("p"),
-    )
-
-    day_counts = cur.groupBy(
-        F.date_trunc("day", F.col(ts_col)).alias("d"),
-        F.col(cat_col).alias("c"),
-    ).agg(F.count(F.lit(1)).alias("o"))
+    day_counts = mapped.groupBy("d", "c").agg(F.count(F.lit(1)).alias("o"))
     days = day_counts.groupBy("d").agg(F.sum("o").alias("n"))
-    dense = days.crossJoin(F.broadcast(probs)).join(
-        day_counts, ["d", "c"], "left"
-    )
+    dense = days.crossJoin(F.broadcast(probs)).join(day_counts, ["d", "c"], "left")
     o = F.coalesce(F.col("o"), F.lit(0)).cast("double")
     e = F.col("n") * F.col("p")
     return (
@@ -376,3 +389,26 @@ def chi2_daily(
             (F.col("chi2") > F.lit(float(critical))).alias("chi2_alarm"),
         )
     )
+
+
+def chi2_daily(
+    df: DataFrame,
+    ts_col: str,
+    cat_col: str,
+    ref_end: str,
+    eps: float = 0.5,
+    critical: float = 11.070497693516351,
+) -> DataFrame:
+    """Per-day chi-square drift of a CATEGORICAL column against the
+    reference window ``ts < ref_end`` — completes the drift family:
+    PSI (log-weighted, numeric bins), KS (max CDF gap, numeric), chi2
+    (the classic goodness-of-fit test for category mixes: event-type
+    shares, language mix, source mix). Freeze + compare composition —
+    the same frozen probabilities drive the streaming monitor
+    (:func:`thoth_spark.streaming.stream.chi2_foreach_batch`), so batch
+    and streaming readings are bit-equal."""
+    clean = df.where(F.col(cat_col).isNotNull()).select(ts_col, cat_col)
+    ref = clean.where(F.col(ts_col) < F.lit(ref_end).cast("timestamp"))
+    cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
+    probs = freeze_categorical_reference(ref, cat_col, eps)
+    return chi2_against_reference(cur, ts_col, cat_col, probs, critical)

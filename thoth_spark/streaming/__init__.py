@@ -16,9 +16,10 @@ maps onto three native pieces:
 - :func:`assess_foreach_batch` — the reference's per-batch
   profile→score→assess loop as a ``foreachBatch`` sink callback against
   the metrics repository;
-- :func:`drift_foreach_batch` — per-micro-batch PSI or KS against a
-  frozen (broadcast) drift reference, pairing the batch drift detectors
-  with the streaming surface;
+- :func:`drift_foreach_batch` / :func:`chi2_foreach_batch` — per-micro-
+  batch PSI/KS (numeric) or chi-square (categorical) against a frozen
+  (broadcast) drift reference, pairing the batch drift detectors with
+  the streaming surface;
 - :func:`sessionize_stream` — per-event gap-based session ids as a
   custom stateful operator (the continuous twin of the batch
   ``sessionize``);
@@ -30,6 +31,7 @@ maps onto three native pieces:
 from thoth_spark.streaming.stream import (
     assess_foreach_batch,
     interval_join_stream,
+    chi2_foreach_batch,
     drift_foreach_batch,
     profile_stream,
     running_score_stream,
@@ -41,6 +43,7 @@ __all__ = [
     "profile_stream",
     "running_score_stream",
     "assess_foreach_batch",
+    "chi2_foreach_batch",
     "drift_foreach_batch",
     "sessionize_stream",
     "interval_join_stream",

@@ -347,6 +347,35 @@ def drift_foreach_batch(
     return callback
 
 
+def chi2_foreach_batch(
+    ts_column: str,
+    cat_column: str,
+    ref_probs: DataFrame,
+    on_result: Callable[[DataFrame, int], None],
+    critical: float = 11.070497693516351,
+) -> Callable[[DataFrame, int], None]:
+    """Continuous CATEGORICAL drift monitoring: per-micro-batch
+    chi-square of ``cat_column``'s category mix against frozen reference
+    probabilities (``ref_probs`` from
+    :func:`thoth_spark.profiler.drift.freeze_categorical_reference`,
+    computed ONCE and broadcast into every batch). The categorical twin
+    of :func:`drift_foreach_batch` — separate entry point because the
+    frozen reference is a probability table with an ``__other__`` slot,
+    not quantile edges; a category never seen in the reference alarms
+    loudly from its first streamed batch. Same batch-parity contract:
+    day-aligned micro-batches drain to rows bit-equal to
+    :func:`thoth_spark.profiler.drift.chi2_daily`."""
+    from thoth_spark.profiler.drift import chi2_against_reference
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        out = chi2_against_reference(
+            batch_df, ts_column, cat_column, ref_probs, critical
+        )
+        on_result(out, batch_id)
+
+    return callback
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,
