@@ -550,3 +550,25 @@ def test_chi2_daily_flags_mix_shift_and_unseen_category(spark):
     assert out[11]["chi2"] > out[13]["chi2"]  # unseen category is the loudest drift
     quiet = [d for d in out if d not in (11, 13)]
     assert not any(out[d]["chi2_alarm"] for d in quiet)
+
+
+def test_rolling_band_view_ramp_up_and_values(spark):
+    import datetime
+
+    from thoth_spark.viz import rolling_band_view
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + i), "Dataset", "*", "Size", float(v))
+        for i, v in enumerate([10, 12, 14, 100])
+    ]
+    m = spark.createDataFrame(
+        rows, "ts timestamp, entity string, instance string, name string, value double"
+    )
+    out = {r["ts"].day: r for r in rolling_band_view(m, window=3, k=2.0).collect()}
+    assert out[1]["band_n"] == 1 and out[3]["band_n"] == 3 and out[4]["band_n"] == 3
+    assert out[1]["roll_mean"] == 10.0 and out[1]["band_lo"] == 10.0  # sd 0 on 1 pt
+    assert out[3]["roll_mean"] == 12.0 and out[3]["roll_median"] == 12.0
+    assert out[4]["roll_median"] == 14.0  # median robust to the spike
+    import math
+    sd = math.sqrt(((12 - 42) ** 2 + (14 - 42) ** 2 + (100 - 42) ** 2) / 3)
+    assert abs(out[4]["band_hi"] - (42 + 2 * sd)) < 1e-9
