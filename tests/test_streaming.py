@@ -391,9 +391,16 @@ def test_chi2_foreach_batch_matches_batch(spark, sf_dir):
         q.stop()
     probs.unpersist()
 
-    got = {r["d"]: (r["n"], r["chi2"], r["chi2_alarm"]) for rows in seen for r in rows}
+    # chi2 is a distributed float sum — summation order varies with task
+    # scheduling, so parity holds to the last-but-one ulp, not bit-for-bit;
+    # round(9) is still 1000x stricter than the oracle's round(6).
+    got = {
+        r["d"]: (r["n"], round(r["chi2"], 9), r["chi2_alarm"])
+        for rows in seen
+        for r in rows
+    }
     expected = {
-        r["d"]: (r["n"], r["chi2"], r["chi2_alarm"])
+        r["d"]: (r["n"], round(r["chi2"], 9), r["chi2_alarm"])
         for r in chi2_daily(events, "ts", "event_type", ref_end).collect()
     }
     assert got == expected and len(got) > 0

@@ -406,7 +406,7 @@ def chi2_daily(
     shares, language mix, source mix). Freeze + compare composition —
     the same frozen probabilities drive the streaming monitor
     (:func:`thoth_spark.streaming.stream.chi2_foreach_batch`), so batch
-    and streaming readings are bit-equal."""
+    and streaming readings agree (chi2 to within float-summation order)."""
     clean = df.where(F.col(cat_col).isNotNull()).select(ts_col, cat_col)
     ref = clean.where(F.col(ts_col) < F.lit(ref_end).cast("timestamp"))
     cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))

@@ -363,8 +363,9 @@ def chi2_foreach_batch(
     frozen reference is a probability table with an ``__other__`` slot,
     not quantile edges; a category never seen in the reference alarms
     loudly from its first streamed batch. Same batch-parity contract:
-    day-aligned micro-batches drain to rows bit-equal to
-    :func:`thoth_spark.profiler.drift.chi2_daily`."""
+    day-aligned micro-batches drain to rows equal to
+    :func:`thoth_spark.profiler.drift.chi2_daily` (to within distributed
+    float-summation order, i.e. the last ulp of the chi2 sum)."""
     from thoth_spark.profiler.drift import chi2_against_reference
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
