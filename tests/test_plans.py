@@ -507,3 +507,33 @@ def test_funnel_single_shuffle_no_window(spark, sf_dir):
     plan = _plan(entry_queries.QUERIES["funnel_events"](spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_jaccard_prefix_join_no_cartesian(spark, sf_dir):
+    """The prefix-filtered exact join must plan as shuffled equi-joins
+    on the shingle/id keys — never a cartesian or broadcast nested loop
+    (either would mean the candidate generation regressed to all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(dedup.jaccard_prefix_pairs(docs, "doc_id", "text", n=3, threshold=0.6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_join_no_cartesian(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(
+        dedup.containment_pairs(docs, "doc_id", "text", n=3, threshold=0.7)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chi2_reference_probs_broadcast(spark, sf_dir):
+    """The frozen categorical reference must broadcast into both the
+    mapping join and the dense grid — a shuffle there would key the
+    whole current stream on the tiny probability table."""
+    from thoth_spark.profiler.drift import chi2_daily
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(chi2_daily(ev, "ts", "event_type", "2024-01-08"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
