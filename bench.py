@@ -111,6 +111,7 @@ HEADLINE = [
     "profile_events_gap_fill",
     "sketch_trailing_wau_events",
     "chi2_drift_events",
+    "viz_rolling_band_events",
 ]
 
 
