@@ -1504,3 +1504,22 @@ def test_prefix_excludes_hot_tokens(spark):
     # the all-document shingle 'this footer appears' has df=20 (max) so
     # it must rank last and stay out of every 2-element prefix
     assert hot == []
+
+
+def test_containment_dedup_survivors(spark):
+    """One-way contained docs drop (container survives); mutual
+    containment keeps the smaller id; unrelated docs untouched."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, short),
+            (2, filler + " " + short + " " + filler),  # contains 1
+            (3, "other text entirely here today"),
+            (10, "one two three four five six seven"),
+            (11, "one two three four five six seven"),  # mutual with 10
+        ],
+        "id long, text string",
+    )
+    out = dedup.containment_dedup(df, "id", "text", n=3, threshold=0.9, max_token_df=None)
+    assert {r["id"] for r in out.collect()} == {2, 3, 10}

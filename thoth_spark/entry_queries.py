@@ -6392,3 +6392,42 @@ def viz_rolling_band_events(spark, sf_dir):
         F.round("band_lo", 6).alias("band_lo"),
         F.round("band_hi", 6).alias("band_hi"),
     )
+
+
+ORACLE_CONTAINMENT_DEDUP = f"""
+WITH {_DOC_SHINGLES},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+ip AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM inv a JOIN inv b USING (shingle) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS s FROM g),
+pairs AS (
+  SELECT id_a, id_b FROM ip JOIN sz sa ON sa.doc_id = id_a
+  WHERE inter::DOUBLE / sa.s >= 0.7
+),
+mutual AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN pairs q ON q.id_a = p.id_b AND q.id_b = p.id_a
+),
+drops AS (
+  SELECT id_a AS d FROM pairs
+  WHERE NOT EXISTS (SELECT 1 FROM mutual m WHERE m.id_a = pairs.id_a AND m.id_b = pairs.id_b)
+  UNION
+  SELECT id_a FROM mutual WHERE id_a > id_b
+)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT d FROM drops)
+"""
+
+
+@query("dedup_containment_survivors", ORACLE_CONTAINMENT_DEDUP)
+def dedup_containment_survivors(spark, sf_dir):
+    """Containment-dedup survivors: drop documents (nearly) contained in
+    another (threshold 0.7), keep containers; mutual containment keeps
+    the smaller id — the deterministic subsumption policy applied
+    corpus-wide via a broadcast anti-join on the duplicate-density-sized
+    drop list."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_dedup(
+        docs, "doc_id", "text", n=3, threshold=0.7, max_token_df=None
+    ).select("doc_id")

@@ -885,3 +885,41 @@ def containment_pairs(
         .where(F.col("__cont") >= F.lit(t))
         .select("id_a", "id_b", F.round("__cont", 6).alias("containment"))
     )
+
+
+def containment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_token_df: int | None = 1000,
+) -> DataFrame:
+    """Drop documents (nearly) contained in another document — keep the
+    containers: the subsumption-dedup policy (wire stories quoted inside
+    longer articles, quoted-reply chains, snippet pages).
+
+    Survivor rule, deterministic like :func:`exact_dedup`'s: a one-way
+    contained document is dropped; a MUTUALLY-containing pair
+    (near-identical docs, both directions in the pair list) keeps the
+    smaller id. The drop-list is duplicate-density-sized and removes
+    via one broadcast anti-join over the corpus."""
+    pairs = containment_pairs(
+        df, id_col, text_col, n, threshold, max_token_df
+    ).localCheckpoint()
+    mutual = pairs.join(
+        pairs.select(
+            F.col("id_a").alias("id_b"), F.col("id_b").alias("id_a")
+        ),
+        ["id_a", "id_b"],
+    ).select("id_a", "id_b")
+    one_way_drops = pairs.join(mutual, ["id_a", "id_b"], "left_anti").select(
+        F.col("id_a").alias("__drop")
+    )
+    mutual_drops = mutual.where(F.col("id_a") > F.col("id_b")).select(
+        F.col("id_a").alias("__drop")
+    )
+    drop = one_way_drops.union(mutual_drops).distinct()
+    return df.join(
+        F.broadcast(drop), df[id_col] == F.col("__drop"), "left_anti"
+    )
