@@ -485,3 +485,20 @@ def test_ewma_constant_series_no_alarm(spark):
     df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
     out = ewma_control(df, "v", ["g"], "ts").collect()
     assert not any(r["is_alarm"] for r in out)
+
+
+def test_ewma_preserves_non_string_group_key_types(spark):
+    """Group columns must keep their INPUT types in the output schema —
+    an int group id was previously coerced to string by a hardcoded
+    applyInPandas schema."""
+    from thoth_spark.anomaly.robust import ewma_control
+
+    rows = [
+        (7, datetime.datetime(2024, 1, 1) + datetime.timedelta(days=i), float(i % 3))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "gid bigint, ts timestamp, v double")
+    out = ewma_control(df, "v", ["gid"], "ts")
+    assert dict(out.dtypes)["gid"] == "bigint"
+    got = out.collect()
+    assert len(got) == 10 and all(r["gid"] == 7 for r in got)

@@ -60,6 +60,43 @@ def _normalize(rows, cols):
     ), sorted(cols)
 
 
+def _type_lattice(type_name):
+    """Collapse an engine type name to a small lattice so the local gate
+    catches oracle/Spark TYPE misalignment (the driver hashes typed values,
+    so e.g. DuckDB HUGEINT vs Spark BIGINT is a red row there even when the
+    stringified values agree — the round-5 chi2_drift_events defect)."""
+    t = str(type_name).lower()
+    if "struct" in t or "row" in t:
+        return "struct"
+    if "array" in t or "list" in t or t.endswith("[]"):
+        return "array"
+    if "map" in t:
+        return "map"
+    if "timestamp" in t or "datetime" in t:
+        return "timestamp"
+    if "date" in t:
+        return "date"
+    if "bool" in t:
+        return "bool"
+    if "hugeint" in t:
+        # DuckDB's uncast sum() type; the driver's typed hash does NOT
+        # treat it as BIGINT, so neither do we (the r5 chi2 defect).
+        return "hugeint"
+    if any(k in t for k in ("bigint", "int", "long", "short", "byte")):
+        return "int"
+    if any(k in t for k in ("double", "float", "real", "decimal", "numeric")):
+        return "float"
+    if any(k in t for k in ("char", "string", "text", "utf8")):
+        return "string"
+    if "binary" in t or "blob" in t or "bytea" in t:
+        return "binary"
+    return t
+
+
+def _typed_cols(cols, types):
+    return sorted(zip(cols, (_type_lattice(t) for t in types)))
+
+
 ORACLE_QUERIES = sorted(set(entry.queries()) & set(entry.oracle_sql()))
 ROWS_ONLY_QUERIES = sorted(set(entry.queries()) - set(entry.oracle_sql()))
 
@@ -69,15 +106,23 @@ def test_query_matches_oracle(spark, duck, name):
     q = entry.queries()[name]
     sdf = q(spark, SF_DIR)
     spark_cols = sdf.columns
+    spark_types = [f.dataType.simpleString() for f in sdf.schema.fields]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     res = duck.sql(entry.oracle_sql()[name])
     duck_cols = res.columns
+    duck_types = res.types
     duck_rows = res.fetchall()
 
     s_rows, s_cols = _normalize(spark_rows, spark_cols)
     d_rows, d_cols = _normalize(duck_rows, duck_cols)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    s_typed = _typed_cols(spark_cols, spark_types)
+    d_typed = _typed_cols(duck_cols, duck_types)
+    assert s_typed == d_typed, (
+        f"{name}: column TYPE mismatch (driver hashes typed values):"
+        f" spark={s_typed} vs oracle={d_typed}"
+    )
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
     )
@@ -96,6 +141,23 @@ def test_rows_only_query_runs(spark, name):
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
+
+
+def test_typed_gate_catches_uncast_oracle(spark, duck):
+    """A deliberately uncast oracle (HUGEINT sum, timestamp date_trunc)
+    must fail the typed-column check — the class of bug that made
+    chi2_drift_events driver-red in round 5 while the value-only local
+    gate stayed green."""
+    sdf = spark.sql("SELECT CAST(1 AS BIGINT) AS n, DATE'2024-01-01' AS d")
+    res = duck.sql(
+        "SELECT sum(x) AS n, date_trunc('day', TIMESTAMP '2024-01-01') AS d"
+        " FROM (SELECT 1 AS x) t"
+    )
+    s_typed = _typed_cols(
+        sdf.columns, [f.dataType.simpleString() for f in sdf.schema.fields]
+    )
+    d_typed = _typed_cols(res.columns, res.types)
+    assert s_typed != d_typed, "typed gate failed to flag HUGEINT/timestamp"
 
 
 def test_bench_contract():

@@ -1506,6 +1506,58 @@ def test_prefix_excludes_hot_tokens(spark):
     assert hot == []
 
 
+def test_containment_capped_equals_cap_only(spark):
+    """The positional filter must prune NOTHING beyond the df cap's own
+    documented trade: capped tokens sort strictly after every surviving
+    token in the shared global df order, so the observed first meeting
+    is the true first shared token whenever any shared token survives.
+    Reference semantics (computed brute-force in Python): keep a pair
+    iff full-set containment >= t AND at least one shared shingle has
+    df <= cap."""
+    import itertools
+
+    short = "alpha beta gamma delta epsilon zeta"
+    boiler = "this footer appears on every single page of this site"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = [
+        (1, short + " " + boiler),  # contained in 2, shares boiler with all
+        (2, filler + " " + short + " " + boiler + " " + filler),
+        (3, boiler),  # shares ONLY hot shingles with everything
+        (4, boiler + " unrelated words here"),  # contained in hot-only terms
+    ] + [(100 + i, f"unique{i} uncommon{i} rare{i} " + boiler) for i in range(10)]
+    df = spark.createDataFrame(docs, "id long, text string")
+    cap, t = 3, 0.7
+
+    def shingles(text):
+        toks = text.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = {i: shingles(txt) for i, txt in docs}
+    dfreq = {}
+    for sh in sets.values():
+        for s in sh:
+            dfreq[s] = dfreq.get(s, 0) + 1
+    expected = set()
+    for a, b in itertools.permutations(sets, 2):
+        inter = sets[a] & sets[b]
+        if inter and len(inter) / len(sets[a]) >= t and min(
+            dfreq[s] for s in inter
+        ) <= cap:
+            expected.add((a, b))
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.containment_pairs(
+            df, "id", "text", n=3, threshold=t, max_token_df=cap
+        ).collect()
+    }
+    # the scenario must exercise the trade: doc 3 IS contained in
+    # hot-shingle terms but shares only capped shingles → reference
+    # drops it, and so must the operator (not via the positional filter)
+    assert all(p[0] != 3 for p in expected)
+    assert got == expected and (1, 2) in got
+
+
 def test_containment_dedup_survivors(spark):
     """One-way contained docs drop (container survives); mutual
     containment keeps the smaller id; unrelated docs untouched."""

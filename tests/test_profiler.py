@@ -500,6 +500,37 @@ def test_fill_gaps_hourly_step(spark):
     assert len(out) == 4 and sum(r["is_gap"] for r in out) == 2
 
 
+def test_fill_gaps_observed_null_is_not_a_gap(spark):
+    """An observed bucket whose metric value is genuinely null (e.g.
+    Mean over an all-null day) must NOT be flagged is_gap or overwritten
+    by the fill value — gap means 'bucket absent', derived from a
+    join-miss marker, never from value IS NULL."""
+    import datetime
+
+    from thoth_spark.profiler import Granularity, fill_gaps
+
+    d = lambda i: datetime.datetime(2024, 3, i)
+    m = spark.createDataFrame(
+        [
+            (d(1), "Dataset", "*", "Mean", 5.0),
+            (d(2), "Dataset", "*", "Mean", None),  # observed, metric undefined
+            # d(3) absent entirely → a true gap
+            (d(4), "Dataset", "*", "Mean", 7.0),
+        ],
+        "ts timestamp, entity string, instance string, name string, value double",
+    )
+    out = {
+        r["ts"].day: r
+        for r in fill_gaps(
+            m, granularity=Granularity.DAY, fill={"Mean": -1.0}
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[2]["is_gap"] is False and out[2]["value"] is None
+    assert out[3]["is_gap"] is True and out[3]["value"] == -1.0
+    assert out[1]["is_gap"] is False and out[1]["value"] == 5.0
+
+
 def test_trailing_distinct_matches_exact_rescan(spark):
     """WAU from daily sketch merges == exact trailing distinct (HLL is
     exact at this cardinality), including ramp-up buckets."""
@@ -524,6 +555,36 @@ def test_trailing_distinct_matches_exact_rescan(spark):
     assert out[3]["trailing_buckets"] == 3 and out[3]["trailing_distinct_user_id"] == 7
     assert out[10]["trailing_distinct_user_id"] == 7  # days 8,9,10 → users 7..13
     assert out[10]["trailing_rows"] == 15
+
+
+def test_trailing_distinct_week_granularity_spans_buckets(spark):
+    """A weekly sketch table fed with granularity='week' must produce
+    true trailing-N-week windows (buckets are 7 days apart, so the old
+    hardcoded `interval N days` predicate matched only each bucket
+    itself — trailing_buckets silently stuck at 1)."""
+    import datetime
+
+    from thoth_spark.profiler.sketches import sketch_profile, trailing_distinct
+
+    rows = []
+    for week in range(4):
+        for u in range(week * 3, week * 3 + 5):  # overlapping populations
+            rows.append((datetime.datetime(2024, 1, 1 + 7 * week, 12), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    weekly = sketch_profile(df, "ts", distinct_cols=["user_id"], granularity="week")
+    out = {
+        r["ts"].day: r
+        for r in trailing_distinct(
+            weekly, window_buckets=2, granularity="week"
+        ).collect()
+    }
+    assert out[1]["trailing_buckets"] == 1 and out[1]["trailing_distinct_user_id"] == 5
+    # weeks 1+2: users 0..7 → 8 distinct, 2 buckets
+    assert out[8]["trailing_buckets"] == 2 and out[8]["trailing_distinct_user_id"] == 8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="granularity"):
+        trailing_distinct(weekly, window_buckets=2, granularity="fortnight")
 
 
 def test_chi2_daily_flags_mix_shift_and_unseen_category(spark):

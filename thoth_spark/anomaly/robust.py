@@ -90,7 +90,10 @@ def ewma_control(
     lam = float(lam)
     L = float(L)
 
-    out_fields = ", ".join(f"{c} string" for c in group_cols)
+    # group columns keep their INPUT types (an int group key must not be
+    # silently coerced to string by a hardcoded output schema)
+    in_types = {f.name: f.dataType.simpleString() for f in series.schema.fields}
+    out_fields = ", ".join(f"`{c}` {in_types[c]}" for c in group_cols)
     schema = (
         f"{out_fields}, {ts_col} timestamp, value double, ewma double, "
         "lcl double, ucl double, is_alarm boolean"

@@ -6327,7 +6327,8 @@ dense AS (
   SELECT days.d, days.n, probs.c, probs.p, coalesce(dc.o, 0)::DOUBLE AS o
   FROM days CROSS JOIN probs LEFT JOIN dc ON dc.d = days.d AND dc.c = probs.c
 )
-SELECT d, n, round(sum((o - n * p) * (o - n * p) / (n * p)), 6) AS chi2,
+SELECT d::DATE AS d, CAST(n AS BIGINT) AS n,
+       round(sum((o - n * p) * (o - n * p) / (n * p)), 6) AS chi2,
        (sum((o - n * p) * (o - n * p) / (n * p)) > {critical!r}) AS chi2_alarm
 FROM dense GROUP BY 1, 2
 """

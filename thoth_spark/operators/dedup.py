@@ -833,6 +833,17 @@ def containment_pairs(
     ``None`` for exact semantics). The containment score itself is always
     computed on the FULL sets.
 
+    The PPJoin positional filter stays sound under a finite cap — it
+    never prunes a pair that cap-only semantics would keep. Proof: the
+    token order is GLOBAL ascending-df (ties by token text), and capped
+    tokens satisfy df > cap >= df(every surviving token), so within any
+    document every surviving shared token strictly precedes every
+    capped shared token. Hence the minimum observed meeting IS the true
+    first shared token whenever at least one shared token survives the
+    cap; and when none survive, the pair generates no candidate at all
+    regardless of the positional filter (the documented cap trade).
+    Property-tested in ``test_containment_capped_equals_cap_only``.
+
     Returns ``(id_a, id_b, containment)`` where id_a is contained in
     id_b (a pair of mutually-containing distinct docs appears twice,
     once per direction).
@@ -866,7 +877,11 @@ def containment_pairs(
     # pair's first shared token lies inside A's prefix (pigeonhole on
     # I >= t*|A|), so the bound 1 + min(|A|-pa, |B|-pb) >= ceil(t*|A|)
     # is sound — boilerplate meetings deep in both orderings are pruned
-    # before the full sets are ever fetched.
+    # before the full sets are ever fetched. Remains sound under a
+    # finite max_token_df: capped tokens sort strictly AFTER every
+    # surviving token in the shared global df order, so the observed
+    # minimum meeting is the true first shared token whenever any
+    # shared token survives the cap (see the docstring proof).
     first = meetings.groupBy("id_a", "id_b", "__sza", "__szb").agg(
         F.min("__m").alias("__m")
     )

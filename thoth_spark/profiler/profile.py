@@ -397,8 +397,12 @@ def fill_gaps(
     )
     keys = metrics.select("entity", "instance", "name").distinct()
     dense = grid.crossJoin(keys)
-    out = dense.join(metrics, ["ts", "entity", "instance", "name"], "left")
-    is_gap = F.col("value").isNull()
+    # gap = the bucket is ABSENT (join miss on a literal marker), never
+    # value IS NULL — an observed bucket whose metric is genuinely null
+    # (e.g. Mean over an all-null day) is NOT a gap and keeps its null.
+    marked = metrics.withColumn("__present", F.lit(True))
+    out = dense.join(marked, ["ts", "entity", "instance", "name"], "left")
+    is_gap = F.col("__present").isNull()
     value = F.col("value")
     if fill:
         fill_expr = F.lit(None).cast("double")
@@ -406,7 +410,7 @@ def fill_gaps(
             fill_expr = F.when(F.col("name") == metric_name, F.lit(float(v))).otherwise(
                 fill_expr
             )
-        value = F.coalesce(F.col("value"), fill_expr)
+        value = F.when(is_gap, fill_expr).otherwise(F.col("value"))
     return out.select(
         "ts", "entity", "instance", "name", value.alias("value"), is_gap.alias("is_gap")
     )

@@ -106,10 +106,19 @@ def rollup_sketches(
     return merged.select("ts", "row_count", *outs)
 
 
+_GRANULARITY_INTERVAL = {
+    "hour": "hours",
+    "day": "days",
+    "week": "weeks",
+    "month": "months",
+}
+
+
 def trailing_distinct(
     sketch_df: DataFrame,
     hll_cols: list[str] | None = None,
     window_buckets: int = 7,
+    granularity: str = "day",
 ) -> DataFrame:
     """Trailing-window distinct counts from stored per-bucket sketches —
     the WAU/MAU pattern: day d's trailing-7 distinct users = the HLL
@@ -126,12 +135,24 @@ def trailing_distinct(
 
     Returns ``(ts, trailing_buckets, trailing_rows,
     trailing_distinct_<col>...)`` — ramp-up rows at the series start
-    use however many buckets exist (their count is reported)."""
+    use however many buckets exist (their count is reported).
+
+    ``granularity`` must name the bucket spacing of ``sketch_df``
+    (the granularity it was :func:`sketch_profile`-d at) — the range
+    predicate is built in those units, so a monthly sketch table with
+    ``granularity="month"`` yields true trailing-N-month windows
+    instead of silently matching only each bucket itself."""
+    unit = _GRANULARITY_INTERVAL.get(str(granularity).lower())
+    if unit is None:
+        raise ValueError(
+            f"granularity must be one of {sorted(_GRANULARITY_INTERVAL)},"
+            f" got {granularity!r}"
+        )
     hll_cols = hll_cols or [
         f.name[4:] for f in sketch_df.schema.fields if f.name.startswith("hll_")
     ]
     anchor = sketch_df.select(F.col("ts").alias("__d")).distinct()
-    lo = F.col("__d") - F.expr(f"interval {int(window_buckets) - 1} days")
+    lo = F.col("__d") - F.expr(f"interval {int(window_buckets) - 1} {unit}")
     joined = anchor.join(
         sketch_df, (F.col("ts") >= lo) & (F.col("ts") <= F.col("__d"))
     )
