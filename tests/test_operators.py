@@ -1448,6 +1448,35 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - n) < 1e-6
 
 
+def test_pagerank_one_action_per_iteration(spark, monkeypatch):
+    """The dangling-mass scalar must ride the rank-update job as a
+    broadcast one-row aggregate, NOT a per-iteration .collect(): with
+    tol=None the only driver-blocking calls are the setup node count
+    and each iteration's localCheckpoint — zero collect() round-trips
+    (under AQE raw job counts don't measure this, so instrument
+    collect directly)."""
+    from pyspark.sql import DataFrame
+
+    from thoth_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 2), (3, 0)], "src long, dst long"
+    )
+    calls = []
+    orig = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.append(1) or orig(self)
+    )
+    ranks = pagerank(edges, tol=None, max_iterations=8)
+    assert calls == []  # the old dangling-mass collect would show here
+    assert ranks.count() == 4
+    # the tol path is ALLOWED its one delta scalar per iteration, but
+    # never more (the dangling collect would make it two)
+    calls.clear()
+    pagerank(edges, tol=1e-12, max_iterations=3)
+    assert len(calls) <= 3, calls
+
+
 # ---------------------------------------------------------------------------
 # prefix-filtered exact joins (AllPairs / containment)
 # ---------------------------------------------------------------------------

@@ -11,9 +11,11 @@ on src) + one ``groupBy(dst)`` — two hash shuffles over the edge list,
 nothing ever quadratic. Ranks/degrees are node-sized frames. Each
 iteration ``localCheckpoint``s to truncate lineage (iteration i must not
 re-execute i-1). Dangling nodes (no out-edges) redistribute their mass
-uniformly via one scalar aggregate per iteration — the standard
-stochastic-matrix fix, without which rank mass leaks and the vector no
-longer sums to n.
+uniformly — the standard stochastic-matrix fix, without which rank mass
+leaks and the vector no longer sums to n. The dangling mass rides the
+rank-update job as a broadcast one-row aggregate (never a separate
+``.collect()`` round-trip): with ``tol=None`` each iteration is a single
+driver action.
 """
 
 from __future__ import annotations
@@ -57,20 +59,30 @@ def pagerank(
             ranks.withColumnRenamed("id", "s"), "s"
         ).select("t", (F.col("rank") / F.col("deg")).alias("c"))
         inbound = with_rank.groupBy("t").agg(F.sum("c").alias("inflow"))
-        # dangling mass: rank sitting on nodes with no out-edges
+        # dangling mass: rank sitting on nodes with no out-edges —
+        # a broadcast ONE-ROW aggregate folded into the rank-update job
+        # (a separate .collect() here would double the driver
+        # round-trips per iteration for a scalar)
         dangling = (
             ranks.join(out_deg, ranks.id == out_deg.s, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(
+                (F.coalesce(F.sum("rank"), F.lit(0.0)) / F.lit(float(n))).alias(
+                    "__dangling_per_node"
+                )
+            )
         )
         new_ranks = (
             nodes.join(inbound, nodes.id == inbound.t, "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("__dangling_per_node")
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint()
