@@ -160,6 +160,59 @@ def test_typed_gate_catches_uncast_oracle(spark, duck):
     assert s_typed != d_typed, "typed gate failed to flag HUGEINT/timestamp"
 
 
+def test_driver_window_rotation():
+    """The driver gates the first 50 ``queries()`` entries. Round 6's
+    verdict found the window frozen for two rounds (17 oracled queries
+    NEVER driver-verified, 59 more >=3 rounds stale) — this test makes
+    that failure mode impossible to ship silently:
+
+    - the window is exactly 50 unique, registered, ORACLED names;
+    - every oracled query without a single driver-green row in any
+      recorded CORRECTNESS_r*.json must be IN the window (new queries
+      are forced in front of the driver the round they land);
+    - the window must differ from the most recent recorded driver
+      window in at least 10 slots (substantive rotation every round).
+    """
+    import glob
+    import json
+    import re
+
+    from thoth_spark.entry_queries import DRIVER_PRIORITY, ORACLES, QUERIES
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert set(DRIVER_PRIORITY) <= set(QUERIES)
+    assert set(DRIVER_PRIORITY) <= set(ORACLES), (
+        "window slots must carry full oracles"
+    )
+    first50 = list(entry.queries())[:50]
+    assert first50 == DRIVER_PRIORITY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+        key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
+    )
+    if not files:
+        pytest.skip("no recorded driver rounds")
+    ever_green: set[str] = set()
+    for f in files:
+        for q, v in json.load(open(f)).items():
+            if v.get("hash_match") or (v.get("rows_match") and v.get("err") is None):
+                ever_green.add(q)
+    never = {q for q in ORACLES if q not in ever_green}
+    missing = never - set(DRIVER_PRIORITY)
+    assert not missing, (
+        f"oracled queries with no driver row ever must be in the window: {sorted(missing)}"
+    )
+    last_window = set(json.load(open(files[-1])))
+    changed = len(set(DRIVER_PRIORITY) - last_window)
+    assert changed >= 10, (
+        f"window rotated only {changed} slots vs {os.path.basename(files[-1])};"
+        " reorder DRIVER_PRIORITY (see tools/staleness.py)"
+    )
+
+
 def test_bench_contract():
     """bench.py must expose the driver-contract HEADLINE list and emit the
     expected JSON keys (run cheaply by monkeypatching the sf dir)."""

@@ -501,6 +501,123 @@ class AR1Model:
         )
 
 
+def sarima_fixed_forecaster(seasonal_period: int = 7) -> Callable[[list, list], float]:
+    """Fixed-order SARIMA(1,1,0)(1,0,0)_s — the SQL-replayable calibration
+    sibling of :func:`auto_sarima_forecaster`. It runs the SAME estimation
+    skeleton as the auto model's (p=1, q=0, P=1) grid candidate — first
+    difference, mean-center, regress z_t on (z_{t-1}, z_{t-s}) — but with
+    the order pinned and the 2-column OLS solved by explicit normal
+    equations, every sum expanded over RAW (uncentered) cumulative sums:
+
+        C_ab = S_ab - mu*S_a - mu*S_b + k*mu^2
+
+    so the identical closed form replays as window-function SQL in the
+    DuckDB oracle (``anomaly_sarima_fixed_validation``), giving the
+    iterative, rows-only AutoSarima a hash-verified flank that covers the
+    shared differencing / centering / seasonal-lag-regression path.
+    Per-fold cost is a handful of dot products; distributed per series by
+    ``PythonModelAdapter``'s ``applyInPandas`` like every stateful model.
+    """
+    s = int(seasonal_period)
+
+    def forecast(ts: list, values: list) -> float:
+        y = np.asarray(values, dtype=float)
+        n = len(y)
+        if n < s + 5:
+            return float(y[-1])
+        z = np.diff(y)  # d = 1, fixed
+        m = len(z)
+        mu = float(z.sum()) / m
+        # regression rows t = s..m-1 (0-based in z): response z[t],
+        # regressors z[t-1] and z[t-s]; raw sums, centered by expansion
+        a, b, v = z[s - 1 : m - 1], z[0 : m - s], z[s:m]
+        k = float(m - s)
+        sa, sb, sv = float(a.sum()), float(b.sum()), float(v.sum())
+        caa = float(a @ a) - 2 * mu * sa + k * mu * mu
+        cbb = float(b @ b) - 2 * mu * sb + k * mu * mu
+        cab = float(a @ b) - mu * sa - mu * sb + k * mu * mu
+        cav = float(a @ v) - mu * sa - mu * sv + k * mu * mu
+        cbv = float(b @ v) - mu * sb - mu * sv + k * mu * mu
+        det = caa * cbb - cab * cab
+        if abs(det) > 1e-9:
+            phi = (cav * cbb - cbv * cab) / det
+            sphi = (caa * cbv - cab * cav) / det
+        else:
+            phi = sphi = 0.0
+        zhat = mu + phi * (z[m - 1] - mu) + sphi * (z[m - s] - mu)
+        return float(y[-1] + zhat)
+
+    return forecast
+
+
+def fixed_changepoint_trend_forecaster(
+    changepoint: float = 12.0,
+    ridge: float = 1.0,
+    half_life: float = 15.0,
+) -> Callable[[list, list], float]:
+    """Fixed-changepoint piecewise-linear trend — the SQL-replayable
+    calibration sibling of :func:`changepoint_trend_forecaster`. The ℓ1
+    model's changepoint SELECTION (coordinate-descent lasso) is not SQL;
+    pin ONE changepoint at a fixed absolute index and the fit collapses to
+    a 3-parameter recency-weighted ridge regression on the basis
+    ``[1, t, max(0, t - c)]`` solved in closed form by Cramer's rule —
+    replayable as window-function SQL because the regressors are
+    fold-independent per row and the exponential recency weight factors as
+    ``0.5^((n-1-t)/hl) = 0.5^((n-1)/hl) * 2^(t/hl)`` (a cumulative sum of
+    fold-independent terms times a per-fold scalar). Only the slope-delta
+    coefficient carries the ridge penalty, mirroring the ℓ1 model's
+    unpenalized base coordinates.
+    """
+    c, lam, hl = float(changepoint), float(ridge), float(half_life)
+
+    def forecast(ts: list, values: list) -> float:
+        y = np.asarray(values, dtype=float)
+        n = len(y)
+        if n < 8:
+            return float(y[-1])
+        t = np.arange(n, dtype=float)
+        u = 2.0 ** (t / hl)
+        kf = 0.5 ** ((n - 1) / hl)
+        x2 = np.maximum(0.0, t - c)
+        s00 = kf * float(u.sum())
+        s01 = kf * float((u * t).sum())
+        s02 = kf * float((u * x2).sum())
+        s11 = kf * float((u * t * t).sum())
+        s12 = kf * float((u * t * x2).sum())
+        s22 = kf * float((u * x2 * x2).sum()) + lam
+        d0 = kf * float((u * y).sum())
+        d1 = kf * float((u * t * y).sum())
+        d2 = kf * float((u * x2 * y).sum())
+        det = (
+            s00 * (s11 * s22 - s12 * s12)
+            - s01 * (s01 * s22 - s12 * s02)
+            + s02 * (s01 * s12 - s11 * s02)
+        )
+        if abs(det) <= 1e-12:
+            return float(y[-1])
+        det0 = (
+            d0 * (s11 * s22 - s12 * s12)
+            - s01 * (d1 * s22 - s12 * d2)
+            + s02 * (d1 * s12 - s11 * d2)
+        )
+        det1 = (
+            s00 * (d1 * s22 - d2 * s12)
+            - d0 * (s01 * s22 - s12 * s02)
+            + s02 * (s01 * d2 - d1 * s02)
+        )
+        det2 = (
+            s00 * (s11 * d2 - d1 * s12)
+            - s01 * (s01 * d2 - d1 * s02)
+            + d0 * (s01 * s12 - s11 * s02)
+        )
+        tp = float(n)
+        return float(
+            (det0 + det1 * tp + det2 * max(0.0, tp - c)) / det
+        )
+
+    return forecast
+
+
 def _seasonal_naive_factory() -> PythonModelAdapter:
     return PythonModelAdapter("SeasonalNaive7", seasonal_naive_forecaster(7))
 
@@ -527,6 +644,20 @@ def _changepoint_trend_factory() -> PythonModelAdapter:
     )
 
 
+def _sarima_fixed_factory() -> PythonModelAdapter:
+    return PythonModelAdapter(
+        "SarimaFixed", sarima_fixed_forecaster(), min_train_length=12
+    )
+
+
+def _fixed_changepoint_trend_factory() -> PythonModelAdapter:
+    return PythonModelAdapter(
+        "FixedChangepointTrend",
+        fixed_changepoint_trend_forecaster(),
+        min_train_length=8,
+    )
+
+
 #: name → model factory; parity with the reference's model registry
 #: (``models.py:244-277``). AutoSarima/AutoProphet are pure-numpy
 #: re-implementations of the reference's Merlion models (Hannan-Rissanen
@@ -541,6 +672,8 @@ MODEL_REGISTRY: dict[str, Callable[[], object]] = {
     "AutoSarima": _auto_sarima_factory,
     "AutoProphet": _auto_prophet_factory,
     "ChangepointTrend": _changepoint_trend_factory,
+    "SarimaFixed": _sarima_fixed_factory,
+    "FixedChangepointTrend": _fixed_changepoint_trend_factory,
     "AR1": AR1Model,
 }
 

@@ -65,115 +65,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot round-5 window. Rotation
-# policy: every catalogue query's last driver row stays ≤ 2 rounds old
-# where the 113-query catalogue allows it (113 > 2×50, so a 13-query
-# tail is always exactly 3 rounds old; r4 covered 50, this window covers
-# the entire due set). Composition:
-# (a) never windowed at all (profile_events_monthly — registration-order
-#     accident in r1-r4);
-# (b) last driver row r1 — the oldest debt (TPC-H window/rollup family,
-#     asof, json props);
-# (c) last driver row r2 — text/curation/sampling/similarity families
-#     and the two streaming queries that ceded their r4 slots;
-# (d) round-5 upgrades that MUST re-verify: profile_events_approx/kll
-#     (rows-only → ε-bounds oracles this round) and
-#     profile_events_frequency/histogram (same oracles, new fused
-#     frequency implementation underneath);
-# (e) 8 of the 25 r3-green queries (the rest stay 3 rounds old and lead
-#     the r6 window: tpch q3-q14/q16.., mix, training_order,
-#     line_dedup, streaming_curate).
+# entries, so this list is exactly the 50-slot ROUND-7 window. Rotation
+# policy: minimize the maximum staleness of any catalogue query's last
+# driver-green row, with never-driver-verified queries outranking
+# everything (round 5 proved the local gate can pass what the driver's
+# typed hash fails). Composition, derived from CORRECTNESS_r01–r06
+# (regenerate with ``python tools/staleness.py``):
+# (a) the 17 oracled queries that had NEVER had a driver row through r6;
+# (b) the 2 round-7 calibration siblings (fixed-order SARIMA /
+#     fixed-changepoint ridge) — brand-new hash-oracled flanks for the
+#     rows-only iterative models;
+# (c) last driver row r1 — the oldest stale set (TPC-H window/rollup
+#     family, set ops, deciles);
+# (d) last driver row r2 — pure column-expression text/sampling/
+#     multimodal queries;
+# (e) 18 of the 24 r3-stale queries: all TPC-H except q6, plus
+#     mix/training_order/streaming_curate. The 6 displaced r3 queries
+#     (tpch_q6_forecast_revenue, line_dedup_none_documents,
+#     pack_documents, perplexity_documents, range_join_transit_orders,
+#     similarity_topk_quantized) LEAD THE R8 WINDOW together with the
+#     r6-green set — see test_driver_window_rotation, which enforces
+#     that this list actually changed from the recorded r6 window.
 DRIVER_PRIORITY: list[str] = [
-    # (a) never windowed
-    "profile_events_monthly",
-    # (b) last driver row r1
-    "tpch_q16_supplier_counts",
-    "tpch_q20_part_promotion",
-    "top_orders_per_customer",
-    "asof_join_purchase_click",
-    "events_json_props",
-    "dedup_exact_documents",
-    # (h) round-5 continuation queries (this session) — never windowed,
-    # every one with a full DuckDB oracle: prefix-filtered exact joins,
-    # EWMA chart, gap-filled series, sketch-merge WAU, categorical
-    # drift. They take six (b) slots previously held by pure unchanged
-    # Catalyst-SQL constructs (trailing_window_revenue,
-    # customer_revenue_deciles, set_ops_customers, rollup_orders,
-    # cube_orders, grouping_sets_orders) — plain SQL surfaces where the
-    # local oracle gate is maximally informative and driver
-    # re-confirmation carries the least; those six lead the r6 window.
-    "dedup_jaccard_prefix_documents",
-    "dedup_containment_documents",
-    "ewma_control_events",
-    "profile_events_gap_fill",
-    "sketch_trailing_wau_events",
-    "chi2_drift_events",
-    # (c) last driver row r2. Seven of the original (c) entries —
-    # text_stats, lang_id, fingerprint, token_count, sample_hash,
-    # multimodal_decode_stub, multimodal_frame_sample — ceded their
-    # slots to the (g) queries below: all seven are pure column-
-    # expression queries UNCHANGED since r1/r2, continuously green in
-    # the local oracle gate, so re-confirming them carries less
-    # information than first-time driver evidence for brand-new code.
-    # They lead the r6 window together with the (e)-displaced set.
-    "sessionize_events",
-    "text_quality_documents",
-    "sample_documents_stratified",
-    "sample_documents_budget",
-    "curate_documents_pipeline",
-    "similarity_topk_brute",
-    "embedding_neardup_exact",
-    "anomaly_holt_validation",
-    "anomaly_ar1_validation",
-    "similarity_topk_vectorized",
-    "sample_documents_token_budget",
-    "streaming_running_score",
-    "streaming_profile_events",
-    "redact_pii_documents",
-    "chunk_documents",
-    "repetition_documents",
-    "contamination_documents",
-    "line_dedup_documents",
-    # (d) round-5 upgrades re-verifying under new oracles/implementation:
-    # sketch ε-bounds oracles, the fused frequency pass, the
-    # capped-minhash direct-inverted-frame signature path, and
-    # profile_events_exact as the representative of the single-pass
-    # family (its assembly gained the dynamic-name/null-slot filter)
-    "profile_events_approx",
-    "profile_events_kll",
-    "profile_events_frequency",
-    "profile_events_histogram",
-    "dedup_minhash_capped_documents",
-    "profile_events_exact",
-    # (e) round-5 NEW queries — never windowed, each with a full oracle;
-    # these displace seven r3-green slots (tpch_q1, range_join,
-    # similarity_topk_quantized, line_dedup_none, pack, perplexity,
-    # streaming_curate), which therefore lead the r6 window TOGETHER
-    # WITH the round-5 queries added after the window froze — all
-    # oracle-gate green locally: similarity_lsh_recall,
-    # streaming_sessionize_events, and the late-round-5 additions
-    # bm25_topk_documents, bm25_multiquery_documents,
-    # sample_documents_weighted, corpus_diff_documents,
-    # streaming_interval_join_events, split_documents, dedup_lsh_eval.
-    # Fresh driver evidence for new/changed code outranks re-confirming
-    # stable code.
-    "passage_dedup_documents",
-    "classifier_nb_documents",
-    "ks_drift_events",
-    "profile_events_topk",
-    "similarity_topk_ivf_fullprobe",
-    # (f) r3 green rotating back in (last driver row r2/r3)
-    "profile_documents_mutual_information",
-    # (g) late round-5 additions (this session) — never windowed, every
-    # one with a full DuckDB oracle; they take the seven slots ceded by
-    # the stable (c) queries noted above
-    "bm25_topk_documents",
-    "bm25_multiquery_documents",
-    "sample_documents_weighted",
-    "corpus_diff_documents",
-    "streaming_interval_join_events",
-    "split_documents",
-    "dedup_lsh_eval",
+    # (a) never driver-verified through r6
+    "profile_events_by_type",
+    "check_events_constraints",
+    "dedup_minhash_incremental",
+    "similarity_lsh_recall",
+    "streaming_sessionize_events",
+    "hybrid_retrieval_documents",
+    "mad_outliers_events",
+    "funnel_events",
+    "quality_percentile_documents",
+    "cohort_retention_events",
+    "quality_percentile_by_source",
+    "pagerank_documents_calibration",
+    "source_keywords_documents",
+    "profile_diff_events",
+    "collocations_documents",
+    "viz_rolling_band_events",
+    "dedup_containment_survivors",
+    # (b) round-7 calibration siblings (new)
+    "anomaly_sarima_fixed_validation",
+    "anomaly_fixed_changepoint_validation",
+    # (c) last driver row r1
+    "cube_orders",
+    "customer_revenue_deciles",
+    "grouping_sets_orders",
+    "rollup_orders",
+    "set_ops_customers",
+    "trailing_window_revenue",
+    # (d) last driver row r2
+    "fingerprint_documents",
+    "lang_id_documents",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "sample_documents_hash",
+    "text_stats_documents",
+    "token_count_documents",
+    # (e) last driver row r3 (18 of 24; the other 6 lead the r8 window)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "mix_documents",
+    "training_order_documents",
+    "streaming_curate_documents",
 ]
 
 
@@ -3734,6 +3702,203 @@ def anomaly_changepoint_validation(spark, sf_dir):
 
     metrics = _metric_series(spark, sf_dir)
     v = cross_validation(metrics, MODEL_REGISTRY["ChangepointTrend"](), key_cols=KEY)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("true_value", 6).alias("true_value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
+
+
+# Fixed-order SARIMA(1,1,0)(1,0,0)_7 replayed in SQL: difference,
+# mean-center, regress z_t on (z_{t-1}, z_{t-7}) — the auto model's
+# (p=1,q=0,P=1) grid candidate with the order pinned. Centered normal-
+# equation sums expand over RAW cumulative sums (C_ab = S_ab - mu*S_a -
+# mu*S_b + k*mu^2), so every fold of every series is one window pass,
+# mirroring sarima_fixed_forecaster's arithmetic operation-for-operation.
+_SARIMA_FIXED_SQL = """,
+sz AS (
+  SELECT entity, instance, name, ts, i, n, value,
+         lag(value) OVER w AS yprev,
+         value - lag(value) OVER w AS z
+  FROM idx
+  WINDOW w AS (PARTITION BY entity, instance, name ORDER BY ts)
+),
+sreg AS (
+  SELECT *, lag(z, 1) OVER w AS za, lag(z, 7) OVER w AS zb
+  FROM sz
+  WINDOW w AS (PARTITION BY entity, instance, name ORDER BY ts)
+),
+sprod AS (
+  SELECT *,
+         CASE WHEN zb IS NOT NULL THEN za END AS ra,
+         CASE WHEN zb IS NOT NULL THEN zb END AS rb,
+         CASE WHEN zb IS NOT NULL THEN z END AS rv
+  FROM sreg
+),
+sstat AS (
+  SELECT *,
+         sum(z) OVER cw AS szall,
+         count(z) OVER cw AS mz,
+         count(rb) OVER cw AS k,
+         sum(ra) OVER cw AS sa,
+         sum(rb) OVER cw AS sb,
+         sum(rv) OVER cw AS sv,
+         sum(ra * ra) OVER cw AS saa,
+         sum(rb * rb) OVER cw AS sbb,
+         sum(ra * rb) OVER cw AS sab,
+         sum(ra * rv) OVER cw AS sav,
+         sum(rb * rv) OVER cw AS sbv
+  FROM sprod
+  WINDOW cw AS (PARTITION BY entity, instance, name ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+smu AS (SELECT *, szall / mz AS mu FROM sstat),
+scen AS (
+  SELECT *,
+         saa - 2 * mu * sa + k * mu * mu AS caa,
+         sbb - 2 * mu * sb + k * mu * mu AS cbb,
+         sab - mu * sa - mu * sb + k * mu * mu AS cab,
+         sav - mu * sa - mu * sv + k * mu * mu AS cav,
+         sbv - mu * sb - mu * sv + k * mu * mu AS cbv
+  FROM smu
+),
+sdet AS (SELECT *, caa * cbb - cab * cab AS det FROM scen),
+scoef AS (
+  SELECT *,
+         CASE WHEN abs(det) > 1e-9 THEN (cav * cbb - cbv * cab) / det ELSE 0.0 END AS phi,
+         CASE WHEN abs(det) > 1e-9 THEN (caa * cbv - cab * cav) / det ELSE 0.0 END AS sphi
+  FROM sdet
+),
+spred AS (
+  SELECT entity, instance, name, ts, value,
+         CASE WHEN i >= 12 AND i >= floor(n * (CASE WHEN n >= 100 THEN 0.1
+                   WHEN n >= 50 THEN 0.2 WHEN n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN yprev + (mu + phi * (za - mu) + sphi * (zb - mu)) END AS pred
+  FROM scoef
+)"""
+
+ORACLE_SARIMA_FIXED = "WITH " + _FOLDS_SQL + _SARIMA_FIXED_SQL + """
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS true_value,
+       round(pred, 6) AS predicted,
+       CASE WHEN pred IS NOT NULL
+            THEN round(least(abs(value - pred) / value, 1.0), 6) END AS error
+FROM spred
+"""
+
+
+@query("anomaly_sarima_fixed_validation", ORACLE_SARIMA_FIXED)
+def anomaly_sarima_fixed_validation(spark, sf_dir):
+    """Forward-chaining CV of the FIXED-order SARIMA(1,1,0)(1,0,0)_7 —
+    the hash-verified calibration flank for the rows-only AutoSarima
+    (same differencing / mean-centering / seasonal-lag-regression
+    skeleton via the same applyInPandas adapter, order pinned so the
+    closed-form OLS replays as window-function SQL). Together with
+    anomaly_sarima_validation this covers the reference's Merlion
+    AutoSarima surface (``/root/reference/thoth/anomaly/models.py:
+    184-213``): the auto model carries the accuracy bar, this one the
+    bit-level engine-parity proof."""
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    metrics = _metric_series(spark, sf_dir)
+    v = cross_validation(metrics, MODEL_REGISTRY["SarimaFixed"](), key_cols=KEY)
+    return v.select(
+        *KEY,
+        F.col("ts").cast("date").alias("ts"),
+        F.round("true_value", 6).alias("true_value"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round("error", 6).alias("error"),
+    )
+
+
+# Fixed-changepoint recency-weighted ridge trend replayed in SQL: the
+# regressors [1, t, relu(t-12)] are fold-independent per row and the
+# exponential recency weight factors as 0.5^((i-1)/hl) * 2^(t/hl), so the
+# 3x3 normal equations assemble from cumulative sums times a per-fold
+# scalar and solve by Cramer's rule — operation-for-operation the
+# arithmetic of fixed_changepoint_trend_forecaster.
+_FIXED_CP_SQL = """,
+cp AS (
+  SELECT entity, instance, name, ts, i, n, value,
+         lag(value) OVER w AS yprev,
+         power(2.0, i / 15.0) AS u,
+         CAST(i AS DOUBLE) AS x1,
+         greatest(0.0, i - 12.0) AS x2
+  FROM idx
+  WINDOW w AS (PARTITION BY entity, instance, name ORDER BY ts)
+),
+ccum AS (
+  SELECT *,
+         sum(u) OVER cw AS c00,
+         sum(u * x1) OVER cw AS c01,
+         sum(u * x2) OVER cw AS c02,
+         sum(u * x1 * x1) OVER cw AS c11,
+         sum(u * x1 * x2) OVER cw AS c12,
+         sum(u * x2 * x2) OVER cw AS c22,
+         sum(u * value) OVER cw AS e0,
+         sum(u * x1 * value) OVER cw AS e1,
+         sum(u * x2 * value) OVER cw AS e2
+  FROM cp
+  WINDOW cw AS (PARTITION BY entity, instance, name ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+ckf AS (SELECT *, power(0.5, (i - 1) / 15.0) AS kf FROM ccum),
+csums AS (
+  SELECT *, kf * c00 AS s00, kf * c01 AS s01, kf * c02 AS s02,
+         kf * c11 AS s11, kf * c12 AS s12, kf * c22 + 1.0 AS s22,
+         kf * e0 AS d0, kf * e1 AS d1, kf * e2 AS d2
+  FROM ckf
+),
+cdet AS (
+  SELECT *,
+    s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02)
+      + s02 * (s01 * s12 - s11 * s02) AS det,
+    d0 * (s11 * s22 - s12 * s12) - s01 * (d1 * s22 - s12 * d2)
+      + s02 * (d1 * s12 - s11 * d2) AS det0,
+    s00 * (d1 * s22 - d2 * s12) - d0 * (s01 * s22 - s12 * s02)
+      + s02 * (s01 * d2 - d1 * s02) AS det1,
+    s00 * (s11 * d2 - d1 * s12) - s01 * (s01 * d2 - d1 * s02)
+      + d0 * (s01 * s12 - s11 * s02) AS det2
+  FROM csums
+),
+cpred AS (
+  SELECT entity, instance, name, ts, value,
+         CASE WHEN i >= 8 AND i >= floor(n * (CASE WHEN n >= 100 THEN 0.1
+                   WHEN n >= 50 THEN 0.2 WHEN n >= 25 THEN 0.4 ELSE 0.8 END))
+              THEN CASE WHEN abs(det) > 1e-12
+                   THEN (det0 + det1 * CAST(i AS DOUBLE)
+                         + det2 * greatest(0.0, i - 12.0)) / det
+                   ELSE yprev END
+         END AS pred
+  FROM cdet
+)"""
+
+ORACLE_FIXED_CP = "WITH " + _FOLDS_SQL + _FIXED_CP_SQL + """
+SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS true_value,
+       round(pred, 6) AS predicted,
+       CASE WHEN pred IS NOT NULL
+            THEN round(least(abs(value - pred) / value, 1.0), 6) END AS error
+FROM cpred
+"""
+
+
+@query("anomaly_fixed_changepoint_validation", ORACLE_FIXED_CP)
+def anomaly_fixed_changepoint_validation(spark, sf_dir):
+    """Forward-chaining CV of the fixed-changepoint weighted ridge trend
+    — the hash-verified calibration flank for the rows-only ℓ1
+    ChangepointTrend: same piecewise-linear-trend basis, recency
+    weighting, and delta-only penalty via the same applyInPandas
+    adapter, with the changepoint pinned (index 12 of the 30-day series)
+    so the closed-form Cramer solve replays as window-function SQL. The
+    ℓ1 model carries the accuracy bars (tests/test_anomaly.py); this one
+    carries the bit-level engine-parity proof."""
+    from thoth_spark.anomaly.models import MODEL_REGISTRY
+
+    metrics = _metric_series(spark, sf_dir)
+    v = cross_validation(
+        metrics, MODEL_REGISTRY["FixedChangepointTrend"](), key_cols=KEY
+    )
     return v.select(
         *KEY,
         F.col("ts").cast("date").alias("ts"),
