@@ -163,21 +163,30 @@ def test_typed_gate_catches_uncast_oracle(spark, duck):
 def test_driver_window_rotation():
     """The driver gates the first 50 ``queries()`` entries. Round 6's
     verdict found the window frozen for two rounds (17 oracled queries
-    NEVER driver-verified, 59 more >=3 rounds stale) — this test makes
-    that failure mode impossible to ship silently:
+    NEVER driver-verified, 59 more >=3 rounds stale); round 7's found the
+    original guard went deterministically red the moment each round's own
+    CORRECTNESS file landed. This version is ROUND-BOUNDARY-SAFE — green
+    both before and after the driver writes the current round's file,
+    while still forcing per-round rotation:
 
     - the window is exactly 50 unique, registered, ORACLED names;
-    - every oracled query without a single driver-green row in any
-      recorded CORRECTNESS_r*.json must be IN the window (new queries
-      are forced in front of the driver the round they land);
-    - the window must differ from the most recent recorded driver
-      window in at least 10 slots (substantive rotation every round).
+    - every oracled query with no STRICT driver-green row (hash_match is
+      True — shared predicate with tools/staleness.py; a rows-match-only
+      row is a typed-hash FAILURE, not green) in any recorded
+      CORRECTNESS_r*.json must be IN the window;
+    - staleness invariant: every oracled query is either strict-green
+      within the last 3 recorded rounds or scheduled in the current
+      window — so a query can never silently drift stale: the round its
+      last green falls out of the 3-round horizon, the suite goes red
+      until it is rotated back in;
+    - the window must differ by >=10 slots from the PRIOR round's
+      recorded window (files[-2]) — never from the newest file, which is
+      by construction this window's own just-delivered results.
     """
-    import glob
     import json
-    import re
 
     from thoth_spark.entry_queries import DRIVER_PRIORITY, ORACLES, QUERIES
+    from tools.staleness import correctness_files, green_rounds
 
     assert len(DRIVER_PRIORITY) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
@@ -189,27 +198,59 @@ def test_driver_window_rotation():
     assert first50 == DRIVER_PRIORITY
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    files = sorted(
-        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-        key=lambda f: int(re.search(r"r(\d+)", os.path.basename(f)).group(1)),
-    )
+    files = correctness_files(root)
     if not files:
         pytest.skip("no recorded driver rounds")
-    ever_green: set[str] = set()
-    for f in files:
-        for q, v in json.load(open(f)).items():
-            if v.get("hash_match") or (v.get("rows_match") and v.get("err") is None):
-                ever_green.add(q)
-    never = {q for q in ORACLES if q not in ever_green}
+    greens = green_rounds(root)
+    newest = max(
+        int(__import__("re").search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in files
+    )
+
+    never = {q for q in ORACLES if not greens.get(q)}
     missing = never - set(DRIVER_PRIORITY)
     assert not missing, (
-        f"oracled queries with no driver row ever must be in the window: {sorted(missing)}"
+        f"oracled queries never strict-green must be in the window: {sorted(missing)}"
     )
-    last_window = set(json.load(open(files[-1])))
-    changed = len(set(DRIVER_PRIORITY) - last_window)
-    assert changed >= 10, (
-        f"window rotated only {changed} slots vs {os.path.basename(files[-1])};"
-        " reorder DRIVER_PRIORITY (see tools/staleness.py)"
+
+    stale = {
+        q
+        for q in ORACLES
+        if greens.get(q)
+        and max(greens[q]) < newest - 2
+        and q not in DRIVER_PRIORITY
+    }
+    assert not stale, (
+        f"oracled queries >2 recorded rounds stale and NOT scheduled:"
+        f" {sorted(stale)}; rotate DRIVER_PRIORITY (python tools/staleness.py)"
+    )
+
+    if len(files) >= 2:
+        prior_window = set(json.load(open(files[-2])))
+        changed = len(set(DRIVER_PRIORITY) - prior_window)
+        assert changed >= 10, (
+            f"window rotated only {changed} slots vs prior round"
+            f" {os.path.basename(files[-2])}; reorder DRIVER_PRIORITY"
+            " (see tools/staleness.py)"
+        )
+
+
+def test_staleness_table_current():
+    """COVERAGE.md's staleness table must match the CORRECTNESS_r*.json
+    files actually in the tree — the r7 verdict caught the committed
+    table reflecting only 6 of 7 recorded rounds ('never: 24' long after
+    it was false). Red here means: run `python tools/staleness.py`."""
+    from tools.staleness import MARK_BEGIN, MARK_END, ROOT, build_table
+
+    path = os.path.join(ROOT, "COVERAGE.md")
+    if not os.path.exists(path):
+        pytest.skip("no COVERAGE.md")
+    text = open(path).read()
+    assert MARK_BEGIN in text and MARK_END in text
+    committed = text[text.index(MARK_BEGIN) : text.index(MARK_END) + len(MARK_END)]
+    assert committed == build_table(), (
+        "COVERAGE.md staleness table is stale; regenerate with"
+        " `python tools/staleness.py`"
     )
 
 

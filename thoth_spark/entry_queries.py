@@ -65,83 +65,84 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot ROUND-7 window. Rotation
+# entries, so this list is exactly the 50-slot ROUND-8 window. Rotation
 # policy: minimize the maximum staleness of any catalogue query's last
-# driver-green row, with never-driver-verified queries outranking
-# everything (round 5 proved the local gate can pass what the driver's
-# typed hash fails). Composition, derived from CORRECTNESS_r01–r06
-# (regenerate with ``python tools/staleness.py``):
-# (a) the 17 oracled queries that had NEVER had a driver row through r6;
-# (b) the 2 round-7 calibration siblings (fixed-order SARIMA /
-#     fixed-changepoint ridge) — brand-new hash-oracled flanks for the
-#     rows-only iterative models;
-# (c) last driver row r1 — the oldest stale set (TPC-H window/rollup
-#     family, set ops, deciles);
-# (d) last driver row r2 — pure column-expression text/sampling/
-#     multimodal queries;
-# (e) 18 of the 24 r3-stale queries: all TPC-H except q6, plus
-#     mix/training_order/streaming_curate. The 6 displaced r3 queries
-#     (tpch_q6_forecast_revenue, line_dedup_none_documents,
-#     pack_documents, perplexity_documents, range_join_transit_orders,
-#     similarity_topk_quantized) LEAD THE R8 WINDOW together with the
-#     r6-green set — see test_driver_window_rotation, which enforces
-#     that this list actually changed from the recorded r6 window.
+# STRICT driver-green (hash_match is True) row, with never-verified
+# oracled queries outranking everything (round 5 proved the local gate
+# can pass what the driver's typed hash fails). Composition, derived
+# from CORRECTNESS_r01-r07 (regenerate with ``python tools/staleness.py``):
+# (a) the 6 queries whose last driver-green is r3 — the oldest stale
+#     set, displaced from the r7 window;
+# (b) all 39 queries whose last driver-green is r4 (anomaly_sm family,
+#     profiling granularity/extended, dedup minhash/simhash/ngram,
+#     embedding neardup/components, streaming dedup/watermark/sketch,
+#     repository roundtrips, viz, tpch q2/q15/q18/q21, psi drift,
+#     multimodal decode);
+# (c) 5 spares from the r6-green set, chosen for re-verification value:
+#     profile_events_gap_fill (its oracle's is_gap semantics changed
+#     this round — join-miss, not value-null), chi2_drift_events and
+#     sessionize_events (each has a historical hash-FAIL driver row, the
+#     exact class the strict staleness predicate now tracks),
+#     dedup_containment_documents (its candidate-generation defaults
+#     changed this round — skew program), asof_join_purchase_click.
+# tests/test_entry_oracle.py::test_driver_window_rotation enforces a
+# staleness invariant over this list that stays green across round
+# boundaries (it compares against the PRIOR round's recorded window,
+# never the file the current round just produced).
 DRIVER_PRIORITY: list[str] = [
-    # (a) never driver-verified through r6
-    "profile_events_by_type",
-    "check_events_constraints",
-    "dedup_minhash_incremental",
-    "similarity_lsh_recall",
-    "streaming_sessionize_events",
-    "hybrid_retrieval_documents",
-    "mad_outliers_events",
-    "funnel_events",
-    "quality_percentile_documents",
-    "cohort_retention_events",
-    "quality_percentile_by_source",
-    "pagerank_documents_calibration",
-    "source_keywords_documents",
-    "profile_diff_events",
-    "collocations_documents",
-    "viz_rolling_band_events",
-    "dedup_containment_survivors",
-    # (b) round-7 calibration siblings (new)
-    "anomaly_sarima_fixed_validation",
-    "anomaly_fixed_changepoint_validation",
-    # (c) last driver row r1
-    "cube_orders",
-    "customer_revenue_deciles",
-    "grouping_sets_orders",
-    "rollup_orders",
-    "set_ops_customers",
-    "trailing_window_revenue",
-    # (d) last driver row r2
-    "fingerprint_documents",
-    "lang_id_documents",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "sample_documents_hash",
-    "text_stats_documents",
-    "token_count_documents",
-    # (e) last driver row r3 (18 of 24; the other 6 lead the r8 window)
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promotion_effect",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "mix_documents",
-    "training_order_documents",
-    "streaming_curate_documents",
+    # (a) last strict driver-green r3
+    "line_dedup_none_documents",
+    "pack_documents",
+    "perplexity_documents",
+    "range_join_transit_orders",
+    "similarity_topk_quantized",
+    "tpch_q6_forecast_revenue",
+    # (b) last strict driver-green r4
+    "anomaly_multimodel_threshold",
+    "anomaly_scoring_events",
+    "anomaly_seasonal_naive_validation",
+    "anomaly_sm_threshold",
+    "anomaly_sm_validation",
+    "anomaly_sm_window_preds",
+    "bucketed_join_orders_lineitem",
+    "dedup_exact_events",
+    "dedup_minhash_components",
+    "dedup_minhash_documents",
+    "dedup_minhash_survivors",
+    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_documents",
+    "dedup_simhash_documents",
+    "dedup_simhash_pairs_documents",
+    "embedding_dedup_components",
+    "embedding_neardup_lsh",
+    "multimodal_decode_real",
+    "profile_events_extended",
+    "profile_events_hourly_size",
+    "profile_events_inferred_types",
+    "profile_events_minmax_sum",
+    "profile_events_weekly",
+    "psi_drift_events",
+    "quality_assessment_events",
+    "repository_roundtrip_jdbc",
+    "repository_roundtrip_profiling",
+    "similarity_topk_lsh",
+    "sketch_rollup_weekly_events",
+    "streaming_dedup_events",
+    "streaming_sketch_rollup_events",
+    "streaming_watermark_profile_events",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "viz_forecast_interval_events",
+    "viz_score_band_events",
+    "viz_series_events",
+    # (c) r6 spares with re-verification value
+    "profile_events_gap_fill",
+    "chi2_drift_events",
+    "sessionize_events",
+    "dedup_containment_documents",
+    "asof_join_purchase_click",
 ]
 
 
