@@ -492,3 +492,53 @@ def test_jaccard_prefix_boilerplate_candidate_bound(spark):
     )
     assert pairs == 0
     assert wall < 60
+
+
+def test_containment_boilerplate_candidate_bound(spark):
+    """Adversarial containment corpus (the r5-r7 verdicts' prescribed
+    fixture): many small docs verbatim-contained in few mega-docs, plus a
+    large boilerplate clique — every doc shares one hot footer. The
+    uncapped inverted index would meet ~n²/2 pairs through the footer
+    shingles alone; the CAPPED candidate generator must produce a
+    candidate volume ∝ the true containment-pair count (the footer's
+    postings are dropped by the df cap, and true pairs are still found
+    through the contained docs' surviving rare shingles)."""
+    import random
+
+    rng = random.Random(8)
+    words = [f"w{i}" for i in range(4000)]
+    megas = {
+        m: " ".join(rng.choice(words) for _ in range(300)) for m in range(4)
+    }
+    footer = "all rights reserved terms of service apply contact the site owner"
+    rows = [(m, megas[m] + " " + footer) for m in megas]
+    # 40 contained docs: verbatim 40-token slices of a mega-doc body
+    for j in range(40):
+        m = j % 4
+        toks = megas[m].split()
+        start = (7 * j) % (len(toks) - 45)
+        rows.append((100 + j, " ".join(toks[start : start + 40])))
+    # 400-doc boilerplate clique: unique bodies + the shared hot footer
+    for i in range(400):
+        rows.append((1000 + i, f"unique{i} distinct{i} body{i} token{i} " + footer))
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    cap, t = 50, 0.7
+    sets = dedup.shingle_sets(df, "id", "text", n=3)
+    n_cand = dedup.containment_candidates(sets, t, cap).count()
+    pairs, wall = _timed(
+        lambda: dedup.containment_pairs(
+            df, "id", "text", n=3, threshold=t, max_token_df=cap
+        ).collect()
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every planted containment recovered (contained slice -> its mega)
+    for j in range(40):
+        assert (100 + j, j % 4) in got, (100 + j, j % 4)
+    # clique members are NOT contained in each other (footer shingles are
+    # a tiny fraction of each body) and must not surface
+    assert all(a < 1000 for a, b in got)
+    # THE bound: candidates ∝ true pairs, nowhere near the ~98k all-pairs
+    # blowup the footer would generate uncapped
+    assert n_cand <= 10 * len(got), (n_cand, len(got))
+    assert wall < 60.0

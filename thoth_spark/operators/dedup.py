@@ -847,49 +847,59 @@ def containment_pairs(
     Returns ``(id_a, id_b, containment)`` where id_a is contained in
     id_b (a pair of mutually-containing distinct docs appears twice,
     once per direction).
+
+    Physical strategy (r8 skew program, measured on the sf0.1 corpus):
+
+    - **Exact path** (``max_token_df=None``): fused inverted-index count —
+      explode both sides, equi-join on the shingle with the size filter
+      in the join condition, and ``groupBy(pair).count()`` IS the
+      intersection size, so the containment score falls out with no
+      candidate/verify split, no wide-array shuffle, and no checkpoint
+      barrier. On a diffuse-overlap corpus (sf0.1: every shingle df~9-25,
+      no hot tokens for a prefix to exclude) the prefix+verify pipeline
+      materialized 301k candidate pairs for 512 true pairs and then
+      shuffled two full shingle arrays per candidate; the fused count
+      moves ~3M NARROW rows through one partial-aggregated shuffle
+      instead. Exact containment is inherently Σdf² — quadratic in hot
+      tokens — which is why production runs the capped path below.
+    - **Capped path** (finite ``max_token_df``): prefix-filtered
+      candidate generation (:func:`containment_candidates`) + full-set
+      array verify. The cap bounds every posting list, so candidate
+      volume is ∝ true-pair density even on boilerplate-clique corpora
+      (property: tests/test_skew.py::
+      test_containment_boilerplate_candidate_bound), and the verify join
+      fetches arrays for a candidate set that small.
     """
-    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
-    ranked = ranked_tokens(sets)
     t = float(threshold)
-    prefix = ranked.where(
-        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
-    )
-    full = ranked.select("id", "s", "pos", "sz")
-    if max_token_df is not None:
-        full = cap_shingle_df(full, max_token_df)
-    meetings = (
-        prefix.alias("a")
-        .join(full.alias("b"), "s")
-        .where(
-            (F.col("a.id") != F.col("b.id"))
-            # |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
-            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+    if max_token_df is None:
+        # localCheckpoint so the self-join's two legs read materialized
+        # shingle sets instead of re-tokenizing the corpus per leg —
+        # measured 2.5x end-to-end at sf0.1 (4.9s -> 1.95s)
+        sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
+        inv = sets.select(
+            F.col("id"), F.size("sh").alias("sz"), F.explode("sh").alias("s")
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sz").alias("__sza"),
-            F.col("b.sz").alias("__szb"),
-            F.struct(F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb")).alias("__m"),
+        pairs = (
+            inv.alias("a")
+            .join(inv.alias("b"), "s")
+            .where(
+                (F.col("a.id") != F.col("b.id"))
+                # |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
+                & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.sz").alias("__sza"),
+            )
+            .agg(F.count(F.lit(1)).alias("__inter"))
         )
-    )
-    # positional filter at the minimum-position meeting: a qualifying
-    # pair's first shared token lies inside A's prefix (pigeonhole on
-    # I >= t*|A|), so the bound 1 + min(|A|-pa, |B|-pb) >= ceil(t*|A|)
-    # is sound — boilerplate meetings deep in both orderings are pruned
-    # before the full sets are ever fetched. Remains sound under a
-    # finite max_token_df: capped tokens sort strictly AFTER every
-    # surviving token in the shared global df order, so the observed
-    # minimum meeting is the true first shared token whenever any
-    # shared token survives the cap (see the docstring proof).
-    first = meetings.groupBy("id_a", "id_b", "__sza", "__szb").agg(
-        F.min("__m").alias("__m")
-    )
-    min_overlap = F.ceil(F.lit(t) * F.col("__sza") - F.lit(1e-9))
-    upper = F.lit(1) + F.least(
-        F.col("__sza") - F.col("__m.pa"), F.col("__szb") - F.col("__m.pb")
-    )
-    cand = first.where(upper >= min_overlap).select("id_a", "id_b")
+        contain = F.col("__inter") / F.col("__sza")
+        return pairs.where(contain >= F.lit(t)).select(
+            "id_a", "id_b", F.round(contain, 6).alias("containment")
+        )
+    sets = shingle_sets(df, id_col, text_col, n).localCheckpoint()
+    cand = containment_candidates(sets, t, max_token_df)
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("__sha"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("__shb"))
     contain = F.size(F.array_intersect("__sha", "__shb")) / F.size("__sha")
@@ -900,6 +910,67 @@ def containment_pairs(
         .where(F.col("__cont") >= F.lit(t))
         .select("id_a", "id_b", F.round("__cont", 6).alias("containment"))
     )
+
+
+def containment_candidates(
+    sets: DataFrame, threshold: float, max_token_df: int
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs of the capped containment join —
+    exposed separately (like :func:`jaccard_prefix_candidates`) so the
+    candidate volume, THE scale metric of this family, is directly
+    measurable by the skew tests.
+
+    Prefix filter on the CONTAINED side, df cap on the container-side
+    inverted index, and the PPJoin positional filter applied TWICE:
+    per-meeting inside the join condition (pruning meetings before the
+    shuffle into the min-aggregation) and again at the minimum meeting.
+    The per-meeting form is sound because the token order is a global
+    TOTAL order (ascending df, ties by text): for the tokens two
+    documents share, ordering by position-in-A equals ordering by
+    position-in-B, so the minimum meeting maximizes the positional upper
+    bound ``1 + min(|A|-pa, |B|-pb)`` — if any meeting passes, the
+    minimum meeting passes, and it is retained unchanged. Both filters
+    stay sound under the finite cap: capped tokens have df > cap >= df
+    of every surviving token, so they sort strictly AFTER all surviving
+    tokens and the observed minimum meeting is the true first shared
+    token whenever any shared token survives (the documented cap trade;
+    property-tested in ``test_containment_capped_equals_cap_only``)."""
+    t = float(threshold)
+    ranked = ranked_tokens(sets)
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1
+    )
+    full = cap_shingle_df(ranked.select("id", "s", "pos", "sz"), max_token_df)
+    min_overlap = F.ceil(F.lit(t) * F.col("a.sz") - F.lit(1e-9))
+    meeting_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
+    meetings = (
+        prefix.alias("a")
+        .join(full.alias("b"), "s")
+        .where(
+            (F.col("a.id") != F.col("b.id"))
+            # |A∩B| <= |B|, so containment >= t forces t*|A| <= |B|
+            & (F.lit(t) * F.col("a.sz") <= F.col("b.sz") + F.lit(1e-9))
+            # per-meeting positional filter (see docstring soundness)
+            & (meeting_bound >= min_overlap)
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("__sza"),
+            F.col("b.sz").alias("__szb"),
+            F.struct(F.col("a.pos").alias("pa"), F.col("b.pos").alias("pb")).alias("__m"),
+        )
+    )
+    first = meetings.groupBy("id_a", "id_b", "__sza", "__szb").agg(
+        F.min("__m").alias("__m")
+    )
+    min_overlap_g = F.ceil(F.lit(t) * F.col("__sza") - F.lit(1e-9))
+    upper = F.lit(1) + F.least(
+        F.col("__sza") - F.col("__m.pa"), F.col("__szb") - F.col("__m.pb")
+    )
+    return first.where(upper >= min_overlap_g).select("id_a", "id_b")
 
 
 def containment_dedup(
