@@ -422,6 +422,31 @@ def test_public_api_parity_flow(spark, events_df, tmp_path):
             except HTTPError as e:
                 assert e.code == code
 
+        # round 8: selector-driven re-render (reference ui.py:97-293) —
+        # instance+metric query params narrow every view, and the chosen
+        # metric's score-band SVG is the one that renders
+        narrowed = urlopen(
+            srv.url + "/dataset?uri=my://api&instance=value&metric=Mean"
+        ).read().decode()
+        assert "<form" in narrowed and "value='Mean' selected" in narrowed
+        assert "Mean — score vs threshold" in narrowed
+        assert "Size — score vs threshold" not in narrowed
+        assert "Completeness" not in narrowed.replace(
+            "<option value='Completeness'>Completeness</option>", ""
+        )
+        # chart titles carry the full key of the selected series only
+        assert narrowed.count("score vs threshold") == 1
+        assert "observed vs expected band" in narrowed
+        # the full page still has a selector form but renders all metrics
+        assert "<form" in served and served.count("score vs threshold") == 3
+        # date-range params reach the repository scan: a window before
+        # any data yields selector + empty views, not an error
+        early = urlopen(
+            srv.url
+            + "/dataset?uri=my://api&start=2000-01-01&end=2000-01-02"
+        ).read().decode()
+        assert "<svg" not in early and "<form" in early
+
 
 def test_add_dataset_explicit_registration(spark, tmp_path):
     """Reference-parity `add_dataset`: explicit registration without

@@ -129,11 +129,76 @@ def _epoch(ts) -> float:
     ).timestamp()
 
 
+def _metric_filter(df: DataFrame, instance: str | None, metric: str | None) -> DataFrame:
+    if instance:
+        df = df.where(F.col("instance") == instance)
+    if metric:
+        df = df.where(F.col("name") == metric)
+    return df
+
+
+def _selector_form(
+    dataset_uri: str,
+    options: list[tuple[str, str]],
+    instance: str | None,
+    metric: str | None,
+    start: str | None,
+    end: str | None,
+) -> str:
+    """Server-rendered selector (reference ``ui.py:97-293``: Streamlit
+    select boxes re-running the views) — a GET form whose submit
+    re-renders the same page with the chosen instance/metric/date range;
+    every value round-trips through query params, no JS."""
+
+    def _opts(values: list[str], chosen: str | None) -> str:
+        out = ["<option value=''>(all)</option>"]
+        for v in values:
+            sel = " selected" if v == chosen else ""
+            e = html.escape(v, quote=True)
+            out.append(f"<option value='{e}'{sel}>{e}</option>")
+        return "".join(out)
+
+    instances = sorted({i for i, _ in options})
+    metrics = sorted({m for _, m in options})
+    return (
+        "<form method='get' action='/dataset' "
+        "style='margin:12px 0;padding:8px;border:1px solid #ddd'>"
+        f"<input type='hidden' name='uri' value='{html.escape(dataset_uri, quote=True)}'/>"
+        f"<label>instance <select name='instance'>{_opts(instances, instance)}"
+        "</select></label> "
+        f"<label>metric <select name='metric'>{_opts(metrics, metric)}"
+        "</select></label> "
+        f"<label>from <input type='date' name='start' "
+        f"value='{html.escape(start or '', quote=True)}'/></label> "
+        f"<label>to <input type='date' name='end' "
+        f"value='{html.escape(end or '', quote=True)}'/></label> "
+        "<button type='submit'>Apply</button></form>"
+    )
+
+
+def _parse_date(s: str | None):
+    if not s:
+        return None
+    return datetime.datetime.fromisoformat(s)
+
+
 def render_dashboard_html(
-    repo, dataset_uri: str, max_points: int = 1000
+    repo,
+    dataset_uri: str,
+    max_points: int = 1000,
+    instance: str | None = None,
+    metric: str | None = None,
+    start: str | None = None,
+    end: str | None = None,
 ) -> str:
     """The full three-view dashboard page for one dataset as a single
-    HTML string. Works with either repository adapter (parquet or JDBC)."""
+    HTML string; ``instance`` / ``metric`` / ``start`` / ``end`` narrow
+    every view (the reference's selector-driven re-render,
+    ``/root/reference/ui.py:97-293``). Range selection happens in the
+    REPOSITORY scan (``select_profiling``/``select_scoring`` closed
+    intervals), so the narrowed page never reads rows outside the
+    window. Works with either repository adapter (parquet or JDBC)."""
+    start_ts, end_ts = _parse_date(start), _parse_date(end)
     sections: list[str] = [
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>thoth_spark — {html.escape(dataset_uri)}</title>"
@@ -142,7 +207,18 @@ def render_dashboard_html(
         f"<h1>thoth_spark dashboard — {html.escape(dataset_uri)}</h1>",
     ]
 
-    metrics = repo.select_profiling(dataset_uri)
+    all_metrics = repo.select_profiling(dataset_uri, start_ts, end_ts)
+    # selector options from the UNFILTERED frame (so narrowing one
+    # selector never hides the others' choices); distinct (instance,
+    # name) is aggregate-sized
+    options = [
+        (r["instance"], r["name"])
+        for r in all_metrics.select("instance", "name").distinct().collect()
+    ]
+    sections.append(
+        _selector_form(dataset_uri, options, instance, metric, start, end)
+    )
+    metrics = _metric_filter(all_metrics, instance, metric)
     sections.append("<h2>&#128100; Profiling</h2>")
     for key, rows in _collect_by_metric(
         viz.timeseries_view(metrics), max_points
@@ -154,11 +230,13 @@ def render_dashboard_html(
 
     try:
         opt = repo.get_optimization(dataset_uri)
-        scoring = repo.select_scoring(dataset_uri)
+        scoring = repo.select_scoring(dataset_uri, start_ts, end_ts)
     except Exception:
         sections.append("</body></html>")
         return "".join(sections)
 
+    opt = _metric_filter(opt, instance, metric)
+    scoring = _metric_filter(scoring, instance, metric)
     sections.append("<h2>&#128200; Optimization &amp; &#128175; Scoring</h2>")
     band = viz.scoring_view(scoring, opt)
     for key, rows in _collect_by_metric(band, max_points).items():

@@ -95,7 +95,13 @@ class DashboardServer:
                     elif url.path == "/about":
                         self._send(200, _ABOUT)
                     elif url.path == "/dataset":
-                        uris = parse_qs(url.query).get("uri", [])
+                        qs = parse_qs(url.query)
+                        uris = qs.get("uri", [])
+
+                        def _opt(key: str) -> str | None:
+                            vals = qs.get(key, [])
+                            return vals[0] if vals and vals[0] else None
+
                         if not uris:
                             self._send(400, "<h1>400</h1><p>missing ?uri=</p>")
                         elif outer.repo.get_dataset(uris[0]) is None:
@@ -105,10 +111,20 @@ class DashboardServer:
                                 f"{html.escape(uris[0])}</p>",
                             )
                         else:
+                            # selector-driven re-render (reference
+                            # ui.py:97-293): instance/metric/date-range
+                            # query params narrow every view; the date
+                            # range reaches the repository scan
                             self._send(
                                 200,
                                 render_dashboard_html(
-                                    outer.repo, uris[0], outer.max_points
+                                    outer.repo,
+                                    uris[0],
+                                    outer.max_points,
+                                    instance=_opt("instance"),
+                                    metric=_opt("metric"),
+                                    start=_opt("start"),
+                                    end=_opt("end"),
                                 ),
                             )
                     else:
