@@ -16,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -120,6 +121,103 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: lossless-by-table name shortener pieces for the compact tail line (the
+#: driver records only a bounded 2000-char tail of stdout; walls AND
+#: complete scaling ratios for ~80 queries must fit inside it). Decode:
+#: apply the inverse substitutions; full names live in BENCH_LOCAL.json.
+_ABBREV = [
+    (r"^anomaly_", "an_"),
+    (r"^similarity_", "sim_"),
+    (r"^streaming_", "strm_"),
+    (r"^profile_", "prof_"),
+    (r"^classifier_", "clf_"),
+    (r"^multimodal_", "mm_"),
+    (r"^dedup_", "dd_"),
+    (r"^quality_", "qual_"),
+    (r"^repository_", "repo_"),
+    (r"^embedding_", "emb_"),
+    (r"validation$", "val"),
+    (r"threshold$", "thr"),
+    (r"percentile", "pctl"),
+    (r"incremental$", "incr"),
+    (r"fullprobe$", "fp"),
+    (r"calibration$", "calib"),
+    (r"jaccard", "jac"),
+    (r"weekly", "wk"),
+    (r"purchase_click", "pc"),
+    (r"by_source$", "by_src"),
+    (r"interval", "intv"),
+    (r"watermark", "wm"),
+    (r"sessionize", "sess"),
+    (r"retention", "ret"),
+    (r"contamination", "contam"),
+    (r"perplexity", "ppl"),
+    (r"revenue", "rev"),
+    (r"forecast", "fc"),
+    (r"assessment", "assess"),
+    (r"minhash", "mh"),
+    (r"simhash", "sh"),
+    (r"rolling", "roll"),
+    (r"trailing", "trail"),
+    (r"constraints", "constr"),
+    (r"vectorized", "vec"),
+    (r"quantized", "quant"),
+    (r"^sample_", "smp_"),
+    (r"containment", "contain"),
+    (r"retrieval", "retr"),
+    (r"transit", "trans"),
+    (r"multimodel", "multi"),
+    (r"changepoint", "chgpt"),
+    (r"customer$", "cust"),
+]
+
+
+def _short(n: str) -> str:
+    m = re.match(r"(tpch_q\d+)_", n)
+    if m:
+        return m.group(1)
+    n = re.sub(r"_(documents|events|orders|customers)(_|$)", r"\2", n)
+    for pat, rep in _ABBREV:
+        n = re.sub(pat, rep, n)
+    return n
+
+
+def compact_tail_line(total, timings, sf, ratios) -> str:
+    """ONE compact JSON line printed LAST: per-query walls under short
+    names plus the COMPLETE scaling-ratio list as ``"ratios"`` — an array
+    aligned with the ``queries`` key order (JSON objects preserve
+    insertion order), 1 decimal, null where either SF run failed. The
+    array form costs ~5 chars/query instead of repeating every name, which
+    is what lets walls AND ratios fit the driver's 2000-char stdout tail
+    (r6/r7 artifacts lost the ratios dict to truncation). On a short-name
+    collision, falls back to FULL names (a longer line that may truncate
+    is strictly better than aborting the whole bench run — r7 advice)."""
+    walls = {
+        _short(n): (round(t, 1) if t is not None else None)
+        for n, t in timings.items()
+    }
+    if len(walls) != len(timings):  # collision: full names, never abort
+        walls = {
+            n: (round(t, 1) if t is not None else None)
+            for n, t in timings.items()
+        }
+    rat = [
+        (round(ratios[n], 1) if ratios.get(n) is not None and n in ratios else None)
+        for n in timings
+    ]
+    return json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": walls,
+            "sf": sf,
+            "ratios": rat,
+        },
+        separators=(",", ":"),
+    )
+
+
 def _reset_session_state(spark) -> None:
     """Release per-query session state between timed runs.
 
@@ -191,6 +289,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "scaling_ratio_vs_sf0.01": {},
+        "small_queries": small_timings,
         "failures": failures,
     }
     # Every per-query run is individually guarded: one broken query must
@@ -202,16 +301,42 @@ def main() -> None:
             t0 = time.perf_counter()
             try:
                 _run(queries[name](spark, small_dir))
-                small_timings[name] = round(time.perf_counter() - t0, 3)
+                first = time.perf_counter() - t0
+                runs = [first]
+                # stabilize the ratio denominator for slow-at-small-SF
+                # queries the same way the big-SF side medians its tail
+                if first > 1.0:
+                    for _ in range(2):
+                        _reset_session_state(spark)
+                        t0 = time.perf_counter()
+                        _run(queries[name](spark, small_dir))
+                        runs.append(time.perf_counter() - t0)
+                small_timings[name] = round(statistics.median(runs), 3)
             except Exception as exc:
                 failures[name] = f"sf0.01: {type(exc).__name__}: {exc}"[:300]
 
+    # Heavy queries (first run > 2 s) are re-timed twice more and report
+    # the MEDIAN of 3: two rounds of verdicts wrote off >30% wall swings
+    # (perplexity r6; contamination/pagerank/lsh_recall r7) as single-run
+    # local[32] noise for lack of medians — round-over-round deltas carry
+    # no signal without them. Sub-2 s queries keep single-run timing (the
+    # extra 2×wall would double bench cost for queries whose absolute
+    # noise is already small).
+    MEDIAN_WALL_FLOOR = 2.0
     for name in HEADLINE:
         _reset_session_state(spark)
         t0 = time.perf_counter()
         try:
             _run(queries[name](spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 3)
+            first = time.perf_counter() - t0
+            runs = [first]
+            if first > MEDIAN_WALL_FLOOR:
+                for _ in range(2):
+                    _reset_session_state(spark)
+                    t0 = time.perf_counter()
+                    _run(queries[name](spark, sf_dir))
+                    runs.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(runs), 3)
         except Exception as exc:
             timings[name] = None
             failures.setdefault(name, f"{type(exc).__name__}: {exc}"[:300])
@@ -226,37 +351,7 @@ def main() -> None:
     if not failures:
         del payload["failures"]
     print(json.dumps(payload))
-    # Compact line LAST: the driver records a bounded 2000-char tail of
-    # stdout, and in round 5 the per-query walls scrolled out behind the
-    # scaling-ratio dict. Walls for ~80 full query names need ~2600
-    # chars, so the compact line shortens names losslessly (tpch_qN
-    # keeps its number; table-name suffixes/infixes _documents/_events/
-    # _orders/_customers drop — collision-checked) and rounds to 0.1 s.
-    # Full names + ratios + failures live in the full line above and in
-    # BENCH_LOCAL.json.
-    def _short(n: str) -> str:
-        m = re.match(r"(tpch_q\d+)_", n)
-        if m:
-            return m.group(1)
-        return re.sub(r"_(documents|events|orders|customers)(_|$)", r"\2", n)
-
-    walls = {
-        _short(n): (round(t, 1) if t is not None else None)
-        for n, t in timings.items()
-    }
-    assert len(walls) == len(timings), "short-name collision in bench tail"
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": payload["value"],
-                "unit": "sec",
-                "queries": walls,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
-    )
+    print(compact_tail_line(payload["value"], timings, sf, payload.get("scaling_ratio_vs_sf0.01", {})))
 
 
 if __name__ == "__main__":

@@ -82,9 +82,25 @@ def _type_lattice(type_name):
         # DuckDB's uncast sum() type; the driver's typed hash does NOT
         # treat it as BIGINT, so neither do we (the r5 chi2 defect).
         return "hugeint"
-    if any(k in t for k in ("bigint", "int", "long", "short", "byte")):
-        return "int"
-    if any(k in t for k in ("double", "float", "real", "decimal", "numeric")):
+    if "interval" in t:
+        return "interval"
+    # Integer WIDTHS are distinct lattice points: the driver hashes typed
+    # values, so Spark INT vs DuckDB BIGINT is a red row there — collapsing
+    # them locally (pre-r8 behavior) hid exactly the r5 failure class.
+    if "bigint" in t or t == "long":
+        return "int64"
+    if "smallint" in t or t == "short":
+        return "int16"
+    if "tinyint" in t or t in ("byte", "int8"):
+        return "int8"
+    if "int" in t:  # int / integer / int32 / uinteger
+        return "int32"
+    if "decimal" in t or "numeric" in t:
+        # DECIMAL is exact fixed-point, not a float — a Spark DOUBLE vs
+        # DuckDB DECIMAL(18,3) column must flag locally like it would in
+        # the driver's typed hash.
+        return "decimal"
+    if any(k in t for k in ("double", "float", "real")):
         return "float"
     if any(k in t for k in ("char", "string", "text", "utf8")):
         return "string"
@@ -158,6 +174,62 @@ def test_typed_gate_catches_uncast_oracle(spark, duck):
     )
     d_typed = _typed_cols(res.columns, res.types)
     assert s_typed != d_typed, "typed gate failed to flag HUGEINT/timestamp"
+
+
+def test_gap_fill_oracle_observed_null_is_not_a_gap():
+    """ORACLE_GAP_FILL must key is_gap on a JOIN MISS (s.entity IS NULL),
+    matching fill_gaps' __present-marker semantics — an observed bucket
+    whose metric value is genuinely NULL (Mean over an all-null day) is
+    NOT a gap and must keep its null value, not be zero-filled (r6/r7
+    advice: the old predicate s.value IS NULL diverged here)."""
+    con = duckdb.connect()
+    rows = con.sql(
+        """
+        WITH series AS (
+          SELECT 'Column' AS entity, 'v' AS instance, 'Mean' AS name,
+                 TIMESTAMP '2024-01-01' AS ts, NULL::DOUBLE AS value
+          UNION ALL SELECT 'Dataset', '*', 'Size', TIMESTAMP '2024-01-01', 3.0
+        ),
+        grid AS (
+          SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-02',
+                                        INTERVAL '1 day')) AS ts
+        ),
+        keys AS (SELECT DISTINCT entity, instance, name FROM series),
+        dense AS (SELECT g.ts, k.entity, k.instance, k.name FROM grid g CROSS JOIN keys k)
+        SELECT d.ts::DATE AS ts, d.name,
+               CASE WHEN s.entity IS NULL AND d.name = 'Size' THEN 0.0 ELSE s.value END AS value,
+               (s.entity IS NULL) AS is_gap
+        FROM dense d LEFT JOIN series s
+          ON s.ts = d.ts AND s.entity = d.entity
+         AND s.instance = d.instance AND s.name = d.name
+        ORDER BY 1, 2
+        """
+    ).fetchall()
+    by_key = {(str(r[0]), r[1]): (r[2], r[3]) for r in rows}
+    # observed bucket with NULL Mean: NOT a gap, value stays null
+    assert by_key[("2024-01-01", "Mean")] == (None, False)
+    # observed Size keeps its value
+    assert by_key[("2024-01-01", "Size")] == (3.0, False)
+    # absent bucket: gap; Size zero-filled, Mean stays null
+    assert by_key[("2024-01-02", "Size")] == (0.0, True)
+    assert by_key[("2024-01-02", "Mean")] == (None, True)
+
+
+def test_type_lattice_widths():
+    """Int widths and DECIMAL are distinct lattice points (r6/r7 advice:
+    collapsing bigint/int -> 'int' and DECIMAL -> 'float' let the local
+    gate pass type misalignments the driver's typed hash flags)."""
+    assert _type_lattice("bigint") == _type_lattice("BIGINT") == "int64"
+    assert _type_lattice("int") == _type_lattice("INTEGER") == "int32"
+    assert _type_lattice("smallint") == "int16"
+    assert _type_lattice("tinyint") == "int8"
+    assert _type_lattice("bigint") != _type_lattice("int")
+    assert _type_lattice("decimal(18,3)") == _type_lattice("DECIMAL(10,2)") == "decimal"
+    assert _type_lattice("decimal(18,3)") != _type_lattice("double")
+    assert _type_lattice("hugeint") not in ("int64", "int32")
+    assert _type_lattice("interval") not in ("int64", "int32", "int16", "int8")
+    assert _type_lattice("double") == _type_lattice("float") == "float"
 
 
 def test_driver_window_rotation():
@@ -260,3 +332,44 @@ def test_bench_contract():
     import bench
 
     assert set(bench.HEADLINE) <= set(entry.queries())
+
+
+def test_bench_compact_tail_fits_driver_capture():
+    """The driver records only the last 2000 chars of bench stdout. The
+    compact tail line must carry per-query walls AND the complete
+    scaling-ratio list inside that budget even with worst-case 3-digit
+    walls (r6/r7 BENCH artifacts lost the ratios to truncation)."""
+    import json as _json
+
+    import bench
+
+    timings = {n: 99.9 for n in bench.HEADLINE}
+    ratios = {n: 99.9 for n in bench.HEADLINE}
+    line = bench.compact_tail_line(9999.9, timings, 0.1, ratios)
+    assert len(line) + 1 <= 2000, f"tail line {len(line)} chars > capture budget"
+    parsed = _json.loads(line)
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    assert len(parsed["ratios"]) == len(bench.HEADLINE)
+    assert all(r == 99.9 for r in parsed["ratios"])
+    # short names stay collision-free over the real HEADLINE list
+    assert len({bench._short(n) for n in bench.HEADLINE}) == len(bench.HEADLINE)
+
+
+def test_bench_tail_collision_falls_back_to_full_names():
+    """A future short-name collision must degrade to full names, never
+    abort the bench run (r7 advice: the old assert zeroed the artifact)."""
+    import json as _json
+
+    import bench
+
+    timings = {"dedup_exact_documents": 1.0, "dedup_exact_events": None}
+    # force a collision by colliding the shortener
+    orig = bench._short
+    bench._short = lambda n: "dd_exact"
+    try:
+        line = bench.compact_tail_line(1.0, timings, 0.1, {})
+    finally:
+        bench._short = orig
+    parsed = _json.loads(line)
+    assert set(parsed["queries"]) == set(timings)
+    assert parsed["ratios"] == [None, None]

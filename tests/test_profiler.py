@@ -557,6 +557,43 @@ def test_trailing_distinct_matches_exact_rescan(spark):
     assert out[10]["trailing_rows"] == 15
 
 
+def test_trailing_distinct_quarter_year_granularities(spark):
+    """The trailing-window unit map must accept the SAME granularity set
+    sketch_profile does (r7 advice: quarter/year were missing — raising
+    on sketch tables sketch_profile itself produces — while hour, which
+    sketch_profile rejects, was accepted). A quarter step is 3 months,
+    so trailing-2-quarter windows at Q boundaries span exactly 2 rows."""
+    import datetime
+
+    import pytest as _pytest
+
+    from thoth_spark.profiler.sketches import sketch_profile, trailing_distinct
+
+    rows = []
+    for q, month in enumerate([1, 4, 7, 10]):  # four 2024 quarters
+        for u in range(q * 3, q * 3 + 4):  # overlapping user windows
+            rows.append((datetime.datetime(2024, month, 15), u))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    quarterly = sketch_profile(df, "ts", distinct_cols=["user_id"], granularity="quarter")
+    assert quarterly.count() == 4
+    out = {
+        r["ts"].month: r
+        for r in trailing_distinct(
+            quarterly, window_buckets=2, granularity="quarter"
+        ).collect()
+    }
+    assert out[1]["trailing_buckets"] == 1 and out[1]["trailing_distinct_user_id"] == 4
+    # Q2 window = Q1+Q2 → users 0..6 (7 distinct), exactly 2 buckets
+    assert out[4]["trailing_buckets"] == 2 and out[4]["trailing_distinct_user_id"] == 7
+
+    yearly = sketch_profile(df, "ts", distinct_cols=["user_id"], granularity="year")
+    y = trailing_distinct(yearly, window_buckets=3, granularity="year").collect()
+    assert len(y) == 1 and y[0]["trailing_distinct_user_id"] == 13
+
+    with _pytest.raises(ValueError):
+        trailing_distinct(quarterly, granularity="hour")
+
+
 def test_trailing_distinct_week_granularity_spans_buckets(spark):
     """A weekly sketch table fed with granularity='week' must produce
     true trailing-N-week windows (buckets are 7 days apart, so the old

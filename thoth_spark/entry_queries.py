@@ -957,7 +957,7 @@ def accuracy_study_events(spark, sf_dir):
 
 ORACLE_VIZ_SERIES = "WITH " + _FOLDS_SQL + """
 SELECT entity, instance, name, ts::DATE AS ts, round(value, 6) AS value,
-       dense_rank() OVER (ORDER BY entity, instance, name) AS metric_position
+       dense_rank() OVER (ORDER BY entity, instance, name)::INT AS metric_position
 FROM idx
 """
 
@@ -1504,7 +1504,7 @@ ORACLE_Q7 = """
 SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-         year(l_shipdate) AS l_year, l_extendedprice * (1 - l_discount) AS volume
+         year(l_shipdate)::INT AS l_year, l_extendedprice * (1 - l_discount) AS volume
   FROM supplier
   JOIN lineitem ON s_suppkey = l_suppkey
   JOIN orders ON o_orderkey = l_orderkey
@@ -1566,7 +1566,7 @@ ORACLE_Q8 = """
 SELECT o_year,
        round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume), 6) AS mkt_share
 FROM (
-  SELECT year(o_orderdate) AS o_year, l_extendedprice * (1 - l_discount) AS volume,
+  SELECT year(o_orderdate)::INT AS o_year, l_extendedprice * (1 - l_discount) AS volume,
          n2.n_name AS nation
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
@@ -1631,7 +1631,7 @@ def tpch_q8(spark, sf_dir):
 ORACLE_Q9 = """
 SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
 FROM (
-  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
          l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity AS amount
   FROM part
   JOIN lineitem ON p_partkey = l_partkey
@@ -2043,7 +2043,7 @@ def tpch_q2(spark, sf_dir):
 
 
 ORACLE_TOPK_ORDERS = """
-SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank FROM (
+SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank::INT AS rank FROM (
   SELECT c_custkey, o_orderkey, o_totalprice,
          row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
   FROM customer JOIN orders ON c_custkey = o_custkey
@@ -2102,7 +2102,7 @@ WITH rev AS (
   GROUP BY c_custkey
 )
 SELECT c_custkey, round(revenue, 2) AS revenue,
-       ntile(10) OVER (ORDER BY revenue DESC, c_custkey) AS decile
+       ntile(10) OVER (ORDER BY revenue DESC, c_custkey)::INT AS decile
 FROM rev
 """
 
@@ -2902,7 +2902,7 @@ cand AS (
   FROM chunks a JOIN chunks b USING (ci, cv) WHERE a.id < b.id
 )
 SELECT id_a, id_b,
-       bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) AS hamming
+       (bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)))::INT AS hamming
 FROM cand
 WHERE bit_count(xor(hi_a, hi_b)) + bit_count(xor(lo_a, lo_b)) <= 3
 """
@@ -3098,8 +3098,8 @@ def repository_roundtrip_jdbc(spark, sf_dir):
 
 ORACLE_TEXT_STATS = f"""
 WITH d AS ({_DOC_TOKENS})
-SELECT doc_id, len(toks) AS n_tokens,
-       len(list_distinct(toks)) AS n_distinct_tokens,
+SELECT doc_id, len(toks)::INT AS n_tokens,
+       len(list_distinct(toks))::INT AS n_distinct_tokens,
        round((length(norm) - (len(toks) - 1))::DOUBLE / len(toks), 6) AS avg_token_len,
        round(len(list_filter(toks, t -> list_contains(
              ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE / len(toks), 6)
@@ -3167,7 +3167,7 @@ def lang_id_documents(spark, sf_dir):
 
 ORACLE_FINGERPRINT = f"""
 WITH d AS ({_DOC_TOKENS})
-SELECT doc_id, md5(norm) AS fingerprint, len(toks) AS n_tokens FROM d
+SELECT doc_id, md5(norm) AS fingerprint, len(toks)::INT AS n_tokens FROM d
 """
 
 
@@ -3336,7 +3336,7 @@ scored AS (
   FROM e c CROSS JOIN q WHERE c.vec_id != q.vec_id
 )
 SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
-       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::INT AS rank
 FROM scored QUALIFY rank <= 5
 """
 
@@ -3392,9 +3392,9 @@ def embedding_neardup_exact(spark, sf_dir):
 
 ORACLE_MULTIMODAL = """
 SELECT doc_id, md5(text) AS media_md5, octet_length(text::BLOB) AS media_bytes,
-       16 + """ + _hex2int_sql("md5(text)", 1, 2) + """ AS width,
-       16 + """ + _hex2int_sql("md5(text)", 3, 2) + """ AS height,
-       1 + """ + _hex2int_sql("md5(text)", 5, 1) + """ % 4 AS n_channels,
+       (16 + """ + _hex2int_sql("md5(text)", 1, 2) + """)::INT AS width,
+       (16 + """ + _hex2int_sql("md5(text)", 3, 2) + """)::INT AS height,
+       (1 + """ + _hex2int_sql("md5(text)", 5, 1) + """ % 4)::INT AS n_channels,
        CASE """ + _hex2int_sql("md5(text)", 6, 1) + """ % 3
             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
 FROM documents
@@ -3420,15 +3420,15 @@ def multimodal_decode_stub(spark, sf_dir):
 ORACLE_MM_PPM = """
 SELECT doc_id,
        13 + (16 + doc_id % 16) * (16 + (3 * doc_id) % 16) * 3 AS media_bytes,
-       16 + doc_id % 16 AS width,
-       16 + (3 * doc_id) % 16 AS height,
-       3 AS n_channels,
+       (16 + doc_id % 16)::INT AS width,
+       (16 + (3 * doc_id) % 16)::INT AS height,
+       3::INT AS n_channels,
        'ppm' AS format,
        round((doc_id % 256)::DOUBLE, 6) AS mean_r,
        round(((3 * doc_id + 7) % 256)::DOUBLE, 6) AS mean_g,
        round(((5 * doc_id + 11) % 256)::DOUBLE, 6) AS mean_b,
        round(0.299 * (doc_id % 256) + 0.587 * ((3 * doc_id + 7) % 256)
-             + 0.114 * ((5 * doc_id + 11) % 256), 6) AS mean_gray
+             + 0.114 * ((5 * doc_id + 11) % 256), 6)::DOUBLE AS mean_gray
 FROM documents
 """
 
@@ -3957,7 +3957,7 @@ scored AS (
   FROM cand c JOIN e qv ON qv.vec_id = c.query_id JOIN e cv ON cv.vec_id = c.neighbor_id
 )
 SELECT query_id, neighbor_id, round(cos, 6) AS cos_sim,
-       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)::INT AS rank
 FROM scored QUALIFY rank <= {k}
 """
 
@@ -4180,7 +4180,7 @@ def sample_documents_token_budget(spark, sf_dir):
 
 ORACLE_TOKEN_COUNT = f"""
 WITH d AS ({_DOC_TOKENS})
-SELECT doc_id, len(toks) AS ws_tokens,
+SELECT doc_id, len(toks)::INT AS ws_tokens,
        -- closed form of the lookaround split: every \\w+ run is one token,
        -- every non-word non-space char is its own token
        (len(regexp_extract_all(text, '\\w+'))
@@ -4681,7 +4681,7 @@ WITH s0 AS (
         pat = pattern.replace("'", "''")
         sql += f""",
 s{i} AS (
-  SELECT * EXCLUDE (t), len(regexp_extract_all(t, '{pat}')) AS n_{name},
+  SELECT * EXCLUDE (t), len(regexp_extract_all(t, '{pat}'))::INT AS n_{name},
          regexp_replace(t, '{pat}', '{token}', 'g') AS t
   FROM {prev}
 )"""
@@ -4734,7 +4734,7 @@ c AS (
 )
 SELECT doc_id, chunk_idx,
        array_to_string(toks[chunk_idx * {_CHUNK_S} + 1 : chunk_idx * {_CHUNK_S} + {_CHUNK_T}], ' ') AS chunk_text,
-       len(toks[chunk_idx * {_CHUNK_S} + 1 : chunk_idx * {_CHUNK_S} + {_CHUNK_T}]) AS n_chunk_tokens
+       len(toks[chunk_idx * {_CHUNK_S} + 1 : chunk_idx * {_CHUNK_S} + {_CHUNK_T}])::INT AS n_chunk_tokens
 FROM c
 """
 
@@ -5570,6 +5570,16 @@ def streaming_interval_join_events(spark, sf_dir):
     from thoth_spark.sources import load_events_stream
     from thoth_spark.streaming.stream import interval_join_stream
 
+    # Run on a CLONED session (shared SparkContext, isolated SQL conf)
+    # with 8 shuffle partitions: a stream-stream join materializes FOUR
+    # state stores per shuffle partition per micro-batch, so at this
+    # fixture's state volume (hundreds of rows) wall is pure state-store
+    # machinery ∝ partition count — measured at sf0.1: 8.2 s median at
+    # 32 partitions → 2.7 s at 8, identical 183 output rows. Production
+    # sizes stream shuffle partitions to state volume for the same
+    # reason; the caller's session conf is untouched.
+    spark = spark.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     ev = load_events_stream(spark, sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),
@@ -6400,8 +6410,8 @@ grid AS (SELECT unnest(generate_series(lo, hi, interval '1 day')) AS ts FROM bou
 keys AS (SELECT DISTINCT entity, instance, name FROM series),
 dense AS (SELECT g.ts, k.entity, k.instance, k.name FROM grid g CROSS JOIN keys k)
 SELECT d.ts::DATE AS ts, d.entity, d.instance, d.name,
-       round(CASE WHEN s.value IS NULL AND d.name = 'Size' THEN 0.0 ELSE s.value END, 6) AS value,
-       (s.value IS NULL) AS is_gap
+       round(CASE WHEN s.entity IS NULL AND d.name = 'Size' THEN 0.0 ELSE s.value END, 6) AS value,
+       (s.entity IS NULL) AS is_gap
 FROM dense d LEFT JOIN series s
   ON s.ts = d.ts AND s.entity = d.entity AND s.instance = d.instance AND s.name = d.name
 """

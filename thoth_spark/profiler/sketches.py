@@ -106,11 +106,19 @@ def rollup_sketches(
     return merged.select("ts", "row_count", *outs)
 
 
+#: bucket-spacing units for the trailing-window range predicate, keyed by
+#: the SAME granularity set :func:`sketch_profile` accepts (_GRANULARITIES)
+#: — r7 advice: the old map omitted quarter/year (so trailing_distinct
+#: raised on quarterly/yearly sketch tables sketch_profile happily
+#: produces) and included hour (which sketch_profile rejects). Spark
+#: intervals have no quarter unit, so each entry is (multiplier, unit):
+#: a quarter step is 3 months.
 _GRANULARITY_INTERVAL = {
-    "hour": "hours",
-    "day": "days",
-    "week": "weeks",
-    "month": "months",
+    "day": (1, "days"),
+    "week": (1, "weeks"),
+    "month": (1, "months"),
+    "quarter": (3, "months"),
+    "year": (1, "years"),
 }
 
 
@@ -142,17 +150,20 @@ def trailing_distinct(
     predicate is built in those units, so a monthly sketch table with
     ``granularity="month"`` yields true trailing-N-month windows
     instead of silently matching only each bucket itself."""
-    unit = _GRANULARITY_INTERVAL.get(str(granularity).lower())
-    if unit is None:
+    step = _GRANULARITY_INTERVAL.get(str(granularity).lower())
+    if step is None:
         raise ValueError(
             f"granularity must be one of {sorted(_GRANULARITY_INTERVAL)},"
             f" got {granularity!r}"
         )
+    mult, unit = step
     hll_cols = hll_cols or [
         f.name[4:] for f in sketch_df.schema.fields if f.name.startswith("hll_")
     ]
     anchor = sketch_df.select(F.col("ts").alias("__d")).distinct()
-    lo = F.col("__d") - F.expr(f"interval {int(window_buckets) - 1} {unit}")
+    lo = F.col("__d") - F.expr(
+        f"interval {mult * (int(window_buckets) - 1)} {unit}"
+    )
     joined = anchor.join(
         sketch_df, (F.col("ts") >= lo) & (F.col("ts") <= F.col("__d"))
     )
