@@ -179,7 +179,16 @@ def train_nb_quality(
 
     Driver traffic is bounded: class counts (2 rows) and the absence-
     term/seen-feature aggregate (1 row); the per-feature weight table
-    stays distributed and is broadcast at scoring time."""
+    stays distributed and is broadcast at scoring time.
+
+    Both intermediates that multiple downstream jobs read are
+    ``localCheckpoint``ed lazily: the labeled frame (typically a
+    weak-label quality scan over the corpus) feeds the class-count
+    collect AND the feature explode, and the weight table feeds the
+    absence-mass aggregate AND the scoring-time broadcast — without the
+    checkpoints each consumer re-runs the whole upstream pipeline
+    (measured on the bench corpus: the quality scan executed 3×)."""
+    labeled = labeled.localCheckpoint(eager=False)
     y = F.col(label_col).cast("int")
     nd = {
         int(r["y"]): r["c"]
@@ -209,7 +218,7 @@ def train_nb_quality(
         "f",
         (F.log(p1 / p0) - F.log((1 - p1) / (1 - p0))).alias("w"),
         (F.log((1 - p1) / (1 - p0))).alias("__cterm"),
-    )
+    ).localCheckpoint(eager=False)
     agg = wgt.agg(
         F.sum("__cterm").alias("c"), F.count(F.lit(1)).alias("n_seen")
     ).collect()[0]
