@@ -2765,18 +2765,23 @@ def dedup_minhash_capped_documents(spark, sf_dir):
     and exact-Jaccard verification all run on the capped sets and the
     oracle replays the identical pipeline in SQL."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3)
+    # checkpoint the SETS before exploding (r8 fix): explode inlined over
+    # the n-gram expression chain re-evaluates it per document against
+    # the raw text (measured 3.8 s vs 0.5 s at sf0.1), and the
+    # checkpoint also keeps the cap's drop-list aggregate and probe side
+    # from re-running the tokenize subtree
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3).localCheckpoint(eager=False)
     inv = sh.select("id", F.explode("sh").alias("s"))
-    # cache the capped INVERTED frame (round-5 fix): signatures consume
-    # it directly and only the verification join needs the collected
-    # sets — previously the sets were collected first and re-exploded
-    # inside minhash_signatures (one full extra explode of the corpus)
-    inv_capped = dedup.cap_shingle_df(inv, _MINHASH_CAP_DF, key="s").cache()
-    sh_capped = inv_capped.groupBy("id").agg(F.collect_set("s").alias("sh"))
+    inv_capped = dedup.cap_shingle_df(inv, _MINHASH_CAP_DF, key="s")
+    # ONE groupBy(id) produces the 32 hash minima AND the capped sets
+    # (include_sets) — previously sets and signatures were two separate
+    # corpus-wide shuffles on the same key (r5 shape)
     sigs = dedup.minhash_signatures(
-        docs, "doc_id", "text", num_hashes=32, n=3, inverted=inv_capped
-    )
-    cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+        docs, "doc_id", "text", num_hashes=32, n=3,
+        inverted=inv_capped, include_sets=True,
+    ).localCheckpoint(eager=False)
+    sh_capped = sigs.select("id", "sh")
+    cands = dedup.minhash_lsh_pairs(sigs.select("id", "sig"), bands=8, rows_per_band=4)
     verified = (
         cands.join(
             sh_capped.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"),

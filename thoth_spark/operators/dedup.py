@@ -217,8 +217,15 @@ def minhash_signatures(
     seed: int = 7,
     max_shingle_df: int | None = None,
     inverted: DataFrame | None = None,
+    include_sets: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature as ``array<bigint>``.
+
+    ``include_sets=True`` adds the document's (possibly capped) shingle
+    set as ``sh`` — computed in the SAME ``groupBy(id)`` as the 32 hash
+    minima, so a sign-then-verify pipeline gets its verification arrays
+    for free instead of running a second corpus-wide shuffle on the
+    same key (the r8 capped-minhash fusion).
 
     Hash family: ONE md5 per shingle reduced to a 32-bit base hash
     ``x = int(md5(s)[:8], 16)``, then ``num_hashes`` universal hashes
@@ -243,7 +250,16 @@ def minhash_signatures(
         # also needs the inverted layout
         inv = inverted
     else:
-        sh = shingles if shingles is not None else shingle_sets(df, id_col, text_col, n)
+        # checkpoint self-computed sets BEFORE exploding: explode inlined
+        # over the n-gram transform/array_distinct expression chain
+        # re-evaluates it against the raw text (measured 3.8 s vs 0.5 s
+        # checkpoint-then-explode on the sf0.1 corpus); caller-provided
+        # shingle frames are expected to be cached/checkpointed already
+        sh = (
+            shingles
+            if shingles is not None
+            else shingle_sets(df, id_col, text_col, n).localCheckpoint(eager=False)
+        )
         inv = sh.select("id", F.explode("sh").alias("s"))
     if max_shingle_df is not None:
         # Boilerplate shingles shared corpus-wide inflate every pairwise
@@ -255,16 +271,17 @@ def minhash_signatures(
         # ngram_jaccard_pairs' cap, same drop-list mechanics.
         inv = cap_shingle_df(inv, max_shingle_df, key="s")
     x = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-    inv = inv.select("id", x.alias("x"))
+    inv = inv.select("id", F.col("s"), x.alias("x"))
     mins = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
-    return (
-        inv.groupBy("id")
-        .agg(*mins)
-        .select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
-    )
+    aggs = list(mins)
+    outs = ["id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")]
+    if include_sets:
+        aggs.append(F.collect_set("s").alias("sh"))
+        outs.append(F.col("sh"))
+    return inv.groupBy("id").agg(*aggs).select(*outs)
 
 
 def minhash_bands(
