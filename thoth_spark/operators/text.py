@@ -50,7 +50,15 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
     """Array of word n-grams (space-joined) of the normalized text; empty
-    array when the text has fewer than n tokens."""
+    array when the text has fewer than n tokens.
+
+    SCALE WARNING: as a single inline expression the ``tokens(col)``
+    split/regexp chain sits INSIDE the transform lambda, so Catalyst
+    re-evaluates the tokenization per gram position — fine for small or
+    per-row-cheap frames (the contamination benchmark side), ~10× slow
+    on a corpus (measured 3.4 s vs 0.3 s staged at sf0.1). Corpus-side
+    callers should use :func:`ngram_stream` instead, which materializes
+    the token array behind a barrier first (the shingle_sets recipe)."""
     toks = tokens(col)
     return F.when(
         F.size(toks) >= n,
@@ -59,6 +67,48 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_stream(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """Exploded word n-grams ``(id, g)`` computed in STAGES: tokenize →
+    repartition barrier (materializes the token array as an attribute) →
+    gram transform → lazy localCheckpoint → explode.
+
+    Two distinct pathologies make the naive
+    ``select(explode(word_ngrams(text)))`` ~10× slower on a corpus, both
+    measured at sf0.1:
+
+    - projection collapse inlines the tokenize chain into the gram
+      lambda (re-tokenizing per position) — the barrier before the
+      transform fixes it (same recipe as ``dedup.shingle_sets``);
+    - exploding a higher-order-function-computed array inside Generate
+      drops out of whole-stage codegen — the checkpoint before the
+      explode fixes that (3.8 s → 0.5 s on the shingle frame).
+
+    The checkpoint stores one array row per document on executor-local
+    disk — the same volume the explode emits, the price of the barrier.
+    Docs with fewer than ``n`` tokens contribute no rows."""
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens(F.col(text_col)).alias("__toks"),
+        )
+        .where(F.size("__toks") >= n)
+        .repartition("id")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i, n)),
+    )
+    arr = F.array_distinct(grams) if distinct else grams
+    staged = toks.select("id", arr.alias("__g")).localCheckpoint(eager=False)
+    return staged.select("id", F.explode("__g").alias("g"))
 
 
 def fingerprint(col: Column) -> Column:
@@ -219,9 +269,7 @@ def repetition_signals(
     top_ngram_count, top_ngram_ratio)``; documents with < n tokens get
     zeros. One explode + one groupBy(id, gram) + one groupBy(id) —
     shuffle ∝ distinct (doc, gram) pairs."""
-    grams = df.select(
-        F.col(id_col).alias("id"), F.explode(word_ngrams(F.col(text_col), n)).alias("g")
-    )
+    grams = ngram_stream(df, id_col, text_col, n)
     per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
     per_doc = per_gram.groupBy("id").agg(
         F.sum("c").alias("total_ngrams"), F.max("c").alias("top_ngram_count")
@@ -264,10 +312,9 @@ def contamination_check(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    doc_shingles = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("g"),
-    )
+    # staged (barrier + checkpoint) explode on the CORPUS side; the
+    # benchmark side above stays inline — it is eval-set-sized
+    doc_shingles = ngram_stream(df, id_col, text_col, n, distinct=True)
     joined = doc_shingles.join(F.broadcast(bench), on="g", how="left")
     per_doc = joined.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
