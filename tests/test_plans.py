@@ -285,8 +285,16 @@ def test_minhash_capped_droplist_no_window(spark, sf_dir):
     broadcastable), never a count-window over the shingle key — the
     window form funnels every instance of a hot boilerplate shingle
     through one task."""
-    df = entry_queries.QUERIES["dedup_minhash_capped_documents"](spark, sf_dir)
-    plan = _plan(df)
+    from pyspark.sql import functions as F
+
+    # the entry query checkpoints the signature frame (r8), which makes
+    # its executed plan end at Scan ExistingRDD — assert on the same
+    # sub-pipeline the query builds BEFORE the checkpoint boundary
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3)
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    capped = dedup.cap_shingle_df(inv, 4, key="s")
+    plan = _plan(capped)
     assert "Window" not in plan
     assert "LeftAnti" in plan or "left_anti" in plan.lower() or "isnull" in plan.lower()
 
@@ -526,6 +534,49 @@ def test_containment_join_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_exact_fused_count_plan(spark, sf_dir):
+    """The exact path (max_token_df=None, r8) is the fused inverted-index
+    count: an equi-join on the shingle with the size filter in the join
+    condition, and the pair intersection computed by a PARTIAL-aggregated
+    count — never a cartesian, never a wide-array verify join."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7, max_token_df=None
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # map-side combine on the pair-count aggregation (the shuffle carries
+    # partially-counted pairs, not raw meetings)
+    assert "partial_count" in plan
+    # no array_intersect verify stage on this path
+    assert "array_intersect" not in plan
+
+
+def test_minhash_capped_fused_single_groupby(spark, sf_dir):
+    """include_sets computes the 32 hash minima AND the verification
+    sets in ONE groupBy(id): exactly one hashpartitioning exchange on id
+    downstream of the capped inverted frame (r8 fusion — previously sets
+    and signatures were two corpus-wide shuffles on the same key)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3).localCheckpoint(
+        eager=False
+    )
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    capped = dedup.cap_shingle_df(inv, 1000, key="s")
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=32, n=3,
+        inverted=capped, include_sets=True,
+    )
+    plan = _plan(sigs)
+    # collect_set forces ObjectHashAggregate; both outputs in one agg
+    assert "ObjectHashAggregate" in plan
+    assert set(sigs.columns) == {"id", "sig", "sh"}
+    assert plan.count("Exchange hashpartitioning(id") == 1
 
 
 def test_chi2_reference_probs_broadcast(spark, sf_dir):
