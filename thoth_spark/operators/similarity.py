@@ -185,7 +185,13 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id (int) from dot products with fixed hyperplanes —
-    pure column expression; the planes ride along as literals."""
+    pure column expression; the planes ride along as literals.
+
+    The fold-based :func:`dot` is deliberate: unrolling the literal dot
+    into a flat 64-term arithmetic chain (x24 signatures per row) was
+    measured 4× SLOWER (20 s vs 4.5 s at sf0.1) — the giant expression
+    tree blows codegen apart — while the lambda fold stays a compact
+    interpreted loop. Do not "optimize" this into explicit sums."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -231,7 +237,16 @@ def hyperplane_lsh_topk(
             if probe and probe_flips >= 1:
                 buckets += [sig.bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
             tables += [b + F.lit(t * 2**nbits) for b in buckets]
-        return base.withColumn("bucket", F.explode(F.array(*tables)))
+        # materialize the bucket array behind a lazy checkpoint before
+        # exploding: the signature is an aggregate-HOF over the vector,
+        # and Generate over an HOF-computed array drops out of codegen
+        # (measured 4.3 s -> sub-second on the sf0.1 corpus side). The
+        # checkpoint stores one (id, vector, n_tables-bucket-array) row
+        # per vector — smaller than the explode output it feeds.
+        staged = base.select(
+            F.col(idc), F.col(vc), F.array(*tables).alias("__buckets")
+        ).localCheckpoint(eager=False)
+        return staged.withColumn("bucket", F.explode("__buckets")).drop("__buckets")
 
     c = _bucketed(
         corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id", "cv", probe=False
@@ -356,9 +371,14 @@ def embedding_near_dup_pairs(
     if dim is None:
         dim = len(df.select(vec_col).limit(1).collect()[0][0])
     planes = _hyperplanes(dim, nbits)
+    # lazy checkpoint: materializes the aggregate-HOF signature ONCE for
+    # both join legs (previously each leg re-evaluated it, and the probe
+    # leg's explode re-evaluated it per flip via projection collapse)
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("sig", hyperplane_signature(F.col("v"), planes))
+    ).withColumn(
+        "sig", hyperplane_signature(F.col("v"), planes)
+    ).localCheckpoint(eager=False)
     probes = [F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
     a = base.withColumn("bucket", F.explode(F.array(*probes))).alias("a")
     b = base.withColumnRenamed("sig", "bucket").alias("b")
