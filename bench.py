@@ -109,6 +109,8 @@ HEADLINE = [
     # gap-filled series, sketch-merge WAU, categorical drift
     "dedup_jaccard_prefix_documents",
     "dedup_containment_documents",
+    # round-8: the production (capped) containment path
+    "dedup_containment_capped_documents",
     "ewma_control_events",
     "profile_events_gap_fill",
     "sketch_trailing_wau_events",

@@ -84,7 +84,9 @@ ORACLES: dict[str, str] = {}
 #     sessionize_events (each has a historical hash-FAIL driver row, the
 #     exact class the strict staleness predicate now tracks),
 #     dedup_containment_documents (its candidate-generation defaults
-#     changed this round — skew program), asof_join_purchase_click.
+#     changed this round — skew program), and the round's NEW query
+#     dedup_containment_capped_documents (the production capped path,
+#     never driver-verified, so it must be scheduled the round it lands).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -137,12 +139,13 @@ DRIVER_PRIORITY: list[str] = [
     "viz_forecast_interval_events",
     "viz_score_band_events",
     "viz_series_events",
-    # (c) r6 spares with re-verification value
+    # (c) r6 spares with re-verification value, plus the round's one NEW
+    # oracled query (never driver-verified -> must lead the window)
+    "dedup_containment_capped_documents",
     "profile_events_gap_fill",
     "chi2_drift_events",
     "sessionize_events",
     "dedup_containment_documents",
-    "asof_join_purchase_click",
 ]
 
 
@@ -6334,6 +6337,57 @@ def dedup_containment_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return dedup.containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.7, max_token_df=None
+    )
+
+
+#: document-frequency cap for the CAPPED containment query — small enough
+#: to bind at sf0.01 (shingle df reaches 7 there), so the driver's hash
+#: actually exercises the cap's semantics trade, not just the exact path
+_CONTAINMENT_CAP_DF = 5
+
+# The capped path's OUTPUT semantics are exactly SQL-expressible without
+# replaying any prefix machinery: capped tokens have df > cap >= df of
+# every surviving token, so they sort strictly LAST in the global
+# ascending-df token order — hence the first shared token of a pair with
+# >=1 surviving shared token IS a surviving token, and the prefix-filter
+# theorem places it inside A's prefix. Therefore a pair is emitted iff
+# full-set containment >= t AND min df over the shared shingles <= cap
+# (the same reference semantics test_containment_capped_equals_cap_only
+# pins brute-force in Python; dedup.py:containment_candidates docstring
+# carries the proof).
+ORACLE_CONTAINMENT_CAPPED = f"""
+WITH {_DOC_SHINGLES},
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM g),
+dfreq AS (SELECT shingle, count(*) AS df FROM inv GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         count(*) AS inter, min(f.df) AS min_df
+  FROM inv a JOIN inv b USING (shingle) JOIN dfreq f USING (shingle)
+  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2
+),
+sz AS (SELECT doc_id, len(sh) AS s FROM g)
+SELECT id_a, id_b, round(inter::DOUBLE / sa.s, 6) AS containment
+FROM pairs JOIN sz sa ON sa.doc_id = id_a
+WHERE inter::DOUBLE / sa.s >= 0.7 AND min_df <= {_CONTAINMENT_CAP_DF}
+"""
+
+
+@query("dedup_containment_capped_documents", ORACLE_CONTAINMENT_CAPPED)
+def dedup_containment_capped_documents(spark, sf_dir):
+    """The PRODUCTION containment path (finite ``max_token_df``):
+    prefix-filtered candidates against a df-capped container index +
+    per-meeting positional filter + full-set verify
+    (dedup.containment_candidates / containment_pairs). The cap bounds
+    candidate volume ∝ true-pair density on boilerplate corpora (the r8
+    skew program's measured 46-candidates-for-46-true-pairs fixture);
+    its documented semantics trade — pairs whose every shared shingle is
+    over-cap are not found — is replayed verbatim by the oracle's
+    ``min_df <= cap`` predicate, so the driver hash-verifies the capped
+    dataflow, not just the exact one."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7,
+        max_token_df=_CONTAINMENT_CAP_DF,
     )
 
 
