@@ -763,6 +763,38 @@ def test_chunk_documents_overlap_and_coverage(spark):
         text.chunk_documents(df, stride=200, chunk_tokens=100)
 
 
+def test_ngram_stream_matches_inline_word_ngrams(spark):
+    """The staged explode (barrier + checkpoint, r8) must emit exactly
+    the rows of the naive inline form, for both multiset and distinct
+    modes — the staging is a physical rewrite, never a semantics one.
+    Covers the <n-token-doc edge (no rows) and repeated grams."""
+    from pyspark.sql import functions as F
+
+    from thoth_spark.operators import text
+
+    rows = [
+        (1, "a b c d a b c d"),      # repeated grams
+        (2, "x y"),                   # < n tokens -> no rows
+        (3, "one two three four"),
+        (4, "  Mixed   CASE   spacing   here  now "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    for distinct in (False, True):
+        arr = text.word_ngrams(F.col("text"), 3)
+        if distinct:
+            arr = F.array_distinct(arr)
+        naive = sorted(
+            (r["id"], r["g"])
+            for r in df.select("id", F.explode(arr).alias("g")).collect()
+        )
+        staged = sorted(
+            (r["id"], r["g"])
+            for r in text.ngram_stream(df, "id", "text", 3, distinct=distinct).collect()
+        )
+        assert staged == naive, f"distinct={distinct}"
+    assert all(i != 2 for i, _ in staged)
+
+
 def test_repetition_signals_flags_boilerplate(spark):
     df = spark.createDataFrame(
         [(1, "buy now buy now buy now buy now"), (2, "every word here is unique today"), (3, "x")],
