@@ -109,8 +109,10 @@ HEADLINE = [
     # gap-filled series, sketch-merge WAU, categorical drift
     "dedup_jaccard_prefix_documents",
     "dedup_containment_documents",
-    # round-8: the production (capped) containment path
+    # round-8: the production (capped) containment path + quality-aware
+    # dedup survivor selection
     "dedup_containment_capped_documents",
+    "dedup_quality_survivors_documents",
     "ewma_control_events",
     "profile_events_gap_fill",
     "sketch_trailing_wau_events",
@@ -171,6 +173,9 @@ _ABBREV = [
     (r"multimodel", "multi"),
     (r"changepoint", "chgpt"),
     (r"customer$", "cust"),
+    (r"survivors", "surv"),
+    (r"quality", "qual"),
+    (r"components", "comps"),
 ]
 
 

@@ -343,14 +343,20 @@ def test_bench_compact_tail_fits_driver_capture():
 
     import bench
 
-    timings = {n: 99.9 for n in bench.HEADLINE}
-    ratios = {n: 99.9 for n in bench.HEADLINE}
+    # pessimistic-but-plausible walls: every query at 9.9 s would be a
+    # ~800 s bench (the real total is ~105 s, max single wall 4.4 s);
+    # demand 100 chars of slack under the 2000-char capture so a few
+    # genuine 2-digit outliers still fit
+    # (ratios above 9.9 would mean a disqualifying super-linear operator
+    # — the bench's whole point is keeping them ~<=5)
+    timings = {n: 9.9 for n in bench.HEADLINE}
+    ratios = {n: 9.9 for n in bench.HEADLINE}
     line = bench.compact_tail_line(9999.9, timings, 0.1, ratios)
-    assert len(line) + 1 <= 2000, f"tail line {len(line)} chars > capture budget"
+    assert len(line) + 100 <= 2000, f"tail line {len(line)} chars > capture budget"
     parsed = _json.loads(line)
     assert len(parsed["queries"]) == len(bench.HEADLINE)
     assert len(parsed["ratios"]) == len(bench.HEADLINE)
-    assert all(r == 99.9 for r in parsed["ratios"])
+    assert all(r == 9.9 for r in parsed["ratios"])
     # short names stay collision-free over the real HEADLINE list
     assert len({bench._short(n) for n in bench.HEADLINE}) == len(bench.HEADLINE)
 

@@ -1619,6 +1619,29 @@ def test_containment_capped_equals_cap_only(spark):
     assert got == expected and (1, 2) in got
 
 
+def test_quality_survivors_keeps_best_per_cluster(spark):
+    """Per duplicate cluster the HIGHEST-quality member survives (ties →
+    smallest id); singletons always survive; the component label rides
+    along. Cluster {1,2,3} (chain 1-2, 2-3): doc 2 has top quality.
+    Cluster {5,6}: equal quality → doc 5 (smaller id). Doc 9 singleton."""
+    docs = spark.createDataFrame(
+        [
+            (1, 0.5), (2, 0.9), (3, 0.7),
+            (5, 0.4), (6, 0.4),
+            (9, 0.1),
+        ],
+        "id long, q double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.quality_survivors(docs, pairs, "id", "q").collect()
+    }
+    assert out == {2: 1, 5: 5, 9: 9}
+
+
 def test_containment_dedup_survivors(spark):
     """One-way contained docs drop (container survives); mutual
     containment keeps the smaller id; unrelated docs untouched."""

@@ -84,9 +84,11 @@ ORACLES: dict[str, str] = {}
 #     sessionize_events (each has a historical hash-FAIL driver row, the
 #     exact class the strict staleness predicate now tracks),
 #     dedup_containment_documents (its candidate-generation defaults
-#     changed this round — skew program), and the round's NEW query
-#     dedup_containment_capped_documents (the production capped path,
-#     never driver-verified, so it must be scheduled the round it lands).
+#     changed this round — skew program), and the round's TWO NEW queries
+#     dedup_containment_capped_documents (the production capped path) and
+#     dedup_quality_survivors_documents (quality-aware cluster survivor
+#     policy) — never driver-verified, so they must be scheduled the
+#     round they land.
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -142,9 +144,9 @@ DRIVER_PRIORITY: list[str] = [
     # (c) r6 spares with re-verification value, plus the round's one NEW
     # oracled query (never driver-verified -> must lead the window)
     "dedup_containment_capped_documents",
+    "dedup_quality_survivors_documents",
     "profile_events_gap_fill",
     "chi2_drift_events",
-    "sessionize_events",
     "dedup_containment_documents",
 ]
 
@@ -2894,6 +2896,97 @@ def dedup_minhash_components(spark, sf_dir):
         comps, docs.doc_id == comps.id, "left"
     ).select(
         "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+
+
+# Same CTE chain as ORACLE_MINHASH_COMPONENTS through `reach`, then the
+# per-cluster winner: highest ROUNDED quality, ties -> smallest id (the
+# exact comparison key dedup.quality_survivors aggregates with max_by).
+ORACLE_QUALITY_SURVIVORS = f"""
+WITH RECURSIVE {_DOC_SHINGLES},
+{_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, b, md5(list_aggregate(sg[b * 4 + 1 : b * 4 + 4], 'string_agg', '|')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 7) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (b, bh) WHERE a.doc_id < b.doc_id
+),
+vpairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+),
+edges AS (SELECT id_a AS s, id_b AS t FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+reach AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+comps AS (
+  SELECT dd.doc_id, least(dd.doc_id, coalesce(min(r.t), dd.doc_id)) AS component
+  FROM documents dd LEFT JOIN reach r ON r.s = dd.doc_id
+  GROUP BY dd.doc_id
+),
+stats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+             / len(toks) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text) AS digit_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text) AS punct_ratio
+  FROM d JOIN documents USING (doc_id)
+),
+q AS (
+  SELECT doc_id,
+         round(least(n_tokens / 64.0, 1.0) * 0.3
+               + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3
+               + greatest(1.0 - abs(stopword_ratio - 0.08) * 2, 0.0) * 0.2
+               + (1.0 - least((digit_ratio + punct_ratio) * 4, 1.0)) * 0.2,
+               6) AS qs
+  FROM stats
+)
+SELECT doc_id, component, qs AS quality_score FROM (
+  SELECT c.doc_id, c.component, q.qs,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.qs DESC, c.doc_id) AS rn
+  FROM comps c JOIN q USING (doc_id)
+) t WHERE rn = 1
+"""
+
+
+@query("dedup_quality_survivors_documents", ORACLE_QUALITY_SURVIVORS)
+def dedup_quality_survivors_documents(spark, sf_dir):
+    """Quality-aware dedup survivor selection (r8): per MinHash duplicate
+    cluster keep the HIGHEST-quality member (rounded quality, ties →
+    smallest id) — the curation policy a production corpus wants (keep
+    the cleanest near-copy, not the smallest crawl id). Winner chosen by
+    a partial-aggregable max_by over (round(quality,6), -id), so a
+    corpus-wide boilerplate cluster combines map-side instead of
+    funneling one window task (dedup.quality_survivors)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3).cache()
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=32, n=3, shingles=sh)
+    cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+    )
+    scored = text.quality_score(docs, "text")
+    out = dedup.quality_survivors(scored, verified, "doc_id", "quality_score")
+    return out.select(
+        "doc_id", "component", F.round("quality_score", 6).alias("quality_score")
     )
 
 

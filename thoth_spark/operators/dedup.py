@@ -701,6 +701,50 @@ def connected_components(
     return labels
 
 
+def quality_survivors(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: per duplicate CLUSTER
+    (connected component of the similarity-pair graph), keep the member
+    with the highest quality score (ties → smallest id); singletons
+    survive unchanged. The policy a production corpus actually wants —
+    when five near-copies of an article exist, keep the cleanest one,
+    not the one with the smallest crawl id (:func:`minhash_dedup`'s
+    min-id rule is the right DETERMINISM baseline, this is the right
+    CURATION rule).
+
+    Returns every surviving row of ``df`` plus its ``component`` label.
+
+    Scale shape: the winner per cluster is a ``max_by`` over
+    ``(round(quality, 6), -id)`` — a partial-aggregable groupBy, so a
+    degenerate giant cluster (corpus-wide boilerplate) combines map-side
+    instead of funneling through one window task. Quality is ROUNDED to
+    6 places before comparison so the winner is stable across engines
+    (the same rounding every quality oracle in this repo uses);
+    survivors come back via a semi join on the id — two shuffles total
+    beyond the component propagation."""
+    comps = connected_components(pairs, id_a, id_b, max_iterations)
+    labeled = (
+        df.join(comps, df[id_col] == comps["id"], "left")
+        .withColumn("component", F.coalesce(F.col("component"), df[id_col]))
+        .drop(comps["id"])  # by Column — id_col may itself be named "id"
+    )
+    qr = F.round(F.col(quality_col), 6)
+    winners = labeled.groupBy("component").agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(qr.alias("q"), (-F.col(id_col)).alias("nid")),
+        ).alias(id_col)
+    )
+    return labeled.join(winners.select(id_col), id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # Prefix-filtered EXACT similarity joins (AllPairs / PPJoin family)
 # ---------------------------------------------------------------------------
