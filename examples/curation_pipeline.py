@@ -9,7 +9,7 @@ The pipeline a 100 TB curation job runs, at fixture scale:
    balanced weak labels (closed-form, deterministic)
 3. exact-substring passage dedup (duplicated 12-token runs removed
    from every occurrence — licence headers, templated paragraphs)
-4. MinHash-LSH near-duplicate removal (document level)
+4. MinHash-LSH near-duplicate removal with quality-aware survivors
 5. token-budget packing + deterministic training order
 6. sharded training-data sink (bit-stable on rerun)
 
@@ -65,8 +65,32 @@ def main() -> None:
     )
     n2 = cleaned.count()
 
-    # 4. document-level near-dup removal (MinHash + LSH + verify)
-    unique_docs = dedup.minhash_dedup(cleaned, "doc_id", "text", threshold=0.8)
+    # 4. document-level near-dup removal (MinHash + LSH + verify) with
+    # the QUALITY-AWARE survivor rule: per duplicate cluster keep the
+    # highest-quality member, not the smallest crawl id
+    sh = dedup.shingle_sets(cleaned, "doc_id", "text", n=3).cache()
+    sigs = dedup.minhash_signatures(
+        cleaned, "doc_id", "text", num_hashes=32, n=3, shingles=sh
+    )
+    cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    verified = (
+        cands.join(
+            sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a"
+        )
+        .join(
+            sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b"
+        )
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+    )
+    rescored = text.quality_score(cleaned, "text")
+    unique_docs = dedup.quality_survivors(
+        rescored, verified, "doc_id", "quality_score"
+    ).select("doc_id", "text")
     n3 = unique_docs.count()
 
     # 5. pack into 256-token bins (first-fit per hash shard)
@@ -84,7 +108,7 @@ def main() -> None:
     print(f"corpus:          {n0} docs")
     print(f"quality-kept:    {n1} docs (NB filter)")
     print(f"passage-cleaned: {n2} docs (empty after dedup dropped)")
-    print(f"near-dup-unique: {n3} docs (MinHash survivors)")
+    print(f"near-dup-unique: {n3} docs (quality-aware MinHash survivors)")
     print(f"shards written:  {out_dir}")
     spark.stop()
 

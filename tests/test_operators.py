@@ -1642,6 +1642,71 @@ def test_quality_survivors_keeps_best_per_cluster(spark):
     assert out == {2: 1, 5: 5, 9: 9}
 
 
+def test_quality_survivors_string_ids(spark):
+    """The winner rule (max quality, tie -> smallest id) must hold for
+    STRING ids too — the min_by comparison key orders the id directly,
+    never via numeric negation."""
+    docs = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", 0.9), ("z", 0.2)],
+        "id string, q double",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in dedup.quality_survivors(docs, pairs, "id", "q").collect()
+    }
+    # cluster {a,b,c}: b and c tie on quality -> b (lexicographically
+    # smaller); z is a singleton
+    assert out == {"b": "a", "z": "z"}
+
+
+def test_quality_survivors_matches_bruteforce_reference(spark):
+    """Randomized check against a pure-Python union-find + argmax
+    reference: 60 docs, random pair graph, random qualities quantized to
+    avoid cross-impl float-order ambiguity."""
+    import random
+
+    rng = random.Random(88)
+    ids = list(range(60))
+    docs_rows = [(i, round(rng.random(), 3)) for i in ids]
+    pair_rows = [
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and rng.random() < 0.04
+    ]
+    # reference: union-find
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict[int, list[int]] = {}
+    for i in ids:
+        clusters.setdefault(find(i), []).append(i)
+    qual = dict(docs_rows)
+    expected = {
+        min(members, key=lambda m: (-round(qual[m], 6), m))
+        for members in clusters.values()
+    }
+
+    docs = spark.createDataFrame(docs_rows, "id long, q double")
+    pairs = spark.createDataFrame(pair_rows or [(0, 0)], "id_a long, id_b long")
+    got = {
+        r["id"] for r in dedup.quality_survivors(docs, pairs, "id", "q").collect()
+    }
+    assert got == expected
+
+
 def test_containment_dedup_survivors(spark):
     """One-way contained docs drop (container survives); mutual
     containment keeps the smaller id; unrelated docs untouched."""

@@ -736,10 +736,14 @@ def quality_survivors(
         .drop(comps["id"])  # by Column — id_col may itself be named "id"
     )
     qr = F.round(F.col(quality_col), 6)
+    # min_by over (-quality, id): -quality ascending == quality
+    # descending, and the id tie-break compares the id DIRECTLY — so the
+    # rule works for string ids too (negating the id, the obvious
+    # max_by formulation, only works for numeric keys)
     winners = labeled.groupBy("component").agg(
-        F.max_by(
+        F.min_by(
             F.col(id_col),
-            F.struct(qr.alias("q"), (-F.col(id_col)).alias("nid")),
+            F.struct((-qr).alias("nq"), F.col(id_col).alias("i")),
         ).alias(id_col)
     )
     return labeled.join(winners.select(id_col), id_col, "left_semi")
