@@ -308,22 +308,64 @@ def test_driver_window_rotation():
 
 
 def test_staleness_table_current():
-    """COVERAGE.md's staleness table must match the CORRECTNESS_r*.json
-    files actually in the tree — the r7 verdict caught the committed
-    table reflecting only 6 of 7 recorded rounds ('never: 24' long after
-    it was false). Red here means: run `python tools/staleness.py`."""
-    from tools.staleness import MARK_BEGIN, MARK_END, ROOT, build_table
+    """COVERAGE.md's staleness table must reproduce from exactly the
+    rounds it CLAIMS to cover (stamped in its header), and may lag the
+    recorded CORRECTNESS files by at most the single newest one — the
+    file the driver delivers FOR the window committed alongside this
+    table. The r7 verdict caught the table a full round stale; the r8
+    verdict caught the strict all-files comparison going deterministically
+    red the moment the driver dropped the current round's own results.
+    Red here means: run `python tools/staleness.py`."""
+    from tools.staleness import committed_table_check
 
-    path = os.path.join(ROOT, "COVERAGE.md")
-    if not os.path.exists(path):
-        pytest.skip("no COVERAGE.md")
-    text = open(path).read()
-    assert MARK_BEGIN in text and MARK_END in text
-    committed = text[text.index(MARK_BEGIN) : text.index(MARK_END) + len(MARK_END)]
-    assert committed == build_table(), (
-        "COVERAGE.md staleness table is stale; regenerate with"
-        " `python tools/staleness.py`"
-    )
+    diagnosis = committed_table_check()
+    assert diagnosis is None, diagnosis
+
+
+def test_staleness_table_check_survives_round_boundary(tmp_path):
+    """Twin-state guarantee: the currency check stays green BOTH before
+    and after the driver delivers the next round's CORRECTNESS file, and
+    still goes red when the table genuinely lags by more than one round
+    or was tampered with."""
+    import shutil
+
+    from tools.staleness import ROOT, committed_table_check, correctness_files
+
+    files = correctness_files(ROOT)
+    if not files:
+        pytest.skip("no recorded driver rounds")
+    root = str(tmp_path)
+    for f in files:
+        shutil.copy(f, root)
+    shutil.copy(os.path.join(ROOT, "COVERAGE.md"), root)
+
+    # state A: exactly the committed rounds -> green
+    assert committed_table_check(root) is None
+
+    # state B: driver delivers the next round mid-boundary -> STILL green
+    nxt = max(
+        int(__import__("re").search(r"r(\d+)", os.path.basename(f)).group(1))
+        for f in files
+    ) + 1
+    synthetic = os.path.join(root, f"CORRECTNESS_r{nxt:02d}.json")
+    with open(synthetic, "w") as fh:
+        fh.write('{"__synthetic__": {"hash_match": true}}')
+
+    assert committed_table_check(root) is None
+
+    # state C: TWO rounds beyond the stamped coverage -> red
+    with open(
+        os.path.join(root, f"CORRECTNESS_r{nxt + 1:02d}.json"), "w"
+    ) as fh:
+        fh.write('{"__synthetic__": {"hash_match": true}}')
+    assert committed_table_check(root) is not None
+
+    # state D: tampered table body -> red even at matching round count
+    os.remove(os.path.join(root, f"CORRECTNESS_r{nxt + 1:02d}.json"))
+    cov = os.path.join(root, "COVERAGE.md")
+    text = open(cov).read()
+    open(cov, "w").write(text.replace("| sql |", "| sq1 |", 1))
+    assert committed_table_check(root) is not None
 
 
 def test_bench_contract():

@@ -64,10 +64,21 @@ def correctness_files(root: str = ROOT) -> list[str]:
     )
 
 
-def green_rounds(root: str = ROOT) -> dict[str, list[int]]:
-    """query name -> sorted rounds with a STRICT hash-green driver row."""
+# Parsed by tests/test_entry_oracle.py::test_staleness_table_current to
+# recover how many rounds the committed table CLAIMS to cover, so the
+# comparison is against exactly those files — never whatever the driver
+# has since delivered (the r7 AND r8 verdicts each caught a variant of
+# that round-boundary fragility).
+COVERED_RE = re.compile(r"from (\d+) driver rounds")
+
+
+def green_rounds(root: str = ROOT, rounds: int | None = None) -> dict[str, list[int]]:
+    """query name -> sorted rounds with a STRICT hash-green driver row.
+
+    ``rounds`` restricts the scan to the FIRST n recorded files — used to
+    rebuild the table exactly as it stood when committed."""
     out: dict[str, list[int]] = {}
-    for f in correctness_files(root):
+    for f in correctness_files(root)[: rounds if rounds is not None else None]:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for q, v in json.load(open(f)).items():
             if is_strict_green(v):
@@ -75,10 +86,12 @@ def green_rounds(root: str = ROOT) -> dict[str, list[int]]:
     return out
 
 
-def rows_only_rounds(root: str = ROOT) -> dict[str, list[int]]:
+def rows_only_rounds(
+    root: str = ROOT, rounds: int | None = None
+) -> dict[str, list[int]]:
     """query name -> rounds with a rows-only (no-oracle) driver row."""
     out: dict[str, list[int]] = {}
-    for f in correctness_files(root):
+    for f in correctness_files(root)[: rounds if rounds is not None else None]:
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for q, v in json.load(open(f)).items():
             if is_rows_only_row(v):
@@ -86,12 +99,21 @@ def rows_only_rounds(root: str = ROOT) -> dict[str, list[int]]:
     return out
 
 
-def build_table() -> str:
+def build_table(root: str = ROOT, rounds: int | None = None) -> str:
+    """Render the staleness table over the first ``rounds`` recorded
+    CORRECTNESS files under ``root`` (default: all of them). The covered
+    count is stamped into the header ("from N driver rounds") so the
+    suite can later verify the committed table against exactly the
+    rounds it claims — green both before AND after the driver drops the
+    next round's file into the tree."""
     sys.path.insert(0, ROOT)
     from thoth_spark import entry_queries as eq
 
-    greens = green_rounds()
-    weak = rows_only_rounds()
+    n_covered = (
+        len(correctness_files(root)) if rounds is None else rounds
+    )
+    greens = green_rounds(root, rounds)
+    weak = rows_only_rounds(root, rounds)
     rows = []
     for q in sorted(eq.QUERIES):
         oracled = q in eq.ORACLES
@@ -113,7 +135,7 @@ def build_table() -> str:
         MARK_BEGIN,
         "",
         f"Regenerated by `python tools/staleness.py` from "
-        f"{len(correctness_files())} driver rounds. Green = STRICT "
+        f"{n_covered} driver rounds. Green = STRICT "
         f"typed-hash match (`hash_match is True`); rows-only (no-oracle) "
         f"queries are bucketed separately and show their last rows-check "
         f"round. Histogram of last driver-green round: "
@@ -136,6 +158,48 @@ def build_table() -> str:
         )
     lines += ["", MARK_END]
     return "\n".join(lines)
+
+
+def committed_table_check(root: str = ROOT) -> str | None:
+    """Round-boundary-safe currency check for COVERAGE.md's table.
+
+    Returns None when the committed table is acceptable, else a human
+    diagnosis. Acceptable = the table covers either ALL recorded rounds
+    or all-but-the-newest (the file the driver just delivered for the
+    window that was committed WITH this very table), and it reproduces
+    bit-for-bit from exactly the rounds it claims. Anything older is
+    stale — the r7 verdict caught a table lagging a full round behind,
+    the r8 verdict caught the strict == len(files) check going red the
+    moment the driver delivered the current round's own results."""
+    path = os.path.join(root, "COVERAGE.md")
+    if not os.path.exists(path):
+        return "no COVERAGE.md"
+    text = open(path).read()
+    if MARK_BEGIN not in text or MARK_END not in text:
+        return "COVERAGE.md is missing the staleness table markers"
+    committed = text[text.index(MARK_BEGIN) : text.index(MARK_END) + len(MARK_END)]
+    m = COVERED_RE.search(committed)
+    if not m:
+        return "committed table does not stamp its covered-round count"
+    n = int(m.group(1))
+    n_files = len(correctness_files(root))
+    if n > n_files:
+        return (
+            f"table claims {n} rounds but only {n_files} CORRECTNESS files"
+            " are recorded"
+        )
+    if n < n_files - 1:
+        return (
+            f"table covers {n} rounds but {n_files} are recorded — more"
+            " than the single just-delivered round behind; regenerate with"
+            " `python tools/staleness.py`"
+        )
+    if committed != build_table(root, rounds=n):
+        return (
+            f"table does not reproduce from the {n} rounds it claims;"
+            " regenerate with `python tools/staleness.py`"
+        )
+    return None
 
 
 def main() -> None:
