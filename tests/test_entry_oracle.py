@@ -325,32 +325,76 @@ def test_staleness_table_current():
 def test_staleness_table_check_survives_round_boundary(tmp_path):
     """Twin-state guarantee: the currency check stays green BOTH before
     and after the driver delivers the next round's CORRECTNESS file, and
-    still goes red when the table genuinely lags by more than one round
-    or was tampered with."""
+    still goes red when the table genuinely lags by more than one round,
+    when the lagging round is already git-committed, or when the table
+    body was tampered with.
+
+    The r9 verdict caught the previous version of this test being itself
+    round-boundary-broken: it seeded the tmp tree with ALL recorded
+    CORRECTNESS files while the committed table stamps only the rounds
+    it was regenerated from, so the moment the live tree carried one
+    more round than the stamp (every round boundary), "state B" was two
+    rounds past the stamp and correctly red. The tmp tree must be
+    normalized to the STAMP, not to whatever the driver has since
+    delivered: seed with exactly the first N stamped rounds, then
+    synthesize stamp+1 (state B) and stamp+2 (state C)."""
     import shutil
 
-    from tools.staleness import ROOT, committed_table_check, correctness_files
+    from tools.staleness import (
+        COVERED_RE,
+        ROOT,
+        committed_table_check,
+        correctness_files,
+    )
 
+    cov_src = os.path.join(ROOT, "COVERAGE.md")
+    if not os.path.exists(cov_src):
+        pytest.skip("no COVERAGE.md")
+    m = COVERED_RE.search(open(cov_src).read())
+    assert m, "committed table must stamp its covered-round count"
+    n = int(m.group(1))
     files = correctness_files(ROOT)
-    if not files:
-        pytest.skip("no recorded driver rounds")
-    root = str(tmp_path)
-    for f in files:
-        shutil.copy(f, root)
-    shutil.copy(os.path.join(ROOT, "COVERAGE.md"), root)
+    if not files or len(files) < n:
+        pytest.skip("fewer recorded rounds than the table stamps")
 
-    # state A: exactly the committed rounds -> green
+    # state A: the tmp tree holds EXACTLY the stamped rounds — never the
+    # live tree's full file list, which at a round boundary includes the
+    # round the driver just delivered for THIS window.
+    root = str(tmp_path)
+    stamped = files[:n]
+    for f in stamped:
+        shutil.copy(f, root)
+    shutil.copy(cov_src, root)
     assert committed_table_check(root) is None
 
-    # state B: driver delivers the next round mid-boundary -> STILL green
-    nxt = max(
-        int(__import__("re").search(r"r(\d+)", os.path.basename(f)).group(1))
-        for f in files
+    # state B: driver delivers round stamp+1 mid-boundary -> STILL green
+    # (the tmp tree is not a git repo, so the synthetic file counts as
+    # not-yet-committed — the exact tolerance case).
+    nxt = int(
+        __import__("re").search(r"r(\d+)", os.path.basename(stamped[-1])).group(1)
     ) + 1
     synthetic = os.path.join(root, f"CORRECTNESS_r{nxt:02d}.json")
     with open(synthetic, "w") as fh:
         fh.write('{"__synthetic__": {"hash_match": true}}')
+    assert committed_table_check(root) is None
 
+    # state B': the just-delivered round gets git-committed without the
+    # table being regenerated -> red (r7 incident class; advisor r9).
+    import subprocess
+
+    git_env = {**os.environ, "HOME": root, "GIT_CONFIG_GLOBAL": os.devnull}
+    subprocess.run(["git", "init", "-q", root], check=True, env=git_env)
+    subprocess.run(
+        ["git", "-C", root, "add", os.path.basename(synthetic)],
+        check=True,
+        env=git_env,
+    )
+    assert committed_table_check(root) is not None
+    subprocess.run(
+        ["git", "-C", root, "rm", "--cached", "-q", os.path.basename(synthetic)],
+        check=True,
+        env=git_env,
+    )
     assert committed_table_check(root) is None
 
     # state C: TWO rounds beyond the stamped coverage -> red
@@ -362,6 +406,7 @@ def test_staleness_table_check_survives_round_boundary(tmp_path):
 
     # state D: tampered table body -> red even at matching round count
     os.remove(os.path.join(root, f"CORRECTNESS_r{nxt + 1:02d}.json"))
+    os.remove(synthetic)
     cov = os.path.join(root, "COVERAGE.md")
     text = open(cov).read()
     open(cov, "w").write(text.replace("| sql |", "| sq1 |", 1))

@@ -160,17 +160,39 @@ def build_table(root: str = ROOT, rounds: int | None = None) -> str:
     return "\n".join(lines)
 
 
+def _is_git_tracked(root: str, filename: str) -> bool:
+    """True iff ``filename`` is tracked by the git repo at ``root``.
+
+    Non-repos (the twin-state test's tmp trees) and any git failure
+    count as NOT tracked — a just-delivered, not-yet-committed file is
+    exactly the case the one-round lag tolerance exists for."""
+    import subprocess
+
+    try:
+        res = subprocess.run(
+            ["git", "-C", root, "ls-files", "--error-unmatch", filename],
+            capture_output=True,
+            timeout=30,
+        )
+        return res.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
 def committed_table_check(root: str = ROOT) -> str | None:
     """Round-boundary-safe currency check for COVERAGE.md's table.
 
     Returns None when the committed table is acceptable, else a human
     diagnosis. Acceptable = the table covers either ALL recorded rounds
-    or all-but-the-newest (the file the driver just delivered for the
-    window that was committed WITH this very table), and it reproduces
-    bit-for-bit from exactly the rounds it claims. Anything older is
-    stale — the r7 verdict caught a table lagging a full round behind,
-    the r8 verdict caught the strict == len(files) check going red the
-    moment the driver delivered the current round's own results."""
+    or all-but-the-newest PROVIDED that newest file is not yet
+    git-tracked (i.e. the driver just delivered it for the window that
+    was committed WITH this very table; once it is committed, the table
+    must cover it — the r7 incident was exactly a committed one-round
+    lag), and it reproduces bit-for-bit from exactly the rounds it
+    claims. Anything older is stale — the r7 verdict caught a table
+    lagging a full round behind, the r8 verdict caught the strict
+    == len(files) check going red the moment the driver delivered the
+    current round's own results."""
     path = os.path.join(root, "COVERAGE.md")
     if not os.path.exists(path):
         return "no COVERAGE.md"
@@ -194,6 +216,15 @@ def committed_table_check(root: str = ROOT) -> str | None:
             " than the single just-delivered round behind; regenerate with"
             " `python tools/staleness.py`"
         )
+    if n == n_files - 1:
+        newest = os.path.basename(correctness_files(root)[-1])
+        if _is_git_tracked(root, newest):
+            return (
+                f"table covers {n} rounds but the {n_files}th ({newest})"
+                " is already git-committed — the one-round tolerance is"
+                " only for a just-delivered, not-yet-committed file;"
+                " regenerate with `python tools/staleness.py`"
+            )
     if committed != build_table(root, rounds=n):
         return (
             f"table does not reproduce from the {n} rounds it claims;"
