@@ -1724,3 +1724,40 @@ def test_containment_dedup_survivors(spark):
     )
     out = dedup.containment_dedup(df, "id", "text", n=3, threshold=0.9, max_token_df=None)
     assert {r["id"] for r in out.collect()} == {2, 3, 10}
+
+
+def test_containment_dedup_drop_list_broadcast_fallback(spark):
+    """The drop-list removal broadcasts only while the list fits
+    ``broadcast_threshold``; above it (here forced with 0) the SAME
+    survivors come out of a plain shuffled anti-join — the 100 TB
+    high-dup-density escape hatch (a 20%-contained 10B-row corpus has a
+    2B-id drop list no driver can broadcast)."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (1, short),
+            (2, filler + " " + short + " " + filler),
+            (3, "other text entirely here today"),
+            (10, "one two three four five six seven"),
+            (11, "one two three four five six seven"),
+        ],
+        "id long, text string",
+    )
+    forced = dedup.containment_dedup(
+        df, "id", "text", n=3, threshold=0.9, max_token_df=None,
+        broadcast_threshold=0,
+    )
+    plan = forced._jdf.queryExecution().executedPlan().toString()
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and all("Broadcast" not in ln for ln in anti), plan
+    assert {r["id"] for r in forced.collect()} == {2, 3, 10}
+
+    always = dedup.containment_dedup(
+        df, "id", "text", n=3, threshold=0.9, max_token_df=None,
+        broadcast_threshold=None,
+    )
+    plan = always._jdf.queryExecution().executedPlan().toString()
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and any("Broadcast" in ln for ln in anti), plan
+    assert {r["id"] for r in always.collect()} == {2, 3, 10}

@@ -542,3 +542,57 @@ def test_containment_boilerplate_candidate_bound(spark):
     # blowup the footer would generate uncapped
     assert n_cand <= 10 * len(got), (n_cand, len(got))
     assert wall < 60.0
+
+
+def test_components_giant_clique_and_long_chain(spark):
+    """Adversarial component shapes for connected_components /
+    quality_survivors (r8 advice #6): (a) a corpus-wide boilerplate
+    CLIQUE — one giant component where every node is everyone's
+    neighbor, the map-side-combine stress for the survivor argmax; (b) a
+    200-node PATH-GRAPH chain — diameter 199, the shape plain min-label
+    propagation cannot finish under any fixed iteration cap (it moves
+    the min one hop per round); pointer jumping must converge it within
+    the DEFAULT max_iterations=15 (reach doubles per round: ceil(log2
+    (199)) + fixpoint-confirm rounds), with early exit on both."""
+    from thoth_spark.operators import dedup
+
+    # (a) 300-node clique: ~44,850 pair edges, ids offset from 0 so the
+    # min label has to win through propagation, not initialization luck
+    clique_ids = list(range(500, 800))
+    clique_pairs = [
+        (a, b) for i, a in enumerate(clique_ids) for b in clique_ids[i + 1 :]
+    ]
+    stats: dict = {}
+    pairs = spark.createDataFrame(clique_pairs, "id_a long, id_b long")
+    comps = dedup.connected_components(pairs, stats=stats).collect()
+    assert {r["component"] for r in comps} == {500}
+    assert len(comps) == 300
+    assert stats["converged"] and stats["rounds"] <= 3, stats
+
+    # (b) 200-node chain, ids DESCENDING along the path so the min label
+    # (0) sits at one end and must traverse the full diameter
+    chain_pairs = [(i + 1, i) for i in range(199)]
+    stats = {}
+    pairs = spark.createDataFrame(chain_pairs, "id_a long, id_b long")
+    comps = dedup.connected_components(pairs, stats=stats).collect()
+    assert {r["component"] for r in comps} == {0}
+    assert len(comps) == 200
+    assert stats["converged"], stats
+    assert stats["rounds"] <= 15, stats  # default cap; log2(199)~8 + slack
+
+    # (c) survivors on both shapes: quality argmax per component, the
+    # giant clique keeps exactly its best-quality member
+    rows = [(i, 1.0 + (i % 7) / 10.0) for i in clique_ids] + [
+        (i, 1.0 + (i % 5) / 10.0) for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "id long, q double")
+    both = spark.createDataFrame(
+        clique_pairs + chain_pairs, "id_a long, id_b long"
+    )
+    surv = dedup.quality_survivors(docs, both, "id", "q").collect()
+    assert len(surv) == 2
+    by_comp = {r["component"]: r["id"] for r in surv}
+    # clique best: ids with id%7==6 score 1.6; smallest such id is 503
+    assert by_comp[500] == 503
+    # chain best: ids with id%5==4 score 1.4; smallest such id is 4
+    assert by_comp[0] == 4

@@ -649,16 +649,27 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 15,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Duplicate clusters from similarity pairs: ``(id, component)`` where
     component = the smallest id reachable through the pair graph.
 
-    Min-label propagation: every round each node takes the min of its own
-    label and its neighbors' labels — one shuffle per round, converging in
-    O(graph diameter) rounds (duplicate clusters are tiny, so 2-4 rounds
-    in practice; ``max_iterations`` bounds pathological chains). Each
-    round is ``localCheckpoint``ed to truncate the growing plan lineage —
-    without it, iteration i re-executes all i-1 predecessors.
+    Min-label propagation WITH POINTER JUMPING: every round each node
+    takes the min of its own label, its neighbors' labels, and its
+    label's label (path compression — sound because a label is always a
+    node known reachable from the holder, so the label's label is
+    reachable too). The jump makes the reach double per round, so a
+    pathological PATH-GRAPH chain — the shape plain propagation needs
+    O(diameter) rounds for, which at a 100 TB corpus's near-dup chains
+    can exceed any fixed iteration cap — converges in O(log diameter)
+    rounds; duplicate cliques still converge in 2 rounds
+    (tests/test_skew.py::test_components_giant_clique_and_long_chain
+    pins both shapes under the DEFAULT cap with early exit). Two
+    shuffles per round; each round is ``localCheckpoint``ed to truncate
+    the growing plan lineage — without it, iteration i re-executes all
+    i-1 predecessors. Early exit on a fixpoint round; ``max_iterations``
+    bounds the worst case. Pass ``stats`` to receive
+    ``{"rounds": n, "converged": bool}`` for observability.
     """
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
@@ -672,18 +683,36 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    rounds, converged = 0, False
     for _ in range(max_iterations):
+        rounds += 1
         neighbor_min = (
             edges.join(labels, edges.t == labels.id)
             .groupBy("s")
             .agg(F.min("component").alias("nc"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
             .select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer jump: component <- label(component). Every component
+        # value is a node id present in `labels` (labels only ever hold
+        # reachable node ids), so the left join is total; coalesce
+        # guards the self-label rows all the same.
+        jump = stepped.select(
+            F.col("id").alias("__jid"), F.col("component").alias("__jc")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["component"] == jump["__jid"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__jc"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
@@ -697,7 +726,11 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels
 
 
@@ -1045,6 +1078,7 @@ def containment_dedup(
     n: int = 3,
     threshold: float = 0.8,
     max_token_df: int | None = 1000,
+    broadcast_threshold: int | None = 4_000_000,
 ) -> DataFrame:
     """Drop documents (nearly) contained in another document — keep the
     containers: the subsumption-dedup policy (wire stories quoted inside
@@ -1053,8 +1087,19 @@ def containment_dedup(
     Survivor rule, deterministic like :func:`exact_dedup`'s: a one-way
     contained document is dropped; a MUTUALLY-containing pair
     (near-identical docs, both directions in the pair list) keeps the
-    smaller id. The drop-list is duplicate-density-sized and removes
-    via one broadcast anti-join over the corpus."""
+    smaller id.
+
+    The drop-list is DUPLICATE-DENSITY-sized, not corpus-sized, so at
+    typical dup densities it broadcasts (one map-side anti-join, no
+    corpus shuffle). But a high-dup-density 100 TB corpus — e.g. 20%
+    contained docs over 10B rows = 2B drop ids — would exceed what the
+    driver can hold, so the removal probes the drop-list's actual row
+    count (cheap: the list is localCheckpointed, and the anti-join
+    needs it materialized anyway) and falls back to a plain shuffled
+    anti-join above ``broadcast_threshold`` rows (default 4M ids ≈
+    tens of MB serialized; size to driver/executor memory).
+    ``broadcast_threshold=None`` skips the probe and always broadcasts
+    (the pre-round-10 behavior); ``0`` forces the shuffle path."""
     pairs = containment_pairs(
         df, id_col, text_col, n, threshold, max_token_df
     ).localCheckpoint()
@@ -1070,7 +1115,9 @@ def containment_dedup(
     mutual_drops = mutual.where(F.col("id_a") > F.col("id_b")).select(
         F.col("id_a").alias("__drop")
     )
-    drop = one_way_drops.union(mutual_drops).distinct()
-    return df.join(
-        F.broadcast(drop), df[id_col] == F.col("__drop"), "left_anti"
-    )
+    # checkpoint: the drop list feeds a count probe AND the anti-join —
+    # without it the mutual/one-way joins over `pairs` run twice.
+    drop = one_way_drops.union(mutual_drops).distinct().localCheckpoint()
+    if broadcast_threshold is None or drop.count() <= broadcast_threshold:
+        drop = F.broadcast(drop)
+    return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")
