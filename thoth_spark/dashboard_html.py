@@ -177,9 +177,32 @@ def _selector_form(
 
 
 def _parse_date(s: str | None):
+    """Parse a selector date param; raises ValueError on malformed input
+    (the HTTP layer maps that to a 400, never a 500)."""
     if not s:
         return None
     return datetime.datetime.fromisoformat(s)
+
+
+def _parse_end_date(s: str | None):
+    """The selector's "to" input is a DATE; the user means the whole end
+    day inclusive. A bare date parses to midnight, and the repository
+    scans are closed intervals (``ts <= end_ts``), so passing it through
+    unchanged kept only the end day's 00:00 row at sub-daily
+    granularities (r9 verdict #5). Map a date-only "to" onto the last
+    representable instant of that day — equivalent to ``ts < end+1day``
+    at Spark's microsecond timestamp precision — while an explicit
+    datetime (API callers) stays an exact closed bound."""
+    parsed = _parse_date(s)
+    if parsed is None:
+        return None
+    if len(s.strip()) == 10:  # date-only form from the selector
+        return (
+            parsed
+            + datetime.timedelta(days=1)
+            - datetime.timedelta(microseconds=1)
+        )
+    return parsed
 
 
 def render_dashboard_html(
@@ -198,7 +221,7 @@ def render_dashboard_html(
     REPOSITORY scan (``select_profiling``/``select_scoring`` closed
     intervals), so the narrowed page never reads rows outside the
     window. Works with either repository adapter (parquet or JDBC)."""
-    start_ts, end_ts = _parse_date(start), _parse_date(end)
+    start_ts, end_ts = _parse_date(start), _parse_end_date(end)
     sections: list[str] = [
         "<!doctype html><html><head><meta charset='utf-8'>"
         f"<title>thoth_spark — {html.escape(dataset_uri)}</title>"

@@ -27,7 +27,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from thoth_spark.dashboard_html import render_dashboard_html
+from thoth_spark.dashboard_html import _parse_date, render_dashboard_html
 
 _ABOUT = (
     "<!doctype html><html><head><meta charset='utf-8'>"
@@ -102,7 +102,24 @@ class DashboardServer:
                             vals = qs.get(key, [])
                             return vals[0] if vals and vals[0] else None
 
-                        if not uris:
+                        # validate hand-editable date params up front:
+                        # a malformed ?start=/&end= is a caller error
+                        # (400), not a server failure — previously the
+                        # ValueError fell through to the generic 500
+                        # handler (r9 verdict #6)
+                        bad_date = None
+                        for key in ("start", "end"):
+                            try:
+                                _parse_date(_opt(key))
+                            except ValueError:
+                                bad_date = key
+                        if bad_date is not None:
+                            self._send(
+                                400,
+                                "<h1>400</h1><p>malformed ISO date in "
+                                f"?{html.escape(bad_date)}=</p>",
+                            )
+                        elif not uris:
                             self._send(400, "<h1>400</h1><p>missing ?uri=</p>")
                         elif outer.repo.get_dataset(uris[0]) is None:
                             self._send(
