@@ -189,7 +189,7 @@ def _short(n: str) -> str:
     return n
 
 
-def compact_tail_line(total, timings, sf, ratios) -> str:
+def compact_tail_line(total, timings, sf, ratios, calibration=None) -> str:
     """ONE compact JSON line printed LAST: per-query walls under short
     names plus the COMPLETE scaling-ratio list as ``"ratios"`` — an array
     aligned with the ``queries`` key order (JSON objects preserve
@@ -198,7 +198,10 @@ def compact_tail_line(total, timings, sf, ratios) -> str:
     is what lets walls AND ratios fit the driver's 2000-char stdout tail
     (r6/r7 artifacts lost the ratios dict to truncation). On a short-name
     collision, falls back to FULL names (a longer line that may truncate
-    is strictly better than aborting the whole bench run — r7 advice)."""
+    is strictly better than aborting the whole bench run — r7 advice).
+    ``calibration`` (the start/end contention sentinels — see
+    _calibrate) rides along as ``"cal": [cpu0, spark0, cpu1, spark1]``
+    (~30 chars) so a contaminated-run diagnosis never needs a rerun."""
     walls = {
         _short(n): (round(t, 1) if t is not None else None)
         for n, t in timings.items()
@@ -212,17 +215,17 @@ def compact_tail_line(total, timings, sf, ratios) -> str:
         (round(ratios[n], 1) if ratios.get(n) is not None and n in ratios else None)
         for n in timings
     ]
-    return json.dumps(
-        {
-            "metric": "headline_queries_total_wall",
-            "value": total,
-            "unit": "sec",
-            "queries": walls,
-            "sf": sf,
-            "ratios": rat,
-        },
-        separators=(",", ":"),
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": walls,
+        "sf": sf,
+        "ratios": rat,
+    }
+    if calibration is not None:
+        out["cal"] = calibration
+    return json.dumps(out, separators=(",", ":"))
 
 
 def _reset_session_state(spark) -> None:
@@ -257,6 +260,31 @@ def _write_local(payload: dict) -> None:
         os.replace(tmp_path, out_path)
     except OSError as exc:
         print(f"warning: BENCH_LOCAL.json write failed: {exc}", file=sys.stderr)
+
+
+def _calibrate(spark) -> dict[str, float]:
+    """Time two FIXED workloads — a pure-CPU numpy matmul and a constant
+    Spark aggregation — whose cost is independent of the benchmarked
+    code. Recorded at bench start and end, they make environment
+    contention self-evident IN the artifact: the r9 bench regressed 36%
+    round-over-round with zero runtime code changed, and the adjudication
+    (sustained machine contention during the driver's run) had to be
+    reconstructed after the fact by re-timing on an idle box. A
+    calibration pair far above its idle baseline (~0.8 s cpu / ~0.6 s
+    spark measured on this container at load-average 0) says "discount
+    this run" — and a STABLE pair under a total-wall swing says the swing
+    is real — without a rerun."""
+    import numpy as _np
+
+    t0 = time.perf_counter()
+    a = _np.ones((2048, 2048))
+    for _ in range(4):
+        a = a @ a * 1e-9
+    cpu = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id % 7)").collect()
+    return {"cpu_matmul_s": round(cpu, 3), "spark_agg_s": round(time.perf_counter() - t0, 3)}
 
 
 def main() -> None:
@@ -298,6 +326,9 @@ def main() -> None:
         "scaling_ratio_vs_sf0.01": {},
         "small_queries": small_timings,
         "failures": failures,
+        # contention sentinels: fixed workloads timed after warm-up and
+        # again after the timed loop — see _calibrate
+        "calibration_start": _calibrate(spark),
     }
     # Every per-query run is individually guarded: one broken query must
     # never zero the whole benchmark again (BENCH_r03 lost all numbers to
@@ -355,10 +386,26 @@ def main() -> None:
         }
         _write_local(payload)
 
+    payload["calibration_end"] = _calibrate(spark)
+    _write_local(payload)
     if not failures:
         del payload["failures"]
+    cal = [
+        payload["calibration_start"]["cpu_matmul_s"],
+        payload["calibration_start"]["spark_agg_s"],
+        payload["calibration_end"]["cpu_matmul_s"],
+        payload["calibration_end"]["spark_agg_s"],
+    ]
     print(json.dumps(payload))
-    print(compact_tail_line(payload["value"], timings, sf, payload.get("scaling_ratio_vs_sf0.01", {})))
+    print(
+        compact_tail_line(
+            payload["value"],
+            timings,
+            sf,
+            payload.get("scaling_ratio_vs_sf0.01", {}),
+            calibration=cal,
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -438,7 +438,9 @@ def test_bench_compact_tail_fits_driver_capture():
     # — the bench's whole point is keeping them ~<=5)
     timings = {n: 9.9 for n in bench.HEADLINE}
     ratios = {n: 9.9 for n in bench.HEADLINE}
-    line = bench.compact_tail_line(9999.9, timings, 0.1, ratios)
+    line = bench.compact_tail_line(
+        9999.9, timings, 0.1, ratios, calibration=[9.999, 9.999, 9.999, 9.999]
+    )
     assert len(line) + 100 <= 2000, f"tail line {len(line)} chars > capture budget"
     parsed = _json.loads(line)
     assert len(parsed["queries"]) == len(bench.HEADLINE)
