@@ -71,9 +71,11 @@ ORACLES: dict[str, str] = {}
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
 # from CORRECTNESS_r01-r09 (regenerate with ``python tools/staleness.py``):
-# (a) this round's ONE NEW oracled query, similarity_topk_ivf_recall
-#     (bounded partial-probe IVF recall gate) — never driver-verified,
-#     so it must be scheduled the round it lands;
+# (a) this round's TWO NEW oracled queries — never driver-verified, so
+#     they must be scheduled the round they land:
+#     similarity_topk_ivf_recall (bounded partial-probe IVF recall gate)
+#     and classifier_quality_accuracy_bound (per-class accuracy floor
+#     for the L-BFGS quality classifier);
 # (b) all 47 queries whose last driver-green is r6 — after two rounds of
 #     an un-rotated window they are exactly 3 recorded rounds stale, the
 #     maximal debt test_driver_window_rotation tolerates (profiling
@@ -85,11 +87,9 @@ ORACLES: dict[str, str] = {}
 #     brute/vectorized/ivf-fullprobe, trailing WAU, sessionize + the
 #     three r6 streaming queries, asof join, events_json_props, top-N
 #     per customer, tpch q16/q20);
-# (c) 2 spares from the r7-green set, chosen for re-verification value:
-#     tpch_q3_shipping_priority (its bench time is under investigation
-#     this round — r8 advice #4 carry) and tpch_q12_priority_shipments
-#     (a historical r1 hash-FAIL driver row, the exact class the strict
-#     staleness predicate tracks).
+# (c) 1 spare from the r7-green set, chosen for re-verification value:
+#     tpch_q3_shipping_priority (its bench time was under investigation
+#     this round — r8 advice #4 carry).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -97,6 +97,7 @@ ORACLES: dict[str, str] = {}
 DRIVER_PRIORITY: list[str] = [
     # (a) NEW this round, never driver-verified
     "similarity_topk_ivf_recall",
+    "classifier_quality_accuracy_bound",
     # (b) last strict driver-green r6
     "anomaly_ar1_validation",
     "anomaly_holt_validation",
@@ -145,9 +146,8 @@ DRIVER_PRIORITY: list[str] = [
     "top_orders_per_customer",
     "tpch_q16_supplier_counts",
     "tpch_q20_part_promotion",
-    # (c) r7-green spares with re-verification value
+    # (c) r7-green spare with re-verification value
     "tpch_q3_shipping_priority",
-    "tpch_q12_priority_shipments",
 ]
 
 
@@ -5345,6 +5345,82 @@ def classifier_quality_documents(spark, sf_dir):
 
 _NB_V, _NB_K = 4096, 1.0
 _NB_LOW, _NB_HIGH = 0.72, 0.78
+
+#: Per-class accuracy floor for the LR classifier bounds gate below.
+#: Measured per-class accuracy on the weak-label extremes: 1.0 at
+#: sf0.001/sf0.01, 0.9996 worst class at sf0.1 — 0.9 leaves an order of
+#: magnitude of error margin over L-BFGS float-reduction jitter.
+_LR_ACC_FLOOR = 0.9
+
+# The label-side CTEs replay classifier.quality_score + weak_labels
+# exactly as ORACLE_NB_CLASSIFIER's stats/q/lab0 do (hash-green via
+# classifier_nb_documents); only the per-class count is exact here — the
+# classifier's accuracy itself is pinned as a bound (TRUE), because
+# L-BFGS training is iterative and not SQL-expressible.
+ORACLE_LR_ACC_BOUND = f"""
+WITH d AS ({_DOC_TOKENS}),
+stats AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct_tokens,
+         len(list_filter(toks, t -> list_contains(
+             ['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+             / len(toks) AS stopword_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+             / length(text) AS digit_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text) AS punct_ratio
+  FROM d JOIN documents USING (doc_id)
+),
+q AS (
+  SELECT doc_id, round(least(n_tokens / 64.0, 1.0) * 0.3
+         + (n_distinct_tokens::DOUBLE / n_tokens) * 0.3
+         + greatest(1.0 - abs(stopword_ratio - 0.08) * 2, 0.0) * 0.2
+         + (1.0 - least((digit_ratio + punct_ratio) * 4, 1.0)) * 0.2, 6) AS qs
+  FROM stats
+),
+lab AS (
+  SELECT doc_id, CASE WHEN qs >= {_NB_HIGH} THEN 1 ELSE 0 END AS y
+  FROM q WHERE qs <= {_NB_LOW} OR qs >= {_NB_HIGH}
+)
+SELECT y AS label, count(*)::BIGINT AS n_labeled, TRUE AS acc_ok
+FROM lab GROUP BY y
+"""
+
+
+@query("classifier_quality_accuracy_bound", ORACLE_LR_ACC_BOUND)
+def classifier_quality_accuracy_bound(spark, sf_dir):
+    """Bounded accuracy oracle for the L-BFGS quality classifier (the
+    production scorer `classifier_quality_documents` stays rows-only):
+    train on the weak-label extremes, score them back, and assert
+    PER-CLASS accuracy >= ``_LR_ACC_FLOOR`` — per-class, not overall, so
+    a degenerate majority-class model fails the minority row. The
+    per-class labeled counts are SQL-exact (the heuristic weak labels
+    replay in DuckDB, same CTEs as the hash-green NB gate); the accuracy
+    is a bounds-oracle boolean like `similarity_topk_ivf_recall`'s
+    recall floor. Measured per-class accuracy 0.9996-1.0 across
+    sf0.001-0.1 against the 0.9 floor."""
+    docs = _documents(spark, sf_dir)
+    labeled = classifier.weak_labels(docs, low=_NB_LOW, high=_NB_HIGH)
+    model = classifier.train_quality_classifier(
+        labeled, n_features=1 << 14, max_iter=10
+    )
+    out = classifier.score_quality(docs, model)
+    j = labeled.select("doc_id", "label").join(
+        out.select("doc_id", "quality_pred"), "doc_id"
+    )
+    return (
+        j.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_labeled"),
+            (
+                F.avg((F.col("label") == F.col("quality_pred")).cast("double"))
+                >= F.lit(_LR_ACC_FLOOR)
+            ).alias("acc_ok"),
+        )
+        .select(F.col("label").cast("int").alias("label"), "n_labeled", "acc_ok")
+    )
+
+
 
 ORACLE_NB_CLASSIFIER = f"""
 WITH d AS ({_DOC_TOKENS}),
