@@ -240,3 +240,49 @@ def test_bm25_score_invariants(spark, docs):
     assert len(out) <= 5
     for r in out:
         assert r["score"] > 0 and r["n_terms_matched"] >= 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Pointer-jumped min-label propagation must equal a driver-side
+    union-find on arbitrary random graphs (self-loops and duplicate
+    edges included) — the algebraic ground truth the r10 pointer-jump
+    rewrite must preserve: component = min reachable id."""
+    from thoth_spark.operators.dedup import connected_components
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in edges for n in e}
+    expected = {}
+    roots: dict[int, int] = {}
+    for n in sorted(nodes):
+        roots.setdefault(find(n), n)  # min id per root (sorted order)
+    for n in nodes:
+        expected[n] = roots[find(n)]
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    stats: dict = {}
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs, stats=stats).collect()
+    }
+    assert got == expected, (got, expected, stats)
+    assert stats["converged"], stats
