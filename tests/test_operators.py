@@ -1761,3 +1761,160 @@ def test_containment_dedup_drop_list_broadcast_fallback(spark):
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and any("Broadcast" in ln for ln in anti), plan
     assert {r["id"] for r in always.collect()} == {2, 3, 10}
+
+
+def _dsir_brute(rows, n_buckets=8192, alpha=0.5):
+    """Driver-side DSIR reference: same md5 bucketing, add-alpha
+    smoothing, and unigram+bigram multiset as the operator."""
+    import hashlib
+    import math
+
+    def toks(t):
+        import re as _re
+
+        return _re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+
+    def grams(t):
+        ts = toks(t)
+        out = list(ts)
+        out += [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(f"42|{g}".encode()).hexdigest()[:8], 16) % n_buckets
+
+    raw, tgt = {}, {}
+    for _id, text, is_t in rows:
+        for g in grams(text):
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            if is_t:
+                tgt[b] = tgt.get(b, 0) + 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    out = {}
+    for _id, text, is_t in rows:
+        lw = 0.0
+        for g in grams(text):
+            b = bucket(g)
+            lw += math.log((tgt.get(b, 0) + alpha) / (T + alpha * n_buckets))
+            lw -= math.log((raw.get(b, 0) + alpha) / (R + alpha * n_buckets))
+        out[_id] = lw
+    return out
+
+
+def test_dsir_log_weights_match_brute_force(spark):
+    from thoth_spark.operators import sampling
+
+    rows = [
+        (1, "spark query engine scan", True),
+        (2, "spark query engine batch", True),
+        (3, "el gato come pescado fresco", False),
+        (4, "spark engine query scan scan", False),
+        (5, "la casa verde grande azul", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    got = {
+        r["id"]: r["log_weight"]
+        for r in sampling.dsir_log_weights(df, "doc_id", "text", "t").collect()
+    }
+    want = _dsir_brute(rows)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+    # target-vocabulary doc (4) outranks off-distribution docs (3, 5)
+    assert got[4] > got[3] and got[4] > got[5]
+
+
+def test_dsir_select_stable_across_layouts(spark):
+    from thoth_spark.operators import sampling
+
+    rows = [
+        (i, ("spark scan query " if i % 3 == 0 else "casa verde gato ") * 3, i % 2 == 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    a = sorted(
+        r["id"] for r in sampling.dsir_select(df, "doc_id", "text", "t", 20).collect()
+    )
+    b = sorted(
+        r["id"]
+        for r in sampling.dsir_select(
+            df.repartition(7), "doc_id", "text", "t", 20
+        ).collect()
+    )
+    assert len(a) == 20
+    assert a == b
+
+
+def test_semdedup_keeps_the_outlier_per_duplicate_group(spark):
+    import numpy as np
+
+    from thoth_spark.operators import similarity
+
+    # two axis-aligned clusters with FIXED centroids; one planted
+    # near-dup pair per cluster (cos ~0.99), one distant singleton
+    cents = np.eye(3)[:2]
+    rows = [
+        (1, [1.0, 0.0, 0.0]),          # cluster 0, centroid_sim 1.0
+        (2, [0.99, 0.141, 0.0]),       # dup of 1, centroid_sim 0.99
+        (3, [0.8, 0.6, 0.0]),          # cluster 0 singleton (cos(1,3)=0.8)
+        (4, [0.0, 1.0, 0.0]),          # cluster 1, centroid_sim 1.0
+        (5, [0.0, 0.995, 0.0998]),     # dup of 4
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.semdedup(df, threshold=0.95, centroids=cents).collect()
+    surv = sorted(r["id"] for r in out)
+    # the paper's rule: of each dup pair, the member FARTHEST from the
+    # centroid survives (2 over 1, 5 over 4); singletons survive
+    assert surv == [2, 3, 5]
+    by_id = {r["id"]: r for r in out}
+    assert by_id[3]["cluster"] == 0 and by_id[5]["cluster"] == 1
+
+
+def test_semdedup_matches_brute_force_with_fixed_centroids(spark):
+    import numpy as np
+
+    from thoth_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    cents = rng.normal(size=(4, 8))
+    base = rng.normal(size=(30, 8))
+    vecs = {i: base[i] for i in range(30)}
+    # plant near-dups: ids 30..39 are tiny perturbations of ids 0..9
+    for i in range(10):
+        vecs[30 + i] = base[i] + rng.normal(scale=1e-3, size=8)
+    rows = [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sorted(
+        r["id"]
+        for r in similarity.semdedup(df, threshold=0.95, centroids=cents).collect()
+    )
+
+    # driver-side reference: same assignment, pairs, components, policy
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    cell = {
+        i: int(np.argmin(((cents - v) ** 2).sum(axis=1)))
+        for i, v in vecs.items()
+    }
+    parent = {i: i for i in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in vecs:
+        for j in vecs:
+            if i < j and cell[i] == cell[j] and cos(vecs[i], vecs[j]) >= 0.95:
+                parent[find(i)] = find(j)
+    groups = {}
+    for i in vecs:
+        groups.setdefault(find(i), []).append(i)
+    want = sorted(
+        min(g, key=lambda i: (round(cos(vecs[i], cents[cell[i]]), 6), i))
+        for g in groups.values()
+    )
+    assert got == want

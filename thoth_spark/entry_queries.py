@@ -71,11 +71,12 @@ ORACLES: dict[str, str] = {}
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
 # from CORRECTNESS_r01-r09 (regenerate with ``python tools/staleness.py``):
-# (a) this round's TWO NEW oracled queries — never driver-verified, so
+# (a) this round's THREE NEW oracled queries — never driver-verified, so
 #     they must be scheduled the round they land:
-#     similarity_topk_ivf_recall (bounded partial-probe IVF recall gate)
-#     and classifier_quality_accuracy_bound (per-class accuracy floor
-#     for the L-BFGS quality classifier);
+#     similarity_topk_ivf_recall (bounded partial-probe IVF recall gate),
+#     classifier_quality_accuracy_bound (per-class accuracy floor
+#     for the L-BFGS quality classifier), and dsir_select_documents
+#     (DSIR hashed-n-gram importance resampling);
 # (b) all 47 queries whose last driver-green is r6 — after two rounds of
 #     an un-rotated window they are exactly 3 recorded rounds stale, the
 #     maximal debt test_driver_window_rotation tolerates (profiling
@@ -87,9 +88,10 @@ ORACLES: dict[str, str] = {}
 #     brute/vectorized/ivf-fullprobe, trailing WAU, sessionize + the
 #     three r6 streaming queries, asof join, events_json_props, top-N
 #     per customer, tpch q16/q20);
-# (c) 1 spare from the r7-green set, chosen for re-verification value:
-#     tpch_q3_shipping_priority (its bench time was under investigation
-#     this round — r8 advice #4 carry).
+# The three new queries fill every non-mandatory slot: 3 new + 47
+# r6-stale = 50 exactly (the tpch_q3 spare scheduled earlier this round
+# was displaced by dsir_select_documents — its bench investigation
+# closed via the quiet-run plan-lock evidence in SCALE.md instead).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -98,6 +100,7 @@ DRIVER_PRIORITY: list[str] = [
     # (a) NEW this round, never driver-verified
     "similarity_topk_ivf_recall",
     "classifier_quality_accuracy_bound",
+    "dsir_select_documents",
     # (b) last strict driver-green r6
     "anomaly_ar1_validation",
     "anomaly_holt_validation",
@@ -146,8 +149,6 @@ DRIVER_PRIORITY: list[str] = [
     "top_orders_per_customer",
     "tpch_q16_supplier_counts",
     "tpch_q20_part_promotion",
-    # (c) r7-green spare with re-verification value
-    "tpch_q3_shipping_priority",
 ]
 
 
@@ -4295,6 +4296,26 @@ def embedding_dedup_components(spark, sf_dir):
     )
 
 
+@query("semdedup_embeddings")
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): K-Means the
+    embedding space, intra-cluster cosine near-dup pairs, connected
+    components, keep the member farthest from its centroid per
+    duplicate group. Rows-only BY DESIGN: the production path trains
+    the coarse quantizer (pyspark.ml KMeans on a bounded sample), which
+    no SQL engine replays. Flanked in-family by the hash-green
+    embedding_neardup_exact / embedding_neardup_lsh /
+    embedding_dedup_components gates (same pair semantics), and by a
+    fixed-centroid brute-force parity pytest
+    (tests/test_operators.py::test_semdedup_matches_brute_force_with_fixed_centroids)
+    that pins assignment, pairing, components, and the keep-the-outlier
+    survivor policy end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup(emb, threshold=0.4, n_clusters=8).select(
+        "id", "cluster", "centroid_sim", "component"
+    )
+
+
 _CHAR_BUDGET = 8000
 
 ORACLE_TOKEN_BUDGET = f"""
@@ -5719,6 +5740,83 @@ def sample_documents_weighted(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return sampling.weighted_sample(docs, "doc_id", "n_chars", _WSAMPLE_N).select(
         "doc_id", "source", "n_chars"
+    )
+
+
+# --- DSIR importance resampling (hashed n-gram data selection)
+
+
+_DSIR_BUCKETS, _DSIR_ALPHA, _DSIR_N = 8192, 0.5, 100
+
+ORACLE_DSIR_SELECT = f"""
+WITH d AS ({_DOC_TOKENS}),
+uni AS (SELECT doc_id, unnest(toks) AS g FROM d WHERE len(toks) >= 1),
+bi AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         i -> toks[i] || ' ' || toks[i+1])) AS g
+  FROM d WHERE len(toks) >= 2
+),
+grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+gb AS (
+  SELECT doc_id,
+         ({_hex2int_sql("md5('42|' || g)", 1, 8)}) % {_DSIR_BUCKETS} AS bucket
+  FROM grams
+),
+flags AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t FROM documents
+),
+counts AS (
+  SELECT bucket, count(*)::BIGINT AS raw, sum(t)::BIGINT AS tgt
+  FROM gb JOIN flags USING (doc_id) GROUP BY 1
+),
+tot AS (SELECT sum(raw)::BIGINT AS r_total, sum(tgt)::BIGINT AS t_total FROM counts),
+ratio AS (
+  SELECT bucket,
+         ln((tgt + {_DSIR_ALPHA}) / (t_total + {_DSIR_ALPHA} * {_DSIR_BUCKETS}))
+       - ln((raw + {_DSIR_ALPHA}) / (r_total + {_DSIR_ALPHA} * {_DSIR_BUCKETS})) AS logr
+  FROM counts, tot
+),
+w AS (
+  SELECT doc_id, sum(logr) AS lw
+  FROM gb JOIN ratio USING (bucket) GROUP BY 1
+),
+k AS (
+  SELECT doc_id, lw,
+         lw - ln(-ln((({_SAMPLE_BUCKET}) + 1) / 1000000.0)) AS gk
+  FROM w
+)
+SELECT doc_id, round(lw, 6) AS log_weight
+FROM k ORDER BY gk DESC, doc_id LIMIT {_DSIR_N}
+"""
+
+
+@query("dsir_select_documents", ORACLE_DSIR_SELECT)
+def dsir_select_documents(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): treat the
+    English subset as the trusted target distribution, fit hashed
+    unigram+bigram multinomials for target vs raw corpus (8192 md5
+    buckets, add-0.5 smoothing), weight every document by its target/raw
+    log-likelihood ratio, and Gumbel-top-k sample exactly 100 docs with
+    probability proportional to the importance weight — the published
+    recipe for selecting
+    domain-relevant pretraining data from a raw crawl. The bucket model
+    is bounded at {_DSIR_BUCKETS} rows (broadcast both ways); corpus-
+    sized shuffles are only the two gram-explode groupBys."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    out = sampling.dsir_select(
+        docs,
+        "doc_id",
+        "text",
+        "__is_en",
+        n_select=_DSIR_N,
+        n_max=2,
+        n_buckets=_DSIR_BUCKETS,
+        alpha=_DSIR_ALPHA,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), F.round("log_weight", 6).alias("log_weight")
     )
 
 

@@ -224,3 +224,111 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_max: int = 2,
+    n_buckets: int = 8192,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): hashed n-gram bag-of-words features (unigrams
+    through ``n_max``-grams, md5-bucketed into ``n_buckets``), two
+    add-``alpha``-smoothed multinomials — the TARGET rows
+    (``target_col`` truthy, e.g. a trusted high-quality subset) and the
+    RAW corpus (all rows) — and each document scored by
+
+        log w(d) = sum over grams g of d:  log p_target(b(g)) - log p_raw(b(g))
+
+    Returns ``(id, log_weight)``. Documents whose hashed-n-gram profile
+    resembles the target distribution more than the corpus average get
+    positive weights.
+
+    Scale shape (100 TB lens): the gram stream reuses
+    :func:`~thoth_spark.operators.text.ngram_stream`'s staged
+    tokenize→checkpoint→explode recipe (one pass per gram order); both
+    count tables collapse to at most ``n_buckets`` rows via map-side
+    partial aggregation, so the bucket→log-ratio table is always
+    broadcastable (8192 rows by default — the model is bounded by
+    construction, never by the corpus). The only corpus-sized shuffles
+    are the gram explode's groupBys: one on ``bucket`` (bounded output),
+    one on ``id`` for the final per-document sum. md5 bucketing (not
+    xxhash) keeps the weights bit-replayable in any ANSI-SQL engine."""
+    from thoth_spark.operators.text import ngram_stream
+
+    grams = None
+    for n in range(1, n_max + 1):
+        g = ngram_stream(df, id_col, text_col, n)
+        grams = g if grams is None else grams.unionByName(g)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), F.col("g"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    gb = grams.select("id", bucket.alias("bucket"))
+    flags = df.select(
+        F.col(id_col).alias("id"), F.col(target_col).cast("int").alias("__t")
+    )
+    counts = (
+        gb.join(flags, "id")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("__raw"), F.sum("__t").alias("__tgt"))
+    )
+    totals = counts.agg(
+        F.sum("__raw").alias("__R"), F.sum("__tgt").alias("__T")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("__tgt") + alpha) / (F.col("__T") + alpha * n_buckets))
+            - F.log((F.col("__raw") + alpha) / (F.col("__R") + alpha * n_buckets))
+        ).alias("__logr"),
+    )
+    return (
+        gb.join(F.broadcast(ratio), "bucket")
+        .groupBy("id")
+        .agg(F.sum("__logr").alias("log_weight"))
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_select: int,
+    n_max: int = 2,
+    n_buckets: int = 8192,
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """DSIR selection: exactly ``n_select`` documents drawn WITHOUT
+    replacement with probability proportional to their importance weight
+    ``exp(log_weight)``, via the Gumbel-top-k trick (Vieira 2014; Kool
+    et al. 2019): each document's key is ``log_weight + Gumbel(0,1)``
+    and the ``n_select`` largest keys are the sample. The Gumbel noise
+    ``-log(-log u)`` uses the same md5-uniform as every other sampler
+    here, so the draw is a pure function of the data — stable across
+    reruns, cluster layouts, and engines, and replayable in the DuckDB
+    oracle. The ranking plans as TakeOrderedAndProject (per-partition
+    partial top-k, no global sort). Returns ``(id, log_weight)``."""
+    w = dsir_log_weights(
+        df, id_col, text_col, target_col, n_max, n_buckets, alpha, seed
+    )
+    u = (_bucket(F.col("id"), seed) + 1) / F.lit(float(HASH_BUCKETS))
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        w.withColumn("__k", key)
+        .orderBy(F.desc("__k"), F.col("id"))
+        .limit(n_select)
+        .select("id", "log_weight")
+    )

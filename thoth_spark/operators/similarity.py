@@ -270,29 +270,22 @@ def hyperplane_lsh_topk(
     )
 
 
-def ivf_topk(
+def coarse_centroids(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    vec_col: str,
+    n_centroids: int,
     seed: int = 42,
     max_train: int = 65536,
-) -> DataFrame:
-    """IVF approximate top-k: K-Means coarse centroids; corpus rows are
-    assigned to their nearest centroid (this assignment is the natural
-    storage partitioning key at scale); each query scans only its
-    ``nprobe`` nearest centroid cells.
-
-    The coarse quantizer trains on a bounded sample (``max_train`` rows,
-    cached and coalesced to a few partitions) with random init — the
-    standard IVF recipe: quantizer quality needs ~hundreds of points per
-    centroid, not the full corpus, and k-means|| init plus per-iteration
-    jobs over thousands of corpus partitions would otherwise dominate
-    (also the only part of the operator that does NOT scale with corpus
-    size, so keep it small and fast)."""
+) -> np.ndarray:
+    """K-Means coarse centroids as an ``(n_centroids, dim)`` float64
+    matrix, trained on a bounded sample (``max_train`` rows, cached and
+    coalesced to a few partitions) with random init — the standard IVF
+    recipe: quantizer quality needs ~hundreds of points per centroid,
+    not the full corpus, and k-means|| init plus per-iteration jobs over
+    thousands of corpus partitions would otherwise dominate (also the
+    only part of any consumer that does NOT scale with corpus size, so
+    keep it small and fast). Shared by :func:`ivf_topk` and
+    :func:`semdedup`."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -304,31 +297,54 @@ def ivf_topk(
     )
     km = KMeans(k=n_centroids, seed=seed, maxIter=10, initMode="random").fit(train)
     train.unpersist()
-    cent_mat = np.asarray(
+    return np.asarray(
         [[float(x) for x in c] for c in km.clusterCenters()], dtype=np.float64
     )
+
+
+def nearest_cells_udf(cent_mat: np.ndarray, n: int):
+    """Arrow-batched nearest-centroid assignment: the centroid matrix
+    ships once per task in the UDF closure (a few MB even at 65k
+    centroids × 128 dims), so the PLAN stays O(1) in ``n_centroids``
+    — the round-4 expression-literal form inlined every centroid
+    into the expression tree, which breaks codegen past a few
+    hundred centroids. One BLAS matmul per Arrow batch; argmin over
+    ``||x||² − 2x·c + ||c||²`` (the ``||x||²`` term is rank-
+    invariant and dropped). Ties break on the lower cid via stable
+    argsort, matching the struct-sort tie-break it replaces."""
     cent_sq = (cent_mat * cent_mat).sum(axis=1)  # ||c||² per centroid
 
+    @pandas_udf(ArrayType(IntegerType()))
+    def nearest_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            x = np.stack(vecs.to_numpy())  # (batch, dim)
+            d = cent_sq - 2.0 * (x @ cent_mat.T)  # (batch, n_centroids)
+            idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+            yield pd.Series(list(idx))
+
+    return nearest_cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 65536,
+) -> DataFrame:
+    """IVF approximate top-k: K-Means coarse centroids
+    (:func:`coarse_centroids`); corpus rows are assigned to their
+    nearest centroid (this assignment is the natural storage
+    partitioning key at scale); each query scans only its ``nprobe``
+    nearest centroid cells."""
+    cent_mat = coarse_centroids(corpus, vec_col, n_centroids, seed, max_train)
+
     def _nearest_udf(n: int):
-        """Arrow-batched nearest-centroid assignment: the centroid matrix
-        ships once per task in the UDF closure (a few MB even at 65k
-        centroids × 128 dims), so the PLAN stays O(1) in ``n_centroids``
-        — the round-4 expression-literal form inlined every centroid
-        into the expression tree, which breaks codegen past a few
-        hundred centroids. One BLAS matmul per Arrow batch; argmin over
-        ``||x||² − 2x·c + ||c||²`` (the ``||x||²`` term is rank-
-        invariant and dropped). Ties break on the lower cid via stable
-        argsort, matching the struct-sort tie-break it replaces."""
-
-        @pandas_udf(ArrayType(IntegerType()))
-        def nearest_cells(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-            for vecs in it:
-                x = np.stack(vecs.to_numpy())  # (batch, dim)
-                d = cent_sq - 2.0 * (x @ cent_mat.T)  # (batch, n_centroids)
-                idx = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
-                yield pd.Series(list(idx))
-
-        return nearest_cells
+        return nearest_cells_udf(cent_mat, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
@@ -393,6 +409,75 @@ def embedding_near_dup_pairs(
         .distinct()
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_train: int = 65536,
+    centroids: np.ndarray | None = None,
+    max_iterations: int = 15,
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with K-Means, find
+    near-duplicate pairs ONLY within each cluster (cosine >=
+    ``threshold``), group them into duplicate clusters via connected
+    components, and keep exactly one member per group — the one with
+    the LOWEST cosine similarity to its cluster centroid (the paper's
+    keep-the-outlier rule: of five semantic copies, retain the least
+    prototypical, preserving diversity). Singletons survive unchanged.
+    Returns ``(id, cluster, centroid_sim, component)`` for survivors.
+
+    Scale shape (100 TB lens): the candidate join is a self-join on the
+    cluster id, so candidate volume is sum over clusters of |cluster|²
+    — ``n_clusters`` is THE knob and must grow with the corpus (the
+    paper uses ~100k clusters at a 1e8-document scale; keep expected
+    cluster size in the low thousands). Centroid training is bounded at
+    ``max_train`` sampled rows regardless of corpus size, assignment is
+    one Arrow-batched matmul pass (centroid matrix in the UDF closure,
+    plan O(1) in ``n_clusters``), and survivor selection reuses
+    :func:`thoth_spark.operators.dedup.quality_survivors` — a
+    partial-aggregable max_by, safe under a degenerate giant duplicate
+    group. Pass precomputed ``centroids`` to reuse a quantizer across
+    snapshots (and for deterministic tests)."""
+    from thoth_spark.operators.dedup import quality_survivors
+
+    cent_mat = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else coarse_centroids(df, vec_col, n_clusters, seed, max_train)
+    )
+    cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+
+    @pandas_udf("double")
+    def _centroid_cos(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy())  # (batch, dim)
+        c = cells.to_numpy().astype(np.int64)
+        num = (x * cent_mat[c]).sum(axis=1)
+        den = np.sqrt((x * x).sum(axis=1)) * cent_norm[c]
+        return pd.Series(num / den)
+
+    base = (
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .withColumn("cluster", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
+        .withColumn("centroid_sim", _centroid_cos(F.col("v"), F.col("cluster")))
+        .localCheckpoint(eager=False)
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    scored = base.withColumn("__q", -F.col("centroid_sim"))
+    return quality_survivors(
+        scored, pairs, "id", "__q", max_iterations=max_iterations
+    ).select("id", "cluster", F.round("centroid_sim", 6).alias("centroid_sim"), "component")
 
 
 def brute_force_topk_pandas(
