@@ -596,3 +596,35 @@ def test_components_giant_clique_and_long_chain(spark):
     assert by_comp[500] == 503
     # chain best: ids with id%5==4 score 1.4; smallest such id is 4
     assert by_comp[0] == 4
+
+
+def test_semdedup_degenerate_identical_cluster_is_linear(spark):
+    """Adversarial boilerplate corpus: 400 bitwise-identical embeddings
+    (plus a handful of distinct ones) would naively generate 400²/2
+    intra-cluster candidate pairs. The exact-duplicate collapse must
+    reduce the quadratic stage to DISTINCT vectors only — candidate
+    volume ~|distinct|², with the copies rejoining as a linear
+    (rep, member) edge list — while keeping the output identical to
+    the all-pairs semantics: one survivor for the whole identical
+    group, distinct singletons untouched."""
+    import numpy as np
+
+    from thoth_spark.operators import similarity
+
+    cents = np.eye(4)[:2]
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(400)]  # one giant group
+    rows += [(1000, [0.0, 1.0, 0.0, 0.0]), (1001, [0.0, 0.97, 0.2431, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = {}
+    out = similarity.semdedup(
+        df, threshold=0.95, centroids=cents, stats=stats
+    ).collect()
+    assert stats["n_rows"] == 402
+    assert stats["n_distinct_vectors"] == 3
+    # the quadratic stage saw 3 reps, not 402 rows: at most 3 pairs
+    assert stats["n_rep_pairs"] <= 3
+    surv = sorted(r["id"] for r in out)
+    # identical group -> exactly one survivor (all tie on centroid_sim,
+    # min id wins); 1000/1001 have cos ~0.97 >= 0.95 -> one survivor,
+    # the one farther from the centroid (1001)
+    assert surv == [0, 1001]

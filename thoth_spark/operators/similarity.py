@@ -421,6 +421,7 @@ def semdedup(
     max_train: int = 65536,
     centroids: np.ndarray | None = None,
     max_iterations: int = 15,
+    stats: dict | None = None,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with K-Means, find
@@ -433,17 +434,28 @@ def semdedup(
     Returns ``(id, cluster, centroid_sim, component)`` for survivors.
 
     Scale shape (100 TB lens): the candidate join is a self-join on the
-    cluster id, so candidate volume is sum over clusters of |cluster|²
-    — ``n_clusters`` is THE knob and must grow with the corpus (the
-    paper uses ~100k clusters at a 1e8-document scale; keep expected
-    cluster size in the low thousands). Centroid training is bounded at
-    ``max_train`` sampled rows regardless of corpus size, assignment is
-    one Arrow-batched matmul pass (centroid matrix in the UDF closure,
-    plan O(1) in ``n_clusters``), and survivor selection reuses
+    cluster id over DISTINCT vectors only — exact-duplicate vectors
+    (bitwise-equal after the double cast) are collapsed to a min-id
+    representative first, and rejoin the pair graph as (rep, member)
+    edges. This is output-identical to the naive all-rows self-join
+    (identical vectors share cluster, centroid_sim, and every pairwise
+    cosine, so components and the survivor min_by are unchanged) but
+    turns the adversarial boilerplate corpus — millions of copies of
+    one embedding landing in one cluster — from |cluster|² candidates
+    into |distinct vectors in cluster|² + a linear edge list
+    (pinned by tests/test_skew.py::test_semdedup_degenerate_identical_cluster_is_linear).
+    Candidate volume is thus Σ|distinct-in-cluster|² — ``n_clusters``
+    is still THE knob and must grow with the corpus (the paper uses
+    ~100k clusters at 1e8 docs; keep expected cluster size in the low
+    thousands). Centroid training is bounded at ``max_train`` sampled
+    rows regardless of corpus size, assignment is one Arrow-batched
+    matmul pass (centroid matrix in the UDF closure, plan O(1) in
+    ``n_clusters``), and survivor selection reuses
     :func:`thoth_spark.operators.dedup.quality_survivors` — a
     partial-aggregable max_by, safe under a degenerate giant duplicate
     group. Pass precomputed ``centroids`` to reuse a quantizer across
-    snapshots (and for deterministic tests)."""
+    snapshots (and for deterministic tests). Pass ``stats`` to receive
+    ``{"n_rows", "n_distinct_vectors", "n_rep_pairs"}``."""
     from thoth_spark.operators.dedup import quality_survivors
 
     cent_mat = (
@@ -465,15 +477,36 @@ def semdedup(
         df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
         .withColumn("cluster", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
         .withColumn("centroid_sim", _centroid_cos(F.col("v"), F.col("cluster")))
+        .withColumn(
+            # 128-bit exact-vector fingerprint (md5 over the canonical
+            # double rendering; xxhash64's 64 bits would make a
+            # corpus-scale collision — a silent wrong merge — plausible)
+            "__vh",
+            F.md5(F.concat_ws(",", F.transform(F.col("v"), lambda x: x.cast("string")))),
+        )
         .localCheckpoint(eager=False)
     )
-    a, b = base.alias("a"), base.alias("b")
-    pairs = (
+    rep = base.groupBy("__vh").agg(F.min("id").alias("__rep"))
+    exact_pairs = (
+        base.join(rep, "__vh")
+        .where(F.col("id") != F.col("__rep"))
+        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+    )
+    reps_only = base.join(
+        rep.select(F.col("__rep").alias("id")), "id", "left_semi"
+    )
+    a, b = reps_only.alias("a"), reps_only.alias("b")
+    rep_pairs = (
         a.join(b, "cluster")
         .where(F.col("a.id") < F.col("b.id"))
         .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
+    if stats is not None:
+        stats["n_rows"] = base.count()
+        stats["n_distinct_vectors"] = rep.count()
+        stats["n_rep_pairs"] = rep_pairs.count()
+    pairs = exact_pairs.union(rep_pairs)
     scored = base.withColumn("__q", -F.col("centroid_sim"))
     return quality_survivors(
         scored, pairs, "id", "__q", max_iterations=max_iterations
