@@ -10,8 +10,10 @@ The pipeline a 100 TB curation job runs, at fixture scale:
 3. exact-substring passage dedup (duplicated 12-token runs removed
    from every occurrence — licence headers, templated paragraphs)
 4. MinHash-LSH near-duplicate removal with quality-aware survivors
-5. token-budget packing + deterministic training order
-6. sharded training-data sink (bit-stable on rerun)
+5. DSIR target-distribution selection (hashed-n-gram importance
+   weights vs the trusted English subset, Gumbel-top-k draw)
+6. token-budget packing + deterministic training order
+7. sharded training-data sink (bit-stable on rerun)
 
 Every step is engine-replayable (md5-keyed hashing throughout), so the
 resulting corpus is auditable: the same inputs produce the same shards
@@ -29,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from thoth_spark import get_spark
-from thoth_spark.operators import classifier, curation, dedup, text
+from thoth_spark.operators import classifier, curation, dedup, sampling, text
 from thoth_spark.sinks import write_training_shards
 from thoth_spark.sources import load_table
 
@@ -93,14 +95,28 @@ def main() -> None:
     ).select("doc_id", "text")
     n3 = unique_docs.count()
 
-    # 5. pack into 256-token bins (first-fit per hash shard)
-    sized = unique_docs.withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
+    # 5. DSIR selection (Xie et al. 2023): target the mix at the trusted
+    # English subset — importance-weight every survivor by a hashed
+    # n-gram target/raw likelihood ratio, then draw a fixed-size pool
+    # proportional to weight (deterministic Gumbel-top-k, so the draw
+    # replays bit-identically on any layout)
+    flagged = unique_docs.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+    pool = sampling.dsir_select(
+        flagged, "doc_id", "text", "is_target", n_select=max(1, int(n3 * 0.8))
+    ).select(F.col("id").alias("doc_id"))
+    selected = unique_docs.join(pool, "doc_id", "left_semi")
+    n4 = selected.count()
+
+    # 6. pack into 256-token bins (first-fit per hash shard)
+    sized = selected.withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
     packed = curation.pack_sequences(sized, budget=256, n_shards=4)
-    with_bins = unique_docs.join(
+    with_bins = selected.join(
         packed.select(F.col("id").alias("doc_id"), "bin_idx"), "doc_id"
     )
 
-    # 6. sharded sink (deterministic training order inside) — rerunning
+    # 7. sharded sink (deterministic training order inside) — rerunning
     # produces byte-identical files
     out_dir = os.path.join(tempfile.mkdtemp(prefix="curated_"), "shards")
     write_training_shards(with_bins, out_dir, n_shards=4)
@@ -109,6 +125,7 @@ def main() -> None:
     print(f"quality-kept:    {n1} docs (NB filter)")
     print(f"passage-cleaned: {n2} docs (empty after dedup dropped)")
     print(f"near-dup-unique: {n3} docs (quality-aware MinHash survivors)")
+    print(f"dsir-selected:   {n4} docs (target-distribution pool)")
     print(f"shards written:  {out_dir}")
     spark.stop()
 
