@@ -1918,3 +1918,27 @@ def test_semdedup_matches_brute_force_with_fixed_centroids(spark):
         for g in groups.values()
     )
     assert got == want
+
+
+def test_ivf_index_roundtrip(spark, tmp_path):
+    """Persisted IVF layout: query-from-index equals in-memory ivf_topk
+    with the same centroids, and the cells scan prunes to the probed
+    partitions (PartitionFilters on cell)."""
+    import numpy as np
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(5)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, centroids=cents)
+    got = similarity.ivf_query_index(spark, path, queries, k=3, nprobe=2)
+    want = similarity.ivf_topk(emb, queries, k=3, nprobe=2, centroids=cents)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    gr = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+    wr = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+    assert gr == wr and len(gr) == 15
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan, plan[:2000]

@@ -335,13 +335,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_train: int = 65536,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: K-Means coarse centroids
     (:func:`coarse_centroids`); corpus rows are assigned to their
     nearest centroid (this assignment is the natural storage
-    partitioning key at scale); each query scans only its ``nprobe``
-    nearest centroid cells."""
-    cent_mat = coarse_centroids(corpus, vec_col, n_centroids, seed, max_train)
+    partitioning key at scale — :func:`build_ivf_index` materializes
+    it); each query scans only its ``nprobe`` nearest centroid cells.
+    Pass ``centroids`` to reuse a trained quantizer."""
+    cent_mat = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else coarse_centroids(corpus, vec_col, n_centroids, seed, max_train)
+    )
 
     def _nearest_udf(n: int):
         return nearest_cells_udf(cent_mat, n)
@@ -355,6 +361,87 @@ def ivf_topk(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
         .withColumn("cell", F.explode(_nearest_udf(nprobe)(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 65536,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the IVF layout: ``<path>/centroids`` (cid, vector —
+    one tiny file) and ``<path>/cells`` — the corpus vectors written
+    ``partitionBy("cell")``, i.e. ONE PARQUET DIRECTORY PER INVERTED
+    LIST. This turns the cell assignment from a runtime join key into a
+    STORAGE property: a query touching ``nprobe`` cells prunes every
+    other partition at the file listing, so serving cost scales with
+    ``nprobe/n_centroids`` of the corpus, not the corpus — the property
+    that makes IVF an index rather than a re-scan at 100 TB. Returns
+    the centroid matrix for immediate probing."""
+    spark = corpus.sparkSession
+    cent_mat = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else coarse_centroids(corpus, vec_col, n_centroids, seed, max_train)
+    )
+    assigned = corpus.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent_mat)],
+        "cid int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    return cent_mat
+
+
+def ivf_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted :func:`build_ivf_index` layout: assign each
+    query to its ``nprobe`` nearest centroids, then read ONLY those
+    cell partitions (an explicit ``isin`` over the probed cell set —
+    static partition pruning, visible as ``PartitionFilters`` in the
+    scan; the probed set is bounded by ``n_queries × nprobe`` and by
+    ``n_centroids``, so the collect is a bounded scalar fetch). Result
+    is identical to :func:`ivf_topk` run with the same centroids —
+    pinned by ``tests/test_operators.py::test_ivf_index_roundtrip``."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cent_mat = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cell", F.explode(nearest_cells_udf(cent_mat, nprobe)(F.col("qv"))))
+        .localCheckpoint(eager=False)
+    )
+    probe_cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    c = (
+        spark.read.parquet(f"{path}/cells")
+        .where(F.col("cell").isin(probe_cells))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
     )
     scored = (
         c.join(F.broadcast(q), on="cell")
