@@ -1942,3 +1942,27 @@ def test_ivf_index_roundtrip(spark, tmp_path):
     assert gr == wr and len(gr) == 15
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [cell" in plan, plan[:2000]
+
+
+def test_ivf_index_quantized_rerank_matches_quantized_topk(spark, tmp_path):
+    """SQ8 index layout: full-probe query-from-index with exact rerank
+    equals quantized_topk (same candidate pipeline, probed set = whole
+    corpus at nprobe = n_centroids), and the stored cells carry int8
+    components."""
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(4)
+    cents = similarity.coarse_centroids(emb, "embedding", 4, seed=13)
+    path = str(tmp_path / "ivf_sq8")
+    similarity.build_ivf_index(emb, path, centroids=cents, quantize=True)
+    cells = spark.read.parquet(f"{path}/cells")
+    assert dict(cells.dtypes)["qvec"] == "array<tinyint>"
+    got = similarity.ivf_query_index(
+        spark, path, queries, k=3, nprobe=4, rerank_corpus=emb
+    )
+    want = similarity.quantized_topk(emb, queries, k=3)
+    gr = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+    wr = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+    assert gr == wr and len(gr) == 12

@@ -286,3 +286,21 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     assert got == expected, (got, expected, stats)
     assert stats["converged"], stats
+
+
+def test_dsir_uniform_target_gives_zero_weights(spark):
+    """DSIR invariant: when the target IS the raw corpus (every row
+    flagged), p_target == p_raw bucket-for-bucket, so every document's
+    log-likelihood-ratio weight is exactly 0 (identical smoothing terms
+    cancel term-by-term — no float tolerance needed)."""
+    from pyspark.sql import functions as F
+
+    from thoth_spark.operators.sampling import dsir_log_weights
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{(i + 1) % 5} common word") for i in range(40)],
+        "doc_id long, text string",
+    ).withColumn("t", F.lit(True))
+    out = dsir_log_weights(df, "doc_id", "text", "t").collect()
+    assert len(out) == 40
+    assert all(r["log_weight"] == 0.0 for r in out)

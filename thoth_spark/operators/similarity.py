@@ -107,6 +107,26 @@ def scalar_quantize(
     )
 
 
+def _dequantized_cos() -> Column:
+    """Approximate cosine from two SQ8 rows: integer dot product
+    (components widened to int — byte×byte would overflow) de-quantized
+    by the two per-vector scales, over the EXACT stored float norms.
+    Expects columns ``qvec/scale/vnorm`` and ``q_qvec/q_scale/q_vnorm``."""
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("q_qvec"), lambda x, y: x.cast("int") * y.cast("int")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        idot.cast("double")
+        * F.col("scale")
+        * F.col("q_scale")
+        / (F.col("vnorm") * F.col("q_vnorm"))
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -132,22 +152,10 @@ def quantized_topk(
         F.col("scale").alias("q_scale"),
         F.col("vnorm").alias("q_vnorm"),
     )
-    # integer dot product de-quantized by the two scales; norms are exact
-    idot = F.aggregate(
-        F.zip_with(F.col("qvec"), F.col("q_qvec"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     approx = (
         qc.crossJoin(F.broadcast(qq))
         .where(F.col(id_col) != F.col("query_id"))
-        .withColumn(
-            "approx_cos",
-            idot.cast("double")
-            * F.col("scale")
-            * F.col("q_scale")
-            / (F.col("vnorm") * F.col("q_vnorm")),
-        )
+        .withColumn("approx_cos", _dequantized_cos())
     )
     w_a = W.partitionBy("query_id").orderBy(
         F.col("approx_cos").desc(), F.col(id_col)
@@ -384,6 +392,7 @@ def build_ivf_index(
     seed: int = 42,
     max_train: int = 65536,
     centroids: np.ndarray | None = None,
+    quantize: bool = False,
 ) -> np.ndarray:
     """Materialize the IVF layout: ``<path>/centroids`` (cid, vector —
     one tiny file) and ``<path>/cells`` — the corpus vectors written
@@ -393,7 +402,15 @@ def build_ivf_index(
     other partition at the file listing, so serving cost scales with
     ``nprobe/n_centroids`` of the corpus, not the corpus — the property
     that makes IVF an index rather than a re-scan at 100 TB. Returns
-    the centroid matrix for immediate probing."""
+    the centroid matrix for immediate probing.
+
+    ``quantize=True`` stores the FAISS-IVF+SQ8 layout instead: int8
+    components (``array<tinyint>``) plus the per-vector ``scale`` and
+    exact float ``vnorm`` — :func:`scalar_quantize`'s exact recipe —
+    so each probed cell reads ~4-8× fewer bytes than the float layout
+    (the probe is bandwidth-bound); exactness comes back at query time
+    by re-ranking a small candidate pool against the original vectors
+    (``rerank_corpus`` in :func:`ivf_query_index`)."""
     spark = corpus.sparkSession
     cent_mat = (
         np.asarray(centroids, dtype=np.float64)
@@ -403,6 +420,20 @@ def build_ivf_index(
     assigned = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("cell", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
+    if quantize:
+        # scalar_quantize's exact recipe, inlined so `cell` rides along
+        # (its select() drops extra columns; a join-back would be a
+        # corpus self-shuffle); byte cast is lossless for [-127, 127]
+        vec = F.col("v")
+        amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+        assigned = assigned.select(
+            "vec_id",
+            F.transform(vec, lambda x: F.round(x / scale).cast("byte")).alias("qvec"),
+            scale.alias("scale"),
+            norm(vec).alias("vnorm"),
+            "cell",
+        )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(cent_mat)],
@@ -419,15 +450,27 @@ def ivf_query_index(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank_corpus: DataFrame | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Probe a persisted :func:`build_ivf_index` layout: assign each
     query to its ``nprobe`` nearest centroids, then read ONLY those
     cell partitions (an explicit ``isin`` over the probed cell set —
     static partition pruning, visible as ``PartitionFilters`` in the
     scan; the probed set is bounded by ``n_queries × nprobe`` and by
-    ``n_centroids``, so the collect is a bounded scalar fetch). Result
-    is identical to :func:`ivf_topk` run with the same centroids —
-    pinned by ``tests/test_operators.py::test_ivf_index_roundtrip``."""
+    ``n_centroids``, so the collect is a bounded scalar fetch). On a
+    float layout the result is identical to :func:`ivf_topk` run with
+    the same centroids — pinned by
+    ``tests/test_operators.py::test_ivf_index_roundtrip``.
+
+    A ``quantize=True`` index is detected from its schema: the pruned
+    scan scores the int8 rows (:func:`_dequantized_cos` — ~4-8× less
+    read bandwidth). Pass ``rerank_corpus`` (the original float
+    vectors) to recover exactness: the top ``rerank`` (default 10·k)
+    approximate candidates per query are re-scored with exact float
+    cosine — the candidate join touches O(queries × rerank) rows,
+    never a cell. Without it, ranks and ``cos_sim`` are the
+    de-quantized approximations."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cent_mat = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
     q = (
@@ -438,17 +481,54 @@ def ivf_query_index(
         .localCheckpoint(eager=False)
     )
     probe_cells = sorted(r["cell"] for r in q.select("cell").distinct().collect())
-    c = (
-        spark.read.parquet(f"{path}/cells")
-        .where(F.col("cell").isin(probe_cells))
-        .select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
-    )
-    scored = (
-        c.join(F.broadcast(q), on="cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
-    )
+    cells = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probe_cells))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+
+    if "qvec" in cells.columns:  # SQ8 layout
+        qq = scalar_quantize(
+            queries.select(F.col(id_col).alias("q_id"), F.col(vec_col)), "q_id", vec_col
+        ).select(
+            F.col("q_id").alias("query_id"),
+            F.col("qvec").alias("q_qvec"),
+            F.col("scale").alias("q_scale"),
+            F.col("vnorm").alias("q_vnorm"),
+        )
+        approx = (
+            cells.select(F.col("vec_id").alias("neighbor_id"), "qvec", "scale", "vnorm", "cell")
+            .join(F.broadcast(q.select("query_id", "cell")), on="cell")
+            .join(F.broadcast(qq), on="query_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("approx_cos", _dequantized_cos())
+        )
+        if rerank_corpus is None:
+            scored = approx.withColumn("cos_sim", F.col("approx_cos"))
+        else:
+            n_cand = rerank or 10 * k
+            w_a = W.partitionBy("query_id").orderBy(
+                F.col("approx_cos").desc(), F.col("neighbor_id")
+            )
+            cands = (
+                approx.withColumn("arank", F.row_number().over(w_a))
+                .where(F.col("arank") <= n_cand)
+                .select("neighbor_id", "query_id")
+            )
+            exact_c = rerank_corpus.select(
+                F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+            )
+            scored = (
+                cands.join(exact_c, "neighbor_id")
+                .join(F.broadcast(q.select("query_id", "qv").distinct()), "query_id")
+                .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+            )
+    else:
+        scored = (
+            cells.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell"
+            )
+            .join(F.broadcast(q), on="cell")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
