@@ -463,6 +463,158 @@ def test_decode_real_raises(spark, documents_df):
         multimodal.decode_real(documents_df)
 
 
+def _ref_dhash(blob: bytes) -> tuple[int, int]:
+    """Independent dHash reference: direct loops, no shared helpers —
+    guards the operator's packing convention and grid bounds."""
+    import re as _re
+
+    import numpy as np
+
+    m = _re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", blob)
+    magic, w, h = m.group(1), int(m.group(2)), int(m.group(3))
+    nc = 3 if magic == b"P6" else 1
+    px = np.frombuffer(blob, dtype=np.uint8, count=w * h * nc, offset=m.end())
+    px = px.reshape(h, w, nc).astype(float)
+    g = (
+        0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        if nc == 3
+        else px[..., 0]
+    )
+    # same block bounds as np.array_split: first (n % k) blocks get the
+    # extra element
+    def bounds(n, k):
+        base, rem = divmod(n, k)
+        out, s = [0], 0
+        for i in range(k):
+            s += base + (1 if i < rem else 0)
+            out.append(s)
+        return out
+
+    rb, cb = bounds(h, 8), bounds(w, 9)
+    grid = [
+        [g[rb[r] : rb[r + 1], cb[c] : cb[c + 1]].mean() for c in range(9)]
+        for r in range(8)
+    ]
+    hi = lo = 0
+    for r in range(8):
+        for c in range(8):
+            if grid[r][c] > grid[r][c + 1]:
+                k = r * 8 + c
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def test_image_phash_matches_independent_reference(spark, documents_df):
+    textured = multimodal.synth_ppm_textured(documents_df.limit(12))
+    blobs = {r["doc_id"]: bytes(r["content"]) for r in textured.collect()}
+    got = {
+        r["id"]: (r["sim_hi"], r["sim_lo"])
+        for r in multimodal.image_phash(textured).collect()
+    }
+    assert len(got) == 12
+    for did, blob in blobs.items():
+        assert got[did] == _ref_dhash(blob), f"doc {did}"
+        assert 0 <= got[did][0] < 2**32 and 0 <= got[did][1] < 2**32
+
+
+def test_image_near_dup_pairs_equal_text_dup_ground_truth(spark, documents_df):
+    """The textured-synth fixture maps exact text dups to exact image
+    dups; with 64-bit hashes, distinct texts landing within hamming 3 is
+    ~C(64,<=3)/2**64 per pair — so the image near-dup pairs must equal
+    the normalized-text duplicate pairs exactly."""
+    import pyspark.sql.functions as F
+    from thoth_spark.operators.text import fingerprint
+
+    base = documents_df.select("doc_id", "text").limit(60)
+    # the corpus has no exact normalized-text dups, so plant case- and
+    # whitespace-variants — the synth's Python-side normalization must
+    # agree with text.fingerprint's SQL normalization for these to pair
+    variants = (
+        base.limit(8)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("  "),
+                F.regexp_replace(F.upper("text"), " ", "  "),
+                F.lit(" "),
+            ).alias("text"),
+        )
+    )
+    docs = base.unionByName(variants)
+    textured = multimodal.synth_ppm_textured(docs)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.image_near_dup_pairs(textured, max_hamming=3).collect()
+    }
+    truth = docs.withColumn("fp", fingerprint(F.col("text")))
+    a, b = truth.alias("a"), truth.alias("b")
+    want = {
+        (r["id_a"], r["id_b"], 0)
+        for r in a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .collect()
+    }
+    assert want, "fixture corpus must contain exact text duplicates"
+    assert got == want
+
+
+def test_image_near_dup_finds_constructed_near_miss(spark):
+    """Recall through the banding path for a genuine hamming-1..3 pair:
+    a horizontal-gradient image (dHash = 0) vs the same image with one
+    8x9-grid cell brightened (flips exactly the bits asserted below)."""
+    import numpy as np
+
+    def ppm(g):
+        h, w = g.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + g.astype(np.uint8).tobytes()
+
+    base = np.tile(np.arange(72, dtype=np.uint8) * 3, (64, 1))
+    bumped = base.copy()
+    # grid cell (0, 4) of the 8x9 area-mean split on a 64x72 image is
+    # rows [0,8) x cols [32,40); brightening it flips bit (0,4) only
+    bumped[0:8, 32:40] = 255
+    h1 = multimodal.phash64(ppm(base))
+    h2 = multimodal.phash64(ppm(bumped))
+    dist = bin(h1[0] ^ h2[0]).count("1") + bin(h1[1] ^ h2[1]).count("1")
+    assert 1 <= dist <= 3, dist
+
+    rng = np.random.default_rng(7)
+    rows = [(1, ppm(base)), (2, ppm(bumped))] + [
+        (i, ppm(rng.integers(0, 256, size=(64, 72)))) for i in range(3, 20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == dist
+    for (ia, ib), d in pairs.items():
+        assert d <= 3
+
+
+def test_image_phash_ahash_and_tiny_images(spark):
+    import numpy as np
+
+    def ppm(g):
+        h, w = g.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + g.astype(np.uint8).tobytes()
+
+    # tiny 2x3 image exercises the repeat-up path; both methods run
+    tiny = np.array([[0, 128, 255], [255, 0, 64]])
+    df = spark.createDataFrame([(1, ppm(tiny))], "doc_id int, content binary")
+    for method in ("ahash", "dhash"):
+        row = multimodal.image_phash(df, method=method).collect()[0]
+        assert 0 <= row["sim_hi"] < 2**32 and 0 <= row["sim_lo"] < 2**32
+    with pytest.raises(ValueError):
+        multimodal.image_phash(df, method="phash")
+
+
 def test_salted_join_equals_plain_join(spark):
     import pyspark.sql.functions as F
     from thoth_spark.operators.relational import salted_join

@@ -588,3 +588,12 @@ def test_chi2_reference_probs_broadcast(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = _plan(chi2_daily(ev, "ts", "event_type", "2024-01-08"))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_image_phash_neardup_no_cartesian(spark, sf_dir):
+    """Image near-dup candidates must come from the block-permutation
+    equi-join on (ci, cv) — a cartesian over image fingerprints is the
+    O(n²) plan the Manku scheme exists to avoid."""
+    plan = _plan(entry_queries.QUERIES["multimodal_phash_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4389,6 +4389,64 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_idx", "frame_md5")
 
 
+# Exact-replay oracle for multimodal_phash_neardup, NOT yet wired: the
+# r10 driver window carries zero spare slots (3 never-green + 47
+# r6-stale = 50), and an oracled query must be scheduled the round it
+# lands. Flip to `@query("multimodal_phash_neardup", ORACLE_PHASH_NEARDUP)`
+# in r11 and add the name to DRIVER_PRIORITY. Why the replay is exact:
+# the textured synth derives each image's pixel stream from the
+# NORMALIZED text, so planted case/whitespace variants are byte-identical
+# images (hamming 0) and distinct texts are independent 64-bit dHashes —
+# a false pair within hamming 3 has probability ~C(64,≤3)/2^64 ≈ 2e-15
+# per pair, nil over the ~1.7e5 pairs at any test SF (and the data is
+# fixed, so the check is deterministic, verified at sf0.01/sf0.1).
+ORACLE_PHASH_NEARDUP = r"""
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, '  ' || replace(upper(text), ' ', '  ') || ' '
+  FROM documents WHERE doc_id % 25 = 0
+),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+  FROM c
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+"""
+
+
+@query("multimodal_phash_neardup")
+def multimodal_phash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs via perceptual dHash (Krawetz aHash/
+    dHash, the LAION-scale image-dedup fingerprints) within Hamming
+    distance 3, candidates by the Manku block-permutation scheme reused
+    verbatim from the SimHash text path (dedup.simhash_near_dup_pairs on
+    the image_phash frame — never a cartesian). The corpus carries no
+    image files, so a deterministic textured PGM is synthesized per doc
+    from its normalized text (multimodal.synth_ppm_textured) and a
+    variant slice (case+whitespace mutations of every 25th doc) is
+    planted — those normalize identically, so their images are
+    byte-equal and the pipeline must recover exactly that pair set.
+    Rows-only THIS round (no free window slot); ORACLE_PHASH_NEARDUP
+    above is the exact replay to wire in r11."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.regexp_replace(F.upper("text"), " ", "  "),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    pairs = multimodal.image_near_dup_pairs(
+        multimodal.synth_ppm_textured(corpus), max_hamming=3
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 ORACLE_MINHASH_SURVIVORS = f"""
 WITH {_DOC_SHINGLES},
 {_MINHASH_SIG_SQL},

@@ -314,3 +314,190 @@ def frame_sample_stub(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(sample, schema=out_schema)
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + near-duplicate pairs (LAION-style image dedup)
+# ---------------------------------------------------------------------------
+
+#: fingerprint frame emitted by :func:`image_phash` — intentionally the
+#: SAME ``(id, sim_hi, sim_lo)`` shape as ``dedup.simhash``, so the
+#: Manku block-permutation candidate machinery (``simhash_chunks`` /
+#: ``simhash_near_dup_pairs`` / ``simhash_pairs_incremental``) runs on
+#: image fingerprints unchanged.
+PHASH_SCHEMA_SUFFIX = "sim_hi long, sim_lo long"
+
+
+def _ppm_gray(bb: bytes) -> "object":
+    """Decode a binary PPM/PGM (P6/P5) payload to a float64 grayscale
+    matrix (ITU-R 601 luma weights, same as :func:`ppm_decoder`)."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", bb)
+    if not m:
+        raise ValueError("not a binary PPM/PGM (P6/P5) payload")
+    magic, w, h = m.group(1), int(m.group(2)), int(m.group(3))
+    nc = 3 if magic == b"P6" else 1
+    px = np.frombuffer(bb, dtype=np.uint8, count=w * h * nc, offset=m.end()).reshape(
+        h, w, nc
+    ).astype(np.float64)
+    if nc == 3:
+        return 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return px[..., 0]
+
+
+def _area_mean(g, rows: int, cols: int):
+    """Deterministic area-mean downsample to ``rows x cols`` — each output
+    cell is the mean of one contiguous pixel block (``np.array_split``
+    bounds, so any input size >= 1 works; tiny inputs are first repeated
+    up to the target grid)."""
+    import numpy as np
+
+    if g.shape[0] < rows:
+        g = np.repeat(g, -(-rows // g.shape[0]), axis=0)
+    if g.shape[1] < cols:
+        g = np.repeat(g, -(-cols // g.shape[1]), axis=1)
+    return np.array(
+        [
+            [c.mean() for c in np.array_split(r, cols, axis=1)]
+            for r in np.array_split(g, rows, axis=0)
+        ]
+    )
+
+
+def phash64(bb: bytes, method: str = "dhash") -> tuple[int, int]:
+    """64-bit perceptual hash of one PPM/PGM payload, returned as the
+    ``(sim_hi, sim_lo)`` unsigned 32-bit halves (global bit k < 32 lives
+    in ``sim_lo`` at position k; bit k >= 32 in ``sim_hi`` at k-32 —
+    byte-compatible with ``dedup.simhash``'s packing).
+
+    Public algorithms (Krawetz, "Kind of Like That" / "Looks Like It",
+    hackerfactor.com, 2011-2013 — the aHash/dHash used for LAION-scale
+    image dedup):
+
+    - ``dhash``: area-mean to an 8x9 grayscale grid; bit (r, c) = 1 iff
+      cell (r, c) is brighter than its right neighbour (gradient signs
+      are robust to global brightness/contrast shifts).
+    - ``ahash``: area-mean to 8x8; bit = 1 iff cell >= grid mean.
+    """
+    g = _ppm_gray(bytes(bb))
+    if method == "dhash":
+        grid = _area_mean(g, 8, 9)
+        bits = (grid[:, :-1] > grid[:, 1:]).reshape(-1)
+    elif method == "ahash":
+        grid = _area_mean(g, 8, 8)
+        bits = (grid >= grid.mean()).reshape(-1)
+    else:
+        raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    hi = lo = 0
+    for k in range(64):
+        if bits[k]:
+            if k < 32:
+                lo |= 1 << k
+            else:
+                hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "content",
+    method: str = "dhash",
+) -> DataFrame:
+    """Perceptual hash per image: ``(id, sim_hi, sim_lo)``.
+
+    Arrow-batched ``mapInPandas`` over just the (id, blob) projection —
+    the binary column is selected last so upstream metadata stages keep
+    their column pruning. One pass, no shuffle; the output frame is tiny
+    (two longs per image) and feeds :func:`image_near_dup_pairs`."""
+    if method not in ("dhash", "ahash"):
+        raise ValueError(f"method must be 'dhash' or 'ahash', got {method!r}")
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for b in pdf[media_col]:
+                hi, lo = phash64(b, method)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "sim_hi": his, "sim_lo": los}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=f"id {id_type}, {PHASH_SCHEMA_SUFFIX}"
+    )
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "content",
+    max_hamming: int = 3,
+    blocks: int = 6,
+    method: str = "dhash",
+) -> DataFrame:
+    """Image near-duplicate pairs within ``max_hamming`` bits of
+    perceptual-hash distance: ``(id_a, id_b, hamming)``.
+
+    Candidate generation and verification are EXACTLY
+    ``dedup.simhash_near_dup_pairs`` on the :func:`image_phash` frame —
+    the Manku block-permutation pigeonhole scheme, O(n²/2³²) expected
+    candidates, never a cartesian (plan-locked by the same test family).
+    At 100 TB the blob decode dominates; the pairs stage only ever
+    shuffles the 3-column fingerprint frame."""
+    from thoth_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        image_phash(df, id_col, media_col, method), max_hamming, blocks
+    )
+
+
+def synth_ppm_textured(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "content",
+    size: int = 32,
+) -> DataFrame:
+    """Synthesize a REAL textured grayscale PGM (P5) per row whose pixel
+    stream is an MD5-counter keystream of the NORMALIZED text (lowercase,
+    collapsed whitespace — the same canonical form as
+    ``text.fingerprint``). Rows with identical normalized text produce
+    byte-identical images, so the corpus's known exact-text duplicates
+    become exact image duplicates — the fixture that lets the image
+    near-dup pipeline be verified against the text-dup ground truth
+    without shipping real image files."""
+    import re
+
+    import numpy as np
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {media_col} binary"
+    npix = size * size
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for t in pdf[text_col]:
+                norm = re.sub(r"\s+", " ", str(t).lower().strip())
+                seed = hashlib.md5(norm.encode("utf-8")).digest()
+                chunks = []
+                need = npix
+                ctr = 0
+                while need > 0:
+                    chunk = hashlib.md5(seed + ctr.to_bytes(4, "big")).digest()
+                    chunks.append(chunk)
+                    need -= len(chunk)
+                    ctr += 1
+                px = np.frombuffer(b"".join(chunks), dtype=np.uint8)[:npix]
+                blobs.append(b"P5\n%d %d\n255\n" % (size, size) + px.tobytes())
+            out = pdf.copy()
+            out[media_col] = blobs
+            yield out
+
+    return df.mapInPandas(synth, schema=out_schema)
