@@ -615,6 +615,99 @@ def test_image_phash_ahash_and_tiny_images(spark):
         multimodal.image_phash(df, method="phash")
 
 
+def _wav_bytes(x):
+    """mono 16-bit PCM WAV from a float array in [-1, 1]."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes((np.clip(x, -1, 1) * 32767).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_gain_invariant_and_deterministic():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    amps = rng.uniform(0.05, 0.95, size=64)
+    x = np.repeat(amps, 128) * np.sin(np.arange(64 * 128) * 0.7)
+    full = multimodal.audio_fingerprint64(_wav_bytes(x))
+    half = multimodal.audio_fingerprint64(_wav_bytes(0.5 * x))
+    assert full == half  # median-relative bits ignore global gain
+    assert full == multimodal.audio_fingerprint64(_wav_bytes(x))
+    ones = bin(full[0]).count("1") + bin(full[1]).count("1")
+    assert 20 <= ones <= 44  # median split: roughly half the bits set
+
+
+def test_audio_near_dup_pairs_equal_text_dup_ground_truth(spark, documents_df):
+    import pyspark.sql.functions as F
+    from thoth_spark.operators.text import fingerprint
+
+    base = documents_df.select("doc_id", "text").limit(30)
+    variants = base.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    docs = base.unionByName(variants)
+    wavs = multimodal.synth_wav_textured(docs)
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in multimodal.audio_near_dup_pairs(wavs, max_hamming=3).collect()
+    }
+    truth = docs.withColumn("fp", fingerprint(F.col("text")))
+    a, b = truth.alias("a"), truth.alias("b")
+    want = {
+        (r["id_a"], r["id_b"], 0)
+        for r in a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .collect()
+    }
+    assert len(want) == 5
+    assert got == want
+
+
+def test_audio_near_dup_finds_constructed_near_miss(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    amps = rng.uniform(0.05, 0.95, size=64)
+    carrier = np.sin(np.arange(64 * 128) * 0.7)
+    base = np.repeat(amps, 128) * carrier
+    # push one window's energy across the track median: flips that
+    # window's bit (plus at most a couple of median-borderline bits)
+    bumped_amps = amps.copy()
+    k = int(np.argmin(amps))
+    bumped_amps[k] = 0.97
+    bumped = np.repeat(bumped_amps, 128) * carrier
+    h1 = multimodal.audio_fingerprint64(_wav_bytes(base))
+    h2 = multimodal.audio_fingerprint64(_wav_bytes(bumped))
+    dist = bin(h1[0] ^ h2[0]).count("1") + bin(h1[1] ^ h2[1]).count("1")
+    assert 1 <= dist <= 3, dist
+
+    rows = [(1, _wav_bytes(base)), (2, _wav_bytes(bumped))] + [
+        (
+            i,
+            _wav_bytes(
+                np.repeat(rng.uniform(0.05, 0.95, size=64), 128) * carrier
+            ),
+        )
+        for i in range(3, 16)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, content binary")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == dist
+
+
 def test_salted_join_equals_plain_join(spark):
     import pyspark.sql.functions as F
     from thoth_spark.operators.relational import salted_join

@@ -597,3 +597,9 @@ def test_image_phash_neardup_no_cartesian(spark, sf_dir):
     plan = _plan(entry_queries.QUERIES["multimodal_phash_neardup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_neardup_no_cartesian(spark, sf_dir):
+    plan = _plan(entry_queries.QUERIES["multimodal_audio_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

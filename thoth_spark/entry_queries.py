@@ -4447,6 +4447,54 @@ def multimodal_phash_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
+# Exact-replay oracle for multimodal_audio_neardup, NOT yet wired (same
+# zero-spare-slot reasoning as ORACLE_PHASH_NEARDUP above — flip to
+# `@query("multimodal_audio_neardup", ORACLE_AUDIO_NEARDUP)` + a window
+# slot in r11). Exactness: synth_wav_textured derives the PCM stream
+# from the NORMALIZED text, so the planted variants are byte-identical
+# WAVs (fingerprint distance 0); distinct texts yield ~independent
+# median-split signatures, and a false pair within hamming 3 is
+# ~C(64,≤3)/C(64,32) ≈ 2.4e-14 per pair on the fixed corpus.
+ORACLE_AUDIO_NEARDUP = r"""
+WITH c AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, ' ' || upper(text) || '  '
+  FROM documents WHERE doc_id % 25 = 3
+),
+fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f
+  FROM c
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::INT AS hamming
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+"""
+
+
+@query("multimodal_audio_neardup")
+def multimodal_audio_neardup(spark, sf_dir):
+    """Audio near-duplicate pairs via the 64-window energy-envelope
+    fingerprint (median-relative RMS bits — gain-invariant) within
+    Hamming distance 3; candidates via the SAME Manku block-permutation
+    banding as text SimHash and image pHash (one shared engine, three
+    modalities). Deterministic WAVs are synthesized per doc from its
+    normalized text (multimodal.synth_wav_textured) with a planted
+    case/whitespace variant slice — the pipeline must recover exactly
+    those pairs. Rows-only THIS round; ORACLE_AUDIO_NEARDUP above is
+    the exact replay to wire in r11."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 25 == 3).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit(" "), F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    pairs = multimodal.audio_near_dup_pairs(
+        multimodal.synth_wav_textured(corpus), max_hamming=3
+    )
+    return pairs.select("id_a", "id_b", "hamming")
+
+
 ORACLE_MINHASH_SURVIVORS = f"""
 WITH {_DOC_SHINGLES},
 {_MINHASH_SIG_SQL},

@@ -501,3 +501,143 @@ def synth_ppm_textured(
             yield out
 
     return df.mapInPandas(synth, schema=out_schema)
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting + near-duplicate pairs (energy-envelope signature)
+# ---------------------------------------------------------------------------
+
+
+def _wav_samples(bb: bytes):
+    """Decode a PCM WAV payload to a mono float64 sample vector in
+    [-1, 1] (channels averaged; stdlib ``wave`` parse, same as
+    :func:`wav_decoder`)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(bytes(bb))) as w:
+        nc = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.int8, 2: np.int16, 4: np.int32}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if nc > 1:
+        x = x[: (x.size // nc) * nc].reshape(-1, nc).mean(axis=1)
+    return x / float(np.iinfo(dtype).max)
+
+
+def audio_fingerprint64(bb: bytes) -> tuple[int, int]:
+    """64-bit energy-envelope audio fingerprint as ``(sim_hi, sim_lo)``
+    unsigned 32-bit halves (``dedup.simhash`` packing).
+
+    The classic envelope signature (the shape behind Shazam-family and
+    chromaprint fingerprints, reduced to its scale-relevant core): split
+    the track into 64 equal time windows, bit k = 1 iff window k's RMS
+    energy exceeds the MEDIAN window energy — thresholding against the
+    track's own median makes the signature invariant to global gain, and
+    a local edit perturbs only the bits of the windows it touches."""
+    import numpy as np
+
+    x = _wav_samples(bb)
+    if x.size < 64:
+        x = np.pad(x, (0, 64 - x.size))
+    rms = np.array([float(np.sqrt(np.mean(c**2))) for c in np.array_split(x, 64)])
+    bits = rms > np.median(rms)
+    hi = lo = 0
+    for k in range(64):
+        if bits[k]:
+            if k < 32:
+                lo |= 1 << k
+            else:
+                hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def audio_phash(
+    df: DataFrame, id_col: str = "doc_id", media_col: str = "content"
+) -> DataFrame:
+    """Energy-envelope fingerprint per audio blob: ``(id, sim_hi,
+    sim_lo)`` — the same frame as :func:`image_phash`, so the shared
+    SimHash banding machinery consumes it unchanged."""
+    id_type = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for b in pdf[media_col]:
+                hi, lo = audio_fingerprint64(b)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame({"id": pdf[id_col], "sim_hi": his, "sim_lo": los})
+
+    return df.select(id_col, media_col).mapInPandas(
+        run, schema=f"id {id_type}, {PHASH_SCHEMA_SUFFIX}"
+    )
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "content",
+    max_hamming: int = 3,
+    blocks: int = 6,
+) -> DataFrame:
+    """Audio near-duplicate pairs within ``max_hamming`` bits of
+    envelope-fingerprint distance — ``dedup.simhash_near_dup_pairs`` on
+    the :func:`audio_phash` frame (no cartesian; only the 3-column
+    fingerprint frame ever shuffles)."""
+    from thoth_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(audio_phash(df, id_col, media_col), max_hamming, blocks)
+
+
+def synth_wav_textured(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    media_col: str = "content",
+    n_samples: int = 4096,
+) -> DataFrame:
+    """Synthesize a REAL 16-bit PCM WAV per row whose sample stream is an
+    MD5-counter keystream of the NORMALIZED text — the audio twin of
+    :func:`synth_ppm_textured`: identical normalized text ⇒ byte-identical
+    audio ⇒ fingerprint distance 0."""
+    import io
+    import re
+    import wave
+
+    import numpy as np
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {media_col} binary"
+    nbytes = n_samples * 2
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for t in pdf[text_col]:
+                norm = re.sub(r"\s+", " ", str(t).lower().strip())
+                seed = hashlib.md5(norm.encode("utf-8")).digest()
+                chunks = []
+                need = nbytes
+                ctr = 0
+                while need > 0:
+                    chunk = hashlib.md5(seed + ctr.to_bytes(4, "big")).digest()
+                    chunks.append(chunk)
+                    need -= len(chunk)
+                    ctr += 1
+                pcm = b"".join(chunks)[:nbytes]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(pcm)
+                blobs.append(buf.getvalue())
+            out = pdf.copy()
+            out[media_col] = blobs
+            yield out
+
+    return df.mapInPandas(synth, schema=out_schema)
