@@ -708,6 +708,46 @@ def test_audio_near_dup_finds_constructed_near_miss(spark):
     assert pairs.get((1, 2)) == dist
 
 
+def test_synth_video_frames_chunking_and_overlap(spark):
+    import pyspark.sql.functions as F
+
+    words = " ".join(f"w{i}" for i in range(16))  # 16 words -> 8 chunks of 2
+    mutated = "zzz " + words.split(" ", 1)[1]  # first word differs
+    df = spark.createDataFrame([(1, words), (2, mutated)], "doc_id long, text string")
+    frames = multimodal.synth_video_frames(df, n_frames=8)
+    per = {r["doc_id"]: r["n"] for r in frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per == {1: 8, 2: 8}
+    pairs = multimodal.video_near_dup_pairs(frames, min_shared=6, hot_frame_cap=None).collect()
+    assert len(pairs) == 1 and pairs[0]["shared_frames"] == 7
+
+    # short doc: fewer words than frames -> one frame per word, no empties
+    short = spark.createDataFrame([(3, "a b c")], "doc_id long, text string")
+    n = multimodal.synth_video_frames(short, n_frames=8).count()
+    assert n == 3
+
+
+def test_video_hot_frame_cap_drops_common_intro(spark):
+    """An intro card shared by every video must not create O(n²) pairs:
+    with the cap it contributes nothing, so videos overlapping ONLY in
+    the intro never pair."""
+    intro = " ".join(f"intro{i}" for i in range(2))
+    rows = []
+    for d in range(12):
+        # 16 words: chunks 0 holds the shared intro, rest unique
+        body = " ".join(f"d{d}w{i}" for i in range(14))
+        rows.append((d, intro + " " + body))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    frames = multimodal.synth_video_frames(df, n_frames=8)
+    uncapped = multimodal.video_near_dup_pairs(
+        frames, min_shared=1, hot_frame_cap=None
+    ).count()
+    capped = multimodal.video_near_dup_pairs(
+        frames, min_shared=1, hot_frame_cap=10
+    ).count()
+    assert uncapped == 66  # every pair shares the intro frame
+    assert capped == 0
+
+
 def test_salted_join_equals_plain_join(spark):
     import pyspark.sql.functions as F
     from thoth_spark.operators.relational import salted_join

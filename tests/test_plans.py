@@ -603,3 +603,9 @@ def test_audio_neardup_no_cartesian(spark, sf_dir):
     plan = _plan(entry_queries.QUERIES["multimodal_audio_neardup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_neardup_no_cartesian(spark, sf_dir):
+    plan = _plan(entry_queries.QUERIES["multimodal_video_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

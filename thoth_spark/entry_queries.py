@@ -4495,6 +4495,74 @@ def multimodal_audio_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
+# Exact-replay oracle for multimodal_video_neardup, NOT yet wired (zero
+# spare r10 window slots — flip + schedule in r11, like the image/audio
+# twins above). Replay logic: a frame's perceptual hash is a pure
+# function of its chunk's normalized word-slice, so frame identity ↔
+# chunk-text md5 identity; the SQL rebuilds the word→chunk assignment
+# with the SAME closed-form boundary (word i → chunk i*8//n_words),
+# applies the SAME hot-frame cap (chunk-md5 present in > 50 videos),
+# and counts distinct shared chunk-md5s per pair.
+ORACLE_VIDEO_NEARDUP = r"""
+WITH c AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         regexp_replace(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                        '^[^ ]+', 'zzzqqq')
+  FROM documents WHERE doc_id % 25 = 7
+),
+wl AS (SELECT doc_id, str_split(t, ' ') AS words FROM c),
+w AS (
+  SELECT doc_id, words, unnest(range(0, len(words))) AS wi FROM wl
+),
+chunks AS (
+  SELECT doc_id, (wi * 8) // len(words) AS fi,
+         md5(string_agg(words[wi + 1], ' ' ORDER BY wi)) AS h
+  FROM w GROUP BY doc_id, (wi * 8) // len(words)
+),
+posting AS (SELECT DISTINCT doc_id, h FROM chunks),
+hot AS (SELECT h FROM posting GROUP BY h HAVING count(*) > 50),
+cold AS (SELECT * FROM posting WHERE h NOT IN (SELECT h FROM hot))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_frames
+FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 6
+"""
+
+
+@query("multimodal_video_neardup")
+def multimodal_video_neardup(spark, sf_dir):
+    """Video near-duplicate pairs: videos sharing >= 6 distinct
+    per-frame perceptual-hash values (frame-fingerprint inverted index
+    with a hot-frame drop — the visual twin of the hot-shingle-capped
+    n-gram Jaccard join). Videos are synthesized deterministically as
+    8-chunk frame sequences of each doc's normalized text
+    (multimodal.synth_video_frames); a planted variant slice mutates
+    ONLY the first word, so exactly one frame changes and the variant
+    pair must surface with shared_frames counting its unchanged chunks.
+    Rows-only THIS round; ORACLE_VIDEO_NEARDUP above is the exact
+    replay to wire in r11."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 25 == 7).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "),
+            r"^[^ ]+",
+            "zzzqqq",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    frames = multimodal.synth_video_frames(corpus, n_frames=8)
+    pairs = multimodal.video_near_dup_pairs(
+        frames, min_shared=6, hot_frame_cap=50
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("shared_frames").cast("long").alias("shared_frames")
+    )
+
+
 ORACLE_MINHASH_SURVIVORS = f"""
 WITH {_DOC_SHINGLES},
 {_MINHASH_SIG_SQL},

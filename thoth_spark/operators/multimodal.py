@@ -641,3 +641,114 @@ def synth_wav_textured(
             yield out
 
     return df.mapInPandas(synth, schema=out_schema)
+
+# ---------------------------------------------------------------------------
+# Video near-duplicate pairs (per-frame perceptual hashes, inverted index)
+# ---------------------------------------------------------------------------
+
+
+def synth_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_frames: int = 8,
+    size: int = 32,
+) -> DataFrame:
+    """Synthesize a deterministic 'video' per row as its extracted frame
+    sequence: the NORMALIZED text's words are split into ``n_frames``
+    contiguous chunks (word i → chunk ``i * n_frames // n_words`` — a
+    closed-form boundary so an oracle can replay it), and each non-empty
+    chunk becomes one textured PGM frame (the :func:`synth_ppm_textured`
+    keystream of the chunk text). 1→N ``mapInPandas`` — the exact shape
+    real frame extraction uses — emitting ``(…, frame_idx, content)``.
+    Two documents sharing most of their text share most frame images
+    byte-for-byte, which is the fixture video near-dup needs."""
+    import re
+
+    import numpy as np
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", frame_idx int, {('content' if text_col != 'content' else 'frame_blob')} binary"
+    media_col = "content" if text_col != "content" else "frame_blob"
+    npix = size * size
+
+    def keystream_pgm(chunk_text: str) -> bytes:
+        seed = hashlib.md5(chunk_text.encode("utf-8")).digest()
+        chunks, need, ctr = [], npix, 0
+        while need > 0:
+            block = hashlib.md5(seed + ctr.to_bytes(4, "big")).digest()
+            chunks.append(block)
+            need -= len(block)
+            ctr += 1
+        px = np.frombuffer(b"".join(chunks), dtype=np.uint8)[:npix]
+        return b"P5\n%d %d\n255\n" % (size, size) + px.tobytes()
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                words = re.sub(
+                    r"\s+", " ", str(row[text_col]).lower().strip()
+                ).split(" ")
+                n_words = len(words)
+                slices: dict[int, list[str]] = {}
+                for i, w in enumerate(words):
+                    slices.setdefault(i * n_frames // n_words, []).append(w)
+                for fi in sorted(slices):
+                    r = dict(row)
+                    r["frame_idx"] = fi
+                    r[media_col] = keystream_pgm(" ".join(slices[fi]))
+                    rows.append(r)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(synth, schema=out_schema)
+
+
+def video_near_dup_pairs(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "content",
+    min_shared: int = 6,
+    hot_frame_cap: int | None = 50,
+    method: str = "dhash",
+) -> DataFrame:
+    """Video near-duplicate pairs: videos sharing at least ``min_shared``
+    DISTINCT per-frame perceptual-hash values — the inverted-index shape
+    every production video-dedup system uses (frame fingerprint →
+    posting list → pair counts), the visual twin of the n-gram Jaccard
+    inverted index in ``dedup.py``.
+
+    Input is the extracted-frames frame (one row per (video, frame)
+    — e.g. :func:`synth_video_frames` or a real ffmpeg extractor through
+    :func:`decode`). Stages, all single-shuffle: per-frame
+    :func:`image_phash`; distinct (video, hash); the hot-frame drop —
+    hash values present in more than ``hot_frame_cap`` videos (intro
+    cards, black frames — the skew that makes the posting-list self-join
+    quadratic) are removed exactly like the hot-shingle drop-list in the
+    Jaccard path; self-join on the hash value; groupBy pair with a
+    distinct-hash count filter. Returns ``(id_a, id_b, shared_frames)``.
+    """
+    hashes = (
+        image_phash(frames, id_col, media_col, method)
+        .select("id", "sim_hi", "sim_lo")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if hot_frame_cap is not None:
+        hot = (
+            hashes.groupBy("sim_hi", "sim_lo")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > hot_frame_cap)
+            .select("sim_hi", "sim_lo")
+        )
+        hashes = hashes.join(F.broadcast(hot), ["sim_hi", "sim_lo"], "left_anti")
+    a = hashes.alias("a")
+    b = hashes.alias("b")
+    return (
+        a.join(b, on=["sim_hi", "sim_lo"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )
