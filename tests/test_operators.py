@@ -748,6 +748,45 @@ def test_video_hot_frame_cap_drops_common_intro(spark):
     assert capped == 0
 
 
+def test_image_phash_incremental_index_contract(spark, documents_df):
+    """The persisted SimHash chunk-index contract holds for image
+    fingerprints unchanged: (index-build pairs) ∪ (incremental pairs)
+    == full-run pairs over the union."""
+    from thoth_spark.operators import dedup
+
+    docs = documents_df.select("doc_id", "text").limit(40)
+    old = multimodal.image_phash(multimodal.synth_ppm_textured(docs.limit(25)))
+    # new batch overlaps the indexed set (15 re-synthesized dups) — the
+    # incremental join must surface new×indexed pairs
+    new_b = multimodal.image_phash(
+        multimodal.synth_ppm_textured(
+            docs.limit(15).selectExpr("doc_id + 2000000 AS doc_id", "text")
+        )
+    )
+    idx = dedup.simhash_chunks(old, max_hamming=3).localCheckpoint()
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs_incremental(
+            dedup.simhash_chunks(new_b, max_hamming=3), idx, max_hamming=3
+        ).collect()
+    }
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(old, max_hamming=3).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dup_pairs(
+            old.unionByName(new_b), max_hamming=3
+        ).collect()
+    }
+    assert base | inc == full
+    # every re-synthesized dup pairs with its original
+    assert {(a, b) for (a, b) in inc if b == a + 2_000_000} == {
+        (r["doc_id"], r["doc_id"] + 2_000_000) for r in docs.limit(15).collect()
+    }
+
+
 def test_salted_join_equals_plain_join(spark):
     import pyspark.sql.functions as F
     from thoth_spark.operators.relational import salted_join
