@@ -787,6 +787,51 @@ def test_image_phash_incremental_index_contract(spark, documents_df):
     }
 
 
+def test_knn_classify_matches_driver_reference(spark, sf_dir):
+    import numpy as np
+    import pyspark.sql.functions as F
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") % 5 == 0)
+    rest = emb.where(F.col("vec_id") % 5 != 0)
+    got = {
+        r["id"]: (r["pred_label"], r["votes"])
+        for r in similarity.knn_classify(seeds, rest, k=5).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    lab = np.array([r[2] for r in rows])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    seed = ids % 5 == 0
+    S, SL, SID = mat[seed], lab[seed], ids[seed]
+    want = {}
+    for i in np.where(~seed)[0]:
+        sims = S @ mat[i]
+        order = np.lexsort((SID, -sims))[:5]
+        ls, cs = np.unique(SL[order], return_counts=True)
+        pred = ls[np.lexsort((ls, -cs))][0]
+        want[int(ids[i])] = (int(pred), int(cs[ls == pred][0]))
+    assert got == want
+
+
+def test_knn_classify_edge_cases(spark):
+    import pyspark.sql.functions as F
+
+    rows = [(i, [float(i), 1.0], i % 2) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    # k larger than the seed set: clamps to n_seeds
+    out = similarity.knn_classify(df, df, k=99).collect()
+    assert len(out) == 4
+    # each vector is its own seed and must not vote for itself: with 4
+    # seeds and self excluded, votes come from the other 3
+    assert all(r["votes"] <= 3 for r in out)
+    with pytest.raises(ValueError):
+        similarity.knn_classify(df.where(F.col("vec_id") < 0), df, k=3)
+
+
 def test_salted_join_equals_plain_join(spark):
     import pyspark.sql.functions as F
     from thoth_spark.operators.relational import salted_join

@@ -609,3 +609,12 @@ def test_video_neardup_no_cartesian(spark, sf_dir):
     plan = _plan(entry_queries.QUERIES["multimodal_video_neardup"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_classify_zero_shuffle(spark, sf_dir):
+    """Label propagation must be ONE narrow pass over the unlabeled
+    corpus (seed matrix in the UDF closure): any Exchange in the plan
+    means the corpus is being shuffled for a bounded-size seed join."""
+    plan = _plan(entry_queries.QUERIES["knn_classify_embeddings"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan

@@ -4563,6 +4563,53 @@ def multimodal_video_neardup(spark, sf_dir):
     )
 
 
+# Exact-replay oracle for knn_classify_embeddings, NOT yet wired (zero
+# spare r10 window slots — flip + schedule in r11 like the multimodal
+# trio above). The operator's neighbor order (cos DESC, seed id ASC)
+# and vote tie-break (votes DESC, label ASC) are chosen precisely so a
+# SQL engine can replay them; the numpy-vs-DuckDB float agreement on
+# cosine ranking has precedent in the hash-green
+# similarity_topk_vectorized (same data, same metric).
+ORACLE_KNN_CLASSIFY = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+s AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+u AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+scored AS (
+  SELECT u.vec_id AS vec_id, s.vec_id AS sid, s.label AS slab,
+         list_dot_product(u.v, s.v) /
+         (sqrt(list_dot_product(u.v, u.v)) * sqrt(list_dot_product(s.v, s.v))) AS cos
+  FROM u CROSS JOIN s WHERE s.vec_id != u.vec_id
+),
+nn AS (
+  SELECT vec_id, slab,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rnk
+  FROM scored QUALIFY rnk <= 5
+),
+votes AS (
+  SELECT vec_id, slab, count(*) AS n FROM nn GROUP BY vec_id, slab
+)
+SELECT vec_id, slab::INT AS pred_label, n::INT AS votes
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, slab) = 1
+"""
+
+
+@query("knn_classify_embeddings")
+def knn_classify_embeddings(spark, sf_dir):
+    """k-NN label propagation over the embeddings table: every 5th
+    vector keeps its label as the seed set; the rest take the majority
+    label of their 5 nearest seeds by cosine (similarity.knn_classify —
+    seed matrix in a pandas-UDF closure, ONE narrow corpus pass, zero
+    shuffles, plan-locked). Deterministic tie-breaks make the result an
+    exact SQL replay. Rows-only THIS round; ORACLE_KNN_CLASSIFY above
+    is the replay to wire in r11."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.where(F.col("vec_id") % 5 == 0)
+    rest = emb.where(F.col("vec_id") % 5 != 0)
+    out = similarity.knn_classify(seeds, rest, k=5)
+    return out.select(F.col("id").alias("vec_id"), "pred_label", "votes")
+
+
 ORACLE_MINHASH_SURVIVORS = f"""
 WITH {_DOC_SHINGLES},
 {_MINHASH_SIG_SQL},

@@ -733,3 +733,65 @@ def brute_force_topk_pandas(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
     )
+
+
+def knn_classify(
+    labeled: DataFrame,
+    unlabeled: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label propagation: each unlabeled vector takes the majority
+    label among its ``k`` nearest labeled seeds by cosine. The standard
+    scale-out for "we hand-labeled a small seed set, label the corpus":
+    the seed matrix is bounded (collected once, closed over), and the
+    corpus side is ONE narrow Arrow-batched ``mapInPandas`` pass — each
+    batch scores against all seeds in a single BLAS matmul and emits its
+    own verdicts, so the plan has ZERO shuffles (plan-locked) and cost
+    is one corpus scan regardless of corpus size.
+
+    Deterministic and SQL-replayable by construction: neighbor order is
+    (cos DESC, seed id ASC), vote tie-break is (votes DESC, label ASC).
+    Self-matches on id are excluded (a seed that also appears unlabeled
+    never votes for itself). Returns ``(id, pred_label, votes)``.
+    """
+    seeds = labeled.select(id_col, vec_col, label_col).collect()
+    if not seeds:
+        raise ValueError("labeled seed set is empty")
+    s_ids = np.array([r[0] for r in seeds], dtype="int64")
+    s_lab = np.array([r[2] for r in seeds], dtype="int64")
+    s_mat = np.array([r[1] for r in seeds], dtype="float64")
+    s_mat /= np.linalg.norm(s_mat, axis=1, keepdims=True)
+    kk = min(k, len(seeds))
+    id_type = {f.name: f.dataType.simpleString() for f in unlabeled.schema.fields}[
+        id_col
+    ]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            c = np.array(list(pdf[vec_col]), dtype="float64")
+            c /= np.linalg.norm(c, axis=1, keepdims=True)
+            sims = c @ s_mat.T  # (batch, n_seeds)
+            preds, votes = [], []
+            for i in range(len(ids)):
+                row = sims[i]
+                mask = s_ids != ids[i]
+                # neighbor order (cos DESC, seed id ASC) — lexsort keys
+                # are applied last-key-primary
+                order = np.lexsort((s_ids[mask], -row[mask]))[:kk]
+                labs, counts = np.unique(s_lab[mask][order], return_counts=True)
+                best = labs[np.lexsort((labs, -counts))][0]
+                preds.append(int(best))
+                votes.append(int(counts[labs == best][0]))
+            yield pd.DataFrame(
+                {"id": ids, "pred_label": preds, "votes": votes}
+            )
+
+    return unlabeled.select(id_col, vec_col).mapInPandas(
+        score, schema=f"id {id_type}, pred_label int, votes int"
+    )
