@@ -832,6 +832,39 @@ def test_knn_classify_edge_cases(spark):
         similarity.knn_classify(df.where(F.col("vec_id") < 0), df, k=3)
 
 
+def test_semantic_decontaminate_drops_planted_twin(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    def vec(x):
+        return [float(v) for v in x]
+
+    ev_vec = rng.normal(size=8)
+    twin = ev_vec + 0.01 * rng.normal(size=8)  # cos ~ 1 with the eval vec
+    dup_a = rng.normal(size=8)  # near-identical train PAIR with no eval
+    dup_b = dup_a + 0.01 * rng.normal(size=8)  # match: must BOTH survive
+    train = [(1, vec(twin)), (2, vec(dup_a)), (3, vec(dup_b))] + [
+        (i, vec(rng.normal(size=8))) for i in range(4, 30)
+    ]
+    tdf = spark.createDataFrame(train, "vec_id long, embedding array<double>")
+    edf = spark.createDataFrame(
+        [(100, vec(ev_vec))], "vec_id long, embedding array<double>"
+    )
+    pairs = similarity.embedding_cross_neardup(
+        tdf, edf, threshold=0.9, nbits=4, dim=8
+    ).collect()
+    assert {(r["left_id"], r["right_id"]) for r in pairs} == {(1, 100)}
+    kept = {
+        r["vec_id"]
+        for r in similarity.semantic_decontaminate(
+            tdf, edf, threshold=0.9, nbits=4, dim=8
+        ).collect()
+    }
+    assert 1 not in kept
+    assert {2, 3} <= kept  # train-internal dups are NOT contamination
+    assert len(kept) == len(train) - 1
+
+
 def test_salted_join_equals_plain_join(spark):
     import pyspark.sql.functions as F
     from thoth_spark.operators.relational import salted_join

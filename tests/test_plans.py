@@ -618,3 +618,11 @@ def test_knn_classify_zero_shuffle(spark, sf_dir):
     plan = _plan(entry_queries.QUERIES["knn_classify_embeddings"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_no_cartesian(spark, sf_dir):
+    plan = _plan(
+        entry_queries.QUERIES["decontaminate_embeddings_semantic"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -4610,6 +4610,57 @@ def knn_classify_embeddings(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), "pred_label", "votes")
 
 
+def _semantic_decontaminate_oracle(nbits: int = 6, threshold: float = 0.4) -> str:
+    """Exact replay of decontaminate_embeddings_semantic, NOT yet wired
+    (zero spare r10 window slots — flip + schedule in r11): the seeded
+    hyperplanes become SQL literals via the same `_sig_sql` trick as the
+    hash-green embedding_neardup_lsh oracle; probes explode on the
+    train side only, flagged train ids anti-join back."""
+    from thoth_spark.operators.similarity import _hyperplanes
+
+    sig = _sig_sql("v", _hyperplanes(64, nbits, seed=42))
+    probe_legs = [f"SELECT id, v, {sig} AS bucket FROM train"] + [
+        f"SELECT id, v, xor({sig}::BIGINT, {2**f})::BIGINT AS bucket FROM train"
+        for f in range(nbits)
+    ]
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+train AS (SELECT * FROM base WHERE id % 4 <> 0),
+ev AS (SELECT id, v, {sig} AS bucket FROM base WHERE id % 4 = 0),
+a AS ({' UNION ALL '.join(probe_legs)}),
+flagged AS (
+  SELECT DISTINCT a.id
+  FROM a JOIN ev USING (bucket)
+  WHERE round(list_dot_product(a.v, ev.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(ev.v, ev.v))), 6)
+        >= {threshold}
+)
+SELECT id AS vec_id FROM train WHERE id NOT IN (SELECT id FROM flagged)
+"""
+
+
+ORACLE_SEMANTIC_DECONTAMINATE = _semantic_decontaminate_oracle()
+
+
+@query("decontaminate_embeddings_semantic")
+def decontaminate_embeddings_semantic(spark, sf_dir):
+    """Embedding-level benchmark decontamination: treat every 4th vector
+    as the eval set and drop training vectors with cosine ≥ 0.4 to any
+    eval vector (similarity.semantic_decontaminate — hyperplane-bucketed
+    cross-corpus candidates with 1-bit-flip probes on the train side
+    only; the eval set never cross-joins the corpus). The semantic twin
+    of the hash-green n-gram `contamination_documents` gate. Rows-only
+    THIS round; ORACLE_SEMANTIC_DECONTAMINATE above is the exact replay
+    to wire in r11."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.where(F.col("vec_id") % 4 != 0)
+    ev = emb.where(F.col("vec_id") % 4 == 0)
+    out = similarity.semantic_decontaminate(
+        train, ev, threshold=0.4, nbits=6, dim=64
+    )
+    return out.select("vec_id")
+
+
 ORACLE_MINHASH_SURVIVORS = f"""
 WITH {_DOC_SHINGLES},
 {_MINHASH_SIG_SQL},

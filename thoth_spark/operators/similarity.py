@@ -795,3 +795,75 @@ def knn_classify(
     return unlabeled.select(id_col, vec_col).mapInPandas(
         score, schema=f"id {id_type}, pred_label int, votes int"
     )
+
+
+def embedding_cross_neardup(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cross-corpus cosine near-dup pairs (left × right, never left ×
+    left): hyperplane buckets with 1-bit-flip probes on the LEFT side
+    only — the same recall guarantee as :func:`embedding_near_dup_pairs`
+    for pairs straddling one hyperplane, at half the probe fan-out of
+    running it on both sides. Returns ``(left_id, right_id, cos_sim)``.
+
+    This is the semantic-decontamination primitive: left = training
+    corpus, right = benchmark/eval set; candidate volume is bucketed
+    (O(|L|·|R| / 2^nbits) expected), so the eval set never cross-joins
+    the corpus."""
+    if dim is None:
+        dim = len(left.select(vec_col).limit(1).collect()[0][0])
+    planes = _hyperplanes(dim, nbits)
+    l = left.select(
+        F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("lv")
+    ).withColumn("sig", hyperplane_signature(F.col("lv"), planes)).localCheckpoint(
+        eager=False
+    )
+    r = right.select(
+        F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("rv")
+    ).withColumn("bucket", hyperplane_signature(F.col("rv"), planes))
+    probes = [F.col("sig")] + [
+        F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)
+    ]
+    a = l.withColumn("bucket", F.explode(F.array(*probes)))
+    return (
+        a.join(r, on="bucket")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cos_sim"),
+        )
+        .distinct()
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Drop training vectors semantically too close to ANY eval vector
+    (cosine ≥ threshold) — embedding-level benchmark decontamination,
+    the semantic sibling of the n-gram `contamination` check in
+    ``text.py``. The flagged-id frame is tiny (≤ |train| ids, usually
+    ≪) and anti-joined back; candidates come from the bucketed
+    :func:`embedding_cross_neardup`, so the plan never cross-joins the
+    corpus against the eval set."""
+    flagged = (
+        embedding_cross_neardup(
+            train, eval_df, threshold, nbits, id_col, vec_col, dim
+        )
+        .select(F.col("left_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(flagged, on=id_col, how="left_anti")
