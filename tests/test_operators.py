@@ -865,6 +865,75 @@ def test_semantic_decontaminate_drops_planted_twin(spark):
     assert len(kept) == len(train) - 1
 
 
+def _ref_winnow(text, k=5, window=4):
+    """Independent winnowing reference: direct loops, first-pos ties."""
+    import hashlib as hl
+    import re as _re
+
+    t = _re.sub(r"\s+", " ", text.lower().strip()).split(" ")
+    if len(t) < k:
+        return set()
+    h = [
+        int(hl.md5(" ".join(t[i : i + k]).encode()).hexdigest()[:8], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    out = set()
+    for s in range(max(1, len(h) - window + 1)):
+        win = h[s : s + window]
+        m = min(win)
+        out.add((s + win.index(m) + 1, m))
+    return out
+
+
+def test_winnow_fingerprints_match_reference(spark, documents_df):
+    docs = documents_df.limit(15)
+    got = {}
+    for r in text.winnow_fingerprints(docs, "doc_id", "text").collect():
+        got.setdefault(r["id"], set()).add((r["pos"], r["fp"]))
+    for r in docs.select("doc_id", "text").collect():
+        assert got.get(r["doc_id"], set()) == _ref_winnow(r["text"]), r["doc_id"]
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fp(spark):
+    """Winnowing guarantee: any shared run of k+window-1 (= 8) tokens
+    produces at least one shared fingerprint VALUE."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{i}" for i in range(400)]
+    shared_run = " ".join(rng.choice(vocab, 8))
+    mk = lambda: " ".join(rng.choice(vocab, 30))
+    d1 = mk() + " " + shared_run + " " + mk()
+    d2 = mk() + " " + shared_run + " " + mk()
+    df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id long, text string")
+    fps = text.winnow_fingerprints(df, "doc_id", "text")
+    vals = {}
+    for r in fps.collect():
+        vals.setdefault(r["id"], set()).add(r["fp"])
+    assert vals[1] & vals[2]
+    pairs = text.winnow_overlap_pairs(fps, min_shared=1, hot_cap=None).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+
+def test_winnow_overlap_hot_cap(spark):
+    """A fingerprint present in every document (boilerplate) is dropped
+    by the cap, so boilerplate-only overlap yields no pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    boiler = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (d, boiler + " " + " ".join(rng.choice(vocab, 40))) for d in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = text.winnow_fingerprints(df, "doc_id", "text")
+    uncapped = text.winnow_overlap_pairs(fps, min_shared=1, hot_cap=None).count()
+    capped = text.winnow_overlap_pairs(fps, min_shared=1, hot_cap=5).count()
+    assert uncapped >= 45  # the boilerplate fp alone pairs everyone
+    assert capped < uncapped
+
+
 def test_salted_join_equals_plain_join(spark):
     import pyspark.sql.functions as F
     from thoth_spark.operators.relational import salted_join

@@ -626,3 +626,12 @@ def test_semantic_decontaminate_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fingerprints_single_shuffle(spark, sf_dir):
+    """The fingerprint extraction is narrow after the staging barrier:
+    exactly one Exchange (the repartition), no join machinery before
+    the distinct."""
+    plan = _plan(entry_queries.QUERIES["winnow_fingerprints_documents"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

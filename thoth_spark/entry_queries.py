@@ -4610,6 +4610,57 @@ def knn_classify_embeddings(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), "pred_label", "votes")
 
 
+# Exact-replay oracle for winnow_fingerprints_documents, NOT yet wired
+# (zero spare r10 window slots — flip + schedule in r11). The replay
+# rebuilds the same 32-bit gram hashes (md5 first-8-hex, the portable
+# _hex2int_sql digit sum) and the same window-min selection with
+# first-position ties — list_min/list_position in DuckDB mirror
+# array_min/array_position in Spark exactly.
+ORACLE_WINNOW_FP = f"""
+WITH d AS (
+  SELECT doc_id,
+         str_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+dk AS (SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 5),
+g AS (SELECT doc_id, t, n, unnest(range(1, n - 5 + 2)) AS i FROM dk),
+h AS (
+  SELECT doc_id, i,
+         {_hex2int_sql("md5(array_to_string(t[i : i + 4], ' '))", 1, 8)}::BIGINT AS hv
+  FROM g
+),
+hh AS (SELECT doc_id, list(hv ORDER BY i) AS harr FROM h GROUP BY doc_id),
+w AS (
+  SELECT doc_id, harr,
+         unnest(range(1, greatest(1, len(harr) - 4 + 1) + 1)) AS s
+  FROM hh
+),
+sel AS (
+  SELECT doc_id,
+         (s + list_position(harr[s : s + 3], list_min(harr[s : s + 3])) - 1)::INT AS pos,
+         list_min(harr[s : s + 3])::BIGINT AS fp
+  FROM w
+)
+SELECT DISTINCT doc_id, pos, fp FROM sel
+"""
+
+
+@query("winnow_fingerprints_documents")
+def winnow_fingerprints_documents(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS algorithm): 5-gram rolling hashes, window-4
+    minimum selection, position-aware ``(doc_id, pos, fp)`` output with
+    the winnowing guarantee (any shared 8-token run yields a shared
+    fingerprint). Pure column expressions (text.winnow_fingerprints);
+    the companion text.winnow_overlap_pairs turns the frame into MOSS
+    plagiarism pairs via the posting-list join (pytest-pinned). Rows-only
+    THIS round; ORACLE_WINNOW_FP above is the exact replay to wire in
+    r11."""
+    docs = _documents(spark, sf_dir)
+    out = text.winnow_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    return out.select(F.col("id").alias("doc_id"), "pos", "fp")
+
+
 def _semantic_decontaminate_oracle(nbits: int = 6, threshold: float = 0.4) -> str:
     """Exact replay of decontaminate_embeddings_semantic, NOT yet wired
     (zero spare r10 window slots — flip + schedule in r11): the seeded

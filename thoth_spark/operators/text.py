@@ -349,3 +349,96 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + noise_term * 0.2
     )
     return stats.withColumn("quality_score", F.round(score, 6))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    word ``k``-gram, slide a window of ``window`` consecutive hashes,
+    and select each window's MINIMUM hash — the selected ``(pos, fp)``
+    set is a position-aware document fingerprint with the winnowing
+    guarantee (any shared run of ``k + window - 1`` tokens yields at
+    least one shared fingerprint). Returns ``(id, pos, fp)`` distinct.
+
+    Within-window ties take the FIRST position of the minimum (with
+    32-bit gram hashes, in-window ties are ~2⁻³² per window — the
+    classic rightmost-rule robustness is irrelevant at that rate, and
+    first-position is what both Spark ``array_position`` and DuckDB
+    ``list_position`` compute, keeping the op SQL-replayable).
+
+    Same staging recipe as :func:`ngram_stream` (tokenize → repartition
+    barrier → hash-array transform → lazy checkpoint → window select):
+    pure column expressions, one narrow pass, the only shuffle is the
+    repartition barrier. Docs with fewer than ``k`` tokens contribute
+    nothing; docs with fewer than ``window`` grams contribute the
+    minimum of their single clamped window.
+    """
+    if k < 1 or window < 1:
+        raise ValueError(f"k and window must be >= 1, got k={k}, window={window}")
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+        .where(F.size("__toks") >= k)
+        .repartition("id")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (k - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("__toks", i, k))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    staged = toks.select("id", grams.alias("__h")).localCheckpoint(eager=False)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.lit(1), F.size("__h") - (window - 1))
+    )
+    def _sel(s):
+        win = F.slice(F.col("__h"), s, window)
+        minv = F.array_min(win)
+        return F.struct(
+            (s + F.array_position(win, minv) - 1).cast("int").alias("pos"),
+            minv.alias("fp"),
+        )
+    return (
+        staged.select("id", F.explode(F.transform(starts, _sel)).alias("w"))
+        .select("id", "w.pos", "w.fp")
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    min_shared: int = 2,
+    hot_cap: int | None = 200,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` distinct winnowing
+    fingerprints — the MOSS plagiarism-pair report as a posting-list
+    self-join (the same inverted-index + hot-key-cap shape as the n-gram
+    Jaccard and video frame-hash paths: fingerprints present in more
+    than ``hot_cap`` documents are boilerplate and dropped before the
+    join). Input is :func:`winnow_fingerprints` output; returns
+    ``(id_a, id_b, shared_fps)``."""
+    posting = fps.select("id", "fp").distinct().localCheckpoint(eager=False)
+    if hot_cap is not None:
+        hot = (
+            posting.groupBy("fp")
+            .agg(F.count("*").alias("__df"))
+            .where(F.col("__df") > hot_cap)
+            .select("fp")
+        )
+        posting = posting.join(F.broadcast(hot), "fp", "left_anti")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
