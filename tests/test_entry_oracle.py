@@ -117,15 +117,16 @@ ORACLE_QUERIES = sorted(set(entry.queries()) & set(entry.oracle_sql()))
 ROWS_ONLY_QUERIES = sorted(set(entry.queries()) - set(entry.oracle_sql()))
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_query_matches_oracle(spark, duck, name):
-    q = entry.queries()[name]
+def _assert_query_matches(spark, duck, name, q, sql):
+    """The driver-gate replica shared by the wired and QUEUED oracles:
+    typed column compare (the driver hashes typed values) + row count +
+    order-insensitive normalized values."""
     sdf = q(spark, SF_DIR)
     spark_cols = sdf.columns
     spark_types = [f.dataType.simpleString() for f in sdf.schema.fields]
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    res = duck.sql(entry.oracle_sql()[name])
+    res = duck.sql(sql)
     duck_cols = res.columns
     duck_types = res.types
     duck_rows = res.fetchall()
@@ -146,6 +147,37 @@ def test_query_matches_oracle(spark, duck, name):
         (a, b) for a, b in zip(s_rows, d_rows) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches: {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, duck, name):
+    _assert_query_matches(
+        spark, duck, name, entry.queries()[name], entry.oracle_sql()[name]
+    )
+
+
+def test_queued_oracles_not_double_wired():
+    """A queued oracle that gets wired must leave the queue — staying in
+    both registries would double-run it here and mask a missed
+    DRIVER_PRIORITY slot."""
+    from thoth_spark.entry_queries import QUEUED_ORACLES
+
+    assert not set(QUEUED_ORACLES) & set(entry.oracle_sql())
+    assert set(QUEUED_ORACLES) <= set(entry.queries())
+
+
+@pytest.mark.parametrize(
+    "name", sorted(__import__("thoth_spark.entry_queries", fromlist=["x"]).QUEUED_ORACLES)
+)
+def test_queued_oracle_matches(spark, duck, name):
+    """The r11 oracle queue is held to the SAME gate as the wired
+    oracles every round it waits — a queued replay that rots is worse
+    than none, because it would be wired green-by-assumption."""
+    from thoth_spark.entry_queries import QUEUED_ORACLES
+
+    _assert_query_matches(
+        spark, duck, name, entry.queries()[name], QUEUED_ORACLES[name]
+    )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)

@@ -7303,3 +7303,23 @@ def dedup_containment_survivors(spark, sf_dir):
     return dedup.containment_dedup(
         docs, "doc_id", "text", n=3, threshold=0.7, max_token_df=None
     ).select("doc_id")
+
+
+# --- r11 oracle queue -----------------------------------------------------
+# Pre-written exact-replay oracles for queries that are rows-only THIS
+# round only because the r10 driver window carries zero spare slots (an
+# oracled query must be scheduled the round it lands, and never-green ⊆
+# window is enforced by test_driver_window_rotation). Wiring one in r11 =
+# move its SQL into the @query decorator, DELETE its entry here, and add
+# the name to DRIVER_PRIORITY. Until then
+# tests/test_entry_oracle.py::test_queued_oracle_matches runs every pair
+# through the SAME typed compare as the wired gate, so the queue cannot
+# rot between rounds.
+QUEUED_ORACLES: dict[str, str] = {
+    "multimodal_phash_neardup": ORACLE_PHASH_NEARDUP,
+    "multimodal_audio_neardup": ORACLE_AUDIO_NEARDUP,
+    "multimodal_video_neardup": ORACLE_VIDEO_NEARDUP,
+    "knn_classify_embeddings": ORACLE_KNN_CLASSIFY,
+    "winnow_fingerprints_documents": ORACLE_WINNOW_FP,
+    "decontaminate_embeddings_semantic": ORACLE_SEMANTIC_DECONTAMINATE,
+}
