@@ -4316,6 +4316,111 @@ def semdedup_embeddings(spark, sf_dir):
     )
 
 
+# Exact-replay oracle for semdedup_fixed_embeddings, NOT yet wired (zero
+# spare r10 window slots — flip to
+# `@query("semdedup_fixed_embeddings", ORACLE_SEMDEDUP_FIXED)` + a
+# DRIVER_PRIORITY slot in r11). Why the replay is exact: the quantizer —
+# the one non-replayable stage of semdedup_embeddings above — is pinned
+# to the embeddings of the 8 SMALLEST vec_ids, which SQL derives from
+# the table itself (ORDER BY id LIMIT 8; no literals needed). Everything
+# downstream is deterministic arithmetic both engines share: assignment
+# argmin over ||c||² − 2x·c with ties to the lower cid (the stable-
+# argsort rule of similarity.nearest_cells_udf), intra-cluster pairs on
+# RAW cosine ≥ 0.4 (the exact-dup collapse inside semdedup is output-
+# identical to the all-pairs join replayed here — identical vectors
+# share cluster and cosine 1), components = min reachable id via
+# transitive closure, survivor = min (round(centroid_sim,6), id) per
+# component — quality_survivors' rounded min_by rule. float64 parity:
+# FLOAT[]→DOUBLE[] widening is exact in both engines; a flip would need
+# two centroids (or two members' rounded csim) within ~1 ulp on the
+# fixed corpus — verified green at sf0.001/sf0.01/sf0.1.
+ORACLE_SEMDEDUP_FIXED = """
+WITH RECURSIVE base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c
+  FROM (SELECT id, v FROM base ORDER BY id LIMIT 8)
+),
+scored AS (
+  SELECT b.id, b.v, c.cid,
+         list_dot_product(c.c, c.c) - 2 * list_dot_product(b.v, c.c) AS dist,
+         list_dot_product(b.v, c.c) /
+           (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.c, c.c))) AS csim
+  FROM base b CROSS JOIN cent c
+),
+asg AS (
+  SELECT id, v, cid, csim
+  FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+        FROM scored)
+  WHERE rn = 1
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+),
+edges AS (SELECT id_a AS s, id_b AS t FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+comp AS (
+  SELECT a.id, least(a.id, coalesce(min(r.t), a.id)) AS component
+  FROM asg a LEFT JOIN reach r ON r.s = a.id
+  GROUP BY a.id
+),
+lab AS (
+  SELECT asg.id, asg.cid::INT AS cluster, round(asg.csim, 6) AS centroid_sim,
+         comp.component
+  FROM asg JOIN comp USING (id)
+),
+win AS (
+  SELECT id FROM (
+    SELECT id,
+           row_number() OVER (PARTITION BY component ORDER BY centroid_sim, id) AS rn
+    FROM lab)
+  WHERE rn = 1
+)
+SELECT lab.id, lab.cluster, lab.centroid_sim, lab.component
+FROM lab JOIN win USING (id)
+"""
+
+
+@query("semdedup_fixed_embeddings")
+def semdedup_fixed_embeddings(spark, sf_dir):
+    """SemDeDup with a PINNED quantizer: identical dataflow to
+    semdedup_embeddings (assignment → intra-cluster pairs → components
+    → keep-the-outlier survivor), but the 8 centroids are the
+    embeddings of the 8 smallest vec_ids instead of a trained K-Means —
+    which makes the ENTIRE pipeline, survivor policy included,
+    SQL-replayable (the trained variant's quantizer is the one stage no
+    SQL engine can replay; this fixed twin closes that oracle gap the
+    same way anomaly_sarima_fixed_validation flanks the AutoSarima
+    analogue). Centroid collection is a bounded 8-row driver collect.
+    Rows-only THIS round (no free window slot); ORACLE_SEMDEDUP_FIXED
+    above is the exact replay to wire in r11."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = np.asarray(
+        [
+            r.v
+            for r in emb.select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("v"),
+            )
+            .orderBy("id")
+            .limit(8)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    return similarity.semdedup(emb, threshold=0.4, centroids=cents).select(
+        "id", "cluster", "centroid_sim", "component"
+    )
+
+
 _CHAR_BUDGET = 8000
 
 ORACLE_TOKEN_BUDGET = f"""
@@ -7322,4 +7427,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "knn_classify_embeddings": ORACLE_KNN_CLASSIFY,
     "winnow_fingerprints_documents": ORACLE_WINNOW_FP,
     "decontaminate_embeddings_semantic": ORACLE_SEMANTIC_DECONTAMINATE,
+    "semdedup_fixed_embeddings": ORACLE_SEMDEDUP_FIXED,
 }
