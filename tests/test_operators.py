@@ -2437,3 +2437,52 @@ def test_ivf_index_quantized_rerank_matches_quantized_topk(spark, tmp_path):
     gr = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
     wr = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
     assert gr == wr and len(gr) == 12
+
+
+# --- clustering.lloyd_refine -------------------------------------------------
+
+
+def test_lloyd_refine_recovers_separated_blobs(spark):
+    """Three well-separated blobs, seeds = one point from each (the
+    3 smallest ids): two Lloyd iterations must assign every point to
+    its blob's cluster, regardless of rounding grid."""
+    import numpy as np
+
+    from thoth_spark.operators import clustering
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for b, center in enumerate([0.0, 50.0, -50.0]):
+        for i in range(20):
+            vec = (center + rng.normal(0, 0.5, 8)).tolist()
+            rows.append((b + 3 * i, vec))  # ids 0,1,2 are one per blob
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = {}
+    out = clustering.lloyd_refine(df, k=3, iterations=2, stats=stats)
+    got = {r.id: r.cluster for r in out.collect()}
+    assert len(got) == 60
+    for vid in got:
+        assert got[vid] == got[vid % 3], (vid, got[vid], got[vid % 3])
+    assert len({got[0], got[1], got[2]}) == 3
+    assert stats["centroids"].shape == (3, 8)
+    # second-iteration shift is tiny once the blobs are recovered
+    assert stats["moved"][1] <= stats["moved"][0]
+
+
+def test_lloyd_refine_empty_cluster_keeps_previous_centroid(spark):
+    """A centroid placed where no point will ever assign must survive
+    the mean update unchanged (the empty-cluster rule the SQL replay's
+    LEFT JOIN coalesce mirrors)."""
+    import numpy as np
+
+    from thoth_spark.operators import clustering
+
+    rows = [(i, [float(i % 2), 0.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    init = np.array([[0.0, 0.0], [1.0, 0.0], [1000.0, 1000.0]])
+    stats = {}
+    out = clustering.lloyd_refine(
+        df, centroids=init, iterations=2, stats=stats
+    )
+    assert {r.cluster for r in out.collect()} == {0, 1}
+    assert np.array_equal(stats["centroids"][2], init[2])

@@ -26,6 +26,7 @@ from thoth_spark.anomaly.optimization import cross_validation, find_best_thresho
 from thoth_spark.operators import lm as lm_ops
 from thoth_spark.operators import (
     classifier,
+    clustering,
     curation,
     dedup,
     multimodal,
@@ -4421,6 +4422,73 @@ def semdedup_fixed_embeddings(spark, sf_dir):
     )
 
 
+def _kmeans_refine_oracle(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
+    """Exact replay of kmeans_refine_embeddings, NOT yet wired (zero
+    spare r10 window slots — flip + schedule in r11). The Lloyd loop is
+    unrolled into a CTE chain: assignment argmin over ||c||² − 2x·c
+    with ties to the lower cid (nearest_cells_udf's stable argsort),
+    means rounded to 6 HALF_UP inside the aggregation on BOTH engines
+    (so the centroid matrices each iteration are bit-identical — see
+    clustering.lloyd_refine's determinism contract), empty clusters
+    keep their previous centroid via the LEFT JOIN coalesce."""
+    legs = []
+    prev = "c0"
+    for i in range(iterations + 1):
+        legs.append(f"""
+d{i} AS (
+  SELECT u.id, c.cid, sum(c.val * c.val) - 2 * sum(u.x * c.val) AS dist
+  FROM u JOIN {prev} c ON u.pos = c.pos GROUP BY u.id, c.cid
+),
+a{i} AS (
+  SELECT id, cid FROM (
+    SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist, cid) AS rn
+    FROM d{i})
+  WHERE rn = 1
+)""")
+        if i < iterations:
+            legs.append(f"""
+m{i + 1} AS (
+  SELECT a{i}.cid, u.pos, round(avg(u.x), 6) AS val
+  FROM a{i} JOIN u USING (id) GROUP BY a{i}.cid, u.pos
+),
+c{i + 1} AS (
+  SELECT p.cid, p.pos, coalesce(m.val, p.val) AS val
+  FROM {prev} p LEFT JOIN m{i + 1} m ON m.cid = p.cid AND m.pos = p.pos
+)""")
+            prev = f"c{i + 1}"
+    return f"""
+WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+init AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS c
+  FROM (SELECT id, v FROM base ORDER BY id LIMIT {k})
+),
+c0 AS (SELECT cid, t.pos - 1 AS pos, c[t.pos] AS val
+       FROM init, generate_series(1, {dim}) t(pos)),
+u AS (SELECT id, t.pos - 1 AS pos, v[t.pos] AS x
+      FROM base, generate_series(1, {dim}) t(pos)),
+{','.join(legs)}
+SELECT id, cid::INT AS cluster FROM a{iterations}
+"""
+
+
+ORACLE_KMEANS_REFINE = _kmeans_refine_oracle()
+
+
+@query("kmeans_refine_embeddings")
+def kmeans_refine_embeddings(spark, sf_dir):
+    """Full-corpus distributed K-Means refinement
+    (clustering.lloyd_refine): two Lloyd iterations from the
+    deterministic smallest-id seeding, final assignment against the
+    refined centroids. Per iteration: one Arrow-batched
+    nearest-centroid matmul pass + one partial-aggregable
+    groupBy(cluster, pos) mean — the accountable, engine-replayable
+    complement of the sample-trained coarse_centroids quantizer.
+    Rows-only THIS round (no free window slot); ORACLE_KMEANS_REFINE
+    above is the exact unrolled replay to wire in r11."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.lloyd_refine(emb, k=8, iterations=2)
+
+
 _CHAR_BUDGET = 8000
 
 ORACLE_TOKEN_BUDGET = f"""
@@ -7428,4 +7496,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "winnow_fingerprints_documents": ORACLE_WINNOW_FP,
     "decontaminate_embeddings_semantic": ORACLE_SEMANTIC_DECONTAMINATE,
     "semdedup_fixed_embeddings": ORACLE_SEMDEDUP_FIXED,
+    "kmeans_refine_embeddings": ORACLE_KMEANS_REFINE,
 }
