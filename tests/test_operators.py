@@ -2486,3 +2486,55 @@ def test_lloyd_refine_empty_cluster_keeps_previous_centroid(spark):
     )
     assert {r.cluster for r in out.collect()} == {0, 1}
     assert np.array_equal(stats["centroids"][2], init[2])
+
+
+# --- membership.bloom_build / bloom_probe ------------------------------------
+
+
+def test_bloom_no_false_negatives_and_sized_fpr(spark):
+    """Every inserted key must hit (Bloom's hard guarantee); disjoint
+    probes must false-positive at no more than ~3x the sized
+    (1-e^(-kn/m))^k rate (3x absorbs the fixture's small-sample
+    variance; the rate itself is deterministic given the md5 scheme)."""
+    import math
+
+    from thoth_spark.operators import membership
+
+    m, k, n = 1 << 15, 3, 2000
+    ref = spark.createDataFrame([(f"key-{i}",) for i in range(n)], "fp string")
+    flt = membership.bloom_build(ref, "fp", m=m, n_hashes=k).cache()
+    assert flt.count() <= m // membership.BITS_PER_WORD
+
+    members = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(n)], "id long, fp string"
+    )
+    hits = membership.bloom_probe(flt, members, "id", "fp", m=m, n_hashes=k)
+    assert hits.where(~F.col("hit")).count() == 0  # no false negatives
+
+    outsiders = spark.createDataFrame(
+        [(i, f"other-{i}") for i in range(1000)], "id long, fp string"
+    )
+    fp_count = (
+        membership.bloom_probe(flt, outsiders, "id", "fp", m=m, n_hashes=k)
+        .where(F.col("hit"))
+        .count()
+    )
+    theoretical = (1 - math.exp(-k * n / m)) ** k
+    assert fp_count / 1000 <= 3 * theoretical + 0.01, (fp_count, theoretical)
+
+
+def test_bloom_probe_shuffle_join_matches_broadcast(spark):
+    """broadcast=False (the path a multi-billion-bit filter takes) must
+    produce the identical hit set."""
+    from thoth_spark.operators import membership
+
+    ref = spark.createDataFrame([(f"k{i}",) for i in range(500)], "fp string")
+    flt = membership.bloom_build(ref, "fp", m=1 << 12, n_hashes=3).cache()
+    probe = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(400, 700)], "id long, fp string"
+    )
+    a = membership.bloom_probe(flt, probe, "id", "fp", m=1 << 12, n_hashes=3)
+    b = membership.bloom_probe(
+        flt, probe, "id", "fp", m=1 << 12, n_hashes=3, broadcast=False
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -29,6 +29,7 @@ from thoth_spark.operators import (
     clustering,
     curation,
     dedup,
+    membership,
     multimodal,
     relational,
     retrieval,
@@ -4474,6 +4475,72 @@ SELECT id, cid::INT AS cluster FROM a{iterations}
 ORACLE_KMEANS_REFINE = _kmeans_refine_oracle()
 
 
+def _bloom_contamination_oracle(m: int = 16384, n_hashes: int = 3) -> str:
+    """Exact replay of bloom_contamination_documents, NOT yet wired
+    (zero spare r10 window slots — flip + schedule in r11). The Bloom
+    filter's false positives are part of the checked output: positions
+    use the engine-portable md5(fp#i) scheme, the packed words are
+    bit_or aggregates both engines compute identically, so hit/miss —
+    collisions included — is deterministic on the fixed corpus."""
+    w = membership.BITS_PER_WORD
+
+    def pos(i: int) -> str:
+        h = _hex2int_sql(f"md5(fp || '#{i}')", 1, 8)
+        return f"({h} % {m})"
+
+    bpos = " UNION ALL ".join(
+        f"SELECT {pos(i)} AS pos FROM train" for i in range(n_hashes)
+    )
+    ppos = " UNION ALL ".join(
+        f"SELECT doc_id, {pos(i)} AS pos FROM ev" for i in range(n_hashes)
+    )
+    return f"""
+WITH t AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+           FROM documents),
+train AS (SELECT fp FROM t WHERE doc_id % 4 <> 0),
+ev AS (SELECT doc_id, fp FROM t WHERE doc_id % 4 = 0),
+bpos AS ({bpos}),
+build AS (SELECT pos // {w} AS bucket,
+                 bit_or(1::BIGINT << (pos % {w})::INT) AS word
+          FROM bpos GROUP BY 1),
+ppos AS ({ppos}),
+probed AS (
+  SELECT p.doc_id,
+         (b.word IS NOT NULL AND
+          (b.word & (1::BIGINT << (p.pos % {w})::INT))
+            = (1::BIGINT << (p.pos % {w})::INT)) AS bit_set
+  FROM ppos p LEFT JOIN build b ON p.pos // {w} = b.bucket
+)
+SELECT doc_id, bool_and(bit_set) AS hit FROM probed GROUP BY doc_id
+"""
+
+
+ORACLE_BLOOM_CONTAMINATION = _bloom_contamination_oracle()
+
+
+@query("bloom_contamination_documents")
+def bloom_contamination_documents(spark, sf_dir):
+    """Bloom-filter contamination screen: build a 16384-bit packed-
+    bitmap filter over the TRAIN corpus's normalized-text fingerprints
+    (membership.bloom_build — one partial-aggregable bit_or groupBy,
+    ≤ m/32 rows total), probe every EVAL doc (doc_id % 4 == 0) and
+    flag hits. No false negatives by construction; the false-positive
+    rate is the sized (1−e^(−kn/m))^k and the specific FP set is
+    deterministic (portable md5 positions), so the oracle checks it
+    bit-for-bit. The approximate, filter-sized counterpart of the
+    exact contamination_documents n-gram gate. Rows-only THIS round
+    (no free window slot); ORACLE_BLOOM_CONTAMINATION above is the
+    exact replay to wire in r11."""
+    docs = _documents(spark, sf_dir).select(
+        "doc_id", F.md5(text.normalize(F.col("text"))).alias("fp")
+    )
+    train = docs.where(F.col("doc_id") % 4 != 0)
+    ev = docs.where(F.col("doc_id") % 4 == 0)
+    flt = membership.bloom_build(train, "fp", m=16384, n_hashes=3)
+    return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
+
+
 @query("kmeans_refine_embeddings")
 def kmeans_refine_embeddings(spark, sf_dir):
     """Full-corpus distributed K-Means refinement
@@ -7497,4 +7564,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "decontaminate_embeddings_semantic": ORACLE_SEMANTIC_DECONTAMINATE,
     "semdedup_fixed_embeddings": ORACLE_SEMDEDUP_FIXED,
     "kmeans_refine_embeddings": ORACLE_KMEANS_REFINE,
+    "bloom_contamination_documents": ORACLE_BLOOM_CONTAMINATION,
 }
