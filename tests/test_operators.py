@@ -2538,3 +2538,72 @@ def test_bloom_probe_shuffle_join_matches_broadcast(spark):
         flt, probe, "id", "fp", m=1 << 12, n_hashes=3, broadcast=False
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --- similarity PQ (product quantization / ADC) -------------------------------
+
+
+def _pq_blob_fixture(spark, n_blobs=8, per_blob=30, dim=16, seed=11):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, (n_blobs, dim))
+    rows = []
+    for i in range(n_blobs * per_blob):
+        v = centers[i % n_blobs] + rng.normal(0, 0.3, dim)
+        rows.append((i, v.tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_rerank_full_equals_brute(spark):
+    """rerank_pool >= |corpus| must reproduce brute_force_topk exactly,
+    whatever the codebooks say."""
+    from thoth_spark.operators import similarity
+
+    df = _pq_blob_fixture(spark)
+    q = df.where(F.col("vec_id") < 5)
+    cb = similarity.pq_codebooks_seeded(df, m_subspaces=4, n_codes=8)
+    codes = similarity.pq_encode(df, cb)
+    full = similarity.pq_topk(
+        codes, q, cb, k=5, rerank_with=df, rerank_pool=10**9
+    )
+    brute = similarity.brute_force_topk(df, q, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
+def test_pq_trained_recall_floor(spark):
+    """On clustered data (PQ's operating regime) the trained-codebook
+    ADC + exact-rerank pipeline must recover most of the exact top-5."""
+    from thoth_spark.operators import similarity
+
+    df = _pq_blob_fixture(spark)
+    q = df.where(F.col("vec_id") < 5)
+    cb = similarity.train_pq_codebooks(
+        df, m_subspaces=4, n_codes=8, max_train=1000
+    )
+    codes = similarity.pq_encode(df, cb)
+    # pool > blob size: ADC cannot rank INSIDE a blob (every member
+    # shares the codes), so the pool must cover the whole tie set
+    got = similarity.pq_topk(
+        codes, q, cb, k=5, rerank_with=df, rerank_pool=40
+    ).select("query_id", "neighbor_id")
+    brute = similarity.brute_force_topk(df, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = got.join(brute, ["query_id", "neighbor_id"]).count()
+    assert hits / brute.count() >= 0.8, hits / brute.count()
+
+
+def test_pq_encode_shape_and_self_code(spark):
+    """codes are m small ints; a seed vector encodes to its own codeword
+    in every subspace (it IS the codebook entry)."""
+    from thoth_spark.operators import similarity
+
+    df = _pq_blob_fixture(spark)
+    cb = similarity.pq_codebooks_seeded(df, m_subspaces=4, n_codes=8)
+    assert cb.shape == (4, 8, 4)
+    rows = {r.id: r.codes for r in similarity.pq_encode(df, cb).collect()}
+    assert all(len(c) == 4 and max(c) < 8 and min(c) >= 0 for c in rows.values())
+    assert rows[0] == [0, 0, 0, 0]  # vec 0 is codeword 0 of every subspace

@@ -4541,6 +4541,118 @@ def bloom_contamination_documents(spark, sf_dir):
     return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
 
 
+def _pq_adc_oracle(
+    m: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 5
+) -> str:
+    """Exact replay of similarity_topk_pq, NOT yet wired (zero spare
+    r10 window slots — flip + schedule in r11). The SEEDED codebooks
+    (normalized subvectors of the 16 smallest-id vectors) make the
+    whole PQ pipeline table-derivable: encode = per-subspace argmin
+    ||x̂_s − c||² with ties to the lower code (pq_encode's stable
+    argsort), ADC score = Σ_s q̂_s · codebook_s[code_s], ranking on the
+    RAW score with the (score DESC, neighbor_id) tie-break — the
+    brute_force_topk contract. A flip would need two codewords (or two
+    neighbors' ADC scores) within ~1 ulp on the fixed corpus —
+    verified at sf0.001/sf0.01/sf0.1."""
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM e),
+cbsrc AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS code, nv
+  FROM (SELECT id, nv FROM n ORDER BY id LIMIT {n_codes})
+),
+sub AS (SELECT id, s.s, nv[s.s * {d_sub} + 1 : s.s * {d_sub} + {d_sub}] AS xs
+        FROM n, generate_series(0, {m - 1}) s(s)),
+cb AS (SELECT code, s.s, nv[s.s * {d_sub} + 1 : s.s * {d_sub} + {d_sub}] AS cs
+       FROM cbsrc, generate_series(0, {m - 1}) s(s)),
+enc AS (
+  SELECT id, s, code FROM (
+    SELECT sub.id, sub.s, cb.code,
+           row_number() OVER (
+             PARTITION BY sub.id, sub.s
+             ORDER BY list_dot_product(cb.cs, cb.cs)
+                      - 2 * list_dot_product(sub.xs, cb.cs), cb.code) AS rn
+    FROM sub JOIN cb USING (s))
+  WHERE rn = 1
+),
+qs AS (SELECT id AS query_id, s, xs FROM sub WHERE id < 10),
+adc AS (
+  SELECT q.query_id, enc.id AS neighbor_id,
+         sum(list_dot_product(q.xs, cb.cs)) AS score
+  FROM qs q
+  JOIN enc ON q.s = enc.s
+  JOIN cb ON cb.s = enc.s AND cb.code = enc.code
+  WHERE enc.id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, round(score, 6) AS adc_score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id)::INT AS rank
+FROM adc QUALIFY rank <= {k}
+"""
+
+
+ORACLE_PQ_ADC = _pq_adc_oracle()
+
+
+@query("similarity_topk_pq")
+def similarity_topk_pq(spark, sf_dir):
+    """Product-quantization ANN, pure compressed domain: seeded
+    codebooks (similarity.pq_codebooks_seeded — the replayable init),
+    corpus encoded to 8 one-byte codes (similarity.pq_encode; the
+    32-bytes-per-vector table you'd PERSIST at 100 TB), queries ranked
+    by asymmetric-distance lookup sums over the CODES alone
+    (similarity.pq_topk) — no float vector is touched after encode.
+    Rows-only THIS round (no free window slot); ORACLE_PQ_ADC above is
+    the exact replay to wire in r11."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks_seeded(emb, m_subspaces=8, n_codes=16)
+    codes = similarity.pq_encode(emb, cb)
+    return similarity.pq_topk(codes, emb.where(F.col("vec_id") < 10), cb, k=5)
+
+
+@query("similarity_topk_pq_rerank_full")
+def similarity_topk_pq_rerank_full(spark, sf_dir):
+    """The PQ dataflow (seeded codebooks, encode, ADC candidate scan)
+    run at rerank_pool ≥ |corpus| with exact re-scoring: every corpus
+    row survives the ADC stage, so the output equals exact brute force
+    REGARDLESS of codebook quality — the recall=1.0 calibration twin,
+    exactly the trick similarity_topk_ivf_fullprobe uses. Rows-only
+    THIS round; wire to the existing ORACLE_TOPK_EMB in r11."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks_seeded(emb, m_subspaces=8, n_codes=16)
+    codes = similarity.pq_encode(emb, cb)
+    return similarity.pq_topk(
+        codes,
+        emb.where(F.col("vec_id") < 10),
+        cb,
+        k=5,
+        rerank_with=emb,
+        rerank_pool=1_000_000_000,
+    )
+
+
+@query("similarity_topk_pq_trained")
+def similarity_topk_pq_trained(spark, sf_dir):
+    """The PRODUCTION PQ setting: per-subspace Lloyd-trained codebooks
+    on a bounded sample (similarity.train_pq_codebooks), ADC top-20
+    candidates, exact rerank to top-5 — compressed scan + bounded
+    float reads. Rows-only by its approximate nature; flanked by the
+    seeded-codebook exact replay (similarity_topk_pq) and the
+    rerank-full brute-equality twin, plus the pytest recall floor
+    (tests/test_operators.py::test_pq_trained_recall_floor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = similarity.train_pq_codebooks(emb, m_subspaces=8, n_codes=16)
+    codes = similarity.pq_encode(emb, cb)
+    return similarity.pq_topk(
+        codes,
+        emb.where(F.col("vec_id") < 10),
+        cb,
+        k=5,
+        rerank_with=emb,
+        rerank_pool=20,
+    )
+
+
 @query("kmeans_refine_embeddings")
 def kmeans_refine_embeddings(spark, sf_dir):
     """Full-corpus distributed K-Means refinement
@@ -7565,4 +7677,6 @@ QUEUED_ORACLES: dict[str, str] = {
     "semdedup_fixed_embeddings": ORACLE_SEMDEDUP_FIXED,
     "kmeans_refine_embeddings": ORACLE_KMEANS_REFINE,
     "bloom_contamination_documents": ORACLE_BLOOM_CONTAMINATION,
+    "similarity_topk_pq": ORACLE_PQ_ADC,
+    "similarity_topk_pq_rerank_full": ORACLE_TOPK_EMB,
 }

@@ -867,3 +867,220 @@ def semantic_decontaminate(
         .distinct()
     )
     return train.join(flagged, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC) — Jégou et al. 2011, the FAISS IndexPQ
+# recipe: split the (L2-normalized) vector into m subspaces, quantize each
+# subvector against a per-subspace codebook, score queries against the
+# CODES via per-query lookup tables (asymmetric distance computation).
+# ---------------------------------------------------------------------------
+
+
+def _normalized_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def pq_codebooks_seeded(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+) -> np.ndarray:
+    """Deterministic PQ codebooks: the normalized subvectors of the
+    ``n_codes`` smallest-id vectors (a bounded collect — the
+    replayable-init trick of clustering.seed_centroids). Returns
+    ``(m_subspaces, n_codes, dim/m_subspaces)`` float64. Not a quality
+    codebook — the ACCOUNTABLE one; see :func:`train_pq_codebooks` for
+    the production path."""
+    rows = (
+        corpus.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy("id")
+        .limit(n_codes)
+        .collect()
+    )
+    mat = _normalized_rows(np.asarray([r.v for r in rows], dtype=np.float64))
+    dim = mat.shape[1]
+    assert dim % m_subspaces == 0, (dim, m_subspaces)
+    return mat.reshape(n_codes, m_subspaces, dim // m_subspaces).transpose(1, 0, 2)
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    max_train: int = 65536,
+    iterations: int = 10,
+) -> np.ndarray:
+    """Production PQ codebooks: per-subspace Lloyd k-means on a bounded
+    normalized sample, run driver-side in numpy (the sample is
+    ``max_train × dim`` floats — tens of MB; codebook quality needs a
+    sample, never the corpus, exactly like
+    :func:`coarse_centroids`)."""
+    rng = np.random.default_rng(seed)
+    sample = np.asarray(
+        [
+            r.v
+            for r in corpus.select(_as_double(F.col(vec_col)).alias("v"))
+            .limit(max_train)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    sample = _normalized_rows(sample)
+    n, dim = sample.shape
+    d_sub = dim // m_subspaces
+    assert dim % m_subspaces == 0, (dim, m_subspaces)
+    books = np.empty((m_subspaces, n_codes, d_sub))
+    for s in range(m_subspaces):
+        x = sample[:, s * d_sub : (s + 1) * d_sub]
+        cent = x[rng.choice(n, size=n_codes, replace=False)]
+        for _ in range(iterations):
+            d = (cent * cent).sum(axis=1) - 2.0 * (x @ cent.T)
+            asg = np.argmin(d, axis=1)
+            for c in range(n_codes):
+                member = x[asg == c]
+                if len(member):
+                    cent[c] = member.mean(axis=0)
+        books[s] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus against PQ ``codebooks``: L2-normalize, per
+    subspace take the L2-nearest codeword (ties → lower code, the
+    stable-argsort rule every quantizer in this repo shares). Returns
+    ``(id, codes array<int>)`` — the 4-byte-per-subspace compressed
+    corpus you PERSIST; at 100 TB this table is ~dim·4/m of the float32
+    original (64-dim → 8 codes = 32 bytes vs 256: 8×), and ANN scans
+    read it instead of the floats. One Arrow-batched pass, codebook
+    tensor in the closure, plan O(1) in n_codes."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, d_sub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)  # (m, n_codes)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            x = _normalized_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+            b = x.shape[0]
+            codes = np.empty((b, m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * d_sub : (s + 1) * d_sub]
+                d = cb_sq[s] - 2.0 * (xs @ cb[s].T)
+                codes[:, s] = np.argsort(d, axis=1, kind="stable")[:, 0]
+            yield pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(id_col).alias("id"), encode(_as_double(F.col(vec_col))).alias("codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    rerank_with: DataFrame | None = None,
+    rerank_pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over a :func:`pq_encode`d corpus: per query build the
+    m×n_codes lookup table ``LUT[s][c] = q̂_s · codebook_s[c]`` once,
+    then every corpus CODE row scores as ``Σ_s LUT[s][codes[s]]`` — a
+    numpy gather, no float vectors touched. One Arrow-batched
+    ``mapInPandas`` pass emits only each batch's per-query top
+    candidates, so the shuffle carries O(pool × queries × batches) rows
+    (the brute_force_topk_pandas shape, on 8-byte codes instead of
+    256-byte floats).
+
+    Without ``rerank_with``: returns ``(query_id, neighbor_id,
+    adc_score, rank)`` — the pure compressed-domain ranking. With
+    ``rerank_with`` (the original float corpus): the global ADC top
+    ``rerank_pool`` per query is re-scored EXACTLY (semi-join pulls
+    just pool×queries float vectors) and the output matches
+    :func:`brute_force_topk`'s ``(query_id, neighbor_id, cos_sim,
+    rank)`` contract — at ``rerank_pool ≥ |corpus|`` it is bit-equal
+    to brute force, the calibration point the hash gate pins."""
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, n_codes, d_sub = cb.shape
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = _normalized_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
+    # (n_queries, m, n_codes): LUT[j, s, c] = q̂_j[s] · cb[s][c]
+    lut = np.einsum(
+        "jsd,scd->jsc", q_mat.reshape(len(q_ids), m, d_sub), cb
+    )
+    pool = max(k, rerank_pool if rerank_with is not None else k)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (b, m)
+            b = codes.shape[0]
+            # gather: scores[i, j] = Σ_s lut[j, s, codes[i, s]]
+            sims = lut[:, np.arange(m)[None, :], codes].sum(axis=2).T  # (b, nq)
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                col = sims[:, j]
+                cand = np.where(ids != qid)[0]
+                top = cand[np.argsort(-col[cand], kind="stable")[:pool]]
+                out_q += [qid] * len(top)
+                out_n += list(ids[top])
+                out_s += list(col[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
+            )
+
+    scored = codes_df.mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, adc_score double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= pool
+    )
+    if rerank_with is None:
+        return ranked.select(
+            "query_id",
+            "neighbor_id",
+            F.round("adc_score", 6).alias("adc_score"),
+            "rank",
+        )
+    c = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    exact = (
+        ranked.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
