@@ -2607,3 +2607,17 @@ def test_pq_encode_shape_and_self_code(spark):
     rows = {r.id: r.codes for r in similarity.pq_encode(df, cb).collect()}
     assert all(len(c) == 4 and max(c) < 8 and min(c) >= 0 for c in rows.values())
     assert rows[0] == [0, 0, 0, 0]  # vec 0 is codeword 0 of every subspace
+
+
+def test_vocabulary_counts_and_coverage(spark):
+    from thoth_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a c"), (3, "a  B")],
+        "doc_id long, text string",
+    )
+    # tokens (normalized): a×4, b×3, c×1 → total 8
+    out = {r.tok: r for r in text_ops.vocabulary(df, top_n=2).collect()}
+    assert set(out) == {"a", "b"}
+    assert (out["a"].rank, out["a"].cnt, out["a"].coverage) == (1, 4, 0.5)
+    assert (out["b"].rank, out["b"].cnt, out["b"].coverage) == (2, 3, 0.875)

@@ -4541,6 +4541,39 @@ def bloom_contamination_documents(spark, sf_dir):
     return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
 
 
+def _vocabulary_oracle(top_n: int = 100) -> str:
+    """Exact replay of vocabulary_documents, NOT yet wired (zero spare
+    r10 window slots — flip + schedule in r11). Counts are integers,
+    coverage arithmetic is exact-integer division rounded 6, rank ties
+    break on token text — nothing engine-sensitive."""
+    return f"""
+WITH d AS ({_DOC_TOKENS}),
+t AS (SELECT unnest(toks) AS tok FROM d),
+c AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT sum(cnt)::DOUBLE AS n FROM c),
+top AS (
+  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM c QUALIFY rank <= {top_n}
+)
+SELECT rank::INT AS rank, tok, cnt,
+       round(sum(cnt::DOUBLE) OVER (ORDER BY rank) / (SELECT n FROM tot), 6) AS coverage
+FROM top
+"""
+
+
+ORACLE_VOCABULARY = _vocabulary_oracle()
+
+
+@query("vocabulary_documents")
+def vocabulary_documents(spark, sf_dir):
+    """Corpus vocabulary table (text.vocabulary): top-100 tokens with
+    cumulative coverage share — one partial-aggregable token-count
+    shuffle, TakeOrdered top-N (no global sort), running sum over the
+    100 survivors. Rows-only THIS round (no free window slot);
+    ORACLE_VOCABULARY above is the exact replay to wire in r11."""
+    return text.vocabulary(_documents(spark, sf_dir), top_n=100)
+
+
 def _pq_adc_oracle(
     m: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 5
 ) -> str:
@@ -7679,4 +7712,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "bloom_contamination_documents": ORACLE_BLOOM_CONTAMINATION,
     "similarity_topk_pq": ORACLE_PQ_ADC,
     "similarity_topk_pq_rerank_full": ORACLE_TOPK_EMB,
+    "vocabulary_documents": ORACLE_VOCABULARY,
 }

@@ -10,7 +10,7 @@ matters.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 #: Tiny per-language marker lexicons for the n-gram/stopword language-ID
@@ -441,4 +441,45 @@ def winnow_overlap_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
+    )
+
+
+def vocabulary(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Corpus token vocabulary: the ``top_n`` most frequent whitespace
+    tokens with count and CUMULATIVE corpus-coverage share — the table
+    every tokenizer-training / stopword / vocab-truncation decision
+    reads first ("how many tokens cover 95% of the corpus?").
+
+    Returns ``(rank, tok, cnt, coverage)``; rank ties break on token
+    text, coverage = running sum of cnt over rank / total corpus
+    tokens (ALL tokens, not just the listed ones), rounded 6.
+
+    Scale shape: one explode + one partial-aggregable token-count
+    groupBy (the only corpus-sized shuffle), then the top-N is a
+    TakeOrdered — never a global sort — and the running-sum window
+    runs over ≤ top_n rows. The total-token denominator folds into the
+    same count pass via a scalar aggregate (broadcast one-row join)."""
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").cast("double").alias("__total"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok")).limit(top_n)
+    w = W.orderBy(F.col("cnt").desc(), F.col("tok"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            F.round(
+                F.sum("cnt").over(w.rowsBetween(W.unboundedPreceding, 0))
+                / F.col("__total"),
+                6,
+            ).alias("coverage"),
+        )
     )
