@@ -2621,3 +2621,36 @@ def test_vocabulary_counts_and_coverage(spark):
     assert set(out) == {"a", "b"}
     assert (out["a"].rank, out["a"].cnt, out["a"].coverage) == (1, 4, 0.5)
     assert (out["b"].rank, out["b"].cnt, out["b"].coverage) == (2, 3, 0.875)
+
+
+# --- profiler.sketches count-min ----------------------------------------------
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """est >= true for EVERY key (the CMS one-sided guarantee), and the
+    sketch of a union equals the merge of the parts' sketches."""
+    from thoth_spark.profiler import sketches
+
+    rows = [(f"k{i % 50}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+    sk = sketches.cms_build(df, "tok", depth=4, width=64).cache()
+    assert sk.count() <= 4 * 64
+
+    truth = df.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = sketches.cms_estimate(sk, truth, "tok", depth=4, width=64)
+    joined = truth.join(est, "tok")
+    assert joined.where(F.col("est") < F.col("true_cnt")).count() == 0
+    hot = joined.where(F.col("tok") == "hot").first()
+    assert hot.est >= 500
+
+    # merge property on a clean split: build per-slice, merge, compare
+    a = spark.createDataFrame(rows[:1200], "tok string")
+    b = spark.createDataFrame(rows[1200:], "tok string")
+    merged = sketches.cms_merge(
+        sketches.cms_build(a, "tok", depth=4, width=64),
+        sketches.cms_build(b, "tok", depth=4, width=64),
+    )
+    whole = sketches.cms_build(df, "tok", depth=4, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

@@ -4541,6 +4541,75 @@ def bloom_contamination_documents(spark, sf_dir):
     return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
 
 
+def _cms_oracle(depth: int = 4, width: int = 16, top_n: int = 20) -> str:
+    """Exact replay of cms_token_counts_documents, NOT yet wired (zero
+    spare r10 window slots — flip + schedule in r11). The sketch
+    CONTENT is deterministic: counter positions use the portable
+    md5(tok#r) scheme, cells are integer counts, estimates are integer
+    minima — the overcount column is the sketch's actual collision
+    error on the fixed corpus, checked bit-for-bit."""
+
+    def pos(src: str, r: int) -> str:
+        h = _hex2int_sql(f"md5({src} || '#{r}')", 1, 8)
+        return f"({h} % {width})"
+
+    build_legs = " UNION ALL ".join(
+        f"SELECT {r} AS row, {pos('tok', r)} AS pos FROM t" for r in range(depth)
+    )
+    probe_legs = " UNION ALL ".join(
+        f"SELECT tok, {r} AS row, {pos('tok', r)} AS pos FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH d AS ({_DOC_TOKENS}),
+t AS (SELECT unnest(toks) AS tok FROM d),
+c AS (SELECT tok, count(*) AS true_cnt FROM t GROUP BY tok),
+probes AS (SELECT tok, true_cnt FROM c ORDER BY true_cnt DESC, tok LIMIT {top_n}),
+cells AS (SELECT row, pos, count(*) AS cnt FROM ({build_legs}) GROUP BY row, pos),
+pp AS ({probe_legs}),
+est AS (
+  SELECT pp.tok, min(coalesce(cells.cnt, 0)) AS est
+  FROM pp LEFT JOIN cells USING (row, pos) GROUP BY pp.tok
+)
+SELECT p.tok, e.est, p.true_cnt, e.est - p.true_cnt AS overcount
+FROM probes p JOIN est e USING (tok)
+"""
+
+
+ORACLE_CMS_TOKENS = _cms_oracle()
+
+
+@query("cms_token_counts_documents")
+def cms_token_counts_documents(spark, sf_dir):
+    """Count-min sketch point counts (profiler.sketches.cms_build /
+    cms_estimate): a deliberately TINY 4×16-cell mergeable sketch
+    (the fixture vocabulary is 31 tokens, so a production-sized width
+    would never collide — 16 cells force the collision path)  over the corpus token
+    stream — fixed size at ANY corpus size — probed with the top-20
+    true tokens; output carries the estimate, the exact count, and the
+    sketch's one-sided overcount (never negative — the CMS guarantee
+    the pytest pins). Rows-only THIS round (no free window slot);
+    ORACLE_CMS_TOKENS above is the exact replay to wire in r11."""
+    from thoth_spark.profiler import sketches
+
+    toks = _documents(spark, sf_dir).select(
+        F.explode(text.tokens(F.col("text"))).alias("tok")
+    )
+    sketch = sketches.cms_build(toks, "tok", depth=4, width=16)
+    truec = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = truec.orderBy(F.col("true_cnt").desc(), F.col("tok")).limit(20)
+    est = sketches.cms_estimate(sketch, probes, "tok", depth=4, width=16)
+    return (
+        probes.join(est, "tok")
+        .select(
+            "tok",
+            "est",
+            "true_cnt",
+            (F.col("est") - F.col("true_cnt")).alias("overcount"),
+        )
+    )
+
+
 def _vocabulary_oracle(top_n: int = 100) -> str:
     """Exact replay of vocabulary_documents, NOT yet wired (zero spare
     r10 window slots — flip + schedule in r11). Counts are integers,
@@ -7713,4 +7782,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "similarity_topk_pq": ORACLE_PQ_ADC,
     "similarity_topk_pq_rerank_full": ORACLE_TOPK_EMB,
     "vocabulary_documents": ORACLE_VOCABULARY,
+    "cms_token_counts_documents": ORACLE_CMS_TOKENS,
 }

@@ -178,3 +178,97 @@ def trailing_distinct(
             F.hll_sketch_estimate(F.col(f"__u_{c}")).alias(f"trailing_distinct_{c}")
         )
     return joined.groupBy("__d").agg(*aggs).select(*outs)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable heavy-hitter
+# counting with a HARD one-sided error: estimates never undercount.
+# ---------------------------------------------------------------------------
+
+
+def _cms_pos(key, r: int, width: int):
+    """Row-``r`` counter position for ``key`` — the repo-standard
+    engine-portable md5 scheme (same as membership.hash_position), so
+    the sketch CONTENT, collisions included, is deterministic and
+    SQL-replayable."""
+    from thoth_spark.operators.membership import hash_position
+
+    return hash_position(key, r, width)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Build a count-min sketch over the ``key_col`` STREAM (one row =
+    one occurrence): returns the sketch as ``(row, pos, cnt)`` — at
+    most ``depth × width`` cells regardless of corpus size, produced by
+    one explode(depth) + one partial-aggregable groupBy. Where
+    approx_top_k answers "which keys are heavy", CMS answers "how heavy
+    is THIS key" for any key, post hoc, from a fixed-size table.
+
+    Mergeable: CMS cells add — :func:`cms_merge` unions sketches of
+    disjoint slices (shards, days) into the sketch of the whole, the
+    same no-rescan contract as the HLL/KLL rollups above."""
+    k = F.col(key_col)
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"), _cms_pos(k, r, width).alias("pos")
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(cell.alias("c"))
+        .select("c.row", "c.pos")
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union CMS sketches built with the SAME (depth, width): cells add."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Point-estimate every probe key against a :func:`cms_build`
+    sketch: ``est = min over rows of the key's counter`` — ≥ the true
+    count ALWAYS (one-sided), ≤ true + εN with probability 1−δ for
+    ε = e/width, δ = e^−depth. Returns ``(key_col, est)``. The sketch
+    side is ≤ depth×width rows — broadcast by default; probes can be
+    corpus-sized."""
+    p = probes.select(F.col(key_col)).distinct()
+    legs = p.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _cms_pos(F.col(key_col), r, width).alias("pos"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.row", "c.pos")
+    s = F.broadcast(sketch) if broadcast else sketch
+    return (
+        legs.join(s, ["row", "pos"], "left")
+        .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )
