@@ -2654,3 +2654,42 @@ def test_cms_never_undercounts_and_merges(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from thoth_spark.operators import storage
+
+    def morton(a, b, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(i, i % 256, (i * 37) % 256) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = df.select(
+        "id", "a", "b",
+        storage.zorder_key([F.col("a"), F.col("b")], bits=8).alias("zkey"),
+    )
+    for r in out.collect():
+        assert r.zkey == morton(r.a, r.b), (r.a, r.b, r.zkey)
+
+
+def test_minmax_quantize_clamps_top_cell(spark):
+    from thoth_spark.operators import storage
+
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,)], "x double")
+    got = sorted(
+        r.q for r in df.select(
+            storage.minmax_quantize(F.col("x"), 0.0, 10.0, bits=2).alias("q")
+        ).collect()
+    )
+    assert got == [0, 2, 3]  # x=mx lands IN the top cell, not past it
+    # degenerate span: everything maps to cell 0
+    same = spark.createDataFrame([(7.0,), (7.0,)], "x double")
+    assert {
+        r.q
+        for r in same.select(
+            storage.minmax_quantize(F.col("x"), 7.0, 7.0, bits=2).alias("q")
+        ).collect()
+    } == {0}

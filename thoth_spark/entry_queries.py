@@ -4541,6 +4541,71 @@ def bloom_contamination_documents(spark, sf_dir):
     return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
 
 
+def _zorder_oracle(bits: int = 8) -> str:
+    """Exact replay of zorder_key_events, NOT yet wired (zero spare r10
+    window slots — flip + schedule in r11). min/max are exact order
+    statistics (no summation), the quantizer formula is written with
+    identical operation order on both engines, and the interleave is
+    pure integer bit arithmetic."""
+
+    def q(src: str, mn: str, mx: str) -> str:
+        return (
+            f"least(floor(({src}::DOUBLE - {mn}) / ({mx} - {mn}) * {float(2**bits)})::BIGINT, "
+            f"{2**bits - 1})"
+        )
+
+    terms = []
+    for ci, col in enumerate(["qu", "qv"]):
+        terms += [f"((({col} >> {i}) & 1) << {i * 2 + ci})" for i in range(bits)]
+    return f"""
+WITH s AS (
+  SELECT min(user_id)::DOUBLE AS mnu, max(user_id)::DOUBLE AS mxu,
+         min(value) AS mnv, max(value) AS mxv
+  FROM events
+),
+g AS (
+  SELECT event_id,
+         {q('user_id', 's.mnu', 's.mxu')} AS qu,
+         {q('value', 's.mnv', 's.mxv')} AS qv
+  FROM events, s
+)
+SELECT event_id, ({' + '.join(terms)})::BIGINT AS zkey FROM g
+"""
+
+
+ORACLE_ZORDER = _zorder_oracle()
+
+
+@query("zorder_key_events")
+def zorder_key_events(spark, sf_dir):
+    """Z-order layout keys (storage.minmax_quantize + storage.zorder_key):
+    user_id and value quantized to the 256-cell grid by min/max scaling
+    (two scalar aggregates), bits interleaved into one Morton key —
+    pure JVM bit expressions. Sorting a write by this key keeps BOTH
+    dimensions coarsely clustered so parquet min/max pruning skips row
+    groups for predicates on either (the OPTIMIZE ZORDER layout
+    primitive; see zorder_key's docstring for the write recipe).
+    Rows-only THIS round (no free window slot); ORACLE_ZORDER above is
+    the exact replay to wire in r11."""
+    from thoth_spark.operators import storage
+
+    ev = _events(spark, sf_dir)
+    mn = ev.agg(
+        F.min("user_id").cast("double"),
+        F.max("user_id").cast("double"),
+        F.min("value"),
+        F.max("value"),
+    ).first()
+    zk = storage.zorder_key(
+        [
+            storage.minmax_quantize(F.col("user_id"), mn[0], mn[1], bits=8),
+            storage.minmax_quantize(F.col("value"), mn[2], mn[3], bits=8),
+        ],
+        bits=8,
+    )
+    return ev.select("event_id", zk.alias("zkey"))
+
+
 def _cms_oracle(depth: int = 4, width: int = 16, top_n: int = 20) -> str:
     """Exact replay of cms_token_counts_documents, NOT yet wired (zero
     spare r10 window slots — flip + schedule in r11). The sketch
@@ -7783,4 +7848,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "similarity_topk_pq_rerank_full": ORACLE_TOPK_EMB,
     "vocabulary_documents": ORACLE_VOCABULARY,
     "cms_token_counts_documents": ORACLE_CMS_TOKENS,
+    "zorder_key_events": ORACLE_ZORDER,
 }

@@ -10,7 +10,8 @@ warehouse gets from distribution keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -48,3 +49,47 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     """Read a bucketed table (bucket metadata only survives the catalog
     path — a plain ``spark.read.parquet`` on the files would lose it)."""
     return spark.table(table_name)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys — multi-dimensional data skipping.
+# ---------------------------------------------------------------------------
+
+
+def minmax_quantize(col: Column, mn: float, mx: float, bits: int = 8) -> Column:
+    """Map a numeric column onto the ``[0, 2^bits)`` integer grid by
+    min/max scaling (``mn``/``mx`` are data-derived scalars — two cheap
+    scalar aggregates, the only non-streaming step). Values at ``mx``
+    clamp into the top cell."""
+    span = float(mx) - float(mn)
+    if span == 0:
+        return F.lit(0).cast("long")
+    q = F.floor(
+        (col.cast("double") - F.lit(float(mn))) / F.lit(span) * F.lit(float(2**bits))
+    ).cast("long")
+    return F.least(q, F.lit(2**bits - 1)).cast("long")
+
+
+def zorder_key(cols: list[Column], bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of ``cols`` (non-negative
+    integer grid cells, e.g. :func:`minmax_quantize` output) into one
+    Morton key — pure JVM bit expressions, no UDF.
+
+    Why at 100 TB: parquet min/max pruning only skips on the SORT
+    column; sorting by the Morton key keeps EVERY interleaved dimension
+    coarsely clustered, so predicates on any of them prune row groups
+    (the Delta/Iceberg OPTIMIZE ZORDER trick). Layout recipe::
+
+        k = zorder_key([minmax_quantize(...), minmax_quantize(...)])
+        (df.withColumn("zkey", k)
+           .repartitionByRange(n, "zkey")      # range shuffle ONCE at write
+           .sortWithinPartitions("zkey")
+           .write.parquet(...))
+    """
+    n = len(cols)
+    total = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        for i in range(bits):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1).cast("long"))
+            total = total + F.shiftleft(bit, i * n + ci)
+    return total
