@@ -2693,3 +2693,48 @@ def test_minmax_quantize_clamps_top_cell(spark):
             storage.minmax_quantize(F.col("x"), 7.0, 7.0, bits=2).alias("q")
         ).collect()
     } == {0}
+
+
+def test_zorder_write_tightens_row_group_stats_on_both_dims(spark, tmp_path):
+    """The point of the layout: after repartitionByRange(zkey) + sort,
+    parquet row-group min/max envelopes must shrink on BOTH interleaved
+    dimensions vs a round-robin write — that shrinkage IS the
+    data-skipping a reader's predicate pushdown buys."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from thoth_spark.operators import storage
+
+    rows = [(i, (i * 7919) % 1000, float((i * 104729) % 1000)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, user_id long, value double")
+    zk = storage.zorder_key(
+        [
+            storage.minmax_quantize(F.col("user_id"), 0, 999, bits=8),
+            storage.minmax_quantize(F.col("value"), 0.0, 999.0, bits=8),
+        ],
+        bits=8,
+    )
+
+    plain_dir, z_dir = str(tmp_path / "plain"), str(tmp_path / "zorder")
+    df.repartition(4).write.parquet(plain_dir)
+    (
+        df.withColumn("zkey", zk)
+        .repartitionByRange(4, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.parquet(z_dir)
+    )
+
+    def coverage(path, col):
+        total = 0.0
+        for f in glob.glob(f"{path}/*.parquet"):
+            meta = pq.ParquetFile(f).metadata
+            idx = meta.schema.names.index(col)
+            for g in range(meta.num_row_groups):
+                st = meta.row_group(g).column(idx).statistics
+                total += float(st.max) - float(st.min)
+        return total
+
+    for col in ("user_id", "value"):
+        assert coverage(z_dir, col) <= 0.7 * coverage(plain_dir, col), col
