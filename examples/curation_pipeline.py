@@ -7,13 +7,17 @@ The pipeline a 100 TB curation job runs, at fixture scale:
 1. heuristic quality score + language ID (pure column expressions)
 2. model-based quality filter — Bernoulli Naive Bayes trained on
    balanced weak labels (closed-form, deterministic)
-3. exact-substring passage dedup (duplicated 12-token runs removed
+3. benchmark decontamination — a packed-bitmap Bloom filter over the
+   held-out eval set's fingerprints screens every training doc (no
+   false negatives: nothing from the benchmark survives)
+4. exact-substring passage dedup (duplicated 12-token runs removed
    from every occurrence — licence headers, templated paragraphs)
-4. MinHash-LSH near-duplicate removal with quality-aware survivors
-5. DSIR target-distribution selection (hashed-n-gram importance
+5. MinHash-LSH near-duplicate removal with quality-aware survivors
+6. DSIR target-distribution selection (hashed-n-gram importance
    weights vs the trusted English subset, Gumbel-top-k draw)
-6. token-budget packing + deterministic training order
-7. sharded training-data sink (bit-stable on rerun)
+7. token-budget packing + deterministic training order
+8. sharded training-data sink (bit-stable on rerun) + a vocabulary
+   coverage report of the final corpus
 
 Every step is engine-replayable (md5-keyed hashing throughout), so the
 resulting corpus is auditable: the same inputs produce the same shards
@@ -31,7 +35,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from thoth_spark import get_spark
-from thoth_spark.operators import classifier, curation, dedup, sampling, text
+from thoth_spark.operators import (
+    classifier,
+    curation,
+    dedup,
+    membership,
+    sampling,
+    text,
+)
 from thoth_spark.sinks import write_training_shards
 from thoth_spark.sources import load_table
 
@@ -59,7 +70,23 @@ def main() -> None:
     )
     n1 = kept.count()
 
-    # 3. passage dedup (ExactSubstr): drop duplicated 12-token runs
+    # 3. benchmark decontamination: every 97th doc stands in for the
+    # held-out eval set; its normalized-text fingerprints build a
+    # 64k-bit Bloom filter (<= 2048 bitmap words — broadcastable at any
+    # corpus size) and training docs that hit are dropped. No false
+    # negatives: a doc byte-equal to a benchmark doc CANNOT survive.
+    fps = kept.select("doc_id", F.md5(text.normalize(F.col("text"))).alias("fp"))
+    bench = fps.where(F.col("doc_id") % 97 == 0)
+    flt = membership.bloom_build(bench, "fp", m=1 << 16, n_hashes=3)
+    clean_ids = (
+        membership.bloom_probe(flt, fps, "doc_id", "fp", m=1 << 16, n_hashes=3)
+        .where(~F.col("hit"))
+        .select("doc_id")
+    )
+    kept = kept.join(clean_ids, "doc_id", "left_semi")
+    n1b = kept.count()
+
+    # 4. passage dedup (ExactSubstr): drop duplicated 12-token runs
     passages = curation.passage_dedup(kept, "doc_id", "text", window=12)
     cleaned = (
         passages.where(F.col("n_kept") > 0)
@@ -121,11 +148,18 @@ def main() -> None:
     out_dir = os.path.join(tempfile.mkdtemp(prefix="curated_"), "shards")
     write_training_shards(with_bins, out_dir, n_shards=4)
 
+    # vocabulary coverage of what we are about to train on: how many
+    # tokens cover 90% of the final corpus (tokenizer/vocab sizing)
+    vocab = text.vocabulary(selected, top_n=50)
+    n90 = vocab.where(F.col("coverage") >= 0.9).agg(F.min("rank")).first()[0]
+
     print(f"corpus:          {n0} docs")
     print(f"quality-kept:    {n1} docs (NB filter)")
+    print(f"decontaminated:  {n1b} docs (Bloom screen vs eval set)")
     print(f"passage-cleaned: {n2} docs (empty after dedup dropped)")
     print(f"near-dup-unique: {n3} docs (quality-aware MinHash survivors)")
     print(f"dsir-selected:   {n4} docs (target-distribution pool)")
+    print(f"vocab-90%:       {n90} tokens cover 90% of the final corpus")
     print(f"shards written:  {out_dir}")
     spark.stop()
 
