@@ -635,3 +635,85 @@ def test_winnow_fingerprints_single_shuffle(spark, sf_dir):
     plan = _plan(entry_queries.QUERIES["winnow_fingerprints_documents"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_broadcasts_filter_and_combines_map_side(spark, sf_dir):
+    """The filter side (≤ m/32 words) must reach the probe join as a
+    broadcast, the bit_or build must partial-aggregate map-side, and
+    nothing may cartesian."""
+    plan = _plan(
+        entry_queries.QUERIES["bloom_contamination_documents"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "partial_bit_or" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocabulary_topn_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-N must compile to TakeOrderedAndProject — a global Sort of
+    the token-count table would be a corpus-sized single-partition sort
+    at scale."""
+    plan = _plan(entry_queries.QUERIES["vocabulary_documents"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_key_is_pure_expressions_zero_shuffle(spark, sf_dir):
+    """Key computation is projection-only: no exchange beyond the
+    loader's repartition, no UDF (BatchEvalPython/ArrowEvalPython)."""
+    from thoth_spark.operators import storage
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        storage.zorder_key(
+            [
+                storage.minmax_quantize(F.col("user_id"), 0, 1000, bits=8),
+                storage.minmax_quantize(F.col("value"), 0.0, 1000.0, bits=8),
+            ]
+        ).alias("zkey"),
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 1  # at most the loader's repartition
+
+
+def test_cms_build_partial_aggregates_and_estimate_broadcasts(spark, sf_dir):
+    plan = _plan(
+        entry_queries.QUERIES["cms_token_counts_documents"](spark, sf_dir)
+    )
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scan_emits_bounded_candidates(spark, sf_dir):
+    """The ADC stage is one mapInPandas over the codes; the only
+    shuffle after it is the per-query ranking window — no join back to
+    float vectors in the compressed-domain query."""
+    plan = _plan(entry_queries.QUERIES["similarity_topk_pq"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_lloyd_refine_mean_update_partial_aggregates(spark, sf_dir):
+    """The per-(cluster, pos) mean must map-side combine — a giant
+    cluster funnelling one reducer is the failure this pins."""
+    from thoth_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    import numpy as np
+
+    cent = clustering.seed_centroids(emb, "vec_id", "embedding", 4)
+    from thoth_spark.operators.similarity import nearest_cells_udf
+
+    asg = base.withColumn("cluster", nearest_cells_udf(cent, 1)(F.col("v"))[0])
+    cells = (
+        asg.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+    )
+    assert "partial_avg" in _plan(cells)
