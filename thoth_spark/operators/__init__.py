@@ -10,24 +10,34 @@ on the hot path except clearly-marked Pandas-UDF decode stubs).
 
 from thoth_spark.operators import (
     classifier,
+    clustering,
     curation,
     dedup,
+    graph,
     lm,
+    membership,
     multimodal,
     relational,
+    retrieval,
     sampling,
     similarity,
+    storage,
     text,
 )
 
 __all__ = [
     "classifier",
+    "clustering",
     "curation",
     "dedup",
+    "graph",
     "lm",
+    "membership",
     "multimodal",
     "relational",
+    "retrieval",
     "sampling",
     "similarity",
+    "storage",
     "text",
 ]
