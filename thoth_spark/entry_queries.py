@@ -4541,6 +4541,80 @@ def bloom_contamination_documents(spark, sf_dir):
     return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
 
 
+def _streaming_cms_oracle(depth: int = 4, width: int = 16) -> str:
+    """Exact replay of streaming_cms_events, NOT yet wired (zero spare
+    r10 window slots — flip + schedule in r11). Watermark (1 day)
+    finalizes a daily bucket once max(ts) − 1 day passes its end —
+    the same deterministic finalized-day rule as
+    ORACLE_STREAM_SKETCH_ROLLUP — and CMS cells over those days add to
+    the merged sketch the Spark side builds from the bucket rows."""
+
+    def pos(src: str, r: int) -> str:
+        h = _hex2int_sql(f"md5({src} || '#{r}')", 1, 8)
+        return f"({h} % {width})"
+
+    build_legs = " UNION ALL ".join(
+        f"SELECT {r} AS row, {pos('tok', r)} AS pos FROM t" for r in range(depth)
+    )
+    probe_legs = " UNION ALL ".join(
+        f"SELECT tok, {r} AS row, {pos('tok', r)} AS pos FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+WITH mx AS (SELECT max(ts::TIMESTAMP) AS m FROM events),
+e AS (SELECT date_trunc('day', ts::TIMESTAMP) AS d, event_type FROM events),
+fin AS (SELECT DISTINCT d FROM e, mx WHERE d + INTERVAL 1 DAY <= m - INTERVAL 1 DAY),
+t AS (SELECT event_type AS tok FROM e JOIN fin USING (d)),
+cells AS (SELECT row, pos, count(*) AS cnt FROM ({build_legs}) GROUP BY row, pos),
+probes AS (SELECT DISTINCT event_type AS tok FROM events),
+pp AS ({probe_legs}),
+est AS (
+  SELECT pp.tok, min(coalesce(cells.cnt, 0)) AS est
+  FROM pp LEFT JOIN cells USING (row, pos) GROUP BY pp.tok
+)
+SELECT tok AS event_type, est FROM est
+"""
+
+
+ORACLE_STREAMING_CMS = _streaming_cms_oracle()
+
+
+@query("streaming_cms_events")
+def streaming_cms_events(spark, sf_dir):
+    """Continuous count-min sketching (streaming.cms_stream): the
+    stream emits one finalized daily 4×16 CMS per bucket (append mode
+    under the 1-day watermark, ≤ 64 rows/day at ANY volume); the
+    bucket rows then MERGE into the all-time sketch (cells add —
+    sketches.cms_merge) which answers point counts for every
+    event_type without re-reading the stream — the count-twin of the
+    streaming HLL rollup. Rows-only THIS round (no free window slot);
+    ORACLE_STREAMING_CMS above is the exact replay to wire in r11."""
+    import uuid
+
+    from thoth_spark.profiler.sketches import cms_estimate
+    from thoth_spark.sources import load_events_stream
+    from thoth_spark.streaming import cms_stream
+
+    stream = load_events_stream(spark, sf_dir).select("ts", "event_type")
+    daily = cms_stream(stream, "ts", "event_type", depth=4, width=16)
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    q = (
+        daily.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    merged = (
+        spark.table(name)
+        .groupBy("row", "pos")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    probes = _events(spark, sf_dir).select("event_type").distinct()
+    return cms_estimate(merged, probes, "event_type", depth=4, width=16)
+
+
 def _zorder_oracle(bits: int = 8) -> str:
     """Exact replay of zorder_key_events, NOT yet wired (zero spare r10
     window slots — flip + schedule in r11). min/max are exact order
@@ -7849,4 +7923,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "vocabulary_documents": ORACLE_VOCABULARY,
     "cms_token_counts_documents": ORACLE_CMS_TOKENS,
     "zorder_key_events": ORACLE_ZORDER,
+    "streaming_cms_events": ORACLE_STREAMING_CMS,
 }

@@ -36,6 +36,7 @@ from thoth_spark.streaming.stream import (
     profile_stream,
     running_score_stream,
     sessionize_stream,
+    cms_stream,
     sketch_profile_stream,
 )
 
@@ -47,5 +48,6 @@ __all__ = [
     "drift_foreach_batch",
     "sessionize_stream",
     "interval_join_stream",
+    "cms_stream",
     "sketch_profile_stream",
 ]

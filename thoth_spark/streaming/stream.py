@@ -420,3 +420,53 @@ def interval_join_stream(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, how)
+
+
+def cms_stream(
+    df: DataFrame,
+    ts_column: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    granularity: str = Granularity.DAY,
+    watermark_delay: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of :func:`thoth_spark.profiler.sketches.cms_build`:
+    one finalized count-min sketch per time bucket (append mode under
+    the watermark), emitted as ``(ts, row, pos, cnt)`` — ≤ depth×width
+    rows per bucket regardless of stream volume. CMS cells ADD, so the
+    all-time (or weekly, or any) sketch is a
+    :func:`~thoth_spark.profiler.sketches.cms_merge` of bucket rows:
+    the raw stream is read exactly once, ever, and point counts for ANY
+    key over ANY horizon come from the persisted sketch table — the
+    count-twin of the HLL/KLL rollup story above."""
+    from thoth_spark.profiler.sketches import _cms_pos
+
+    granularity = granularity.upper()
+    if granularity not in _WINDOW_DURATION:
+        raise ValueError(
+            f"Streaming CMS supports {sorted(_WINDOW_DURATION)} "
+            f"granularities; got {granularity}."
+        )
+    cell = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_pos(F.col(key_col), r, width).alias("pos"),
+                )
+                for r in range(depth)
+            ]
+        )
+    )
+    return (
+        df.withWatermark(ts_column, watermark_delay)
+        .select(F.col(ts_column), cell.alias("c"))
+        .groupBy(
+            F.window(F.col(ts_column), _WINDOW_DURATION[granularity]),
+            F.col("c.row").alias("row"),
+            F.col("c.pos").alias("pos"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").alias("ts"), "row", "pos", "cnt")
+    )
