@@ -2738,3 +2738,84 @@ def test_zorder_write_tightens_row_group_stats_on_both_dims(spark, tmp_path):
 
     for col in ("user_id", "value"):
         assert coverage(z_dir, col) <= 0.7 * coverage(plain_dir, col), col
+
+
+# --- tokenizer (learned BPE) ---------------------------------------------------
+
+
+def _reference_bpe(texts, n_merges):
+    """Pure-python Sennrich BPE: the independent implementation the
+    distributed trainer must reproduce merge-for-merge."""
+    import collections
+    import re
+
+    words = collections.Counter(
+        w
+        for t in texts
+        for w in re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+    )
+    vocab = {w: list(w) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, c in words.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        m = max(pc.values())
+        a, b = sorted(p for p, c in pc.items() if c == m)[0]
+        merges.append((a, b))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab, words
+
+
+def test_bpe_train_matches_reference(spark):
+    from thoth_spark.operators import tokenizer
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low newer",
+        "the wide low road goes lower",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = tokenizer.bpe_train(df, n_merges=12)
+    ref, vocab, words = _reference_bpe(texts, 12)
+    assert got == ref
+
+    counts = {
+        r.doc_id: r.n_bpe
+        for r in tokenizer.bpe_token_count(df, got).collect()
+    }
+    import re
+
+    for i, t in enumerate(texts):
+        expect = sum(
+            len(vocab[w])
+            for w in re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        )
+        assert counts[i] == expect, (i, counts[i], expect)
+
+
+def test_bpe_exhausted_vocab_stops_early(spark):
+    """Single-character words have no pairs: training must return fewer
+    merges than requested, not loop or crash."""
+    from thoth_spark.operators import tokenizer
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b")], "doc_id long, text string"
+    )
+    assert tokenizer.bpe_train(df, n_merges=5) == []

@@ -36,6 +36,7 @@ from thoth_spark.operators import (
     sampling,
     similarity,
     text,
+    tokenizer,
 )
 from thoth_spark.profiler import (
     Completeness,
@@ -4541,6 +4542,110 @@ def bloom_contamination_documents(spark, sf_dir):
     return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
 
 
+def _bpe_chain_sql(n_merges: int = 16, passes: int = 6) -> str:
+    """Shared CTE chain replaying tokenizer.bpe_train round by round:
+    w{r} = the distinct-word symbol table after r merges, b{r} = round
+    r's winning pair (count DESC, then (a, b) text — bpe_train's exact
+    tie-break), dw{r} = the per-doc word table under the same merges.
+    Merge application is the same iterated plain-replace fixpoint
+    (·a·b· → ·ab·, `passes` times) the Spark side runs, and an empty
+    winner (no pairs left) LEFT-JOINs through as a no-op round —
+    matching bpe_train's early break."""
+
+    def rep(col: str) -> str:
+        pat = "'·' || a || '·' || b || '·'"
+        out = "'·' || a || b || '·'"
+        expr = col
+        for _ in range(passes):
+            expr = f"replace({expr}, {pat}, {out})"
+        return expr
+
+    legs = [
+        f"""
+d AS ({_DOC_TOKENS}),
+wcount AS (SELECT tok AS w, count(*) AS c
+           FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+w0 AS (SELECT '·' || regexp_replace(w, '(.)', '\\1·', 'g') AS seq, c FROM wcount),
+dw0 AS (SELECT doc_id, '·' || regexp_replace(tok, '(.)', '\\1·', 'g') AS seq
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d))"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        legs.append(f"""
+p{r} AS (
+  SELECT syms[i + 1] AS a, syms[i + 2] AS b, sum(c) AS cnt
+  FROM (SELECT syms, c, unnest(generate_series(1, len(syms) - 3)) AS i
+        FROM (SELECT string_split(seq, '·') AS syms, c FROM w{p}))
+  GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+w{r} AS MATERIALIZED (SELECT coalesce({rep('seq')}, seq) AS seq, c
+         FROM w{p} LEFT JOIN b{r} ON TRUE),
+dw{r} AS MATERIALIZED (SELECT doc_id, coalesce({rep('seq')}, seq) AS seq
+          FROM dw{p} LEFT JOIN b{r} ON TRUE)""")
+    return ",".join(legs)
+
+
+_BPE_N_MERGES = 16
+
+
+def _bpe_merges_oracle() -> str:
+    """Exact replay of bpe_merges_documents, NOT yet wired (zero spare
+    r10 window slots — flip + schedule in r11)."""
+    union = " UNION ALL ".join(
+        f"SELECT {r}::INT AS rank, a AS lhs, b AS rhs FROM b{r}"
+        for r in range(1, _BPE_N_MERGES + 1)
+    )
+    return f"WITH {_bpe_chain_sql(_BPE_N_MERGES)}\n{union}"
+
+
+def _bpe_token_count_oracle() -> str:
+    """Exact replay of bpe_token_count_documents (same chain; counts the
+    symbols of every doc word under the final merge table)."""
+    return f"""WITH {_bpe_chain_sql(_BPE_N_MERGES)}
+SELECT doc_id, sum(len(string_split(seq, '·')) - 2)::BIGINT AS n_bpe
+FROM dw{_BPE_N_MERGES} GROUP BY doc_id
+"""
+
+
+ORACLE_BPE_MERGES = _bpe_merges_oracle()
+ORACLE_BPE_TOKEN_COUNT = _bpe_token_count_oracle()
+
+
+@query("bpe_merges_documents")
+def bpe_merges_documents(spark, sf_dir):
+    """LEARNED byte-pair-encoding merge table (tokenizer.bpe_train —
+    Sennrich et al. 2016): 16 merge rounds over the DISTINCT-word
+    frequency table (vocabulary-sized, never corpus-sized), each round
+    one partial-aggregable pair-count groupBy + TakeOrdered(1) + a pure
+    string-expression rewrite; the driver receives one row per round.
+    Returns the ranked (rank, lhs, rhs) model. Rows-only THIS round
+    (no free window slot); ORACLE_BPE_MERGES above replays the whole
+    training loop unrolled. Flanked by a pure-python reference parity
+    pytest (tests/test_operators.py::test_bpe_train_matches_reference)."""
+    merges = tokenizer.bpe_train(
+        _documents(spark, sf_dir), n_merges=_BPE_N_MERGES
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, lhs string, rhs string",
+    )
+
+
+@query("bpe_token_count_documents")
+def bpe_token_count_documents(spark, sf_dir):
+    """Per-document token count under the LEARNED BPE table — the real
+    'how many tokens will the tokenizer emit' number a training-data
+    budget needs (text.bpe_ish_token_count is the fixed-regex
+    approximation; this is the trained answer). Application is pure
+    string expressions (whole-stage codegen, no UDF). Rows-only THIS
+    round; ORACLE_BPE_TOKEN_COUNT above is the exact replay to wire in
+    r11."""
+    docs = _documents(spark, sf_dir)
+    merges = tokenizer.bpe_train(docs, n_merges=_BPE_N_MERGES)
+    return tokenizer.bpe_token_count(docs, merges)
+
+
 def _streaming_cms_oracle(depth: int = 4, width: int = 16) -> str:
     """Exact replay of streaming_cms_events, NOT yet wired (zero spare
     r10 window slots — flip + schedule in r11). Watermark (1 day)
@@ -7924,4 +8029,6 @@ QUEUED_ORACLES: dict[str, str] = {
     "cms_token_counts_documents": ORACLE_CMS_TOKENS,
     "zorder_key_events": ORACLE_ZORDER,
     "streaming_cms_events": ORACLE_STREAMING_CMS,
+    "bpe_merges_documents": ORACLE_BPE_MERGES,
+    "bpe_token_count_documents": ORACLE_BPE_TOKEN_COUNT,
 }
