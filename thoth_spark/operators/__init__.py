@@ -23,6 +23,7 @@ from thoth_spark.operators import (
     similarity,
     storage,
     text,
+    tokenizer,
 )
 
 __all__ = [
@@ -40,4 +41,5 @@ __all__ = [
     "similarity",
     "storage",
     "text",
+    "tokenizer",
 ]
