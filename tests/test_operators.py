@@ -2819,3 +2819,37 @@ def test_bpe_exhausted_vocab_stops_early(spark):
         [(0, "a b c a b")], "doc_id long, text string"
     )
     assert tokenizer.bpe_train(df, n_merges=5) == []
+
+
+def test_ivfpq_fullprobe_fullpool_equals_brute(spark):
+    from thoth_spark.operators import similarity
+
+    df = _pq_blob_fixture(spark)
+    q = df.where(F.col("vec_id") < 5)
+    got = similarity.ivfpq_topk(
+        df, q, k=5, n_centroids=4, nprobe=4,
+        m_subspaces=4, n_codes=8, rerank_pool=10**9,
+    )
+    brute = similarity.brute_force_topk(df, q, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
+def test_ivfpq_trained_recall_floor(spark):
+    """Partial probe + bounded pool on clustered data: the composite
+    must recover most of the exact top-5 (a probed cell covers the
+    query's own blob, and the pool exceeds the blob tie set)."""
+    from thoth_spark.operators import similarity
+
+    df = _pq_blob_fixture(spark)
+    q = df.where(F.col("vec_id") < 5)
+    got = similarity.ivfpq_topk(
+        df, q, k=5, n_centroids=8, nprobe=4,
+        m_subspaces=4, n_codes=8, rerank_pool=40,
+    ).select("query_id", "neighbor_id")
+    brute = similarity.brute_force_topk(df, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = got.join(brute, ["query_id", "neighbor_id"]).count()
+    assert hits / brute.count() >= 0.8, hits / brute.count()

@@ -4999,6 +4999,46 @@ def similarity_topk_pq_trained(spark, sf_dir):
     )
 
 
+@query("similarity_topk_ivfpq")
+def similarity_topk_ivfpq(spark, sf_dir):
+    """IVF-PQ — the production ANN shape at 10⁹+ vectors
+    (similarity.ivfpq_topk): K-Means cells route the scan to nprobe=5
+    of 8 cells, PQ codes (8 bytes/vector) are ADC-scored inside them,
+    the top-50 rerank exactly. Rows-only BY DESIGN (two trained
+    quantizers); flanked by the fullprobe brute-equality twin below
+    and the pytest recall floor
+    (tests/test_operators.py::test_ivfpq_trained_recall_floor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        nprobe=5,
+        rerank_pool=50,
+    )
+
+
+@query("similarity_topk_ivfpq_fullprobe")
+def similarity_topk_ivfpq_fullprobe(spark, sf_dir):
+    """The ENTIRE IVF-PQ dataflow (cell assignment, PQ encode, probed
+    ADC scan, exact rerank) at nprobe = n_centroids and an unbounded
+    rerank pool: every row survives every stage, so the output equals
+    exact brute force REGARDLESS of where either quantizer landed —
+    the composite's recall=1.0 calibration twin, same trick as the IVF
+    and PQ components' own fullprobe gates. Rows-only THIS round; wire
+    to the existing ORACLE_TOPK_EMB in r11."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        nprobe=8,
+        rerank_pool=1_000_000_000,
+    )
+
+
 @query("kmeans_refine_embeddings")
 def kmeans_refine_embeddings(spark, sf_dir):
     """Full-corpus distributed K-Means refinement
@@ -8031,4 +8071,5 @@ QUEUED_ORACLES: dict[str, str] = {
     "streaming_cms_events": ORACLE_STREAMING_CMS,
     "bpe_merges_documents": ORACLE_BPE_MERGES,
     "bpe_token_count_documents": ORACLE_BPE_TOKEN_COUNT,
+    "similarity_topk_ivfpq_fullprobe": ORACLE_TOPK_EMB,
 }
