@@ -304,3 +304,67 @@ def test_dsir_uniform_target_gives_zero_weights(spark):
     out = dsir_log_weights(df, "doc_id", "text", "t").collect()
     assert len(out) == 40
     assert all(r["log_weight"] == 0.0 for r in out)
+
+
+words_corpora = st.lists(
+    st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=words_corpora)
+def test_bpe_train_matches_reference_on_random_corpora(spark, docs):
+    """The distributed trainer must reproduce pure-python Sennrich BPE
+    merge-for-merge on ANY corpus — tie-breaks, early exhaustion, and
+    the iterated-replace application semantics included."""
+    from tests.test_operators import _reference_bpe
+    from thoth_spark.operators import tokenizer
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = tokenizer.bpe_train(df, n_merges=6)
+    ref, vocab, _ = _reference_bpe(docs, 6)
+    assert got == ref
+    counts = {
+        r.doc_id: r.n_bpe for r in tokenizer.bpe_token_count(df, got).collect()
+    }
+    import re
+
+    for i, t in enumerate(docs):
+        toks = re.sub(r"\s+", " ", t.lower().strip()).split(" ")
+        assert counts[i] == sum(len(vocab[w]) for w in toks)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    keys=st.lists(st.text(alphabet="xyz01", min_size=1, max_size=8), min_size=1, max_size=30),
+    probes=st.lists(st.text(alphabet="xyz01", min_size=1, max_size=8), min_size=1, max_size=15),
+)
+def test_bloom_membership_invariants(spark, keys, probes):
+    """No false negatives for ANY key set; the filter never exceeds its
+    m/32 word budget."""
+    from thoth_spark.operators import membership
+
+    ref = spark.createDataFrame([(k,) for k in keys], "fp string")
+    flt = membership.bloom_build(ref, "fp", m=1 << 10, n_hashes=3)
+    assert flt.count() <= (1 << 10) // membership.BITS_PER_WORD
+    probe_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "id long, fp string"
+    )
+    hits = {
+        r.id: r.hit
+        for r in membership.bloom_probe(
+            flt, probe_df, "id", "fp", m=1 << 10, n_hashes=3
+        ).collect()
+    }
+    inserted = set(keys)
+    for i, p in enumerate(probes):
+        if p in inserted:
+            assert hits[i], (p, "false negative")
