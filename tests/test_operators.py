@@ -2853,3 +2853,58 @@ def test_ivfpq_trained_recall_floor(spark):
     )
     hits = got.join(brute, ["query_id", "neighbor_id"]).count()
     assert hits / brute.count() >= 0.8, hits / brute.count()
+
+
+def test_ivfpq_residual_fullprobe_equals_brute(spark):
+    from thoth_spark.operators import similarity
+
+    df = _pq_blob_fixture(spark)
+    q = df.where(F.col("vec_id") < 5)
+    got = similarity.ivfpq_topk(
+        df, q, k=5, n_centroids=4, nprobe=4,
+        m_subspaces=4, n_codes=8, rerank_pool=10**9, residual=True,
+    )
+    brute = similarity.brute_force_topk(df, q, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+
+
+def test_ivfpq_residual_beats_global_adc(spark):
+    """Clustered data with SHARED low-rank within-cell structure (the
+    covariance shape real embedding corpora have): global PQ codes
+    collapse a cell's members onto few codewords — ADC cannot rank
+    inside the cell — while residual codes spend the same bytes on the
+    within-cell offsets, so compressed-domain recall improves.
+    (Residuals quantize nothing useful under ISOTROPIC per-cell noise
+    pooled across disjoint planes — that fixture shows no gap, which
+    is faithful to the method, not a bug.)"""
+    import numpy as np
+
+    from thoth_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    dim, n_blobs, per = 16, 8, 30
+    centers = rng.normal(0, 50, (n_blobs, dim))
+    dirs = rng.normal(0, 1, (2, dim))  # shared noise basis
+    rows = []
+    for i in range(n_blobs * per):
+        t = rng.normal(0, 12, 2)
+        v = centers[i % n_blobs] + t[0] * dirs[0] + t[1] * dirs[1]
+        rows.append((i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5)
+    brute = similarity.brute_force_topk(df, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def adc_hits(residual):
+        got = similarity.ivfpq_topk(
+            df, q, k=5, n_centroids=8, nprobe=8,
+            m_subspaces=4, n_codes=16, rerank_pool=5, residual=residual,
+        ).select("query_id", "neighbor_id")
+        return got.join(brute, ["query_id", "neighbor_id"]).count()
+
+    g, r = adc_hits(False), adc_hits(True)
+    assert r > g, (r, g)  # measured (g, r) = (7, 12) on this fixture
+    assert r / brute.count() >= 0.4, r / brute.count()

@@ -5002,9 +5002,11 @@ def similarity_topk_pq_trained(spark, sf_dir):
 @query("similarity_topk_ivfpq")
 def similarity_topk_ivfpq(spark, sf_dir):
     """IVF-PQ — the production ANN shape at 10⁹+ vectors
-    (similarity.ivfpq_topk): K-Means cells route the scan to nprobe=5
-    of 8 cells, PQ codes (8 bytes/vector) are ADC-scored inside them,
-    the top-50 rerank exactly. Rows-only BY DESIGN (two trained
+    (similarity.ivfpq_topk, residual=True — the full FAISS recipe:
+    codes quantize x̂ − ĉ_cell and ADC adds the q̂·ĉ cell bias):
+    K-Means cells route the scan to nprobe=5 of 8 cells, 8-byte
+    residual codes are ADC-scored inside them, the top-50 rerank
+    exactly. Rows-only BY DESIGN (two trained
     quantizers); flanked by the fullprobe brute-equality twin below
     and the pytest recall floor
     (tests/test_operators.py::test_ivfpq_trained_recall_floor)."""
@@ -5016,6 +5018,7 @@ def similarity_topk_ivfpq(spark, sf_dir):
         n_centroids=8,
         nprobe=5,
         rerank_pool=50,
+        residual=True,
     )
 
 
@@ -5036,6 +5039,7 @@ def similarity_topk_ivfpq_fullprobe(spark, sf_dir):
         n_centroids=8,
         nprobe=8,
         rerank_pool=1_000_000_000,
+        residual=True,
     )
 
 

@@ -933,13 +933,27 @@ def train_pq_codebooks(
         dtype=np.float64,
     )
     sample = _normalized_rows(sample)
+    return _codebooks_from_matrix(sample, m_subspaces, n_codes, rng, iterations)
+
+
+def _codebooks_from_matrix(
+    sample: np.ndarray,
+    m_subspaces: int,
+    n_codes: int,
+    rng: np.random.Generator,
+    iterations: int,
+) -> np.ndarray:
+    """Per-subspace Lloyd on an already-prepared (n, dim) matrix —
+    shared by the plain (normalized-vector) and residual trainers."""
     n, dim = sample.shape
     d_sub = dim // m_subspaces
     assert dim % m_subspaces == 0, (dim, m_subspaces)
     books = np.empty((m_subspaces, n_codes, d_sub))
     for s in range(m_subspaces):
         x = sample[:, s * d_sub : (s + 1) * d_sub]
-        cent = x[rng.choice(n, size=n_codes, replace=False)]
+        cent = x[rng.choice(n, size=min(n_codes, n), replace=False)]
+        if len(cent) < n_codes:  # degenerate tiny sample: pad by repeat
+            cent = np.resize(cent, (n_codes, d_sub))
         for _ in range(iterations):
             d = (cent * cent).sum(axis=1) - 2.0 * (x @ cent.T)
             asg = np.argmin(d, axis=1)
@@ -1100,10 +1114,11 @@ def ivfpq_topk(
     seed: int = 42,
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    residual: bool = False,
+    max_train: int = 65536,
 ) -> DataFrame:
     """IVF-PQ — the production ANN shape at 10⁹+ vectors (FAISS
-    IndexIVFPQ, minus residual encoding — codebooks are global, a
-    documented simplification): a coarse quantizer routes every vector
+    IndexIVFPQ): a coarse quantizer routes every vector
     to a cell, vectors are PQ-encoded (m bytes each), a query ADC-scans
     ONLY its ``nprobe`` nearest cells' codes, and the top
     ``rerank_pool`` candidates are re-scored exactly.
@@ -1119,33 +1134,91 @@ def ivfpq_topk(
     ``rerank_pool ≥ |corpus|`` the output is bit-equal to
     :func:`brute_force_topk` — the calibration twin the hash gate pins
     (`similarity_topk_ivfpq_fullprobe`), exactly like the IVF and PQ
-    components' own twins."""
+    components' own twins.
+
+    ``residual=True`` is the full FAISS recipe: codes quantize
+    ``x̂ − c_cell`` (trained on a bounded residual sample), and the ADC
+    score decomposes as ``q̂·c_cell + Σ_s q̂_s·cb_s[code_s]`` — the
+    cell bias is a (queries × cells) lookup added per batch. Residuals
+    are much smaller than the vectors, so the same byte budget spends
+    its precision on within-cell structure; the compressed-domain
+    ranking inside a cell becomes informative where global codes
+    collapse cell members onto one codeword
+    (tests/test_operators.py::test_ivfpq_residual_beats_global_adc)."""
     cent = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
         else coarse_centroids(corpus, vec_col, n_centroids, seed)
     )
-    cb = (
-        np.ascontiguousarray(codebooks, dtype=np.float64)
-        if codebooks is not None
-        else train_pq_codebooks(
-            corpus, vec_col, m_subspaces=m_subspaces, n_codes=n_codes, seed=seed
+    base = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", nearest_cells_udf(cent, 1)(F.col("v"))[0])
+    # residual math lives on the unit sphere: the ranking target is
+    # cosine, so vectors are normalized and the subtracted cell center
+    # must be too (cell ASSIGNMENT stays on the raw centroids — the
+    # same rule the corpus path and ivf_topk use)
+    cent_hat = _normalized_rows(cent)
+    if residual:
+        if codebooks is None:
+            raw = np.asarray(
+                [
+                    r.v
+                    for r in corpus.select(
+                        _as_double(F.col(vec_col)).alias("v")
+                    )
+                    .limit(max_train)
+                    .collect()
+                ],
+                dtype=np.float64,
+            )
+            d_s = (cent * cent).sum(axis=1) - 2.0 * (raw @ cent.T)
+            resid = _normalized_rows(raw) - cent_hat[np.argmin(d_s, axis=1)]
+            cb = _codebooks_from_matrix(
+                resid, m_subspaces, n_codes, np.random.default_rng(seed), 10
+            )
+        else:
+            cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+        m, _, d_sub = cb.shape
+        cb_sq = (cb * cb).sum(axis=2)
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def encode_res(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+            x = _normalized_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+            r = x - cent_hat[cells.to_numpy().astype(np.int64)]
+            b = r.shape[0]
+            codes = np.empty((b, m), dtype=np.int32)
+            for s in range(m):
+                rs = r[:, s * d_sub : (s + 1) * d_sub]
+                dd = cb_sq[s] - 2.0 * (rs @ cb[s].T)
+                codes[:, s] = np.argsort(dd, axis=1, kind="stable")[:, 0]
+            return pd.Series(list(codes))
+
+        encoded = base.select(
+            "id", "cell", encode_res(F.col("v"), F.col("cell")).alias("codes")
         )
-    )
-    m, n_cb, d_sub = cb.shape
-    encoded = (
-        corpus.select(
-            F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    else:
+        cb = (
+            np.ascontiguousarray(codebooks, dtype=np.float64)
+            if codebooks is not None
+            else train_pq_codebooks(
+                corpus,
+                vec_col,
+                m_subspaces=m_subspaces,
+                n_codes=n_codes,
+                seed=seed,
+                max_train=max_train,
+            )
         )
-        .withColumn("cell", nearest_cells_udf(cent, 1)(F.col("v"))[0])
-        .drop("v")
-        .join(pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col), "id")
-    )
+        m, _, d_sub = cb.shape
+        encoded = base.drop("v").join(
+            pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col), "id"
+        )
 
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalized_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     lut = np.einsum("jsd,scd->jsc", q_mat.reshape(len(q_ids), m, d_sub), cb)
+    bias = (q_mat @ cent_hat.T) if residual else None  # (nq, n_centroids)
     # each query's probe set: its nprobe nearest cells by the same
     # ||c||²−2q·c rule the corpus assignment uses
     d = (cent * cent).sum(axis=1) - 2.0 * (q_mat @ cent.T)
@@ -1159,6 +1232,8 @@ def ivfpq_topk(
             cells = pdf["cell"].to_numpy()
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             sims = lut[:, np.arange(m)[None, :], codes].sum(axis=2).T
+            if bias is not None:
+                sims = sims + bias[:, cells.astype(np.int64)].T
             out_q, out_n, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 mask = (ids != qid) & np.isin(
