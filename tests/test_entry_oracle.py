@@ -279,10 +279,15 @@ def test_driver_window_rotation():
       row is a typed-hash FAILURE, not green) in any recorded
       CORRECTNESS_r*.json must be IN the window;
     - staleness invariant: every oracled query is either strict-green
-      within the last 3 recorded rounds or scheduled in the current
+      within the last 4 recorded rounds or scheduled in the current
       window — so a query can never silently drift stale: the round its
-      last green falls out of the 3-round horizon, the suite goes red
-      until it is rotated back in;
+      last green falls out of the 4-round horizon, the suite goes red
+      until it is rotated back in. (Round 11 widened the horizon from 3
+      to 4: 150 wired oracles exactly saturated the 50-slot × 3-round
+      budget, making it arithmetically impossible to ever wire the 18
+      round-10 queued oracles — a newly wired oracle is never-green and
+      must occupy a window slot the round it lands. 50 × 4 = 200 ≥ 168
+      wired oracles leaves headroom while still bounding staleness.);
     - the window must differ by >=10 slots from the PRIOR round's
       recorded window (files[-2]) — never from the newest file, which is
       by construction this window's own just-delivered results.
@@ -321,7 +326,7 @@ def test_driver_window_rotation():
         q
         for q in ORACLES
         if greens.get(q)
-        and max(greens[q]) < newest - 2
+        and max(greens[q]) < newest - 3
         and q not in DRIVER_PRIORITY
     }
     assert not stale, (

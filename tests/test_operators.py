@@ -2821,6 +2821,33 @@ def test_bpe_exhausted_vocab_stops_early(spark):
     assert tokenizer.bpe_train(df, n_merges=5) == []
 
 
+def test_bpe_greedy_on_same_symbol_runs(spark):
+    """Regression (r10 advice): the shared-delimiter encoding's replace
+    consumed the boundary '·' between adjacent merge sites, so runs >=5
+    of a merged symbol skipped every second site — 'aaaaa' became
+    [aa, a, aa] instead of greedy [aa, aa, a], and 'aaaaaa' got 4
+    tokens instead of 3. Verify merge-for-merge and count-for-count
+    parity with the pure-python Sennrich reference on run-heavy
+    corpora, including a multi-round case where merged symbols
+    themselves run ('aaaa' -> 'aa aa' -> 'aaaa')."""
+    from thoth_spark.operators import tokenizer
+
+    texts = ["aaaaa aaaaaa", "...... !!!!!", "aaaa aaaa aaaaaaaa bbbb"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = tokenizer.bpe_train(df, n_merges=6)
+    ref, vocab, _ = _reference_bpe(texts, 6)
+    assert got == ref
+    counts = {
+        r.doc_id: r.n_bpe
+        for r in tokenizer.bpe_token_count(df, got).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = sum(len(vocab[w]) for w in t.split(" "))
+        assert counts[i] == expect, (i, counts[i], expect)
+
+
 def test_ivfpq_fullprobe_fullpool_equals_brute(spark):
     from thoth_spark.operators import similarity
 

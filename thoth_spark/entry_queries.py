@@ -68,90 +68,84 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot ROUND-10 window. Rotation
+# entries, so this list is exactly the 50-slot ROUND-11 window. Rotation
 # policy: minimize the maximum staleness of any catalogue query's last
 # STRICT driver-green (hash_match is True) row, with never-verified
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
-# from CORRECTNESS_r01-r09 (regenerate with ``python tools/staleness.py``):
-# (a) this round's THREE NEW oracled queries — never driver-verified, so
-#     they must be scheduled the round they land:
-#     similarity_topk_ivf_recall (bounded partial-probe IVF recall gate),
-#     classifier_quality_accuracy_bound (per-class accuracy floor
-#     for the L-BFGS quality classifier), and dsir_select_documents
-#     (DSIR hashed-n-gram importance resampling);
-# (b) all 47 queries whose last driver-green is r6 — after two rounds of
-#     an un-rotated window they are exactly 3 recorded rounds stale, the
-#     maximal debt test_driver_window_rotation tolerates (profiling
-#     approx/exact/kll/topk/histogram/frequency/monthly/MI, anomaly
-#     ar1/holt calibrations, ewma/ks drift, dedup exact/prefix/capped/
-#     lsh-eval/line/passage, embedding neardup exact, bm25 single+multi,
-#     text quality/chunk/repetition/contamination/redaction, the four
-#     samplers, corpus diff/split/curate, NB classifier, similarity
-#     brute/vectorized/ivf-fullprobe, trailing WAU, sessionize + the
-#     three r6 streaming queries, asof join, events_json_props, top-N
-#     per customer, tpch q16/q20);
-# The three new queries fill every non-mandatory slot: 3 new + 47
-# r6-stale = 50 exactly (the tpch_q3 spare scheduled earlier this round
-# was displaced by dsir_select_documents — its bench investigation
-# closed via the quiet-run plan-lock evidence in SCALE.md instead).
+# from CORRECTNESS_r01-r10 (regenerate with ``python tools/staleness.py``):
+# (a) the 18 round-10 QUEUED oracles, wired this round after the
+#     staleness horizon widened from 3 to 4 recorded rounds (150 wired
+#     oracles exactly saturated the old 50×3 budget; the new 50×4 = 200
+#     budget fits 168) — never driver-verified, so they must be
+#     scheduled the round they land: multimodal pHash/audio/video
+#     near-dup, k-NN label propagation, winnowing fingerprints, semantic
+#     decontamination, fixed-quantizer SemDeDup, Lloyd k-means
+#     refinement, Bloom contamination, PQ ADC + full rerank +
+#     IVF-PQ fullprobe ANN, vocabulary, CMS token counts, Z-order keys,
+#     streaming CMS, and learned-BPE merges + token counts;
+# (b) 32 of the 50 queries whose last driver-green is r7 — 3 recorded
+#     rounds back, the stalest block in the catalogue (alphabetically
+#     first 32; the remaining 18 — the TPC-H block, trailing-window
+#     revenue, training order, rolling band — hit the 4-round horizon in
+#     r12 and MUST be the r12 window's non-mandatory slots).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
 # never the file the current round just produced).
 DRIVER_PRIORITY: list[str] = [
-    # (a) NEW this round, never driver-verified
-    "similarity_topk_ivf_recall",
-    "classifier_quality_accuracy_bound",
-    "dsir_select_documents",
-    # (b) last strict driver-green r6
-    "anomaly_ar1_validation",
-    "anomaly_holt_validation",
-    "asof_join_purchase_click",
-    "bm25_multiquery_documents",
-    "bm25_topk_documents",
-    "chunk_documents",
-    "classifier_nb_documents",
-    "contamination_documents",
-    "corpus_diff_documents",
-    "curate_documents_pipeline",
-    "dedup_exact_documents",
-    "dedup_jaccard_prefix_documents",
-    "dedup_lsh_eval",
-    "dedup_minhash_capped_documents",
-    "embedding_neardup_exact",
-    "events_json_props",
-    "ewma_control_events",
-    "ks_drift_events",
-    "line_dedup_documents",
-    "passage_dedup_documents",
-    "profile_documents_mutual_information",
-    "profile_events_approx",
-    "profile_events_exact",
-    "profile_events_frequency",
-    "profile_events_histogram",
-    "profile_events_kll",
-    "profile_events_monthly",
-    "profile_events_topk",
-    "redact_pii_documents",
-    "repetition_documents",
-    "sample_documents_budget",
-    "sample_documents_stratified",
-    "sample_documents_token_budget",
-    "sample_documents_weighted",
-    "sessionize_events",
-    "similarity_topk_brute",
-    "similarity_topk_ivf_fullprobe",
-    "similarity_topk_vectorized",
-    "sketch_trailing_wau_events",
-    "split_documents",
-    "streaming_interval_join_events",
-    "streaming_profile_events",
-    "streaming_running_score",
-    "text_quality_documents",
-    "top_orders_per_customer",
-    "tpch_q16_supplier_counts",
-    "tpch_q20_part_promotion",
+    # (a) wired this round, never driver-verified
+    "multimodal_phash_neardup",
+    "multimodal_audio_neardup",
+    "multimodal_video_neardup",
+    "knn_classify_embeddings",
+    "winnow_fingerprints_documents",
+    "decontaminate_embeddings_semantic",
+    "semdedup_fixed_embeddings",
+    "kmeans_refine_embeddings",
+    "bloom_contamination_documents",
+    "similarity_topk_pq",
+    "similarity_topk_pq_rerank_full",
+    "similarity_topk_ivfpq_fullprobe",
+    "vocabulary_documents",
+    "cms_token_counts_documents",
+    "zorder_key_events",
+    "streaming_cms_events",
+    "bpe_merges_documents",
+    "bpe_token_count_documents",
+    # (b) last strict driver-green r7 (alphabetically first 32)
+    "anomaly_fixed_changepoint_validation",
+    "anomaly_sarima_fixed_validation",
+    "check_events_constraints",
+    "cohort_retention_events",
+    "collocations_documents",
+    "cube_orders",
+    "customer_revenue_deciles",
+    "dedup_containment_survivors",
+    "dedup_minhash_incremental",
+    "fingerprint_documents",
+    "funnel_events",
+    "grouping_sets_orders",
+    "hybrid_retrieval_documents",
+    "lang_id_documents",
+    "mad_outliers_events",
+    "mix_documents",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "pagerank_documents_calibration",
+    "profile_diff_events",
+    "profile_events_by_type",
+    "quality_percentile_by_source",
+    "quality_percentile_documents",
+    "rollup_orders",
+    "sample_documents_hash",
+    "set_ops_customers",
+    "similarity_lsh_recall",
+    "source_keywords_documents",
+    "streaming_curate_documents",
+    "streaming_sessionize_events",
+    "text_stats_documents",
+    "token_count_documents",
 ]
 
 
@@ -4390,7 +4384,7 @@ FROM lab JOIN win USING (id)
 """
 
 
-@query("semdedup_fixed_embeddings")
+@query("semdedup_fixed_embeddings", ORACLE_SEMDEDUP_FIXED)
 def semdedup_fixed_embeddings(spark, sf_dir):
     """SemDeDup with a PINNED quantizer: identical dataflow to
     semdedup_embeddings (assignment → intra-cluster pairs → components
@@ -4520,7 +4514,7 @@ SELECT doc_id, bool_and(bit_set) AS hit FROM probed GROUP BY doc_id
 ORACLE_BLOOM_CONTAMINATION = _bloom_contamination_oracle()
 
 
-@query("bloom_contamination_documents")
+@query("bloom_contamination_documents", ORACLE_BLOOM_CONTAMINATION)
 def bloom_contamination_documents(spark, sf_dir):
     """Bloom-filter contamination screen: build a 16384-bit packed-
     bitmap filter over the TRAIN corpus's normalized-text fingerprints
@@ -4542,40 +4536,42 @@ def bloom_contamination_documents(spark, sf_dir):
     return membership.bloom_probe(flt, ev, "doc_id", "fp", m=16384, n_hashes=3)
 
 
-def _bpe_chain_sql(n_merges: int = 16, passes: int = 6) -> str:
+def _bpe_chain_sql(n_merges: int = 16) -> str:
     """Shared CTE chain replaying tokenizer.bpe_train round by round:
     w{r} = the distinct-word symbol table after r merges, b{r} = round
     r's winning pair (count DESC, then (a, b) text — bpe_train's exact
     tie-break), dw{r} = the per-doc word table under the same merges.
-    Merge application is the same iterated plain-replace fixpoint
-    (·a·b· → ·ab·, `passes` times) the Spark side runs, and an empty
-    winner (no pairs left) LEFT-JOINs through as a no-op round —
-    matching bpe_train's early break."""
+    Every symbol is wrapped in its own delimiter pair (``·l··o··w·``),
+    so merge sites never share a boundary character and ONE plain
+    left-to-right replace (``·a··b· → ·ab·``) is exactly greedy BPE
+    merge application — the same single pass the Spark side runs (the
+    old shared-delimiter iterated replace skipped every second site in
+    same-symbol runs ≥5, r10 advice). An empty winner (no pairs left)
+    LEFT-JOINs through as a no-op round — matching bpe_train's early
+    break."""
 
     def rep(col: str) -> str:
-        pat = "'·' || a || '·' || b || '·'"
+        pat = "'·' || a || '··' || b || '·'"
         out = "'·' || a || b || '·'"
-        expr = col
-        for _ in range(passes):
-            expr = f"replace({expr}, {pat}, {out})"
-        return expr
+        return f"replace({col}, {pat}, {out})"
 
     legs = [
         f"""
 d AS ({_DOC_TOKENS}),
 wcount AS (SELECT tok AS w, count(*) AS c
            FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
-w0 AS (SELECT '·' || regexp_replace(w, '(.)', '\\1·', 'g') AS seq, c FROM wcount),
-dw0 AS (SELECT doc_id, '·' || regexp_replace(tok, '(.)', '\\1·', 'g') AS seq
+w0 AS (SELECT regexp_replace(w, '(.)', '·\\1·', 'g') AS seq, c FROM wcount),
+dw0 AS (SELECT doc_id, regexp_replace(tok, '(.)', '·\\1·', 'g') AS seq
         FROM (SELECT doc_id, unnest(toks) AS tok FROM d))"""
     ]
     for r in range(1, n_merges + 1):
         p = r - 1
         legs.append(f"""
 p{r} AS (
-  SELECT syms[i + 1] AS a, syms[i + 2] AS b, sum(c) AS cnt
-  FROM (SELECT syms, c, unnest(generate_series(1, len(syms) - 3)) AS i
-        FROM (SELECT string_split(seq, '·') AS syms, c FROM w{p}))
+  SELECT syms[i] AS a, syms[i + 1] AS b, sum(c) AS cnt
+  FROM (SELECT syms, c, unnest(generate_series(1, len(syms) - 1)) AS i
+        FROM (SELECT list_filter(string_split(seq, '·'), s -> s <> '') AS syms,
+                     c FROM w{p}))
   GROUP BY 1, 2
 ),
 b{r} AS MATERIALIZED (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
@@ -4603,7 +4599,8 @@ def _bpe_token_count_oracle() -> str:
     """Exact replay of bpe_token_count_documents (same chain; counts the
     symbols of every doc word under the final merge table)."""
     return f"""WITH {_bpe_chain_sql(_BPE_N_MERGES)}
-SELECT doc_id, sum(len(string_split(seq, '·')) - 2)::BIGINT AS n_bpe
+SELECT doc_id,
+       sum(len(list_filter(string_split(seq, '·'), s -> s <> '')))::BIGINT AS n_bpe
 FROM dw{_BPE_N_MERGES} GROUP BY doc_id
 """
 
@@ -4612,17 +4609,17 @@ ORACLE_BPE_MERGES = _bpe_merges_oracle()
 ORACLE_BPE_TOKEN_COUNT = _bpe_token_count_oracle()
 
 
-@query("bpe_merges_documents")
+@query("bpe_merges_documents", ORACLE_BPE_MERGES)
 def bpe_merges_documents(spark, sf_dir):
     """LEARNED byte-pair-encoding merge table (tokenizer.bpe_train —
     Sennrich et al. 2016): 16 merge rounds over the DISTINCT-word
     frequency table (vocabulary-sized, never corpus-sized), each round
     one partial-aggregable pair-count groupBy + TakeOrdered(1) + a pure
     string-expression rewrite; the driver receives one row per round.
-    Returns the ranked (rank, lhs, rhs) model. Rows-only THIS round
-    (no free window slot); ORACLE_BPE_MERGES above replays the whole
-    training loop unrolled. Flanked by a pure-python reference parity
-    pytest (tests/test_operators.py::test_bpe_train_matches_reference)."""
+    Returns the ranked (rank, lhs, rhs) model. ORACLE_BPE_MERGES
+    replays the whole training loop unrolled. Flanked by a pure-python
+    reference parity pytest
+    (tests/test_operators.py::test_bpe_train_matches_reference)."""
     merges = tokenizer.bpe_train(
         _documents(spark, sf_dir), n_merges=_BPE_N_MERGES
     )
@@ -4632,15 +4629,14 @@ def bpe_merges_documents(spark, sf_dir):
     )
 
 
-@query("bpe_token_count_documents")
+@query("bpe_token_count_documents", ORACLE_BPE_TOKEN_COUNT)
 def bpe_token_count_documents(spark, sf_dir):
     """Per-document token count under the LEARNED BPE table — the real
     'how many tokens will the tokenizer emit' number a training-data
     budget needs (text.bpe_ish_token_count is the fixed-regex
     approximation; this is the trained answer). Application is pure
-    string expressions (whole-stage codegen, no UDF). Rows-only THIS
-    round; ORACLE_BPE_TOKEN_COUNT above is the exact replay to wire in
-    r11."""
+    string expressions (whole-stage codegen, no UDF);
+    ORACLE_BPE_TOKEN_COUNT is the exact unrolled replay."""
     docs = _documents(spark, sf_dir)
     merges = tokenizer.bpe_train(docs, n_merges=_BPE_N_MERGES)
     return tokenizer.bpe_token_count(docs, merges)
@@ -4684,7 +4680,7 @@ SELECT tok AS event_type, est FROM est
 ORACLE_STREAMING_CMS = _streaming_cms_oracle()
 
 
-@query("streaming_cms_events")
+@query("streaming_cms_events", ORACLE_STREAMING_CMS)
 def streaming_cms_events(spark, sf_dir):
     """Continuous count-min sketching (streaming.cms_stream): the
     stream emits one finalized daily 4×16 CMS per bucket (append mode
@@ -4755,7 +4751,7 @@ SELECT event_id, ({' + '.join(terms)})::BIGINT AS zkey FROM g
 ORACLE_ZORDER = _zorder_oracle()
 
 
-@query("zorder_key_events")
+@query("zorder_key_events", ORACLE_ZORDER)
 def zorder_key_events(spark, sf_dir):
     """Z-order layout keys (storage.minmax_quantize + storage.zorder_key):
     user_id and value quantized to the 256-cell grid by min/max scaling
@@ -4823,7 +4819,7 @@ FROM probes p JOIN est e USING (tok)
 ORACLE_CMS_TOKENS = _cms_oracle()
 
 
-@query("cms_token_counts_documents")
+@query("cms_token_counts_documents", ORACLE_CMS_TOKENS)
 def cms_token_counts_documents(spark, sf_dir):
     """Count-min sketch point counts (profiler.sketches.cms_build /
     cms_estimate): a deliberately TINY 4×16-cell mergeable sketch
@@ -4877,7 +4873,7 @@ FROM top
 ORACLE_VOCABULARY = _vocabulary_oracle()
 
 
-@query("vocabulary_documents")
+@query("vocabulary_documents", ORACLE_VOCABULARY)
 def vocabulary_documents(spark, sf_dir):
     """Corpus vocabulary table (text.vocabulary): top-100 tokens with
     cumulative coverage share — one partial-aggregable token-count
@@ -4940,7 +4936,7 @@ FROM adc QUALIFY rank <= {k}
 ORACLE_PQ_ADC = _pq_adc_oracle()
 
 
-@query("similarity_topk_pq")
+@query("similarity_topk_pq", ORACLE_PQ_ADC)
 def similarity_topk_pq(spark, sf_dir):
     """Product-quantization ANN, pure compressed domain: seeded
     codebooks (similarity.pq_codebooks_seeded — the replayable init),
@@ -4956,7 +4952,7 @@ def similarity_topk_pq(spark, sf_dir):
     return similarity.pq_topk(codes, emb.where(F.col("vec_id") < 10), cb, k=5)
 
 
-@query("similarity_topk_pq_rerank_full")
+@query("similarity_topk_pq_rerank_full", ORACLE_TOPK_EMB)
 def similarity_topk_pq_rerank_full(spark, sf_dir):
     """The PQ dataflow (seeded codebooks, encode, ADC candidate scan)
     run at rerank_pool ≥ |corpus| with exact re-scoring: every corpus
@@ -5022,7 +5018,7 @@ def similarity_topk_ivfpq(spark, sf_dir):
     )
 
 
-@query("similarity_topk_ivfpq_fullprobe")
+@query("similarity_topk_ivfpq_fullprobe", ORACLE_TOPK_EMB)
 def similarity_topk_ivfpq_fullprobe(spark, sf_dir):
     """The ENTIRE IVF-PQ dataflow (cell assignment, PQ encode, probed
     ADC scan, exact rerank) at nprobe = n_centroids and an unbounded
@@ -5043,7 +5039,7 @@ def similarity_topk_ivfpq_fullprobe(spark, sf_dir):
     )
 
 
-@query("kmeans_refine_embeddings")
+@query("kmeans_refine_embeddings", ORACLE_KMEANS_REFINE)
 def kmeans_refine_embeddings(spark, sf_dir):
     """Full-corpus distributed K-Means refinement
     (clustering.lloyd_refine): two Lloyd iterations from the
@@ -5159,7 +5155,7 @@ FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
 """
 
 
-@query("multimodal_phash_neardup")
+@query("multimodal_phash_neardup", ORACLE_PHASH_NEARDUP)
 def multimodal_phash_neardup(spark, sf_dir):
     """Image near-duplicate pairs via perceptual dHash (Krawetz aHash/
     dHash, the LAION-scale image-dedup fingerprints) within Hamming
@@ -5214,7 +5210,7 @@ FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
 """
 
 
-@query("multimodal_audio_neardup")
+@query("multimodal_audio_neardup", ORACLE_AUDIO_NEARDUP)
 def multimodal_audio_neardup(spark, sf_dir):
     """Audio near-duplicate pairs via the 64-window energy-envelope
     fingerprint (median-relative RMS bits — gain-invariant) within
@@ -5274,7 +5270,7 @@ HAVING count(*) >= 6
 """
 
 
-@query("multimodal_video_neardup")
+@query("multimodal_video_neardup", ORACLE_VIDEO_NEARDUP)
 def multimodal_video_neardup(spark, sf_dir):
     """Video near-duplicate pairs: videos sharing >= 6 distinct
     per-frame perceptual-hash values (frame-fingerprint inverted index
@@ -5336,7 +5332,7 @@ QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY n DESC, slab) = 1
 """
 
 
-@query("knn_classify_embeddings")
+@query("knn_classify_embeddings", ORACLE_KNN_CLASSIFY)
 def knn_classify_embeddings(spark, sf_dir):
     """k-NN label propagation over the embeddings table: every 5th
     vector keeps its label as the seed set; the rest take the majority
@@ -5387,7 +5383,7 @@ SELECT DISTINCT doc_id, pos, fp FROM sel
 """
 
 
-@query("winnow_fingerprints_documents")
+@query("winnow_fingerprints_documents", ORACLE_WINNOW_FP)
 def winnow_fingerprints_documents(spark, sf_dir):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
     SIGMOD'03, the MOSS algorithm): 5-gram rolling hashes, window-4
@@ -5435,7 +5431,7 @@ SELECT id AS vec_id FROM train WHERE id NOT IN (SELECT id FROM flagged)
 ORACLE_SEMANTIC_DECONTAMINATE = _semantic_decontaminate_oracle()
 
 
-@query("decontaminate_embeddings_semantic")
+@query("decontaminate_embeddings_semantic", ORACLE_SEMANTIC_DECONTAMINATE)
 def decontaminate_embeddings_semantic(spark, sf_dir):
     """Embedding-level benchmark decontamination: treat every 4th vector
     as the eval set and drop training vectors with cosine ≥ 0.4 to any
@@ -6847,7 +6843,7 @@ w AS (
 ),
 k AS (
   SELECT doc_id, lw,
-         lw - ln(-ln((({_SAMPLE_BUCKET}) + 1) / 1000000.0)) AS gk
+         lw - ln(-ln((({_SAMPLE_BUCKET}) + 0.5) / 1000000.0)) AS gk
   FROM w
 )
 SELECT doc_id, round(lw, 6) AS log_weight
@@ -8047,33 +8043,15 @@ def dedup_containment_survivors(spark, sf_dir):
     ).select("doc_id")
 
 
-# --- r11 oracle queue -----------------------------------------------------
-# Pre-written exact-replay oracles for queries that are rows-only THIS
-# round only because the r10 driver window carries zero spare slots (an
-# oracled query must be scheduled the round it lands, and never-green ⊆
-# window is enforced by test_driver_window_rotation). Wiring one in r11 =
-# move its SQL into the @query decorator, DELETE its entry here, and add
-# the name to DRIVER_PRIORITY. Until then
-# tests/test_entry_oracle.py::test_queued_oracle_matches runs every pair
-# through the SAME typed compare as the wired gate, so the queue cannot
-# rot between rounds.
-QUEUED_ORACLES: dict[str, str] = {
-    "multimodal_phash_neardup": ORACLE_PHASH_NEARDUP,
-    "multimodal_audio_neardup": ORACLE_AUDIO_NEARDUP,
-    "multimodal_video_neardup": ORACLE_VIDEO_NEARDUP,
-    "knn_classify_embeddings": ORACLE_KNN_CLASSIFY,
-    "winnow_fingerprints_documents": ORACLE_WINNOW_FP,
-    "decontaminate_embeddings_semantic": ORACLE_SEMANTIC_DECONTAMINATE,
-    "semdedup_fixed_embeddings": ORACLE_SEMDEDUP_FIXED,
-    "kmeans_refine_embeddings": ORACLE_KMEANS_REFINE,
-    "bloom_contamination_documents": ORACLE_BLOOM_CONTAMINATION,
-    "similarity_topk_pq": ORACLE_PQ_ADC,
-    "similarity_topk_pq_rerank_full": ORACLE_TOPK_EMB,
-    "vocabulary_documents": ORACLE_VOCABULARY,
-    "cms_token_counts_documents": ORACLE_CMS_TOKENS,
-    "zorder_key_events": ORACLE_ZORDER,
-    "streaming_cms_events": ORACLE_STREAMING_CMS,
-    "bpe_merges_documents": ORACLE_BPE_MERGES,
-    "bpe_token_count_documents": ORACLE_BPE_TOKEN_COUNT,
-    "similarity_topk_ivfpq_fullprobe": ORACLE_TOPK_EMB,
-}
+# --- oracle queue -----------------------------------------------------
+# Pre-written exact-replay oracles for queries whose wiring must wait for
+# driver-window headroom (an oracled query must be scheduled the round it
+# lands, and never-green ⊆ window is enforced by
+# test_driver_window_rotation). Wiring one = move its SQL into the @query
+# decorator, DELETE its entry here, and add the name to DRIVER_PRIORITY.
+# Until then tests/test_entry_oracle.py::test_queued_oracle_matches runs
+# every pair through the SAME typed compare as the wired gate, so the
+# queue cannot rot between rounds. The 18 r10-queued oracles were wired
+# in round 11 after the staleness horizon widened from 3 to 4 recorded
+# rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
+QUEUED_ORACLES: dict[str, str] = {}

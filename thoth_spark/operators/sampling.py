@@ -320,11 +320,17 @@ def dsir_select(
     here, so the draw is a pure function of the data — stable across
     reruns, cluster layouts, and engines, and replayable in the DuckDB
     oracle. The ranking plans as TakeOrderedAndProject (per-partition
-    partial top-k, no global sort). Returns ``(id, log_weight)``."""
+    partial top-k, no global sort). Returns ``(id, log_weight)``.
+
+    ``u = (bucket + 0.5) / HASH_BUCKETS`` is strictly inside (0, 1):
+    the +1 variant hit u = 1.0 at the top bucket, where
+    ``-log(u) = 0`` makes Spark's ``F.log(0)`` NULL (doc silently
+    ranked last) while DuckDB's ``ln(0)`` hard-errors — an engine
+    divergence with probability ~1e-6 per document (r10 advice)."""
     w = dsir_log_weights(
         df, id_col, text_col, target_col, n_max, n_buckets, alpha, seed
     )
-    u = (_bucket(F.col("id"), seed) + 1) / F.lit(float(HASH_BUCKETS))
+    u = (_bucket(F.col("id"), seed) + 0.5) / F.lit(float(HASH_BUCKETS))
     key = F.col("log_weight") - F.log(-F.log(u))
     return (
         w.withColumn("__k", key)

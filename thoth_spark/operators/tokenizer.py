@@ -8,15 +8,22 @@ the tokenizer emit" answer a training-data budget needs.
 Determinism contract (what makes the unrolled SQL replay exact):
 
 - words are whitespace tokens of the normalized text; the working
-  representation is the '·'-delimited symbol string ``·l·o·w·`` (the
-  corpus is charset-checked ASCII, so the delimiter cannot collide);
+  representation wraps EVERY symbol in its own delimiters:
+  ``"low"`` → ``·l··o··w·`` (the corpus is charset-checked ASCII, so
+  the delimiter cannot collide);
 - each round's winning pair maximizes summed word-frequency count,
   ties broken by (left, right) text order;
-- a merge is APPLIED with plain (non-regex) string replace
-  ``·a·b· → ·ab·`` iterated ``passes`` times — replace is
-  left-to-right non-overlapping in every engine, and iterating it to
-  the (bounded: word length) fixpoint reproduces BPE's
-  merge-all-occurrences semantics, identically in Spark and SQL;
+- a merge is APPLIED with ONE plain (non-regex) string replace
+  ``·a··b· → ·ab·``. Because each symbol carries both of its own
+  delimiters, adjacent merge sites share no characters, so a single
+  left-to-right non-overlapping replace IS greedy BPE merge
+  application ("aaaaa" → [aa, aa, a]), identically in Spark and SQL.
+  (The previous shared-delimiter encoding ``·a·b·`` consumed the
+  boundary ``·`` between adjacent occurrences, skipping every second
+  merge site in runs ≥ 5 of the same symbol — r10 advice.) One pass
+  is also a fixpoint: a merge can never re-enable itself, since the
+  merged symbol ``ab`` differs from both ``a`` and ``b``, so the only
+  new adjacencies it creates are (neighbor, ab) and (ab, neighbor);
 - when no pair remains the state is a fixpoint and remaining rounds
   are no-ops (the replay LEFT-JOINs the empty winner and keeps seq).
 
@@ -41,26 +48,35 @@ DELIM = "·"
 
 
 def delimited(col: Column) -> Column:
-    """``"low"`` → ``"·l·o·w·"`` — one symbol per character."""
-    return F.concat(F.lit(DELIM), F.regexp_replace(col, "(.)", "$1" + DELIM))
+    """``"low"`` → ``"·l··o··w·"`` — every symbol wrapped in its own
+    delimiter pair, so merge sites never share a boundary character."""
+    return F.regexp_replace(col, "(.)", DELIM + "$1" + DELIM)
 
 
-def _apply_merge(seq: Column, left: str, right: str, passes: int) -> Column:
-    pat = F.lit(f"{DELIM}{left}{DELIM}{right}{DELIM}")
+def _apply_merge(seq: Column, left: str, right: str) -> Column:
+    """One non-overlapping literal replace = one greedy left-to-right
+    BPE merge application (see module docstring for why one pass is
+    exact and a fixpoint)."""
+    pat = F.lit(f"{DELIM}{left}{DELIM}{DELIM}{right}{DELIM}")
     rep = F.lit(f"{DELIM}{left}{right}{DELIM}")
-    for _ in range(passes):
-        seq = F.replace(seq, pat, rep)
-    return seq
+    return F.replace(seq, pat, rep)
+
+
+def _symbols(seq: Column) -> Column:
+    """Symbol array of a wrapped string: split on the delimiter and
+    drop the empty boundary slots (symbols are never empty and never
+    contain the delimiter)."""
+    return F.filter(F.split(seq, DELIM), lambda s: s != F.lit(""))
 
 
 def _adjacent_pairs(seq: Column) -> Column:
-    """Adjacent symbol pairs of a delimited string as an array of
+    """Adjacent symbol pairs of a wrapped string as an array of
     (a, b) structs; empty for single-symbol words."""
-    arr = F.split(seq, DELIM)  # ['', s1, ..., sk, '']
-    k1 = F.size(arr) - 3  # k-1 pairs
+    syms = _symbols(seq)
+    k1 = F.greatest(F.size(syms) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(arr, 2, F.greatest(k1, F.lit(0))),
-        F.slice(arr, 3, F.greatest(k1, F.lit(0))),
+        F.slice(syms, 1, k1),
+        F.slice(syms, 2, k1),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
 
@@ -69,7 +85,6 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 20,
-    passes: int = 6,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ranked ``[(left, right), ...]`` merge table (driver-side — it IS
@@ -96,17 +111,17 @@ def bpe_train(
         a, b = best[0].a, best[0].b
         merges.append((a, b))
         cur = cur.select(
-            _apply_merge(F.col("seq"), a, b, passes).alias("seq"), "c"
+            _apply_merge(F.col("seq"), a, b).alias("seq"), "c"
         ).localCheckpoint()
     return merges
 
 
-def bpe_apply(col: Column, merges: list[tuple[str, str]], passes: int = 6) -> Column:
-    """Apply a ranked merge table to ONE word column (delimited form in,
-    delimited form out)."""
+def bpe_apply(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a ranked merge table to ONE word column (wrapped form in,
+    wrapped form out)."""
     seq = delimited(col)
     for a, b in merges:
-        seq = _apply_merge(seq, a, b, passes)
+        seq = _apply_merge(seq, a, b)
     return seq
 
 
@@ -115,7 +130,6 @@ def bpe_token_count(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
-    passes: int = 6,
 ) -> DataFrame:
     """Per-document BPE token count under the learned merge table:
     explode words, apply merges (pure string expressions), count
@@ -124,10 +138,9 @@ def bpe_token_count(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("w")
     )
     applied = words.select(
-        id_col, bpe_apply(F.col("w"), merges, passes).alias("seq")
+        id_col, bpe_apply(F.col("w"), merges).alias("seq")
     )
-    # '·ab·c·'.split('·') = ['', 'ab', 'c', ''] → symbols = size - 2
-    n = F.size(F.split(F.col("seq"), DELIM)) - 2
+    n = F.size(_symbols(F.col("seq")))
     return (
         applied.select(id_col, n.alias("n"))
         .groupBy(id_col)
