@@ -615,6 +615,37 @@ def test_image_phash_ahash_and_tiny_images(spark):
         multimodal.image_phash(df, method="phash")
 
 
+def test_ppm_header_comments_and_16bit_maxval():
+    """r10 advice regression: the header regex ignored maxval (16-bit
+    rasters decoded as uint8 garbage) and rejected '#' comments. The
+    parser must (a) skip comments between any header tokens, (b) decode
+    2-byte MSB-first samples when maxval > 255 and scale all depths to
+    0..255 so hashes are depth-independent, (c) reject maxval 0/65536."""
+    import numpy as np
+
+    g8 = np.tile(np.arange(72, dtype=np.uint16) * 3, (64, 1))
+
+    def pgm(g, maxval, comment=b""):
+        h, w = g.shape
+        head = b"P5\n" + comment + b"%d %d\n%d\n" % (w, h, maxval)
+        dt = ">u2" if maxval > 255 else "u1"
+        return head + g.astype(dt).tobytes()
+
+    # same image at 8-bit and 16-bit depth must hash identically
+    h8 = multimodal.phash64(pgm(g8, 255))
+    h16 = multimodal.phash64(pgm(g8 * 257, 65535))
+    assert h8 == h16
+    # comments anywhere in the header whitespace are skipped
+    assert multimodal.phash64(pgm(g8, 255, comment=b"# created by x\n")) == h8
+    # 16-bit decoded values scale to the 8-bit range
+    _, w, h, maxval, px = multimodal._ppm_pixels(pgm(g8 * 257, 65535))
+    assert (w, h, maxval) == (72, 64, 65535)
+    assert abs(px.max() - 255.0 * (g8.max() * 257) / 65535) < 1e-9
+    for bad in (0, 65536):
+        with pytest.raises(ValueError):
+            multimodal._ppm_pixels(pgm(g8, 1)[:3] + b"2 2\n%d\n" % bad + b"\x00" * 8)
+
+
 def _wav_bytes(x):
     """mono 16-bit PCM WAV from a float array in [-1, 1]."""
     import io
@@ -830,6 +861,37 @@ def test_knn_classify_edge_cases(spark):
     assert all(r["votes"] <= 3 for r in out)
     with pytest.raises(ValueError):
         similarity.knn_classify(df.where(F.col("vec_id") < 0), df, k=3)
+
+
+def test_knn_classify_string_ids_and_labels(spark):
+    """r10 advice regression: ids and labels keep their INPUT types —
+    string labels vote and tie-break lexicographically, string ids
+    flow through the mapInPandas schema (the old int64 coercion
+    crashed)."""
+    rows = [
+        ("a", [0.0, 1.0], "pos"),
+        ("b", [0.1, 1.0], "pos"),
+        ("c", [1.0, 0.0], "neg"),
+        ("d", [1.0, 0.1], "neg"),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>, label string"
+    )
+    u = spark.createDataFrame(
+        [("q1", [0.0, 2.0]), ("q2", [2.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = similarity.knn_classify(df, u, k=2)
+    assert dict(out.dtypes) == {
+        "id": "string", "pred_label": "string", "votes": "int"
+    }
+    got = {r["id"]: r["pred_label"] for r in out.collect()}
+    assert got == {"q1": "pos", "q2": "neg"}
+    # 2-2 vote split ties break to the lexicographically smaller label
+    tie = similarity.knn_classify(
+        df, u.where(F.col("vec_id") == "q1"), k=4
+    ).collect()[0]
+    assert tie["pred_label"] == "neg" and tie["votes"] == 2
 
 
 def test_semantic_decontaminate_drops_planted_twin(spark):

@@ -175,25 +175,63 @@ def wav_decoder(blobs: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def ppm_decoder(blobs: pd.Series) -> pd.DataFrame:
-    """REAL image decode for binary PPM/PGM (P6/P5) — header regex +
-    numpy pixel stats; the uncompressed-raster twin of the PIL path in
-    :func:`decode_real`."""
-    import re
+def _ppm_pixels(bb: bytes) -> tuple[bytes, int, int, int, "object"]:
+    """Parse one binary PPM/PGM (P6/P5) payload to
+    ``(magic, w, h, maxval, float64 pixels scaled to 0..255)``.
 
+    Honors the full netpbm header grammar the old regex did not (r10
+    advice): ``#`` comments may appear between any header tokens, and
+    ``maxval`` selects the sample width — 1 byte up to 255, 2 bytes
+    (MSB first) up to 65535; a 16-bit raster previously decoded as
+    uint8 garbage. Exactly one whitespace byte separates maxval from
+    the raster. Samples are scaled by ``255 / maxval`` so downstream
+    stats and perceptual hashes are depth-independent."""
     import numpy as np
 
+    if bb[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PPM/PGM (P6/P5) payload")
+    magic, pos, fields = bb[:2], 2, []
+    while len(fields) < 3:
+        while pos < len(bb) and bb[pos : pos + 1].isspace():
+            pos += 1
+        if bb[pos : pos + 1] == b"#":
+            eol = bb.find(b"\n", pos)
+            if eol < 0:
+                raise ValueError("unterminated PPM header comment")
+            pos = eol + 1
+            continue
+        start = pos
+        while pos < len(bb) and bb[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header (expected integer)")
+        fields.append(int(bb[start:pos]))
+    if pos >= len(bb) or not bb[pos : pos + 1].isspace():
+        raise ValueError("malformed PPM header (missing raster separator)")
+    pos += 1
+    w, h, maxval = fields
+    if not 0 < maxval < 65536:
+        raise ValueError(f"PPM maxval {maxval} outside 1..65535")
+    nc = 3 if magic == b"P6" else 1
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
+    px = (
+        np.frombuffer(bb, dtype=dtype, count=w * h * nc, offset=pos)
+        .reshape(h, w, nc)
+        .astype(np.float64)
+        * (255.0 / maxval)
+    )
+    return magic, w, h, maxval, px
+
+
+def ppm_decoder(blobs: pd.Series) -> pd.DataFrame:
+    """REAL image decode for binary PPM/PGM (P6/P5) — full netpbm
+    header parse (comments, 8/16-bit maxval) + numpy pixel stats; the
+    uncompressed-raster twin of the PIL path in :func:`decode_real`."""
     rows = []
     for b in blobs:
         bb = bytes(b)
-        m = re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", bb)
-        if not m:
-            raise ValueError("not a binary PPM/PGM (P6/P5) payload")
-        magic, w, h, maxval = m.group(1), int(m.group(2)), int(m.group(3)), int(m.group(4))
+        magic, w, h, _maxval, px = _ppm_pixels(bb)
         nc = 3 if magic == b"P6" else 1
-        px = np.frombuffer(
-            bb, dtype=np.uint8, count=w * h * nc, offset=m.end()
-        ).reshape(h, w, nc).astype(np.float64)
         means = px.mean(axis=(0, 1))
         r, g, bl = (means[0], means[1], means[2]) if nc == 3 else (means[0],) * 3
         rows.append(
@@ -329,20 +367,10 @@ PHASH_SCHEMA_SUFFIX = "sim_hi long, sim_lo long"
 
 def _ppm_gray(bb: bytes) -> "object":
     """Decode a binary PPM/PGM (P6/P5) payload to a float64 grayscale
-    matrix (ITU-R 601 luma weights, same as :func:`ppm_decoder`)."""
-    import re
-
-    import numpy as np
-
-    m = re.match(rb"(P[56])\s+(\d+)\s+(\d+)\s+(\d+)\s", bb)
-    if not m:
-        raise ValueError("not a binary PPM/PGM (P6/P5) payload")
-    magic, w, h = m.group(1), int(m.group(2)), int(m.group(3))
-    nc = 3 if magic == b"P6" else 1
-    px = np.frombuffer(bb, dtype=np.uint8, count=w * h * nc, offset=m.end()).reshape(
-        h, w, nc
-    ).astype(np.float64)
-    if nc == 3:
+    matrix (ITU-R 601 luma weights, same as :func:`ppm_decoder`);
+    header comments and 16-bit maxval handled by :func:`_ppm_pixels`."""
+    magic, _w, _h, _maxval, px = _ppm_pixels(bb)
+    if magic == b"P6":
         return 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
     return px[..., 0]
 

@@ -48,6 +48,13 @@ def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
 
 
+def _col_type(df: DataFrame, col: str) -> str:
+    """Spark simpleString type of ``col`` — the mapInPandas paths emit
+    id columns with the INPUT's id type instead of a hardcoded bigint
+    (r10 advice: string / non-bigint id columns silently broke)."""
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}[col]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -724,8 +731,9 @@ def brute_force_topk_pandas(
                 {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
             )
 
+    id_type = _col_type(corpus, id_col)
     scored = corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="query_id bigint, neighbor_id bigint, cos_sim double"
+        score, schema=f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -755,19 +763,24 @@ def knn_classify(
     Deterministic and SQL-replayable by construction: neighbor order is
     (cos DESC, seed id ASC), vote tie-break is (votes DESC, label ASC).
     Self-matches on id are excluded (a seed that also appears unlabeled
-    never votes for itself). Returns ``(id, pred_label, votes)``.
+    never votes for itself). Returns ``(id, pred_label, votes)``; the
+    id and label columns keep their input types (string labels vote
+    and tie-break lexicographically — r10 advice: the old int64
+    coercion crashed on non-integer labels).
     """
     seeds = labeled.select(id_col, vec_col, label_col).collect()
     if not seeds:
         raise ValueError("labeled seed set is empty")
-    s_ids = np.array([r[0] for r in seeds], dtype="int64")
-    s_lab = np.array([r[2] for r in seeds], dtype="int64")
+    s_ids = np.array([r[0] for r in seeds])
+    s_lab = np.array([r[2] for r in seeds])
     s_mat = np.array([r[1] for r in seeds], dtype="float64")
     s_mat /= np.linalg.norm(s_mat, axis=1, keepdims=True)
     kk = min(k, len(seeds))
-    id_type = {f.name: f.dataType.simpleString() for f in unlabeled.schema.fields}[
-        id_col
-    ]
+    types = {f.name: f.dataType.simpleString() for f in unlabeled.schema.fields}
+    id_type = types[id_col]
+    label_type = {
+        f.name: f.dataType.simpleString() for f in labeled.schema.fields
+    }[label_col]
 
     def score(batches):
         import pandas as pd
@@ -785,15 +798,18 @@ def knn_classify(
                 # are applied last-key-primary
                 order = np.lexsort((s_ids[mask], -row[mask]))[:kk]
                 labs, counts = np.unique(s_lab[mask][order], return_counts=True)
-                best = labs[np.lexsort((labs, -counts))][0]
-                preds.append(int(best))
+                # vote tie-break (votes DESC, label ASC): np.unique
+                # returns labs ASC, so a stable sort on -counts keeps
+                # the smallest label first among ties
+                best = labs[np.argsort(-counts, kind="stable")[0]]
+                preds.append(best)
                 votes.append(int(counts[labs == best][0]))
             yield pd.DataFrame(
                 {"id": ids, "pred_label": preds, "votes": votes}
             )
 
     return unlabeled.select(id_col, vec_col).mapInPandas(
-        score, schema=f"id {id_type}, pred_label int, votes int"
+        score, schema=f"id {id_type}, pred_label {label_type}, votes int"
     )
 
 
@@ -1057,8 +1073,9 @@ def pq_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
             )
 
+    id_type = _col_type(codes_df, "id")
     scored = codes_df.mapInPandas(
-        score, schema="query_id bigint, neighbor_id bigint, adc_score double"
+        score, schema=f"query_id {id_type}, neighbor_id {id_type}, adc_score double"
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
@@ -1248,8 +1265,9 @@ def ivfpq_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
             )
 
+    id_type = _col_type(corpus, id_col)
     scored = encoded.mapInPandas(
-        score, schema="query_id bigint, neighbor_id bigint, adc_score double"
+        score, schema=f"query_id {id_type}, neighbor_id {id_type}, adc_score double"
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("neighbor_id")
