@@ -189,6 +189,28 @@ def _short(n: str) -> str:
     return n
 
 
+#: idle-machine baselines for the _calibrate sentinels, measured on this
+#: container at load-average 0 (SCALE.md "Calibration baselines").
+IDLE_CPU_MATMUL_S = 0.8
+#: a run whose mean cpu sentinel exceeds idle by this factor is flagged
+#: contended — r8-r10 artifacts each needed after-the-fact adjudication
+#: of exactly this condition.
+CONTENDED_FACTOR = 1.5
+
+
+def contention_verdict(calibration) -> tuple[float, bool]:
+    """(cal_factor, contended) from the ``[cpu0, spark0, cpu1, spark1]``
+    sentinel list: cal_factor = mean cpu-matmul wall over the idle
+    baseline. The cpu sentinel (not the spark one) is the basis because
+    it is independent of JVM/cache state accumulated by the bench
+    itself. ``total / cal_factor`` is the first-order quiet-machine
+    estimate of a contended run's wall (CPU-bound local[32] scales
+    ~linearly with available cycles)."""
+    cpu = (calibration[0] + calibration[2]) / 2.0
+    factor = round(max(cpu / IDLE_CPU_MATMUL_S, 1.0), 2)
+    return factor, factor >= CONTENDED_FACTOR
+
+
 def compact_tail_line(total, timings, sf, ratios, calibration=None) -> str:
     """ONE compact JSON line printed LAST: per-query walls under short
     names plus the COMPLETE scaling-ratio list as ``"ratios"`` — an array
@@ -201,7 +223,10 @@ def compact_tail_line(total, timings, sf, ratios, calibration=None) -> str:
     is strictly better than aborting the whole bench run — r7 advice).
     ``calibration`` (the start/end contention sentinels — see
     _calibrate) rides along as ``"cal": [cpu0, spark0, cpu1, spark1]``
-    (~30 chars) so a contaminated-run diagnosis never needs a rerun."""
+    plus the precomputed verdict ``"contended"`` and normalization
+    factor ``"cal_factor"`` (r10 verdict #5: cross-round comparisons
+    kept needing manual adjudication; now the artifact carries its own
+    discount — quiet-wall estimate = value / cal_factor)."""
     walls = {
         _short(n): (round(t, 1) if t is not None else None)
         for n, t in timings.items()
@@ -225,6 +250,9 @@ def compact_tail_line(total, timings, sf, ratios, calibration=None) -> str:
     }
     if calibration is not None:
         out["cal"] = calibration
+        factor, contended = contention_verdict(calibration)
+        out["cal_factor"] = factor
+        out["contended"] = contended
     return json.dumps(out, separators=(",", ":"))
 
 
@@ -387,15 +415,17 @@ def main() -> None:
         _write_local(payload)
 
     payload["calibration_end"] = _calibrate(spark)
-    _write_local(payload)
-    if not failures:
-        del payload["failures"]
-    cal = [
+    _cal = [
         payload["calibration_start"]["cpu_matmul_s"],
         payload["calibration_start"]["spark_agg_s"],
         payload["calibration_end"]["cpu_matmul_s"],
         payload["calibration_end"]["spark_agg_s"],
     ]
+    payload["cal_factor"], payload["contended"] = contention_verdict(_cal)
+    _write_local(payload)
+    if not failures:
+        del payload["failures"]
+    cal = _cal
     print(json.dumps(payload))
     print(
         compact_tail_line(

@@ -84,11 +84,15 @@ ORACLES: dict[str, str] = {}
 #     refinement, Bloom contamination, PQ ADC + full rerank +
 #     IVF-PQ fullprobe ANN, vocabulary, CMS token counts, Z-order keys,
 #     streaming CMS, and learned-BPE merges + token counts;
-# (b) 32 of the 50 queries whose last driver-green is r7 — 3 recorded
+# (a') the 3 queries promoted from rows-only to bounds-oracles this
+#     round (r10 verdict #7: trained-ANN recall floors + the SemDeDup
+#     coverage invariant) — also never-green, also mandatory;
+# (b) 29 of the 50 queries whose last driver-green is r7 — 3 recorded
 #     rounds back, the stalest block in the catalogue (alphabetically
-#     first 32; the remaining 18 — the TPC-H block, trailing-window
-#     revenue, training order, rolling band — hit the 4-round horizon in
-#     r12 and MUST be the r12 window's non-mandatory slots).
+#     first 29; the remaining 21 — the TPC-H block, sessionize/stats/
+#     token-count, trailing-window revenue, training order, rolling
+#     band — hit the 4-round horizon in r12 and MUST be the r12
+#     window's non-mandatory slots).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -113,7 +117,12 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_cms_events",
     "bpe_merges_documents",
     "bpe_token_count_documents",
-    # (b) last strict driver-green r7 (alphabetically first 32)
+    # (a') promoted from rows-only to bounds-oracles this round
+    # (r10 verdict #7) — never driver-verified, mandatory
+    "similarity_topk_pq_trained",
+    "similarity_topk_ivfpq",
+    "semdedup_embeddings",
+    # (b) last strict driver-green r7 (alphabetically first 29)
     "anomaly_fixed_changepoint_validation",
     "anomaly_sarima_fixed_validation",
     "check_events_constraints",
@@ -143,9 +152,6 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_lsh_recall",
     "source_keywords_documents",
     "streaming_curate_documents",
-    "streaming_sessionize_events",
-    "text_stats_documents",
-    "token_count_documents",
 ]
 
 
@@ -4293,30 +4299,69 @@ def embedding_dedup_components(spark, sf_dir):
     )
 
 
-@query("semdedup_embeddings")
+_ORACLE_SEMDEDUP_COVERAGE = """
+SELECT vec_id AS id, TRUE AS ok FROM embeddings
+"""
+
+
+@query("semdedup_embeddings", _ORACLE_SEMDEDUP_COVERAGE)
 def semdedup_embeddings(spark, sf_dir):
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): K-Means the
-    embedding space, intra-cluster cosine near-dup pairs, connected
-    components, keep the member farthest from its centroid per
-    duplicate group. Rows-only BY DESIGN: the production path trains
-    the coarse quantizer (pyspark.ml KMeans on a bounded sample), which
-    no SQL engine replays. Flanked in-family by the hash-green
-    embedding_neardup_exact / embedding_neardup_lsh /
-    embedding_dedup_components gates (same pair semantics), and by a
-    fixed-centroid brute-force parity pytest
-    (tests/test_operators.py::test_semdedup_matches_brute_force_with_fixed_centroids)
-    that pins assignment, pairing, components, and the keep-the-outlier
-    survivor policy end to end."""
+    """Coverage gate for SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): K-Means the embedding space, intra-cluster
+    cosine near-dup pairs, connected components, keep the member
+    farthest from its centroid per duplicate group. The trained coarse
+    quantizer is not SQL-replayable, but this INVARIANT of the
+    survivor policy is: every vector either survives or has an exact
+    cosine >= threshold neighbor somewhere in the corpus (a dropped
+    member sits in a component with >= 2 members, so it carries at
+    least one raw-cosine edge) — hash-verified per id as (id, ok),
+    regardless of where K-Means put the centroids. The neighbor check
+    is EXACT (broadcast dropped set x corpus), an eval-harness cost
+    paid only on the duplicate-density-sized dropped set. The full
+    survivor OUTPUT shape stays hash-verified by the fixed-quantizer
+    twin (semdedup_fixed_embeddings) and the fixed-centroid
+    brute-force parity pytest
+    (tests/test_operators.py::test_semdedup_matches_brute_force_with_fixed_centroids)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.semdedup(emb, threshold=0.4, n_clusters=8).select(
-        "id", "cluster", "centroid_sim", "component"
+    surv = similarity.semdedup(emb, threshold=0.4, n_clusters=8).select("id")
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    dropped = base.join(surv, "id", "left_anti")
+    covered = (
+        base.alias("c")
+        .join(
+            F.broadcast(
+                dropped.select(
+                    F.col("id").alias("d_id"), F.col("v").alias("dv")
+                )
+            ),
+            F.col("c.id") != F.col("d_id"),
+        )
+        .where(similarity.cosine(F.col("c.v"), F.col("dv")) >= F.lit(0.4))
+        .select(F.col("d_id").alias("id"))
+        .distinct()
+        .withColumn("__cov", F.lit(1))
+    )
+    kept = surv.withColumn("__kept", F.lit(1))
+    return (
+        base.select("id")
+        .join(kept, "id", "left")
+        .join(covered, "id", "left")
+        .select(
+            "id",
+            (
+                F.coalesce(F.col("__kept"), F.lit(0))
+                + F.coalesce(F.col("__cov"), F.lit(0))
+                > 0
+            ).alias("ok"),
+        )
     )
 
 
-# Exact-replay oracle for semdedup_fixed_embeddings, NOT yet wired (zero
-# spare r10 window slots — flip to
-# `@query("semdedup_fixed_embeddings", ORACLE_SEMDEDUP_FIXED)` + a
-# DRIVER_PRIORITY slot in r11). Why the replay is exact: the quantizer —
+# Exact-replay oracle for semdedup_fixed_embeddings (wired in round
+# 11). Why the replay is exact: the quantizer —
 # the one non-replayable stage of semdedup_embeddings above — is pinned
 # to the embeddings of the 8 SMALLEST vec_ids, which SQL derives from
 # the table itself (ORDER BY id LIMIT 8; no literals needed). Everything
@@ -4395,8 +4440,7 @@ def semdedup_fixed_embeddings(spark, sf_dir):
     SQL engine can replay; this fixed twin closes that oracle gap the
     same way anomaly_sarima_fixed_validation flanks the AutoSarima
     analogue). Centroid collection is a bounded 8-row driver collect.
-    Rows-only THIS round (no free window slot); ORACLE_SEMDEDUP_FIXED
-    above is the exact replay to wire in r11."""
+    ORACLE_SEMDEDUP_FIXED is the exact replay (wired in round 11)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -4419,8 +4463,7 @@ def semdedup_fixed_embeddings(spark, sf_dir):
 
 
 def _kmeans_refine_oracle(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
-    """Exact replay of kmeans_refine_embeddings, NOT yet wired (zero
-    spare r10 window slots — flip + schedule in r11). The Lloyd loop is
+    """Exact replay of kmeans_refine_embeddings (wired in round 11). The Lloyd loop is
     unrolled into a CTE chain: assignment argmin over ||c||² − 2x·c
     with ties to the lower cid (nearest_cells_udf's stable argsort),
     means rounded to 6 HALF_UP inside the aggregation on BOTH engines
@@ -4471,8 +4514,7 @@ ORACLE_KMEANS_REFINE = _kmeans_refine_oracle()
 
 
 def _bloom_contamination_oracle(m: int = 16384, n_hashes: int = 3) -> str:
-    """Exact replay of bloom_contamination_documents, NOT yet wired
-    (zero spare r10 window slots — flip + schedule in r11). The Bloom
+    """Exact replay of bloom_contamination_documents (wired in round 11). The Bloom
     filter's false positives are part of the checked output: positions
     use the engine-portable md5(fp#i) scheme, the packed words are
     bit_or aggregates both engines compute identically, so hit/miss —
@@ -4524,9 +4566,7 @@ def bloom_contamination_documents(spark, sf_dir):
     rate is the sized (1−e^(−kn/m))^k and the specific FP set is
     deterministic (portable md5 positions), so the oracle checks it
     bit-for-bit. The approximate, filter-sized counterpart of the
-    exact contamination_documents n-gram gate. Rows-only THIS round
-    (no free window slot); ORACLE_BLOOM_CONTAMINATION above is the
-    exact replay to wire in r11."""
+    exact contamination_documents n-gram gate. ORACLE_BLOOM_CONTAMINATION is the exact replay (wired in round 11)."""
     docs = _documents(spark, sf_dir).select(
         "doc_id", F.md5(text.normalize(F.col("text"))).alias("fp")
     )
@@ -4586,8 +4626,7 @@ _BPE_N_MERGES = 16
 
 
 def _bpe_merges_oracle() -> str:
-    """Exact replay of bpe_merges_documents, NOT yet wired (zero spare
-    r10 window slots — flip + schedule in r11)."""
+    """Exact replay of bpe_merges_documents (wired in round 11)."""
     union = " UNION ALL ".join(
         f"SELECT {r}::INT AS rank, a AS lhs, b AS rhs FROM b{r}"
         for r in range(1, _BPE_N_MERGES + 1)
@@ -4643,8 +4682,7 @@ def bpe_token_count_documents(spark, sf_dir):
 
 
 def _streaming_cms_oracle(depth: int = 4, width: int = 16) -> str:
-    """Exact replay of streaming_cms_events, NOT yet wired (zero spare
-    r10 window slots — flip + schedule in r11). Watermark (1 day)
+    """Exact replay of streaming_cms_events (wired in round 11). Watermark (1 day)
     finalizes a daily bucket once max(ts) − 1 day passes its end —
     the same deterministic finalized-day rule as
     ORACLE_STREAM_SKETCH_ROLLUP — and CMS cells over those days add to
@@ -4688,8 +4726,7 @@ def streaming_cms_events(spark, sf_dir):
     bucket rows then MERGE into the all-time sketch (cells add —
     sketches.cms_merge) which answers point counts for every
     event_type without re-reading the stream — the count-twin of the
-    streaming HLL rollup. Rows-only THIS round (no free window slot);
-    ORACLE_STREAMING_CMS above is the exact replay to wire in r11."""
+    streaming HLL rollup. ORACLE_STREAMING_CMS is the exact replay (wired in round 11)."""
     import uuid
 
     from thoth_spark.profiler.sketches import cms_estimate
@@ -4717,8 +4754,7 @@ def streaming_cms_events(spark, sf_dir):
 
 
 def _zorder_oracle(bits: int = 8) -> str:
-    """Exact replay of zorder_key_events, NOT yet wired (zero spare r10
-    window slots — flip + schedule in r11). min/max are exact order
+    """Exact replay of zorder_key_events (wired in round 11). min/max are exact order
     statistics (no summation), the quantizer formula is written with
     identical operation order on both engines, and the interleave is
     pure integer bit arithmetic."""
@@ -4760,8 +4796,7 @@ def zorder_key_events(spark, sf_dir):
     dimensions coarsely clustered so parquet min/max pruning skips row
     groups for predicates on either (the OPTIMIZE ZORDER layout
     primitive; see zorder_key's docstring for the write recipe).
-    Rows-only THIS round (no free window slot); ORACLE_ZORDER above is
-    the exact replay to wire in r11."""
+    ORACLE_ZORDER is the exact replay (wired in round 11)."""
     from thoth_spark.operators import storage
 
     ev = _events(spark, sf_dir)
@@ -4782,8 +4817,7 @@ def zorder_key_events(spark, sf_dir):
 
 
 def _cms_oracle(depth: int = 4, width: int = 16, top_n: int = 20) -> str:
-    """Exact replay of cms_token_counts_documents, NOT yet wired (zero
-    spare r10 window slots — flip + schedule in r11). The sketch
+    """Exact replay of cms_token_counts_documents (wired in round 11). The sketch
     CONTENT is deterministic: counter positions use the portable
     md5(tok#r) scheme, cells are integer counts, estimates are integer
     minima — the overcount column is the sketch's actual collision
@@ -4828,8 +4862,7 @@ def cms_token_counts_documents(spark, sf_dir):
     stream — fixed size at ANY corpus size — probed with the top-20
     true tokens; output carries the estimate, the exact count, and the
     sketch's one-sided overcount (never negative — the CMS guarantee
-    the pytest pins). Rows-only THIS round (no free window slot);
-    ORACLE_CMS_TOKENS above is the exact replay to wire in r11."""
+    the pytest pins). ORACLE_CMS_TOKENS is the exact replay (wired in round 11)."""
     from thoth_spark.profiler import sketches
 
     toks = _documents(spark, sf_dir).select(
@@ -4851,8 +4884,7 @@ def cms_token_counts_documents(spark, sf_dir):
 
 
 def _vocabulary_oracle(top_n: int = 100) -> str:
-    """Exact replay of vocabulary_documents, NOT yet wired (zero spare
-    r10 window slots — flip + schedule in r11). Counts are integers,
+    """Exact replay of vocabulary_documents (wired in round 11). Counts are integers,
     coverage arithmetic is exact-integer division rounded 6, rank ties
     break on token text — nothing engine-sensitive."""
     return f"""
@@ -4878,16 +4910,14 @@ def vocabulary_documents(spark, sf_dir):
     """Corpus vocabulary table (text.vocabulary): top-100 tokens with
     cumulative coverage share — one partial-aggregable token-count
     shuffle, TakeOrdered top-N (no global sort), running sum over the
-    100 survivors. Rows-only THIS round (no free window slot);
-    ORACLE_VOCABULARY above is the exact replay to wire in r11."""
+    100 survivors. ORACLE_VOCABULARY is the exact replay (wired in round 11)."""
     return text.vocabulary(_documents(spark, sf_dir), top_n=100)
 
 
 def _pq_adc_oracle(
     m: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 5
 ) -> str:
-    """Exact replay of similarity_topk_pq, NOT yet wired (zero spare
-    r10 window slots — flip + schedule in r11). The SEEDED codebooks
+    """Exact replay of similarity_topk_pq (wired in round 11). The SEEDED codebooks
     (normalized subvectors of the 16 smallest-id vectors) make the
     whole PQ pipeline table-derivable: encode = per-subspace argmin
     ||x̂_s − c||² with ties to the lower code (pq_encode's stable
@@ -4944,8 +4974,7 @@ def similarity_topk_pq(spark, sf_dir):
     32-bytes-per-vector table you'd PERSIST at 100 TB), queries ranked
     by asymmetric-distance lookup sums over the CODES alone
     (similarity.pq_topk) — no float vector is touched after encode.
-    Rows-only THIS round (no free window slot); ORACLE_PQ_ADC above is
-    the exact replay to wire in r11."""
+    ORACLE_PQ_ADC is the exact replay (wired in round 11)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cb = similarity.pq_codebooks_seeded(emb, m_subspaces=8, n_codes=16)
     codes = similarity.pq_encode(emb, cb)
@@ -4973,48 +5002,90 @@ def similarity_topk_pq_rerank_full(spark, sf_dir):
     )
 
 
-@query("similarity_topk_pq_trained")
+#: Corpus-level mean recall@5 floor for the two TRAINED ANN gates below.
+#: Measured means on the (adversarially random — ANN's hardest regime)
+#: embeddings fixtures: pq_trained 0.44/0.60/0.30 and ivfpq
+#: 0.46/0.50/0.36 at sf0.001/0.01/0.1 — the 0.1 floor sits 3× under the
+#: worst observed mean. The floor is corpus-level, not per-query (unlike
+#: _IVF_RECALL_FLOOR): at production compression a single query's whole
+#: exact top-5 can legitimately miss (measured per-query minima hit 0.0),
+#: so only the mean is an invariant of the dataflow.
+_TRAINED_ANN_RECALL_FLOOR = 0.1
+
+_ORACLE_TRAINED_ANN_RECALL = """
+SELECT count(*)::BIGINT AS n_queries, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query("similarity_topk_pq_trained", _ORACLE_TRAINED_ANN_RECALL)
 def similarity_topk_pq_trained(spark, sf_dir):
-    """The PRODUCTION PQ setting: per-subspace Lloyd-trained codebooks
-    on a bounded sample (similarity.train_pq_codebooks), ADC top-20
-    candidates, exact rerank to top-5 — compressed scan + bounded
-    float reads. Rows-only by its approximate nature; flanked by the
-    seeded-codebook exact replay (similarity_topk_pq) and the
-    rerank-full brute-equality twin, plus the pytest recall floor
+    """Bounded recall gate for the PRODUCTION PQ setting: per-subspace
+    Lloyd-trained codebooks on a bounded sample
+    (similarity.train_pq_codebooks), ADC top-20 candidates, exact
+    rerank to top-5 — scored as mean recall@5 over the 10 fixture
+    queries against brute force, asserted >= _TRAINED_ANN_RECALL_FLOOR
+    and hash-verified as (n_queries, recall_ok) — the bounds-oracle
+    trick of similarity_topk_ivf_recall (the trained codebooks are not
+    SQL-replayable; the floor is the invariant). The full top-k OUTPUT
+    shape stays hash-verified by the seeded-codebook exact replay
+    (similarity_topk_pq) and the rerank-full brute-equality twin, plus
+    the pytest recall floor
     (tests/test_operators.py::test_pq_trained_recall_floor)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
     cb = similarity.train_pq_codebooks(emb, m_subspaces=8, n_codes=16)
     codes = similarity.pq_encode(emb, cb)
-    return similarity.pq_topk(
-        codes,
-        emb.where(F.col("vec_id") < 10),
-        cb,
-        k=5,
-        rerank_with=emb,
-        rerank_pool=20,
+    got = similarity.pq_topk(
+        codes, q, cb, k=5, rerank_with=emb, rerank_pool=20
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(got, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1))
+                >= F.lit(_TRAINED_ANN_RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
     )
 
 
-@query("similarity_topk_ivfpq")
+@query("similarity_topk_ivfpq", _ORACLE_TRAINED_ANN_RECALL)
 def similarity_topk_ivfpq(spark, sf_dir):
-    """IVF-PQ — the production ANN shape at 10⁹+ vectors
-    (similarity.ivfpq_topk, residual=True — the full FAISS recipe:
-    codes quantize x̂ − ĉ_cell and ADC adds the q̂·ĉ cell bias):
-    K-Means cells route the scan to nprobe=5 of 8 cells, 8-byte
-    residual codes are ADC-scored inside them, the top-50 rerank
-    exactly. Rows-only BY DESIGN (two trained
-    quantizers); flanked by the fullprobe brute-equality twin below
-    and the pytest recall floor
+    """Bounded recall gate for IVF-PQ — the production ANN shape at
+    10⁹+ vectors (similarity.ivfpq_topk, residual=True — the full
+    FAISS recipe: codes quantize x̂ − ĉ_cell and ADC adds the q̂·ĉ
+    cell bias): K-Means cells route the scan to nprobe=5 of 8 cells,
+    8-byte residual codes are ADC-scored inside them, the top-50
+    rerank exactly. Scored as mean recall@5 vs brute force with the
+    same floor/oracle shape as similarity_topk_pq_trained (two trained
+    quantizers — not SQL-replayable; the floor is the invariant). The
+    full top-k OUTPUT shape stays hash-verified by the fullprobe
+    brute-equality twin below and the pytest recall floor
     (tests/test_operators.py::test_ivfpq_trained_recall_floor)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivfpq_topk(
-        emb,
-        emb.where(F.col("vec_id") < 10),
-        k=5,
-        n_centroids=8,
-        nprobe=5,
-        rerank_pool=50,
-        residual=True,
+    q = emb.where(F.col("vec_id") < 10)
+    got = similarity.ivfpq_topk(
+        emb, q, k=5, n_centroids=8, nprobe=5, rerank_pool=50, residual=True
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(got, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1))
+                >= F.lit(_TRAINED_ANN_RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
     )
 
 
@@ -5025,8 +5096,7 @@ def similarity_topk_ivfpq_fullprobe(spark, sf_dir):
     rerank pool: every row survives every stage, so the output equals
     exact brute force REGARDLESS of where either quantizer landed —
     the composite's recall=1.0 calibration twin, same trick as the IVF
-    and PQ components' own fullprobe gates. Rows-only THIS round; wire
-    to the existing ORACLE_TOPK_EMB in r11."""
+    and PQ components' own fullprobe gates. Wired to the existing ORACLE_TOPK_EMB in round 11."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivfpq_topk(
         emb,
@@ -5048,8 +5118,7 @@ def kmeans_refine_embeddings(spark, sf_dir):
     nearest-centroid matmul pass + one partial-aggregable
     groupBy(cluster, pos) mean — the accountable, engine-replayable
     complement of the sample-trained coarse_centroids quantizer.
-    Rows-only THIS round (no free window slot); ORACLE_KMEANS_REFINE
-    above is the exact unrolled replay to wire in r11."""
+    ORACLE_KMEANS_REFINE is the exact replay (wired in round 11)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.lloyd_refine(emb, k=8, iterations=2)
 
@@ -5127,11 +5196,8 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_idx", "frame_md5")
 
 
-# Exact-replay oracle for multimodal_phash_neardup, NOT yet wired: the
-# r10 driver window carries zero spare slots (3 never-green + 47
-# r6-stale = 50), and an oracled query must be scheduled the round it
-# lands. Flip to `@query("multimodal_phash_neardup", ORACLE_PHASH_NEARDUP)`
-# in r11 and add the name to DRIVER_PRIORITY. Why the replay is exact:
+# Exact-replay oracle for multimodal_phash_neardup (wired in round
+# 11). Why the replay is exact:
 # the textured synth derives each image's pixel stream from the
 # NORMALIZED text, so planted case/whitespace variants are byte-identical
 # images (hamming 0) and distinct texts are independent 64-bit dHashes —
@@ -5167,8 +5233,7 @@ def multimodal_phash_neardup(spark, sf_dir):
     variant slice (case+whitespace mutations of every 25th doc) is
     planted — those normalize identically, so their images are
     byte-equal and the pipeline must recover exactly that pair set.
-    Rows-only THIS round (no free window slot); ORACLE_PHASH_NEARDUP
-    above is the exact replay to wire in r11."""
+    ORACLE_PHASH_NEARDUP is the exact replay (wired in round 11)."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     variants = docs.where(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
@@ -5185,10 +5250,7 @@ def multimodal_phash_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
-# Exact-replay oracle for multimodal_audio_neardup, NOT yet wired (same
-# zero-spare-slot reasoning as ORACLE_PHASH_NEARDUP above — flip to
-# `@query("multimodal_audio_neardup", ORACLE_AUDIO_NEARDUP)` + a window
-# slot in r11). Exactness: synth_wav_textured derives the PCM stream
+# Exact-replay oracle for multimodal_audio_neardup (wired in round 11). Exactness: synth_wav_textured derives the PCM stream
 # from the NORMALIZED text, so the planted variants are byte-identical
 # WAVs (fingerprint distance 0); distinct texts yield ~independent
 # median-split signatures, and a false pair within hamming 3 is
@@ -5219,8 +5281,7 @@ def multimodal_audio_neardup(spark, sf_dir):
     modalities). Deterministic WAVs are synthesized per doc from its
     normalized text (multimodal.synth_wav_textured) with a planted
     case/whitespace variant slice — the pipeline must recover exactly
-    those pairs. Rows-only THIS round; ORACLE_AUDIO_NEARDUP above is
-    the exact replay to wire in r11."""
+    those pairs. ORACLE_AUDIO_NEARDUP is the exact replay (wired in round 11)."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     variants = docs.where(F.col("doc_id") % 25 == 3).select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
@@ -5233,9 +5294,7 @@ def multimodal_audio_neardup(spark, sf_dir):
     return pairs.select("id_a", "id_b", "hamming")
 
 
-# Exact-replay oracle for multimodal_video_neardup, NOT yet wired (zero
-# spare r10 window slots — flip + schedule in r11, like the image/audio
-# twins above). Replay logic: a frame's perceptual hash is a pure
+# Exact-replay oracle for multimodal_video_neardup (wired in round 11). Replay logic: a frame's perceptual hash is a pure
 # function of its chunk's normalized word-slice, so frame identity ↔
 # chunk-text md5 identity; the SQL rebuilds the word→chunk assignment
 # with the SAME closed-form boundary (word i → chunk i*8//n_words),
@@ -5280,8 +5339,7 @@ def multimodal_video_neardup(spark, sf_dir):
     (multimodal.synth_video_frames); a planted variant slice mutates
     ONLY the first word, so exactly one frame changes and the variant
     pair must surface with shared_frames counting its unchanged chunks.
-    Rows-only THIS round; ORACLE_VIDEO_NEARDUP above is the exact
-    replay to wire in r11."""
+    ORACLE_VIDEO_NEARDUP is the exact replay (wired in round 11)."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     variants = docs.where(F.col("doc_id") % 25 == 7).select(
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
@@ -5301,9 +5359,7 @@ def multimodal_video_neardup(spark, sf_dir):
     )
 
 
-# Exact-replay oracle for knn_classify_embeddings, NOT yet wired (zero
-# spare r10 window slots — flip + schedule in r11 like the multimodal
-# trio above). The operator's neighbor order (cos DESC, seed id ASC)
+# Exact-replay oracle for knn_classify_embeddings (wired in round 11). The operator's neighbor order (cos DESC, seed id ASC)
 # and vote tie-break (votes DESC, label ASC) are chosen precisely so a
 # SQL engine can replay them; the numpy-vs-DuckDB float agreement on
 # cosine ranking has precedent in the hash-green
@@ -5339,8 +5395,7 @@ def knn_classify_embeddings(spark, sf_dir):
     label of their 5 nearest seeds by cosine (similarity.knn_classify —
     seed matrix in a pandas-UDF closure, ONE narrow corpus pass, zero
     shuffles, plan-locked). Deterministic tie-breaks make the result an
-    exact SQL replay. Rows-only THIS round; ORACLE_KNN_CLASSIFY above
-    is the replay to wire in r11."""
+    exact SQL replay. ORACLE_KNN_CLASSIFY is the exact replay (wired in round 11)."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.where(F.col("vec_id") % 5 == 0)
     rest = emb.where(F.col("vec_id") % 5 != 0)
@@ -5348,8 +5403,8 @@ def knn_classify_embeddings(spark, sf_dir):
     return out.select(F.col("id").alias("vec_id"), "pred_label", "votes")
 
 
-# Exact-replay oracle for winnow_fingerprints_documents, NOT yet wired
-# (zero spare r10 window slots — flip + schedule in r11). The replay
+# Exact-replay oracle for winnow_fingerprints_documents (wired in
+# round 11). The replay
 # rebuilds the same 32-bit gram hashes (md5 first-8-hex, the portable
 # _hex2int_sql digit sum) and the same window-min selection with
 # first-position ties — list_min/list_position in DuckDB mirror
@@ -5400,8 +5455,8 @@ def winnow_fingerprints_documents(spark, sf_dir):
 
 
 def _semantic_decontaminate_oracle(nbits: int = 6, threshold: float = 0.4) -> str:
-    """Exact replay of decontaminate_embeddings_semantic, NOT yet wired
-    (zero spare r10 window slots — flip + schedule in r11): the seeded
+    """Exact replay of decontaminate_embeddings_semantic (wired in
+    round 11): the seeded
     hyperplanes become SQL literals via the same `_sig_sql` trick as the
     hash-green embedding_neardup_lsh oracle; probes explode on the
     train side only, flagged train ids anti-join back."""
@@ -5438,9 +5493,9 @@ def decontaminate_embeddings_semantic(spark, sf_dir):
     eval vector (similarity.semantic_decontaminate — hyperplane-bucketed
     cross-corpus candidates with 1-bit-flip probes on the train side
     only; the eval set never cross-joins the corpus). The semantic twin
-    of the hash-green n-gram `contamination_documents` gate. Rows-only
-    THIS round; ORACLE_SEMANTIC_DECONTAMINATE above is the exact replay
-    to wire in r11."""
+    of the hash-green n-gram `contamination_documents` gate;
+    ORACLE_SEMANTIC_DECONTAMINATE is the exact replay (wired in round
+    11)."""
     emb = load_table(spark, sf_dir, "embeddings")
     train = emb.where(F.col("vec_id") % 4 != 0)
     ev = emb.where(F.col("vec_id") % 4 == 0)
