@@ -87,12 +87,15 @@ ORACLES: dict[str, str] = {}
 # (a') the 3 queries promoted from rows-only to bounds-oracles this
 #     round (r10 verdict #7: trained-ANN recall floors + the SemDeDup
 #     coverage invariant) — also never-green, also mandatory;
-# (b) 29 of the 50 queries whose last driver-green is r7 — 3 recorded
+# (a'') the 2 NEW persisted-IVF serving queries (r10 verdict #6: the
+#     partition-pruned index is the shape that matters at 100 TB) —
+#     never-green, mandatory;
+# (b) 27 of the 50 queries whose last driver-green is r7 — 3 recorded
 #     rounds back, the stalest block in the catalogue (alphabetically
-#     first 29; the remaining 21 — the TPC-H block, sessionize/stats/
-#     token-count, trailing-window revenue, training order, rolling
-#     band — hit the 4-round horizon in r12 and MUST be the r12
-#     window's non-mandatory slots).
+#     first 27; the remaining 23 — the TPC-H block, sessionize/stats/
+#     token-count, source keywords, streaming curate, trailing-window
+#     revenue, training order, rolling band — hit the 4-round horizon
+#     in r12 and MUST be the r12 window's non-mandatory slots).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -122,7 +125,11 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_topk_pq_trained",
     "similarity_topk_ivfpq",
     "semdedup_embeddings",
-    # (b) last strict driver-green r7 (alphabetically first 29)
+    # (a'') NEW this round: the persisted-IVF serving path (r10 verdict
+    # #6) — never driver-verified, mandatory
+    "similarity_topk_ivf_index_fullprobe",
+    "similarity_topk_ivf_index",
+    # (b) last strict driver-green r7 (alphabetically first 27)
     "anomaly_fixed_changepoint_validation",
     "anomaly_sarima_fixed_validation",
     "check_events_constraints",
@@ -150,8 +157,6 @@ DRIVER_PRIORITY: list[str] = [
     "sample_documents_hash",
     "set_ops_customers",
     "similarity_lsh_recall",
-    "source_keywords_documents",
-    "streaming_curate_documents",
 ]
 
 
@@ -4232,6 +4237,90 @@ def similarity_topk_ivf_recall(spark, sf_dir):
             (
                 F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(5.0)
                 >= F.lit(_IVF_RECALL_FLOOR)
+            ).alias("recall_ok")
+        )
+    )
+
+
+_IVF_INDEX_DIRS: dict[str, str] = {}
+
+
+def _ivf_index_dir(spark, sf_dir: str) -> str:
+    """Per-process persisted IVF index (similarity.build_ivf_index)
+    keyed by sf_dir and removed at interpreter exit: ``<dir>/cells`` is
+    the corpus written partitionBy(cell) — one parquet directory per
+    inverted list — and ``<dir>/centroids`` the coarse quantizer. Built
+    ONCE so the serving queries below time the PROBE (the steady-state
+    cost an index amortizes its build against), the same
+    pay-the-shuffle-once pattern as _bucketed_run_dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _IVF_INDEX_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="thoth_ivfidx_")
+        similarity.build_ivf_index(
+            load_table(spark, sf_dir, "embeddings"), d, n_centroids=8
+        )
+        _IVF_INDEX_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+@query("similarity_topk_ivf_index_fullprobe", ORACLE_TOPK_EMB)
+def similarity_topk_ivf_index_fullprobe(spark, sf_dir):
+    """The persisted-index serving path (similarity.ivf_query_index —
+    centroid fetch, query-to-cell assignment, partition-pruned cell
+    scan, broadcast query join) probed at nprobe = n_centroids: every
+    cell partition is read, so the result equals exact brute force
+    REGARDLESS of centroid placement — the storage-roundtrip twin of
+    similarity_topk_ivf_fullprobe, hash-verifying that build_ivf_index
+    + ivf_query_index lose nothing to the parquet layout."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_query_index(
+        spark,
+        _ivf_index_dir(spark, sf_dir),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=8,
+    )
+
+
+_ORACLE_IVF_INDEX_RECALL = """
+SELECT vec_id AS query_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query("similarity_topk_ivf_index", _ORACLE_IVF_INDEX_RECALL)
+def similarity_topk_ivf_index(spark, sf_dir):
+    """PRODUCTION persisted-index serving: nprobe=3 of 8 cells, so the
+    scan reads ~3/8 of the corpus via static partition PRUNING
+    (PartitionFilters on cell — plan-locked in
+    tests/test_operators.py::test_ivf_index_roundtrip); at 100 TB this
+    is the property that makes IVF an index instead of a re-scan.
+    Hash-gated as a per-query recall bound vs exact brute force
+    (measured per-query minima 0.2-0.4 across sf0.001/0.01/0.1; the
+    0.1 floor = "every query recovers >=1 of the exact top-5" with a
+    one-hit margin), the similarity_topk_ivf_recall recipe — the
+    persisted layout itself is hash-verified exactly by the fullprobe
+    twin above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    served = similarity.ivf_query_index(
+        spark, _ivf_index_dir(spark, sf_dir), q, k=5, nprobe=3
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(served, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(5.0)
+                >= F.lit(0.1)
             ).alias("recall_ok")
         )
     )
