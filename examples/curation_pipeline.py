@@ -47,9 +47,11 @@ from thoth_spark.sinks import write_training_shards
 from thoth_spark.sources import load_table
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    spark = get_spark(shuffle_partitions=8, app_name="curation-pipeline")
+def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
+    """Execute the pipeline; returns the stage row-count waterfall (the
+    numbers main() prints) so the integration test
+    (tests/test_operators.py::test_curation_pipeline_example_waterfall)
+    can assert the showcase end-to-end instead of letting it rot."""
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
@@ -145,7 +147,8 @@ def main() -> None:
 
     # 7. sharded sink (deterministic training order inside) — rerunning
     # produces byte-identical files
-    out_dir = os.path.join(tempfile.mkdtemp(prefix="curated_"), "shards")
+    if out_dir is None:
+        out_dir = os.path.join(tempfile.mkdtemp(prefix="curated_"), "shards")
     write_training_shards(with_bins, out_dir, n_shards=4)
 
     # vocabulary coverage of what we are about to train on: how many
@@ -153,14 +156,35 @@ def main() -> None:
     vocab = text.vocabulary(selected, top_n=50)
     n90 = vocab.where(F.col("coverage") >= 0.9).agg(F.min("rank")).first()[0]
 
-    print(f"corpus:          {n0} docs")
-    print(f"quality-kept:    {n1} docs (NB filter)")
-    print(f"decontaminated:  {n1b} docs (Bloom screen vs eval set)")
-    print(f"passage-cleaned: {n2} docs (empty after dedup dropped)")
-    print(f"near-dup-unique: {n3} docs (quality-aware MinHash survivors)")
-    print(f"dsir-selected:   {n4} docs (target-distribution pool)")
-    print(f"vocab-90%:       {n90} tokens cover 90% of the final corpus")
-    print(f"shards written:  {out_dir}")
+    # survivors of the decontamination screen, re-checked at the END of
+    # the pipeline: nothing the Bloom filter flagged may reappear
+    n_bench_leaked = selected.where(F.col("doc_id") % 97 == 0).count()
+
+    return {
+        "corpus": n0,
+        "quality_kept": n1,
+        "decontaminated": n1b,
+        "passage_cleaned": n2,
+        "near_dup_unique": n3,
+        "dsir_selected": n4,
+        "vocab_90": n90,
+        "bench_leaked": n_bench_leaked,
+        "out_dir": out_dir,
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(shuffle_partitions=8, app_name="curation-pipeline")
+    r = run(spark, sf_dir)
+    print(f"corpus:          {r['corpus']} docs")
+    print(f"quality-kept:    {r['quality_kept']} docs (NB filter)")
+    print(f"decontaminated:  {r['decontaminated']} docs (Bloom screen vs eval set)")
+    print(f"passage-cleaned: {r['passage_cleaned']} docs (empty after dedup dropped)")
+    print(f"near-dup-unique: {r['near_dup_unique']} docs (quality-aware MinHash survivors)")
+    print(f"dsir-selected:   {r['dsir_selected']} docs (target-distribution pool)")
+    print(f"vocab-90%:       {r['vocab_90']} tokens cover 90% of the final corpus")
+    print(f"shards written:  {r['out_dir']}")
     spark.stop()
 
 

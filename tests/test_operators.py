@@ -2,6 +2,7 @@
 
 import datetime
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -2240,6 +2241,48 @@ def test_quality_survivors_matches_bruteforce_reference(spark):
     assert got == expected
 
 
+def test_curation_pipeline_example_waterfall(spark, tmp_path):
+    """The showcase pipeline (examples/curation_pipeline.py: quality
+    filter -> Bloom decontamination -> passage dedup -> quality-aware
+    MinHash dedup -> DSIR selection -> packing -> sharded sink) runs
+    end-to-end at sf0.001 and its stage row-count waterfall holds:
+    every stage is a filter (monotone non-increasing), every stage
+    keeps SOMETHING (a silently-empty stage is a regression), the
+    Bloom screen leaks zero benchmark docs into the final pool, and
+    the sink writes the requested shards (r10 verdict #8: the showcase
+    must not rot)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "curation_pipeline",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "curation_pipeline.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out_dir = str(tmp_path / "shards")
+    r = mod.run(spark, "/root/testdata/sf0.001", out_dir=out_dir)
+    waterfall = [
+        r["corpus"], r["quality_kept"], r["decontaminated"],
+        r["passage_cleaned"], r["near_dup_unique"], r["dsir_selected"],
+    ]
+    assert all(a >= b for a, b in zip(waterfall, waterfall[1:])), waterfall
+    assert all(n > 0 for n in waterfall), waterfall
+    # the Bloom screen dropped the synthetic benchmark subset and it
+    # never reappears downstream
+    assert r["decontaminated"] < r["quality_kept"]
+    assert r["bench_leaked"] == 0
+    # DSIR drew the requested 80% pool
+    assert r["dsir_selected"] == max(1, int(r["near_dup_unique"] * 0.8))
+    assert 1 <= r["vocab_90"] <= 50
+    shard_files = [f for f in os.listdir(out_dir) if not f.startswith(("_", "."))]
+    assert len(shard_files) >= 4, shard_files
+
+
 def test_containment_dedup_survivors(spark):
     """One-way contained docs drop (container survives); mutual
     containment keeps the smaller id; unrelated docs untouched."""
@@ -2294,6 +2337,18 @@ def test_containment_dedup_drop_list_broadcast_fallback(spark):
     anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
     assert anti and any("Broadcast" in ln for ln in anti), plan
     assert {r["id"] for r in always.collect()} == {2, 3, 10}
+
+    # input_rows <= broadcast_threshold proves broadcast safety WITHOUT
+    # the count probe (drop ids are a subset of df ids) — same
+    # survivors, broadcast plan, no probe job (r11 knob)
+    known = dedup.containment_dedup(
+        df, "id", "text", n=3, threshold=0.9, max_token_df=None,
+        broadcast_threshold=4_000_000, input_rows=5,
+    )
+    plan = known._jdf.queryExecution().executedPlan().toString()
+    anti = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti and any("Broadcast" in ln for ln in anti), plan
+    assert {r["id"] for r in known.collect()} == {2, 3, 10}
 
 
 def _dsir_brute(rows, n_buckets=8192, alpha=0.5):

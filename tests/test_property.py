@@ -286,6 +286,18 @@ def test_connected_components_matches_union_find(spark, edges):
     }
     assert got == expected, (got, expected, stats)
     assert stats["converged"], stats
+    # the jump=False escape (one shuffle/round, for shallow-cluster
+    # workloads) must produce the identical labeling — only the round
+    # count may differ (r11 knob)
+    nj_stats: dict = {}
+    no_jump = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            pairs, stats=nj_stats, jump=False, max_iterations=50
+        ).collect()
+    }
+    assert no_jump == expected, (no_jump, expected, nj_stats)
+    assert nj_stats["converged"], nj_stats
 
 
 def test_dsir_uniform_target_gives_zero_weights(spark):

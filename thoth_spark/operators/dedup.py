@@ -650,6 +650,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 15,
     stats: dict | None = None,
+    jump: bool = True,
 ) -> DataFrame:
     """Duplicate clusters from similarity pairs: ``(id, component)`` where
     component = the smallest id reachable through the pair graph.
@@ -670,7 +671,14 @@ def connected_components(
     i-1 predecessors. Early exit on a fixpoint round; ``max_iterations``
     bounds the worst case. Pass ``stats`` to receive
     ``{"rounds": n, "converged": bool}`` for observability.
-    """
+
+    ``jump=False`` drops the pointer-jump join (one shuffle per round
+    instead of two) — the right setting for workloads KNOWN to produce
+    shallow clusters, e.g. near-identical duplicate cliques from a
+    high-threshold pair stage, where plain propagation already
+    converges in 2-3 rounds and the jump join is pure overhead (the
+    measured r10 dd_qual_surv cost); identical output either way, just
+    a different round count (property-tested against union-find)."""
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
         .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
@@ -700,23 +708,23 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        # pointer jump: component <- label(component). Every component
-        # value is a node id present in `labels` (labels only ever hold
-        # reachable node ids), so the left join is total; coalesce
-        # guards the self-label rows all the same.
-        jump = stepped.select(
-            F.col("id").alias("__jid"), F.col("component").alias("__jc")
-        )
-        new_labels = (
-            stepped.join(jump, stepped["component"] == jump["__jid"], "left")
-            .select(
+        if jump:
+            # pointer jump: component <- label(component). Every component
+            # value is a node id present in `labels` (labels only ever hold
+            # reachable node ids), so the left join is total; coalesce
+            # guards the self-label rows all the same.
+            jmp = stepped.select(
+                F.col("id").alias("__jid"), F.col("component").alias("__jc")
+            )
+            stepped = stepped.join(
+                jmp, stepped["component"] == jmp["__jid"], "left"
+            ).select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("__jc"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
-        )
+        new_labels = stepped.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -742,6 +750,7 @@ def quality_survivors(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 15,
+    jump: bool = True,
 ) -> DataFrame:
     """Quality-aware dedup survivor selection: per duplicate CLUSTER
     (connected component of the similarity-pair graph), keep the member
@@ -762,7 +771,7 @@ def quality_survivors(
     (the same rounding every quality oracle in this repo uses);
     survivors come back via a semi join on the id — two shuffles total
     beyond the component propagation."""
-    comps = connected_components(pairs, id_a, id_b, max_iterations)
+    comps = connected_components(pairs, id_a, id_b, max_iterations, jump=jump)
     labeled = (
         df.join(comps, df[id_col] == comps["id"], "left")
         .withColumn("component", F.coalesce(F.col("component"), df[id_col]))
@@ -1079,6 +1088,7 @@ def containment_dedup(
     threshold: float = 0.8,
     max_token_df: int | None = 1000,
     broadcast_threshold: int | None = 4_000_000,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Drop documents (nearly) contained in another document — keep the
     containers: the subsumption-dedup policy (wire stories quoted inside
@@ -1099,7 +1109,13 @@ def containment_dedup(
     anti-join above ``broadcast_threshold`` rows (default 4M ids ≈
     tens of MB serialized; size to driver/executor memory).
     ``broadcast_threshold=None`` skips the probe and always broadcasts
-    (the pre-round-10 behavior); ``0`` forces the shuffle path."""
+    (the pre-round-10 behavior); ``0`` forces the shuffle path.
+
+    ``input_rows``: callers that KNOW the corpus size (a catalog count,
+    parquet metadata) pass it here; since the drop list only ever holds
+    ids of ``df``, ``input_rows <= broadcast_threshold`` proves the
+    broadcast is safe WITHOUT the count probe — the r10 verdict's
+    probe-skip knob for inputs below the threshold by construction."""
     pairs = containment_pairs(
         df, id_col, text_col, n, threshold, max_token_df
     ).localCheckpoint()
@@ -1115,9 +1131,17 @@ def containment_dedup(
     mutual_drops = mutual.where(F.col("id_a") > F.col("id_b")).select(
         F.col("id_a").alias("__drop")
     )
-    # checkpoint: the drop list feeds a count probe AND the anti-join —
-    # without it the mutual/one-way joins over `pairs` run twice.
-    drop = one_way_drops.union(mutual_drops).distinct().localCheckpoint()
-    if broadcast_threshold is None or drop.count() <= broadcast_threshold:
+    drop = one_way_drops.union(mutual_drops).distinct()
+    probe_needed = broadcast_threshold is not None and (
+        input_rows is None or input_rows > broadcast_threshold
+    )
+    if probe_needed:
+        # checkpoint: the drop list feeds the count probe AND the
+        # anti-join — without it the mutual/one-way joins over `pairs`
+        # run twice. Skipped when no probe runs: the anti-join is then
+        # the only consumer and the checkpointed `pairs` already bounds
+        # recompute to the two cheap drop-side joins.
+        drop = drop.localCheckpoint()
+    if not probe_needed or drop.count() <= broadcast_threshold:
         drop = F.broadcast(drop)
     return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")
