@@ -134,6 +134,7 @@ HEADLINE = [
     "similarity_topk_pq",
     "similarity_topk_ivfpq",
     "similarity_topk_ivf_index",
+    "similarity_topk_ivfpq_index",
     "vocabulary_documents",
     "cms_token_counts_documents",
     "zorder_key_events",
@@ -227,7 +228,7 @@ _ABBREV = [
     (r"decode_", "dec_"),
     (r"^qual_", "q_"),
     (r"source_keywords", "src_kw"),
-    (r"pagerank_calib", "pr_calib"),
+    (r"pagerank_calib", "pr_cal"),
     (r"semdedup_fixed", "sdd_fix"),
     (r"viz_roll_band", "viz_band"),
     (r"bloom_cont.*", "bloom"),
@@ -236,7 +237,10 @@ _ABBREV = [
     (r"top_orders_per_cust", "top_ord"),
     (r"asof_join_pc", "asof"),
     (r"dsir_select", "dsir"),
+    (r"ivfpq_index", "ipqx"),
     (r"ivf_index", "ivfx"),
+    (r"winnow_fp", "win_fp"),
+    (r"pctl", "pct"),
     (r"gap_fill", "gap"),
     (r"intv_join", "ivj"),
     (r"trail_wau", "wau"),
@@ -246,7 +250,7 @@ _ABBREV = [
     (r"_val$", ""),
     (r"weighted", "wtd"),
     (r"check_constr", "chk_cons"),
-    (r"hybrid_retr", "hyb_retr"),
+    (r"hybrid_retr", "hybr"),
     (r"top_per_cust", "top_ord"),
     (r"d_qual_surv", "d_surv"),
     (r"by_src", "src"),

@@ -2532,6 +2532,51 @@ def test_ivf_index_roundtrip(spark, tmp_path):
     assert "PartitionFilters: [cell" in plan, plan[:2000]
 
 
+def test_ivfpq_index_roundtrip(spark, tmp_path):
+    """Persisted IVF-PQ layout (cells = PQ codes partitionBy(cell) +
+    centroids + codebooks + meta): query-from-index equals in-memory
+    ivfpq_topk with the same quantizers at a partial probe, the cells
+    scan prunes to the probed partitions (PartitionFilters on cell),
+    and at full probe + unbounded pool the roundtrip is bit-equal to
+    brute force — for BOTH the global-code and residual layouts (meta
+    carries the residual flag across the storage boundary)."""
+    import numpy as np
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(5)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+    for residual in (False, True):
+        path = str(tmp_path / f"ivfpq_{residual}")
+        _, cb = similarity.build_ivfpq_index(
+            emb, path, centroids=cents, m_subspaces=8, n_codes=16,
+            residual=residual,
+        )
+        got = similarity.ivfpq_query_index(
+            spark, path, queries, rerank_corpus=emb, k=3, nprobe=2,
+            rerank_pool=10,
+        )
+        want = similarity.ivfpq_topk(
+            emb, queries, k=3, nprobe=2, rerank_pool=10, centroids=cents,
+            codebooks=cb, residual=residual,
+        )
+        gr = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+        wr = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+        assert gr == wr and len(gr) == 15, (residual, gr[:3], wr[:3])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan, plan[:2000]
+        full = similarity.ivfpq_query_index(
+            spark, path, queries, rerank_corpus=emb, k=3, nprobe=8,
+            rerank_pool=10**9,
+        )
+        brute = similarity.brute_force_topk(emb, queries, k=3)
+        assert sorted(map(tuple, full.collect())) == sorted(
+            map(tuple, brute.collect())
+        ), residual
+
+
 def test_ivf_index_quantized_rerank_matches_quantized_topk(spark, tmp_path):
     """SQ8 index layout: full-probe query-from-index with exact rerank
     equals quantized_topk (same candidate pipeline, probed set = whole

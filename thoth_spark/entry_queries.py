@@ -87,15 +87,18 @@ ORACLES: dict[str, str] = {}
 # (a') the 3 queries promoted from rows-only to bounds-oracles this
 #     round (r10 verdict #7: trained-ANN recall floors + the SemDeDup
 #     coverage invariant) — also never-green, also mandatory;
-# (a'') the 2 NEW persisted-IVF serving queries (r10 verdict #6: the
+# (a'') the 4 NEW persisted-index serving queries — IVF float cells and
+#     IVF-PQ residual code cells, each as a fullprobe brute-equality
+#     gate + a production pruned serve (r10 verdict #6: the
 #     partition-pruned index is the shape that matters at 100 TB) —
 #     never-green, mandatory;
-# (b) 27 of the 50 queries whose last driver-green is r7 — 3 recorded
+# (b) 25 of the 50 queries whose last driver-green is r7 — 3 recorded
 #     rounds back, the stalest block in the catalogue (alphabetically
-#     first 27; the remaining 23 — the TPC-H block, sessionize/stats/
-#     token-count, source keywords, streaming curate, trailing-window
-#     revenue, training order, rolling band — hit the 4-round horizon
-#     in r12 and MUST be the r12 window's non-mandatory slots).
+#     first 25; the remaining 25 — the TPC-H block, sessionize/stats/
+#     token-count, set-ops, lsh-recall, source keywords, streaming
+#     curate, trailing-window revenue, training order, rolling band —
+#     hit the 4-round horizon in r12 and MUST be the r12 window's
+#     non-mandatory slots).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -125,11 +128,13 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_topk_pq_trained",
     "similarity_topk_ivfpq",
     "semdedup_embeddings",
-    # (a'') NEW this round: the persisted-IVF serving path (r10 verdict
-    # #6) — never driver-verified, mandatory
+    # (a'') NEW this round: the persisted-IVF and persisted-IVF-PQ
+    # serving paths (r10 verdict #6) — never driver-verified, mandatory
     "similarity_topk_ivf_index_fullprobe",
     "similarity_topk_ivf_index",
-    # (b) last strict driver-green r7 (alphabetically first 27)
+    "similarity_topk_ivfpq_index_fullprobe",
+    "similarity_topk_ivfpq_index",
+    # (b) last strict driver-green r7 (alphabetically first 25)
     "anomaly_fixed_changepoint_validation",
     "anomaly_sarima_fixed_validation",
     "check_events_constraints",
@@ -155,8 +160,6 @@ DRIVER_PRIORITY: list[str] = [
     "quality_percentile_documents",
     "rollup_orders",
     "sample_documents_hash",
-    "set_ops_customers",
-    "similarity_lsh_recall",
 ]
 
 
@@ -5195,6 +5198,96 @@ def similarity_topk_ivfpq_fullprobe(spark, sf_dir):
         nprobe=8,
         rerank_pool=1_000_000_000,
         residual=True,
+    )
+
+
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def _ivfpq_index_dir(spark, sf_dir: str) -> str:
+    """Per-process persisted IVF-PQ index (similarity.build_ivfpq_index,
+    residual layout) keyed by sf_dir, removed at interpreter exit —
+    ``<dir>/cells`` holds m 4-byte codes per vector partitionBy(cell),
+    so a probed query reads nprobe/n_centroids of the corpus AND only
+    codes for what it reads. Built once so the serving queries time the
+    probe (the _ivf_index_dir pattern)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _IVFPQ_INDEX_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="thoth_ivfpqidx_")
+        similarity.build_ivfpq_index(
+            load_table(spark, sf_dir, "embeddings"),
+            d,
+            n_centroids=8,
+            m_subspaces=8,
+            n_codes=16,
+            residual=True,
+        )
+        _IVFPQ_INDEX_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+@query("similarity_topk_ivfpq_index_fullprobe", ORACLE_TOPK_EMB)
+def similarity_topk_ivfpq_index_fullprobe(spark, sf_dir):
+    """The persisted IVF-PQ serving path (similarity.ivfpq_query_index —
+    quantizer fetch, probe assignment, partition-pruned CODE scan, ADC
+    ranking, exact rerank) at nprobe = n_centroids and an unbounded
+    pool: every cell is read and every row survives the ADC stage, so
+    the roundtrip equals exact brute force regardless of where either
+    trained quantizer landed — hash-verifying that build_ivfpq_index's
+    parquet layout (codes + centroids + codebooks + residual meta)
+    loses nothing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_query_index(
+        spark,
+        _ivfpq_index_dir(spark, sf_dir),
+        emb.where(F.col("vec_id") < 10),
+        rerank_corpus=emb,
+        k=5,
+        nprobe=8,
+        rerank_pool=1_000_000_000,
+    )
+
+
+@query("similarity_topk_ivfpq_index", _ORACLE_TRAINED_ANN_RECALL)
+def similarity_topk_ivfpq_index(spark, sf_dir):
+    """PRODUCTION persisted IVF-PQ serving: nprobe=5 of 8 cell
+    partitions pruned at the file listing (PartitionFilters —
+    plan-locked in tests/test_operators.py::test_ivfpq_index_roundtrip),
+    residual ADC over the stored codes, top-50 exact rerank — the
+    compounded read: nprobe/n_centroids of the corpus × m ints per
+    row. Hash-gated as corpus-mean recall@5 >= 0.1 vs brute force
+    (the similarity_topk_ivfpq recipe — same trained quantizers, same
+    measured means 0.36-0.50); the layout itself is hash-verified
+    exactly by the fullprobe twin above."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    got = similarity.ivfpq_query_index(
+        spark,
+        _ivfpq_index_dir(spark, sf_dir),
+        q,
+        rerank_corpus=emb,
+        k=5,
+        nprobe=5,
+        rerank_pool=50,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    exact = similarity.brute_force_topk(emb, q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(got, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.count_distinct("query_id").alias("n_queries"),
+            (
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                / F.count(F.lit(1))
+                >= F.lit(_TRAINED_ANN_RECALL_FLOOR)
+            ).alias("recall_ok"),
+        )
     )
 
 

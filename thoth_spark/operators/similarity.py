@@ -1167,70 +1167,133 @@ def ivfpq_topk(
         if centroids is not None
         else coarse_centroids(corpus, vec_col, n_centroids, seed)
     )
+    cb = _ivfpq_codebooks(
+        corpus, cent, m_subspaces, n_codes, seed, max_train, vec_col,
+        residual, codebooks,
+    )
+    encoded = _ivfpq_encode(corpus, cent, cb, residual, id_col, vec_col)
+    return _ivfpq_rank(
+        encoded,
+        corpus,
+        queries,
+        cent,
+        cb,
+        residual,
+        k=k,
+        nprobe=nprobe,
+        rerank_pool=rerank_pool,
+        id_col=id_col,
+        vec_col=vec_col,
+        id_type=_col_type(corpus, id_col),
+    )
+
+
+def _ivfpq_codebooks(
+    corpus: DataFrame,
+    cent: np.ndarray,
+    m_subspaces: int,
+    n_codes: int,
+    seed: int,
+    max_train: int,
+    vec_col: str,
+    residual: bool,
+    codebooks: np.ndarray | None,
+) -> np.ndarray:
+    """Resolve the PQ codebooks for an IVF-PQ build: caller-supplied, or
+    trained on a bounded sample — of RESIDUALS (x̂ − ĉ_cell, the FAISS
+    recipe) when ``residual``, of normalized vectors otherwise."""
+    if codebooks is not None:
+        return np.ascontiguousarray(codebooks, dtype=np.float64)
+    if not residual:
+        return train_pq_codebooks(
+            corpus,
+            vec_col,
+            m_subspaces=m_subspaces,
+            n_codes=n_codes,
+            seed=seed,
+            max_train=max_train,
+        )
+    raw = np.asarray(
+        [
+            r.v
+            for r in corpus.select(_as_double(F.col(vec_col)).alias("v"))
+            .limit(max_train)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    d_s = (cent * cent).sum(axis=1) - 2.0 * (raw @ cent.T)
+    resid = _normalized_rows(raw) - _normalized_rows(cent)[np.argmin(d_s, axis=1)]
+    return _codebooks_from_matrix(
+        resid, m_subspaces, n_codes, np.random.default_rng(seed), 10
+    )
+
+
+def _ivfpq_encode(
+    corpus: DataFrame,
+    cent: np.ndarray,
+    cb: np.ndarray,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``(id, cell, codes)`` for an IVF-PQ corpus: cell ASSIGNMENT on the
+    raw centroids (the rule the corpus path and ivf_topk share), codes
+    from :func:`pq_encode` (global) or the residual encoder — residual
+    math lives on the unit sphere: the ranking target is cosine, so
+    vectors are normalized and the subtracted cell center must be
+    too."""
     base = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("cell", nearest_cells_udf(cent, 1)(F.col("v"))[0])
-    # residual math lives on the unit sphere: the ranking target is
-    # cosine, so vectors are normalized and the subtracted cell center
-    # must be too (cell ASSIGNMENT stays on the raw centroids — the
-    # same rule the corpus path and ivf_topk use)
-    cent_hat = _normalized_rows(cent)
-    if residual:
-        if codebooks is None:
-            raw = np.asarray(
-                [
-                    r.v
-                    for r in corpus.select(
-                        _as_double(F.col(vec_col)).alias("v")
-                    )
-                    .limit(max_train)
-                    .collect()
-                ],
-                dtype=np.float64,
-            )
-            d_s = (cent * cent).sum(axis=1) - 2.0 * (raw @ cent.T)
-            resid = _normalized_rows(raw) - cent_hat[np.argmin(d_s, axis=1)]
-            cb = _codebooks_from_matrix(
-                resid, m_subspaces, n_codes, np.random.default_rng(seed), 10
-            )
-        else:
-            cb = np.ascontiguousarray(codebooks, dtype=np.float64)
-        m, _, d_sub = cb.shape
-        cb_sq = (cb * cb).sum(axis=2)
-
-        @pandas_udf(ArrayType(IntegerType()))
-        def encode_res(vecs: pd.Series, cells: pd.Series) -> pd.Series:
-            x = _normalized_rows(np.stack(vecs.to_numpy()).astype(np.float64))
-            r = x - cent_hat[cells.to_numpy().astype(np.int64)]
-            b = r.shape[0]
-            codes = np.empty((b, m), dtype=np.int32)
-            for s in range(m):
-                rs = r[:, s * d_sub : (s + 1) * d_sub]
-                dd = cb_sq[s] - 2.0 * (rs @ cb[s].T)
-                codes[:, s] = np.argsort(dd, axis=1, kind="stable")[:, 0]
-            return pd.Series(list(codes))
-
-        encoded = base.select(
-            "id", "cell", encode_res(F.col("v"), F.col("cell")).alias("codes")
-        )
-    else:
-        cb = (
-            np.ascontiguousarray(codebooks, dtype=np.float64)
-            if codebooks is not None
-            else train_pq_codebooks(
-                corpus,
-                vec_col,
-                m_subspaces=m_subspaces,
-                n_codes=n_codes,
-                seed=seed,
-                max_train=max_train,
-            )
-        )
-        m, _, d_sub = cb.shape
-        encoded = base.drop("v").join(
+    if not residual:
+        return base.drop("v").join(
             pq_encode(corpus, cb, id_col=id_col, vec_col=vec_col), "id"
         )
+    cent_hat = _normalized_rows(cent)
+    m, _, d_sub = cb.shape
+    cb_sq = (cb * cb).sum(axis=2)
 
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode_res(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        x = _normalized_rows(np.stack(vecs.to_numpy()).astype(np.float64))
+        r = x - cent_hat[cells.to_numpy().astype(np.int64)]
+        b = r.shape[0]
+        codes = np.empty((b, m), dtype=np.int32)
+        for s in range(m):
+            rs = r[:, s * d_sub : (s + 1) * d_sub]
+            dd = cb_sq[s] - 2.0 * (rs @ cb[s].T)
+            codes[:, s] = np.argsort(dd, axis=1, kind="stable")[:, 0]
+        return pd.Series(list(codes))
+
+    return base.select(
+        "id", "cell", encode_res(F.col("v"), F.col("cell")).alias("codes")
+    )
+
+
+def _ivfpq_rank(
+    encoded: DataFrame,
+    rerank_corpus: DataFrame,
+    queries: DataFrame,
+    cent: np.ndarray,
+    cb: np.ndarray,
+    residual: bool,
+    k: int,
+    nprobe: int,
+    rerank_pool: int,
+    id_col: str,
+    vec_col: str,
+    id_type: str,
+) -> DataFrame:
+    """The IVF-PQ serving stage shared by the in-memory path
+    (:func:`ivfpq_topk`) and the persisted index
+    (:func:`ivfpq_query_index`): per-query ADC LUT + probe set, one
+    Arrow-batched scan over ``(id, cell, codes)`` masking each batch to
+    the rows whose cell is probed (partition PRUNING on a
+    cell-partitioned layout), global ADC top-``pool``, exact rerank
+    against ``rerank_corpus``."""
+    m, _, d_sub = cb.shape
+    cent_hat = _normalized_rows(cent)
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalized_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
@@ -1265,8 +1328,7 @@ def ivfpq_topk(
                 {"query_id": out_q, "neighbor_id": out_n, "adc_score": out_s}
             )
 
-    id_type = _col_type(corpus, id_col)
-    scored = encoded.mapInPandas(
+    scored = encoded.select("id", "cell", "codes").mapInPandas(
         score, schema=f"query_id {id_type}, neighbor_id {id_type}, adc_score double"
     )
     w = W.partitionBy("query_id").orderBy(
@@ -1275,7 +1337,7 @@ def ivfpq_topk(
     ranked = scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= pool
     )
-    c = corpus.select(
+    c = rerank_corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
@@ -1299,4 +1361,128 @@ def ivfpq_topk(
             F.round("cos_sim", 6).alias("cos_sim"),
             "rank",
         )
+    )
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train: int = 65536,
+    residual: bool = False,
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the IVF-PQ layout — the table an ANN deployment at
+    10⁹+ vectors actually persists (FAISS IndexIVFPQ on disk):
+
+    - ``<path>/cells`` — ``(id, codes array<int>)`` written
+      ``partitionBy("cell")``: ONE PARQUET DIRECTORY PER INVERTED LIST,
+      m 4-byte codes per vector instead of dim floats, so a probed
+      query reads ``nprobe/n_centroids`` of the corpus AND only m ints
+      per row of what it reads — the two compressions multiply;
+    - ``<path>/centroids`` — the coarse quantizer (cid, vector);
+    - ``<path>/codebooks`` — the PQ codebooks flattened to
+      (s, c, vector) rows;
+    - ``<path>/meta`` — (residual, m_subspaces, n_codes): the query
+      side must score residual codes with the q̂·ĉ_cell bias, and a
+      layout flag beats guessing from schema.
+
+    Returns ``(centroid_matrix, codebooks)`` for immediate probing.
+    Query with :func:`ivfpq_query_index`; at ``nprobe = n_centroids``
+    and an unbounded rerank pool the roundtrip is bit-equal to
+    :func:`brute_force_topk` (the hash-gated calibration twin
+    ``similarity_topk_ivfpq_index_fullprobe``)."""
+    spark = corpus.sparkSession
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else coarse_centroids(corpus, vec_col, n_centroids, seed)
+    )
+    cb = _ivfpq_codebooks(
+        corpus, cent, m_subspaces, n_codes, seed, max_train, vec_col,
+        residual, codebooks,
+    )
+    _ivfpq_encode(corpus, cent, cb, residual, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/cells")
+    spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
+        "cid int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    m, n_c, _ = cb.shape
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cb[s, c]])
+            for s in range(m)
+            for c in range(n_c)
+        ],
+        "s int, c int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.createDataFrame(
+        [(bool(residual), m, n_c)],
+        "residual boolean, m_subspaces int, n_codes int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return cent, cb
+
+
+def ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    rerank_corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted :func:`build_ivfpq_index` layout: load the
+    (tiny) quantizers, assign each query its ``nprobe`` nearest cells,
+    read ONLY those cell partitions of the code table (static partition
+    pruning — ``PartitionFilters`` in the scan, the bounded ``isin``
+    collect is n_queries × nprobe ≤ n_centroids values), ADC-rank the
+    codes, and exact-rerank the global top ``rerank_pool`` against
+    ``rerank_corpus`` (the original float vectors — the candidate join
+    touches O(queries × pool) rows, never a cell). Identical to
+    :func:`ivfpq_topk` run with the same quantizers — pinned by
+    ``tests/test_operators.py::test_ivfpq_index_roundtrip``."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cent = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "c").collect()
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    m, n_c = meta["m_subspaces"], meta["n_codes"]
+    cb = np.asarray([r["vector"] for r in cb_rows], dtype=np.float64).reshape(
+        m, n_c, -1
+    )
+    # bounded collect: the probe set is <= n_queries × nprobe cell ids
+    q_cells = (
+        queries.select(_as_double(F.col(vec_col)).alias("qv"))
+        .withColumn("cell", F.explode(nearest_cells_udf(cent, nprobe)(F.col("qv"))))
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    probe_cells = sorted(r["cell"] for r in q_cells)
+    encoded = spark.read.parquet(f"{path}/cells").where(
+        F.col("cell").isin(probe_cells)
+    )
+    return _ivfpq_rank(
+        encoded,
+        rerank_corpus,
+        queries,
+        cent,
+        cb,
+        bool(meta["residual"]),
+        k=k,
+        nprobe=nprobe,
+        rerank_pool=rerank_pool,
+        id_col=id_col,
+        vec_col=vec_col,
+        id_type=_col_type(rerank_corpus, id_col),
     )
