@@ -2532,6 +2532,38 @@ def test_ivf_index_roundtrip(spark, tmp_path):
     assert "PartitionFilters: [cell" in plan, plan[:2000]
 
 
+def test_ivf_index_append_equals_full_build(spark, tmp_path):
+    """Incremental index maintenance: build on half the corpus, append
+    the other half under the frozen centroids — queries over the
+    appended index equal the same queries over a single full build with
+    the same centroids, for BOTH the float and SQ8 layouts, and the
+    probed scan still partition-prunes."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.limit(5)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+    for quantize in (False, True):
+        inc = str(tmp_path / f"inc_{quantize}")
+        full = str(tmp_path / f"full_{quantize}")
+        similarity.build_ivf_index(first, inc, centroids=cents, quantize=quantize)
+        similarity.ivf_index_append(spark, inc, second)
+        similarity.build_ivf_index(emb, full, centroids=cents, quantize=quantize)
+        kw = {"rerank_corpus": emb} if quantize else {}
+        got = similarity.ivf_query_index(spark, inc, queries, k=3, nprobe=2, **kw)
+        want = similarity.ivf_query_index(spark, full, queries, k=3, nprobe=2, **kw)
+        gr = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+        wr = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+        assert gr == wr and len(gr) == 15, (quantize, gr[:3], wr[:3])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan, plan[:2000]
+
+
 def test_ivfpq_index_roundtrip(spark, tmp_path):
     """Persisted IVF-PQ layout (cells = PQ codes partitionBy(cell) +
     centroids + codebooks + meta): query-from-index equals in-memory

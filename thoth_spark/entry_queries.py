@@ -87,18 +87,18 @@ ORACLES: dict[str, str] = {}
 # (a') the 3 queries promoted from rows-only to bounds-oracles this
 #     round (r10 verdict #7: trained-ANN recall floors + the SemDeDup
 #     coverage invariant) — also never-green, also mandatory;
-# (a'') the 4 NEW persisted-index serving queries — IVF float cells and
+# (a'') the 5 NEW persisted-index serving queries — IVF float cells and
 #     IVF-PQ residual code cells, each as a fullprobe brute-equality
-#     gate + a production pruned serve (r10 verdict #6: the
-#     partition-pruned index is the shape that matters at 100 TB) —
-#     never-green, mandatory;
-# (b) 25 of the 50 queries whose last driver-green is r7 — 3 recorded
+#     gate + a production pruned serve, plus the incremental-append
+#     maintenance gate (r10 verdict #6: the partition-pruned index is
+#     the shape that matters at 100 TB) — never-green, mandatory;
+# (b) 24 of the 50 queries whose last driver-green is r7 — 3 recorded
 #     rounds back, the stalest block in the catalogue (alphabetically
-#     first 25; the remaining 25 — the TPC-H block, sessionize/stats/
-#     token-count, set-ops, lsh-recall, source keywords, streaming
-#     curate, trailing-window revenue, training order, rolling band —
-#     hit the 4-round horizon in r12 and MUST be the r12 window's
-#     non-mandatory slots).
+#     first 24; the remaining 26 — the TPC-H block, sessionize/stats/
+#     token-count, set-ops, lsh-recall, sample-hash, source keywords,
+#     streaming curate, trailing-window revenue, training order,
+#     rolling band — hit the 4-round horizon in r12 and MUST be the
+#     r12 window's non-mandatory slots).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -132,9 +132,10 @@ DRIVER_PRIORITY: list[str] = [
     # serving paths (r10 verdict #6) — never driver-verified, mandatory
     "similarity_topk_ivf_index_fullprobe",
     "similarity_topk_ivf_index",
+    "similarity_topk_ivf_index_append_fullprobe",
     "similarity_topk_ivfpq_index_fullprobe",
     "similarity_topk_ivfpq_index",
-    # (b) last strict driver-green r7 (alphabetically first 25)
+    # (b) last strict driver-green r7 (alphabetically first 24)
     "anomaly_fixed_changepoint_validation",
     "anomaly_sarima_fixed_validation",
     "check_events_constraints",
@@ -159,7 +160,6 @@ DRIVER_PRIORITY: list[str] = [
     "quality_percentile_by_source",
     "quality_percentile_documents",
     "rollup_orders",
-    "sample_documents_hash",
 ]
 
 
@@ -4284,6 +4284,53 @@ def similarity_topk_ivf_index_fullprobe(spark, sf_dir):
     return similarity.ivf_query_index(
         spark,
         _ivf_index_dir(spark, sf_dir),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=8,
+    )
+
+
+_IVF_APPEND_DIRS: dict[str, str] = {}
+
+
+def _ivf_append_dir(spark, sf_dir: str) -> str:
+    """Per-process INCREMENTALLY-built IVF index: built on the even
+    vec_ids, then the odds appended under the frozen centroids
+    (similarity.ivf_index_append) — the nightly-ingest shape a 100 TB
+    index lives by. Cached per sf_dir like _ivf_index_dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _IVF_APPEND_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="thoth_ivfapp_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.build_ivf_index(
+            emb.where(F.col("vec_id") % 2 == 0), d, n_centroids=8
+        )
+        similarity.ivf_index_append(
+            spark, d, emb.where(F.col("vec_id") % 2 == 1)
+        )
+        _IVF_APPEND_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+@query("similarity_topk_ivf_index_append_fullprobe", ORACLE_TOPK_EMB)
+def similarity_topk_ivf_index_append_fullprobe(spark, sf_dir):
+    """Incremental index maintenance hash gate: the index is built on
+    HALF the corpus and the other half APPENDED under the frozen
+    coarse quantizer (similarity.ivf_index_append — dynamic partition
+    append, O(batch) cost, no rewrite); probed at nprobe = n_centroids
+    the union must equal exact brute force over the WHOLE corpus —
+    any row lost, duplicated, or mis-assigned by the append breaks the
+    typed hash. Partial-probe equivalence to a one-shot full build is
+    pinned in tests/test_operators.py::test_ivf_index_append_equals_full_build."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_query_index(
+        spark,
+        _ivf_append_dir(spark, sf_dir),
         emb.where(F.col("vec_id") < 10),
         k=5,
         nprobe=8,

@@ -428,25 +428,59 @@ def build_ivf_index(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     ).withColumn("cell", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
     if quantize:
-        # scalar_quantize's exact recipe, inlined so `cell` rides along
-        # (its select() drops extra columns; a join-back would be a
-        # corpus self-shuffle); byte cast is lossless for [-127, 127]
-        vec = F.col("v")
-        amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-        scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
-        assigned = assigned.select(
-            "vec_id",
-            F.transform(vec, lambda x: F.round(x / scale).cast("byte")).alias("qvec"),
-            scale.alias("scale"),
-            norm(vec).alias("vnorm"),
-            "cell",
-        )
+        assigned = _sq8_cells(assigned)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(cent_mat)],
         "cid int, vector array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     return cent_mat
+
+
+def _sq8_cells(assigned: DataFrame) -> DataFrame:
+    """FAISS-IVF+SQ8 cell rows from ``(vec_id, v, cell)``:
+    scalar_quantize's exact recipe, inlined so ``cell`` rides along
+    (its select() drops extra columns; a join-back would be a corpus
+    self-shuffle); byte cast is lossless for [-127, 127]."""
+    vec = F.col("v")
+    amax = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    return assigned.select(
+        "vec_id",
+        F.transform(vec, lambda x: F.round(x / scale).cast("byte")).alias("qvec"),
+        scale.alias("scale"),
+        norm(vec).alias("vnorm"),
+        "cell",
+    )
+
+
+def ivf_index_append(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a persisted :func:`build_ivf_index`
+    layout: assign the new vectors with the STORED centroids (the
+    coarse quantizer is FROZEN — the standard IVF maintenance recipe:
+    appends ride the existing geometry, retraining happens only on
+    measured drift, because moving a centroid invalidates every cell's
+    membership) and APPEND to the cell partitions. Dynamic partition
+    append touches only the cells that received vectors — an append of
+    n rows costs O(n), never a corpus rewrite — and queries see the
+    union on their next file listing, still partition-pruned. Detects
+    the SQ8 layout from the stored schema and applies the identical
+    transform. At 100 TB this is the difference between a nightly
+    full-index rebuild and a per-batch O(batch) ingest."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cent = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
+    assigned = new_rows.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("cell", nearest_cells_udf(cent, 1)(F.col("v"))[0])
+    if "qvec" in spark.read.parquet(f"{path}/cells").columns:
+        assigned = _sq8_cells(assigned)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
 def ivf_query_index(
