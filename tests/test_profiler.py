@@ -670,3 +670,37 @@ def test_rolling_band_view_ramp_up_and_values(spark):
     import math
     sd = math.sqrt(((12 - 42) ** 2 + (14 - 42) ** 2 + (100 - 42) ** 2) / 3)
     assert abs(out[4]["band_hi"] - (42 + 2 * sd)) < 1e-9
+
+
+def test_embedding_drift_flags_shift_and_scale_not_identity(spark):
+    """Embedding-space drift: an identical distribution stays quiet; a
+    planted mean translation trips l2_shift; a planted norm scaling
+    trips energy_ratio — and the statistics are direction-robust (no
+    dependence on the noisy mean direction of an isotropic cloud)."""
+    import numpy as np
+
+    from thoth_spark.profiler.drift import embedding_drift
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(200, 8))
+
+    def df_of(mat):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    ref = df_of(base)
+    same = df_of(rng.normal(size=(200, 8)))  # fresh draw, same law
+    row = embedding_drift(ref, same, dim=8).collect()[0]
+    assert (row["n_ref"], row["n_cur"]) == (200, 200)
+    assert row["drifted"] is False, row
+    assert abs(row["energy_ratio"] - 1.0) < 0.3
+
+    shifted = df_of(base + np.array([2.0] + [0.0] * 7))
+    row = embedding_drift(ref, shifted, dim=8).collect()[0]
+    assert row["drifted"] is True and row["l2_shift"] > 1.5, row
+    # pure translation preserves nothing about energy thresholds needed
+    scaled = df_of(base * 3.0)
+    row = embedding_drift(ref, scaled, dim=8).collect()[0]
+    assert row["drifted"] is True and row["energy_ratio"] > 5, row

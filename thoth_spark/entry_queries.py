@@ -92,13 +92,15 @@ ORACLES: dict[str, str] = {}
 #     gate + a production pruned serve, plus the incremental-append
 #     maintenance gate (r10 verdict #6: the partition-pruned index is
 #     the shape that matters at 100 TB) — never-green, mandatory;
-# (b) 24 of the 50 queries whose last driver-green is r7 — 3 recorded
+# (a''') the NEW embedding-space drift gate (the vector-column member
+#     of the PSI/KS/chi2 family) — never-green, mandatory;
+# (b) 23 of the 50 queries whose last driver-green is r7 — 3 recorded
 #     rounds back, the stalest block in the catalogue (alphabetically
-#     first 24; the remaining 26 — the TPC-H block, sessionize/stats/
-#     token-count, set-ops, lsh-recall, sample-hash, source keywords,
-#     streaming curate, trailing-window revenue, training order,
-#     rolling band — hit the 4-round horizon in r12 and MUST be the
-#     r12 window's non-mandatory slots).
+#     first 23; the remaining 27 — the TPC-H block, rollup,
+#     sessionize/stats/token-count, set-ops, lsh-recall, sample-hash,
+#     source keywords, streaming curate, trailing-window revenue,
+#     training order, rolling band — hit the 4-round horizon in r12
+#     and MUST be the r12 window's non-mandatory slots).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
@@ -135,7 +137,10 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_topk_ivf_index_append_fullprobe",
     "similarity_topk_ivfpq_index_fullprobe",
     "similarity_topk_ivfpq_index",
-    # (b) last strict driver-green r7 (alphabetically first 24)
+    # (a''') NEW this round: the vector-column drift gate — never
+    # driver-verified, mandatory
+    "embedding_drift_snapshots",
+    # (b) last strict driver-green r7 (alphabetically first 23)
     "anomaly_fixed_changepoint_validation",
     "anomaly_sarima_fixed_validation",
     "check_events_constraints",
@@ -159,7 +164,6 @@ DRIVER_PRIORITY: list[str] = [
     "profile_events_by_type",
     "quality_percentile_by_source",
     "quality_percentile_documents",
-    "rollup_orders",
 ]
 
 
@@ -6169,6 +6173,52 @@ def psi_drift_events(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     return drift.psi_daily(ev, "ts", "value", "2024-01-08")
+
+
+_EMB_DIM = 64
+
+ORACLE_EMBEDDING_DRIFT = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+r AS (SELECT i, avg(v[i]) AS m FROM e, dims WHERE vec_id % 2 = 0 GROUP BY i),
+c AS (SELECT i, avg(v[i]) AS m FROM e, dims WHERE vec_id % 2 = 1 GROUP BY i),
+shift AS (SELECT sqrt(sum((r.m - c.m) * (r.m - c.m))) AS l2
+          FROM r JOIN c USING (i)),
+er AS (SELECT count(*)::BIGINT AS n_ref, avg(list_dot_product(v, v)) AS e
+       FROM e WHERE vec_id % 2 = 0),
+ec AS (SELECT count(*)::BIGINT AS n_cur, avg(list_dot_product(v, v)) AS e
+       FROM e WHERE vec_id % 2 = 1)
+SELECT n_ref, n_cur,
+       round(l2, 6) AS l2_shift,
+       round(ec.e / er.e, 6) AS energy_ratio,
+       (l2 > 0.5 OR abs(ec.e / er.e - 1) > 0.5) AS drifted
+FROM er, ec, shift
+"""
+
+
+@query("embedding_drift_snapshots", ORACLE_EMBEDDING_DRIFT)
+def embedding_drift_snapshots(spark, sf_dir):
+    """Embedding-SPACE drift between two corpus snapshots
+    (drift.embedding_drift — the vector-column member of the
+    PSI/KS/chi2 drift family): even vec_ids stand in for the frozen
+    reference snapshot, odd for the new batch. Two statistics robust
+    to embedding-cloud isotropy — the L2 shift of the mean vector
+    (translation: new dominant domain, encoder drift) and the
+    mean-squared-norm energy ratio (scale: normalization regressions,
+    clipping) — with the alarm thresholds far above the same-
+    distribution fixture values (measured l2_shift 0.04–0.09, ratio
+    ≈1.0 across SFs vs bounds 0.5). Two single-row partial-aggregable
+    scans, crossJoined 1×1; pure column expressions; the oracle
+    replays per-dimension means via a 64-row dims explode."""
+    from thoth_spark.profiler import drift
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return drift.embedding_drift(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        "embedding",
+        dim=_EMB_DIM,
+    )
 
 
 # --- curation operators: PII redaction, chunking, repetition, contamination

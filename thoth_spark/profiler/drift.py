@@ -412,3 +412,71 @@ def chi2_daily(
     cur = clean.where(F.col(ts_col) >= F.lit(ref_end).cast("timestamp"))
     probs = freeze_categorical_reference(ref, cat_col, eps)
     return chi2_against_reference(cur, ts_col, cat_col, probs, critical)
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_shift: float = 0.5,
+    max_energy_dev: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-SPACE drift between two corpus snapshots — the check an
+    LLM-data pipeline runs when a new crawl batch, a re-encoded corpus,
+    or a swapped embedding model lands: PSI/KS/chi2 above watch scalar
+    and categorical columns; this watches the vector column itself.
+
+    Two statistics, both stable under the isotropy of real embedding
+    clouds (the DIRECTION of a mean vector is noise when embeddings
+    are near-isotropic — its magnitude and the cloud's energy are
+    not):
+
+    - ``l2_shift`` = ‖mean(ref) − mean(cur)‖₂ — a translation of the
+      cloud (new dominant topic/domain, encoder drift);
+    - ``energy_ratio`` = mean‖x‖²(cur) / mean‖x‖²(ref) — a scale
+      change (normalization regressions, truncated vectors, fp16
+      clipping).
+
+    ``drifted`` = l2_shift > max_shift OR |energy_ratio − 1| >
+    max_energy_dev. Returns ONE row ``(n_ref, n_cur, l2_shift,
+    energy_ratio, drifted)``.
+
+    Scale shape: per-dimension means are ``dim`` partial-aggregable
+    ``avg`` columns and the energies one ``aggregate`` expression —
+    TWO single-row total aggregations (map-side combine, one reduce
+    each, no UDF), crossJoined 1×1; cost is one scan of each snapshot
+    regardless of corpus size, and every expression is ANSI-SQL
+    replayable (ORACLE_EMBEDDING_DRIFT in entry_queries.py)."""
+    if dim is None:
+        dim = len(ref.select(vec_col).limit(1).collect()[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    energy = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            *[F.avg(v[i]).alias(f"__{tag}_m{i}") for i in range(dim)],
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.avg(energy).alias(f"__{tag}_e"),
+        )
+
+    both = side(ref, "ref").crossJoin(side(cur, "cur"))
+    shift = F.sqrt(
+        sum(
+            (F.col(f"__ref_m{i}") - F.col(f"__cur_m{i}"))
+            * (F.col(f"__ref_m{i}") - F.col(f"__cur_m{i}"))
+            for i in range(dim)
+        )
+    )
+    ratio = F.col("__cur_e") / F.col("__ref_e")
+    return both.select(
+        "n_ref",
+        "n_cur",
+        F.round(shift, round_to).alias("l2_shift"),
+        F.round(ratio, round_to).alias("energy_ratio"),
+        (
+            (shift > F.lit(max_shift))
+            | (F.abs(ratio - F.lit(1.0)) > F.lit(max_energy_dev))
+        ).alias("drifted"),
+    )
