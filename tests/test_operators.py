@@ -2283,6 +2283,34 @@ def test_curation_pipeline_example_waterfall(spark, tmp_path):
     assert len(shard_files) >= 4, shard_files
 
 
+def test_ann_serving_example(spark, tmp_path):
+    """The ANN-serving showcase (examples/ann_serving.py: build
+    persisted IVF-PQ -> pruned serve -> incremental float-index append
+    -> recall evaluation) runs end-to-end at sf0.001 and its stage
+    facts hold: the index covers all cells, the pruned serve clears
+    the measured recall floor, the append produced the full union, and
+    the full-probe serve recovers the exact top-5 (recall 1.0)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_serving",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "ann_serving.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    r = mod.run(spark, "/root/testdata/sf0.001", root=str(tmp_path))
+    assert r["corpus"] > 0
+    assert 1 <= r["n_cells"] <= 8
+    assert r["appended_rows"] == r["corpus"]
+    assert r["pruned_recall_at_5"] >= 0.1  # the driver gate's floor
+    assert r["fullprobe_recall_at_5"] == 1.0
+
+
 def test_containment_dedup_survivors(spark):
     """One-way contained docs drop (container survives); mutual
     containment keeps the smaller id; unrelated docs untouched."""
