@@ -68,102 +68,85 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot ROUND-11 window. Rotation
+# entries, so this list is exactly the 50-slot ROUND-12 window. Rotation
 # policy: minimize the maximum staleness of any catalogue query's last
 # STRICT driver-green (hash_match is True) row, with never-verified
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
-# from CORRECTNESS_r01-r10 (regenerate with ``python tools/staleness.py``):
-# (a) the 18 round-10 QUEUED oracles, wired this round after the
-#     staleness horizon widened from 3 to 4 recorded rounds (150 wired
-#     oracles exactly saturated the old 50×3 budget; the new 50×4 = 200
-#     budget fits 168) — never driver-verified, so they must be
-#     scheduled the round they land: multimodal pHash/audio/video
-#     near-dup, k-NN label propagation, winnowing fingerprints, semantic
-#     decontamination, fixed-quantizer SemDeDup, Lloyd k-means
-#     refinement, Bloom contamination, PQ ADC + full rerank +
-#     IVF-PQ fullprobe ANN, vocabulary, CMS token counts, Z-order keys,
-#     streaming CMS, and learned-BPE merges + token counts;
-# (a') the 3 queries promoted from rows-only to bounds-oracles this
-#     round (r10 verdict #7: trained-ANN recall floors + the SemDeDup
-#     coverage invariant) — also never-green, also mandatory;
-# (a'') the 5 NEW persisted-index serving queries — IVF float cells and
-#     IVF-PQ residual code cells, each as a fullprobe brute-equality
-#     gate + a production pruned serve, plus the incremental-append
-#     maintenance gate (r10 verdict #6: the partition-pruned index is
-#     the shape that matters at 100 TB) — never-green, mandatory;
-# (a''') the NEW embedding-space drift gate (the vector-column member
-#     of the PSI/KS/chi2 family) — never-green, mandatory;
-# (b) 23 of the 50 queries whose last driver-green is r7 — 3 recorded
-#     rounds back, the stalest block in the catalogue (alphabetically
-#     first 23; the remaining 27 — the TPC-H block, rollup,
-#     sessionize/stats/token-count, set-ops, lsh-recall, sample-hash,
-#     source keywords, streaming curate, trailing-window revenue,
-#     training order, rolling band — hit the 4-round horizon in r12
-#     and MUST be the r12 window's non-mandatory slots).
+# from CORRECTNESS_r01-r11 (regenerate with ``python tools/staleness.py``):
+# (a) the 27 queries whose last strict driver-green is r7 — they hit
+#     the 4-round staleness horizon this round and are MANDATORY (the
+#     TPC-H block q1/q3-q5/q7-q14/q17/q19/q22, rollup, set-ops,
+#     sample-hash, lsh-recall, source keywords, streaming curate +
+#     sessionize, text stats, token count, trailing-window revenue,
+#     training order, rolling band);
+# (b) 4 queries whose OPERATOR CODE changes this round — re-scheduled
+#     so the driver's typed-hash gate re-verifies the new code paths,
+#     not just the local DuckDB gate: sample_documents_weighted (the
+#     u=1.0 A-ES edge fix, r11 verdict defect #1), embedding_drift
+#     (O(1)-in-dim array aggregate, r11 verdict #6), and the two BPE
+#     queries (batched non-adjacent merges, r11 verdict #2);
+# (c) 19 of the 50 queries whose last driver-green is r9 — the stalest
+#     remaining block (alphabetically first 19; the other 31 hit the
+#     horizon in r13 and must dominate the r13 window).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
 # never the file the current round just produced).
 DRIVER_PRIORITY: list[str] = [
-    # (a) wired this round, never driver-verified
-    "multimodal_phash_neardup",
-    "multimodal_audio_neardup",
-    "multimodal_video_neardup",
-    "knn_classify_embeddings",
-    "winnow_fingerprints_documents",
-    "decontaminate_embeddings_semantic",
-    "semdedup_fixed_embeddings",
-    "kmeans_refine_embeddings",
-    "bloom_contamination_documents",
-    "similarity_topk_pq",
-    "similarity_topk_pq_rerank_full",
-    "similarity_topk_ivfpq_fullprobe",
-    "vocabulary_documents",
-    "cms_token_counts_documents",
-    "zorder_key_events",
-    "streaming_cms_events",
+    # (a) last strict driver-green r7 — at the 4-round horizon, mandatory
+    "rollup_orders",
+    "sample_documents_hash",
+    "set_ops_customers",
+    "similarity_lsh_recall",
+    "source_keywords_documents",
+    "streaming_curate_documents",
+    "streaming_sessionize_events",
+    "text_stats_documents",
+    "token_count_documents",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q22_global_sales_opportunity",
+    "trailing_window_revenue",
+    "training_order_documents",
+    "viz_rolling_band_events",
+    # (b) operator code changed in r12 — re-verify through the driver
+    "sample_documents_weighted",
+    "embedding_drift_snapshots",
     "bpe_merges_documents",
     "bpe_token_count_documents",
-    # (a') promoted from rows-only to bounds-oracles this round
-    # (r10 verdict #7) — never driver-verified, mandatory
-    "similarity_topk_pq_trained",
-    "similarity_topk_ivfpq",
-    "semdedup_embeddings",
-    # (a'') NEW this round: the persisted-IVF and persisted-IVF-PQ
-    # serving paths (r10 verdict #6) — never driver-verified, mandatory
-    "similarity_topk_ivf_index_fullprobe",
-    "similarity_topk_ivf_index",
-    "similarity_topk_ivf_index_append_fullprobe",
-    "similarity_topk_ivfpq_index_fullprobe",
-    "similarity_topk_ivfpq_index",
-    # (a''') NEW this round: the vector-column drift gate — never
-    # driver-verified, mandatory
-    "embedding_drift_snapshots",
-    # (b) last strict driver-green r7 (alphabetically first 23)
-    "anomaly_fixed_changepoint_validation",
-    "anomaly_sarima_fixed_validation",
-    "check_events_constraints",
-    "cohort_retention_events",
-    "collocations_documents",
-    "cube_orders",
-    "customer_revenue_deciles",
-    "dedup_containment_survivors",
-    "dedup_minhash_incremental",
-    "fingerprint_documents",
-    "funnel_events",
-    "grouping_sets_orders",
-    "hybrid_retrieval_documents",
-    "lang_id_documents",
-    "mad_outliers_events",
-    "mix_documents",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "pagerank_documents_calibration",
-    "profile_diff_events",
-    "profile_events_by_type",
-    "quality_percentile_by_source",
-    "quality_percentile_documents",
+    # (c) last strict driver-green r9 (alphabetically first 19)
+    "anomaly_multimodel_threshold",
+    "anomaly_scoring_events",
+    "anomaly_seasonal_naive_validation",
+    "anomaly_sm_threshold",
+    "anomaly_sm_validation",
+    "anomaly_sm_window_preds",
+    "bucketed_join_orders_lineitem",
+    "chi2_drift_events",
+    "dedup_containment_capped_documents",
+    "dedup_containment_documents",
+    "dedup_exact_events",
+    "dedup_minhash_components",
+    "dedup_minhash_documents",
+    "dedup_minhash_survivors",
+    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_documents",
+    "dedup_quality_survivors_documents",
+    "dedup_simhash_documents",
+    "dedup_simhash_pairs_documents",
 ]
 
 
