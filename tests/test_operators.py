@@ -1794,7 +1794,7 @@ def _es_python(rows, seed, n):
     for key, w in rows:
         h = hashlib.md5(f"{seed}|{key}".encode()).hexdigest()
         bucket = int(h[:8], 16) % 1_000_000
-        u = (bucket + 1) / 1_000_000.0
+        u = (bucket + 0.5) / 1_000_000.0
         keyed.append((math.log(u) / w, -key, key))
     keyed.sort(reverse=True)
     return {k for _, _, k in keyed[:n]}
@@ -1828,6 +1828,38 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     ]
     heavy = sum(1 for i in got if i >= 100)
     assert len(got) == 50 and heavy > 38, heavy
+
+
+def test_weighted_sample_top_bucket_never_auto_wins(spark):
+    """r11 verdict defect #1: with ``u = (bucket + 1)/HASH_BUCKETS`` the
+    top bucket hit u = 1.0 exactly, making its A-ES key ln(u)/w = 0 —
+    the MAXIMUM — so those rows were always selected regardless of
+    weight. With the midpoint form u < 1 strictly, so a top-bucket row
+    carrying a vanishing weight must LOSE to heavy rows: plant a key
+    that hashes to bucket 999999 with weight 1e-9 among heavy-weight
+    rows and assert it is not drawn."""
+    import hashlib
+
+    from thoth_spark.operators import sampling
+
+    seed = 42
+    top_key = next(
+        k
+        for k in range(10_000_000)
+        if int(hashlib.md5(f"{seed}|{k}".encode()).hexdigest()[:8], 16) % 1_000_000
+        == 999_999
+    )
+    rows = [(i, 1000.0) for i in range(1000) if i != top_key]
+    rows.append((top_key, 1e-9))
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = {
+        r["doc_id"]
+        for r in sampling.weighted_sample(df, "doc_id", "w", 100, seed=seed).collect()
+    }
+    assert top_key not in got, (
+        f"top-bucket key {top_key} with weight 1e-9 was drawn — the "
+        "u=1.0 ln(u)/w=0 auto-win edge is back"
+    )
 
 
 # --- corpus snapshot diff
@@ -2635,6 +2667,53 @@ def test_ivfpq_index_roundtrip(spark, tmp_path):
         assert sorted(map(tuple, full.collect())) == sorted(
             map(tuple, brute.collect())
         ), residual
+
+
+def test_ivfpq_index_non_unit_norm_queries(spark, tmp_path):
+    """r11 advice (high): the persisted-index prefilter used to assign
+    probe cells from RAW query vectors while _ivfpq_rank masks
+    candidates to cells from NORMALIZED queries — the ||c||²−2q·c rule
+    is not scale-invariant in q, so for non-unit-norm queries the
+    parquet scan could prune cells the scorer still expected, silently
+    dropping candidates. Pin the fix two ways on queries scaled by a
+    per-row factor: (1) index serve == in-memory ivfpq_topk at a
+    partial probe; (2) cosine is scale-invariant, so the scaled-query
+    results equal the unit-norm-query results exactly."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(5)
+    scaled = queries.withColumn(
+        "embedding",
+        F.transform("embedding", lambda x: x * (F.col("vec_id") % 7 + 2)),
+    )
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+    for residual in (False, True):
+        path = str(tmp_path / f"ivfpq_nn_{residual}")
+        _, cb = similarity.build_ivfpq_index(
+            emb, path, centroids=cents, m_subspaces=8, n_codes=16,
+            residual=residual,
+        )
+        got = similarity.ivfpq_query_index(
+            spark, path, scaled, rerank_corpus=emb, k=3, nprobe=2,
+            rerank_pool=10,
+        )
+        want = similarity.ivfpq_topk(
+            emb, scaled, k=3, nprobe=2, rerank_pool=10, centroids=cents,
+            codebooks=cb, residual=residual,
+        )
+        unit = similarity.ivfpq_query_index(
+            spark, path, queries, rerank_corpus=emb, k=3, nprobe=2,
+            rerank_pool=10,
+        )
+        gr = sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3]))
+        wr = sorted(map(tuple, want.collect()), key=lambda t: (t[0], t[3]))
+        ur = sorted(map(tuple, unit.collect()), key=lambda t: (t[0], t[3]))
+        assert gr == wr and len(gr) == 15, (residual, gr[:3], wr[:3])
+        assert gr == ur, (residual, gr[:3], ur[:3])
 
 
 def test_ivf_index_quantized_rerank_matches_quantized_topk(spark, tmp_path):

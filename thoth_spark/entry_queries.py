@@ -7100,7 +7100,7 @@ _WSAMPLE_N = 100
 ORACLE_WEIGHTED_SAMPLE = f"""
 WITH r AS (
   SELECT doc_id, source, n_chars,
-         ln((({_SAMPLE_BUCKET}) + 1) / 1000000.0) / n_chars AS es
+         ln((({_SAMPLE_BUCKET}) + 0.5) / 1000000.0) / n_chars AS es
   FROM documents
 )
 SELECT doc_id, source, n_chars

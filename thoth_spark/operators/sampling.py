@@ -146,8 +146,14 @@ def weighted_sample(
     and engines). The ranking uses the monotone-equivalent ``ln(u)/w``
     (no pow; identical IEEE doubles in any engine), and top-n plans as
     TakeOrderedAndProject — per-partition partial top-n, no global sort.
-    Weights must be > 0."""
-    u = (_bucket(F.col(key_col), seed) + 1) / F.lit(float(HASH_BUCKETS))
+    Weights must be > 0.
+
+    ``u = (bucket + 0.5) / HASH_BUCKETS`` is the bucket MIDPOINT — the
+    same debiasing DSIR uses: the earlier ``(bucket + 1)`` form reached
+    u = 1.0 exactly at the top bucket, making ``ln(u)/w = 0`` the
+    maximum possible key, so ~1/HASH_BUCKETS of rows were ALWAYS
+    selected regardless of weight (r11 verdict defect #1)."""
+    u = (_bucket(F.col(key_col), seed) + 0.5) / F.lit(float(HASH_BUCKETS))
     es = F.log(u) / F.col(weight_col)
     return (
         df.withColumn("__es", es)

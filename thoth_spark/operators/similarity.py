@@ -1305,6 +1305,20 @@ def _ivfpq_encode(
     )
 
 
+def _ivfpq_probe(q_mat: np.ndarray, cent: np.ndarray, nprobe: int) -> np.ndarray:
+    """Per-query probe sets under the ONE ranking rule ``_ivfpq_rank``
+    scores with: ``||c||² − 2·q̂·c`` over NORMALIZED queries. Every
+    IVF-PQ consumer — the in-UDF candidate masks AND the persisted
+    index's partition prefilter — must derive its probe set from this
+    helper: the rule is not scale-invariant in q, so an earlier
+    version that assigned prefilter cells from RAW query vectors could
+    prune cells (out of the parquet scan) that the rank stage still
+    masked to, silently dropping candidates for non-unit-norm
+    queries."""
+    d = (cent * cent).sum(axis=1) - 2.0 * (q_mat @ cent.T)
+    return np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+
+
 def _ivfpq_rank(
     encoded: DataFrame,
     rerank_corpus: DataFrame,
@@ -1333,10 +1347,7 @@ def _ivfpq_rank(
     q_mat = _normalized_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     lut = np.einsum("jsd,scd->jsc", q_mat.reshape(len(q_ids), m, d_sub), cb)
     bias = (q_mat @ cent_hat.T) if residual else None  # (nq, n_centroids)
-    # each query's probe set: its nprobe nearest cells by the same
-    # ||c||²−2q·c rule the corpus assignment uses
-    d = (cent * cent).sum(axis=1) - 2.0 * (q_mat @ cent.T)
-    probe = np.argsort(d, axis=1, kind="stable")[:, :nprobe]  # (nq, nprobe)
+    probe = _ivfpq_probe(q_mat, cent, nprobe)  # (nq, nprobe)
     probe_sets = [set(map(int, row)) for row in probe]
     pool = max(k, rerank_pool)
 
@@ -1494,15 +1505,14 @@ def ivfpq_query_index(
     cb = np.asarray([r["vector"] for r in cb_rows], dtype=np.float64).reshape(
         m, n_c, -1
     )
-    # bounded collect: the probe set is <= n_queries × nprobe cell ids
-    q_cells = (
-        queries.select(_as_double(F.col(vec_col)).alias("qv"))
-        .withColumn("cell", F.explode(nearest_cells_udf(cent, nprobe)(F.col("qv"))))
-        .select("cell")
-        .distinct()
-        .collect()
-    )
-    probe_cells = sorted(r["cell"] for r in q_cells)
+    # bounded collect (n_queries × dim — the query set is small by
+    # design); probe cells come from _ivfpq_probe, the SAME normalized
+    # rule the rank stage masks with, so the partition prefilter can
+    # never prune a cell the scorer still expects (non-unit-norm
+    # queries diverge under the raw-vector rule this replaced)
+    q_vecs = queries.select(_as_double(F.col(vec_col)).alias("qv")).collect()
+    q_mat = _normalized_rows(np.asarray([r["qv"] for r in q_vecs], dtype=np.float64))
+    probe_cells = sorted({int(c) for c in _ivfpq_probe(q_mat, cent, nprobe).ravel()})
     encoded = spark.read.parquet(f"{path}/cells").where(
         F.col("cell").isin(probe_cells)
     )
