@@ -3140,6 +3140,12 @@ def test_bpe_greedy_on_same_symbol_runs(spark):
     got = tokenizer.bpe_train(df, n_merges=6)
     ref, vocab, _ = _reference_bpe(texts, 6)
     assert got == ref
+    # the distributed fallback hits _safe_batch's self-run bar here:
+    # merging (a,a) at 22 creates (aa,aa) at 8, which must win round 2
+    # over the disjoint (.,.) at 5 — a naive disjoint batch gets this
+    # wrong
+    got_dist = tokenizer.bpe_train(df, n_merges=6, driver_words=0)
+    assert got_dist == ref
     counts = {
         r.doc_id: r.n_bpe
         for r in tokenizer.bpe_token_count(df, got).collect()

@@ -341,9 +341,12 @@ def test_bpe_train_matches_reference_on_random_corpora(spark, docs):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
     )
-    got = tokenizer.bpe_train(df, n_merges=6)
-    ref, vocab, _ = _reference_bpe(docs, 6)
+    got = tokenizer.bpe_train(df, n_merges=12)  # driver-local path
+    ref, vocab, _ = _reference_bpe(docs, 12)
     assert got == ref
+    # the distributed batched-rounds fallback must be bit-identical too
+    got_dist = tokenizer.bpe_train(df, n_merges=12, driver_words=0)
+    assert got_dist == ref
     counts = {
         r.doc_id: r.n_bpe for r in tokenizer.bpe_token_count(df, got).collect()
     }
