@@ -57,7 +57,7 @@ HEADLINE = [
     "sample_documents_budget",
     "similarity_topk_brute",
     "similarity_topk_vectorized",
-    "similarity_topk_ivf",
+    "similarity_topk_ivf_recall",
     "tpch_q19_discounted_revenue",
     # round-2 capabilities
     "anomaly_ar1_validation",
@@ -262,6 +262,15 @@ _ABBREV = [
     (r"multi_thr", "mthr"),
     (r"redact_pii", "redact"),
     (r"^text_", "t_"),
+    # round-12: similarity_topk_ivf (rows-only, retired) swapped for the
+    # oracled recall gate; its longer name needed tail-budget headroom
+    (r"ivf_recall", "ivfr"),
+    (r"_pairs$", "_pr"),
+    (r"_budget$", "_bdg"),
+    (r"by_type$", "typ"),
+    (r"cohort_ret", "cohort"),
+    (r"passage_dd", "psg_dd"),
+    (r"dec_real", "decr"),
 ]
 
 

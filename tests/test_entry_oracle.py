@@ -190,7 +190,6 @@ ROWS_ONLY_MIN = {
     "anomaly_changepoint_validation": 10,
     "anomaly_sarima_validation": 10,
     "classifier_quality_documents": 100,
-    "similarity_topk_ivf": 25,        # k=5 x 5 query vectors
 }
 
 

@@ -704,3 +704,35 @@ def test_embedding_drift_flags_shift_and_scale_not_identity(spark):
     scaled = df_of(base * 3.0)
     row = embedding_drift(ref, scaled, dim=8).collect()[0]
     assert row["drifted"] is True and row["energy_ratio"] > 5, row
+
+
+def test_embedding_drift_plan_is_constant_width_in_dim(spark):
+    """r11 verdict #6: the old form emitted one avg(v[i]) column per
+    dimension — at dim 1024-4096 the single-row agg carried thousands
+    of expressions. The Summarizer.mean vector aggregate keeps the
+    PLAN O(1) in dim: a dim-1024 drift check must produce a plan no
+    wider than the dim-8 one (modulo a few chars), and the exact
+    l2_shift of a planted unit translation must come out right."""
+    import numpy as np
+
+    from thoth_spark.profiler.drift import embedding_drift
+
+    rng = np.random.default_rng(7)
+
+    def df_of(mat):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    plans = {}
+    for dim in (8, 1024):
+        base = rng.normal(size=(30, dim))
+        shift = np.zeros(dim)
+        shift[0] = 3.0
+        out = embedding_drift(df_of(base), df_of(base + shift))
+        plans[dim] = len(out._jdf.queryExecution().analyzed().toString())
+        row = out.collect()[0]
+        assert abs(row["l2_shift"] - 3.0) < 1e-6, (dim, row)
+        assert row["drifted"] is True
+    assert plans[1024] < plans[8] + 200, plans

@@ -4161,15 +4161,6 @@ def similarity_lsh_recall(spark, sf_dir):
     )
 
 
-@query("similarity_topk_ivf")
-def similarity_topk_ivf(spark, sf_dir):
-    """IVF (K-Means coarse quantizer) approximate top-k."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=5, n_centroids=8, nprobe=3
-    )
-
-
 @query("similarity_topk_ivf_fullprobe", ORACLE_TOPK_EMB)
 def similarity_topk_ivf_fullprobe(spark, sf_dir):
     """The SAME IVF code path (K-Means training, pandas-UDF centroid

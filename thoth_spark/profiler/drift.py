@@ -443,30 +443,44 @@ def embedding_drift(
     max_energy_dev. Returns ONE row ``(n_ref, n_cur, l2_shift,
     energy_ratio, drifted)``.
 
-    Scale shape: per-dimension means are ``dim`` partial-aggregable
-    ``avg`` columns and the energies one ``aggregate`` expression —
-    TWO single-row total aggregations (map-side combine, one reduce
-    each, no UDF), crossJoined 1×1; cost is one scan of each snapshot
-    regardless of corpus size, and every expression is ANSI-SQL
+    Scale shape: the per-dimension mean is ONE ``Summarizer.mean``
+    vector aggregate (JVM-side, partial-aggregable — a dim-length
+    accumulator per partition, map-side combined), the energies one
+    ``aggregate`` expression — TWO single-row total aggregations (one
+    reduce each, no UDF), crossJoined 1×1; cost is one scan of each
+    snapshot regardless of corpus size. The r11 form emitted ``dim``
+    scalar ``avg`` columns — one scan too, but the single-row agg
+    carried thousands of expressions at dim 1024-4096 (planner cost,
+    codegen-width cost); expression count is now O(1) in dim (pinned
+    by the dim-1024 smoke test). ``dim`` is retained for API
+    compatibility and no longer read. The l2 distance between the two
+    mean vectors is a ``zip_with``/``aggregate`` fold — ANSI-SQL
     replayable (ORACLE_EMBEDDING_DRIFT in entry_queries.py)."""
-    if dim is None:
-        dim = len(ref.select(vec_col).limit(1).collect()[0][0])
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
     v = F.col(vec_col).cast("array<double>")
     energy = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return df.agg(
-            *[F.avg(v[i]).alias(f"__{tag}_m{i}") for i in range(dim)],
+            vector_to_array(
+                Summarizer.mean(array_to_vector(v))
+            ).alias(f"__{tag}_m"),
             F.count(F.lit(1)).alias(f"n_{tag}"),
             F.avg(energy).alias(f"__{tag}_e"),
         )
 
     both = side(ref, "ref").crossJoin(side(cur, "cur"))
     shift = F.sqrt(
-        sum(
-            (F.col(f"__ref_m{i}") - F.col(f"__cur_m{i}"))
-            * (F.col(f"__ref_m{i}") - F.col(f"__cur_m{i}"))
-            for i in range(dim)
+        F.aggregate(
+            F.zip_with(
+                F.col("__ref_m"),
+                F.col("__cur_m"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
     )
     ratio = F.col("__cur_e") / F.col("__ref_e")
