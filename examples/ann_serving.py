@@ -92,6 +92,98 @@ def run(spark, sf_dir: str, root: str | None = None) -> dict:
     }
 
 
+def run_drift_retrain(spark, sf_dir: str, root: str | None = None) -> dict:
+    """Stage 5 of the lifecycle: the RETRAIN DECISION. The append path
+    freezes the coarse quantizer (moving a centroid invalidates every
+    cell's membership), which is only sustainable while new batches
+    ride the old geometry — SCALE.md's rule is "retrain on measured
+    drift". This wires the gate: `embedding_drift` compares the new
+    batch against the indexed corpus; when it flags, the index is
+    REBUILT with centroids retrained on the union.
+
+    What drift actually breaks (measured here, not assumed): recall for
+    drifted queries can look PERFECT on the stale index — the whole
+    translated batch lands in its one nearest stale cell, the drifted
+    queries probe exactly that cell, and their true neighbors are all
+    in it. The casualty is the INDEX PROPERTY: that hot inverted list
+    is now O(batch) (modal-cell fraction ≈ 1.0), so every drifted
+    query's probe degenerates toward a brute-force scan of the new
+    corpus — unbounded list growth, no pruning power. Retraining on
+    the union restores cell balance (modal fraction back near
+    1/n_centroids·skew) while holding pruned-probe recall above the
+    serving floor. Asserted by
+    tests/test_operators.py::test_ann_index_drift_triggered_retrain."""
+    if root is None:
+        root = tempfile.mkdtemp(prefix="ann_drift_")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # a new crawl batch whose cloud is TRANSLATED (new dominant domain /
+    # swapped encoder): every coordinate shifted by a constant
+    drifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(2.0)
+        ).alias("embedding"),
+    )
+
+    ivf_dir = os.path.join(root, "ivf_drift")
+    similarity.build_ivf_index(emb, ivf_dir, n_centroids=8)
+
+    from thoth_spark.profiler.drift import embedding_drift
+
+    gate = embedding_drift(emb, drifted, vec_col="embedding").collect()[0]
+
+    # ingest the drifted batch under the FROZEN quantizer (O(batch)),
+    # then measure how unbalanced its cell assignment landed
+    similarity.ivf_index_append(spark, ivf_dir, drifted)
+    cells = spark.read.parquet(f"{ivf_dir}/cells")
+    appended = cells.where(F.col("vec_id") >= 1_000_000)
+    n_app = appended.count()
+    modal_frac_stale = (
+        appended.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+        / n_app
+    )
+
+    # pruned serve for queries FROM the drifted distribution, against
+    # exact brute force over the union corpus
+    union = emb.unionByName(drifted)
+    queries = drifted.where(F.col("vec_id") < 1_000_010)
+    exact = similarity.brute_force_topk(union, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+
+    def pruned_recall(path: str) -> float:
+        served = similarity.ivf_query_index(
+            spark, path, queries, k=5, nprobe=2
+        ).select("query_id", "neighbor_id")
+        return exact.join(served, ["query_id", "neighbor_id"]).count() / exact.count()
+
+    recall_stale = pruned_recall(ivf_dir)
+
+    # the drift flag is the rebuild trigger: retrain centroids on the
+    # union, rebuild the layout (the once-per-drift cost the O(batch)
+    # appends amortize), re-measure balance + recall
+    rebuilt_dir = os.path.join(root, "ivf_retrained")
+    if gate["drifted"]:
+        similarity.build_ivf_index(union, rebuilt_dir, n_centroids=8)
+    cells2 = spark.read.parquet(f"{rebuilt_dir}/cells")
+    app2 = cells2.where(F.col("vec_id") >= 1_000_000)
+    modal_frac_retrained = (
+        app2.groupBy("cell").count().agg(F.max("count")).collect()[0][0]
+        / n_app
+    )
+    recall_retrained = pruned_recall(rebuilt_dir)
+
+    return {
+        "drift_flagged": bool(gate["drifted"]),
+        "l2_shift": float(gate["l2_shift"]),
+        "modal_frac_stale": modal_frac_stale,
+        "modal_frac_retrained": modal_frac_retrained,
+        "recall_stale": recall_stale,
+        "recall_retrained": recall_retrained,
+        "root": root,
+    }
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(shuffle_partitions=8, app_name="ann-serving")
@@ -102,6 +194,10 @@ def main() -> None:
     print(f"rows after append:    {r['appended_rows']} (half built + half ingested)")
     print(f"fullprobe recall@5:   {r['fullprobe_recall_at_5']:.2f} (must be 1.0)")
     print(f"index root:           {r['root']}")
+    d = run_drift_retrain(spark, sf_dir)
+    print(f"drift gate:           flagged={d['drift_flagged']} l2_shift={d['l2_shift']:.2f}")
+    print(f"modal cell fraction:  stale={d['modal_frac_stale']:.2f} retrained={d['modal_frac_retrained']:.2f}")
+    print(f"drifted-query recall: stale={d['recall_stale']:.2f} retrained={d['recall_retrained']:.2f}")
     spark.stop()
 
 

@@ -2343,6 +2343,36 @@ def test_ann_serving_example(spark, tmp_path):
     assert r["fullprobe_recall_at_5"] == 1.0
 
 
+def test_ann_index_drift_triggered_retrain(spark, tmp_path):
+    """r11 verdict #8: wire `embedding_drift` to the index retrain
+    decision. Append a TRANSLATED batch under the frozen quantizer:
+    the drift gate must flag, the stale assignment must show the
+    degenerate hot cell (the whole batch in one inverted list — the
+    real casualty of drift: that probe is now a brute scan of the new
+    corpus), and the drift-triggered rebuild must restore cell balance
+    while holding pruned-probe recall for drifted-distribution queries
+    above the serving floor (measured 0.72 at nprobe=2/8; floor 0.4
+    leaves a >1-hit margin per query)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ann_serving",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples",
+            "ann_serving.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    d = mod.run_drift_retrain(spark, "/root/testdata/sf0.001", root=str(tmp_path))
+    assert d["drift_flagged"] is True and d["l2_shift"] > 1.0, d
+    assert d["modal_frac_stale"] >= 0.9, d   # hot-cell degeneracy
+    assert d["modal_frac_retrained"] <= 0.5, d  # balance restored
+    assert d["recall_retrained"] >= 0.4, d   # serving floor after rebuild
+
+
 def test_containment_dedup_survivors(spark):
     """One-way contained docs drop (container survives); mutual
     containment keeps the smaller id; unrelated docs untouched."""

@@ -94,6 +94,70 @@ def test_e2e_flow_with_anomaly(spark, events_df, repo):
     assert repo.select_scoring("my://events").count() == 4
 
 
+def test_e2e_flow_through_standalone_wrappers(spark, events_df, repo):
+    """r11 verdict #4: the reference exports STANDALONE repo-persisted
+    ``profile`` / ``optimize`` / ``score`` / ``assess_quality`` flows
+    (service_layer.py:157,245,307,355, re-exported at the package root).
+    Drive the reference's four-step e2e flow exclusively through the
+    root-level wrappers — register + profile history, optimize, score a
+    perturbed batch, assess (alert fires) — reproducing
+    test_e2e_flow_with_anomaly through the ported entry points. Also
+    pins the type dispatch: the same root names still run the
+    DataFrame-first core flows."""
+    import thoth_spark as th
+
+    last_day = datetime.datetime(2024, 1, 30)
+    history = events_df.where(F.col("ts") < F.lit(last_day)).select("ts", "value")
+    new_batch = events_df.where(F.col("ts") >= F.lit(last_day)).select(
+        "ts", "value"
+    ).withColumn("value", F.col("value") * 20)
+
+    # service profile() requires a registered dataset, like the reference
+    with pytest.raises(th.ThothServiceError):
+        th.profile(history, "my://wrapped", repo=repo)
+
+    th.add_dataset(repo, "my://wrapped", "ts", ["value"])
+    metrics = th.profile(
+        history, "my://wrapped", repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+    )
+    assert metrics.count() > 0
+    assert repo.select_profiling("my://wrapped").count() == metrics.count()
+
+    opt = th.optimize("my://wrapped", target_confidence=0.85, repo=repo)
+    assert repo.get_optimization("my://wrapped").count() == 3  # Size/Mean/Compl
+    assert opt.optimization_df.count() == 3
+
+    # profile + score the anomalous batch at last_day
+    th.profile(
+        new_batch, "my://wrapped", repo=repo,
+        profiling_builder=SimpleProfilingBuilder(),
+    )
+    scoring = th.score("my://wrapped", last_day, repo=repo)
+    assert scoring.count() == 3
+    assert repo.select_scoring("my://wrapped").count() == 3
+
+    handler = _CaptureHandler()
+    ok = th.assess_quality(
+        "my://wrapped", last_day, notification_handlers=[handler], repo=repo
+    )
+    assert ok is False
+    assert len(handler.calls) == 1
+    assert ("Column", "value", "Mean") in {m.metric for m in handler.calls[0][2]}
+
+    # missing stored state raises, like the reference's score()
+    with pytest.raises(ValueError):
+        th.score("my://nowhere", last_day, repo=repo)
+
+    # the SAME root names still dispatch to the composable core flows
+    core_metrics = th.profile(
+        history, "ts", profiling_builder=SimpleProfilingBuilder()
+    )
+    core_opt = th.optimize(core_metrics, confidence=0.85)
+    core_scoring = th.score(core_metrics, core_opt)
+    assert th.assess_quality(core_opt.optimization_df, core_scoring) is True
+
+
 def test_add_profiling_requires_registration(spark, events_df, repo):
     from thoth_spark.profiler import profile
 

@@ -598,6 +598,47 @@ def test_components_giant_clique_and_long_chain(spark):
     assert by_comp[0] == 4
 
 
+def test_components_convergence_contract(spark):
+    """r11 advice: jump=False plain propagation needs diameter rounds,
+    and the old shared max_iterations=15 default let a deep chain
+    silently return WRONG components. The contract now: (a) cap
+    exhaustion RAISES unless the caller passed stats= (then it returns
+    observed-unconverged with a warning); (b) the jump=False default
+    bound (50) converges the shallow-cluster shapes that path is
+    documented for; (c) a 60-node chain under a deliberately tiny cap
+    raises with guidance."""
+    import pytest
+
+    from thoth_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i + 1, i) for i in range(59)], "id_a long, id_b long"
+    )
+    # (c) tiny cap, no stats -> raise
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iterations=3, jump=False)
+    # (a) stats= observes instead of raising
+    stats: dict = {}
+    out = dedup.connected_components(
+        chain, max_iterations=3, jump=False, stats=stats
+    )
+    assert stats["converged"] is False and out.count() == 60
+    # (b) the jump=False DEFAULT bound handles the documented workload
+    # (shallow cliques) and even this 60-chain (diameter 59 < 50 fails!
+    # -> the chain needs jump; assert the clique converges fast and the
+    # chain with jump=True converges under ITS default)
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],
+        "id_a long, id_b long",
+    )
+    stats = {}
+    comps = dedup.connected_components(clique, jump=False, stats=stats)
+    assert {r["component"] for r in comps.collect()} == {0}
+    assert stats["converged"] and stats["rounds"] <= 4, stats
+    comps = dedup.connected_components(chain, jump=True)  # default cap 15
+    assert {r["component"] for r in comps.collect()} == {0}
+
+
 def test_semdedup_degenerate_identical_cluster_is_linear(spark):
     """Adversarial boilerplate corpus: 400 bitwise-identical embeddings
     (plus a handful of distinct ones) would naively generate 400²/2

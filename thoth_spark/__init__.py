@@ -18,20 +18,24 @@ project ``rafaelleinio/thoth`` (profiling-based data-quality monitoring):
   column plumbing — designed for 100 TB inputs.
 """
 
+from thoth_spark import service as _service
 from thoth_spark.anomaly.models import collect_timeseries
-from thoth_spark.anomaly.optimization import OptimizationFailedError, optimize
-from thoth_spark.anomaly.scoring import score
+from thoth_spark.anomaly.optimization import OptimizationFailedError
+from thoth_spark.anomaly.optimization import optimize as _optimize_core
+from thoth_spark.anomaly.scoring import score as _score_core
 from thoth_spark.profiler import (
     DefaultProfilingBuilder,
     Granularity,
     ProfilingBuilder,
     SimpleProfilingBuilder,
-    profile,
 )
+from thoth_spark.profiler import profile as _profile_core
 from thoth_spark.dashboard_html import export_dashboard_html, render_dashboard_html
-from thoth_spark.quality import AnomalousScore, LogHandler, NotificationHandler, assess_quality
+from thoth_spark.quality import AnomalousScore, LogHandler, NotificationHandler
+from thoth_spark.quality import assess_quality as _assess_quality_core
 from thoth_spark.repository import DatasetValidationError, MetricsRepository
 from thoth_spark.service import (
+    ThothServiceError,
     add_dataset,
     assess_new_ts,
     get_dataset,
@@ -47,6 +51,52 @@ from thoth_spark.service import (
 from thoth_spark.session import get_spark
 from thoth_spark.ui import DashboardServer, serve_dashboard
 
+
+# ---------------------------------------------------------------------------
+# Root-level `profile` / `optimize` / `score` / `assess_quality`: the
+# reference exports its repo-persisted SERVICE flows under these names
+# (``thoth/__init__.py:48-62`` re-exporting ``service_layer.py:157,245,
+# 307,355``), while this package's composable core functions are
+# DataFrame-first. The two call shapes are disjoint — the service flows
+# lead with a dataset URI (or pass ``repo=``), the core ones with a
+# metrics/profiling DataFrame — so one type-dispatching wrapper serves
+# both: reference code like ``thoth.optimize("my://uri", repo=repo)``
+# ports verbatim, and ``optimize(metrics_df, confidence=0.9)`` keeps
+# working.
+# ---------------------------------------------------------------------------
+
+
+def profile(df, x=None, *args, **kwargs):
+    """``profile(df, ts_column, ...)`` (core) or
+    ``profile(df, dataset_uri, repo=...)`` (service, repo-persisted)."""
+    if "repo" in kwargs or (args and isinstance(args[0], MetricsRepository)):
+        return _service.profile(df, x, *args, **kwargs)
+    return _profile_core(df, x, *args, **kwargs)
+
+
+def optimize(x, *args, **kwargs):
+    """``optimize(metrics_df, ...)`` (core) or
+    ``optimize(dataset_uri, repo=...)`` (service, repo-persisted)."""
+    if isinstance(x, str):
+        return _service.optimize(x, *args, **kwargs)
+    return _optimize_core(x, *args, **kwargs)
+
+
+def score(x, *args, **kwargs):
+    """``score(history_df, optimization)`` (core) or
+    ``score(dataset_uri, ts, repo=...)`` (service, repo-persisted)."""
+    if isinstance(x, str):
+        return _service.score(x, *args, **kwargs)
+    return _score_core(x, *args, **kwargs)
+
+
+def assess_quality(x, *args, **kwargs):
+    """``assess_quality(optimization_df, scoring_df, ...)`` (core) or
+    ``assess_quality(dataset_uri, ts, repo=...)`` (service)."""
+    if isinstance(x, str):
+        return _service.assess_quality(x, *args, **kwargs)
+    return _assess_quality_core(x, *args, **kwargs)
+
 __all__ = [
     "AnomalousScore",
     "DashboardServer",
@@ -59,6 +109,7 @@ __all__ = [
     "OptimizationFailedError",
     "ProfilingBuilder",
     "SimpleProfilingBuilder",
+    "ThothServiceError",
     "add_dataset",
     "assess_new_ts",
     "assess_quality",

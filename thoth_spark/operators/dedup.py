@@ -25,6 +25,8 @@ oracle (DuckDB) — the verifiability/speed trade is deliberate; swap in
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -648,7 +650,7 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 15,
+    max_iterations: int | None = None,
     stats: dict | None = None,
     jump: bool = True,
 ) -> DataFrame:
@@ -678,7 +680,19 @@ def connected_components(
     high-threshold pair stage, where plain propagation already
     converges in 2-3 rounds and the jump join is pure overhead (the
     measured r10 dd_qual_surv cost); identical output either way, just
-    a different round count (property-tested against union-find)."""
+    a different round count (property-tested against union-find).
+
+    Iteration budget and the convergence contract (r11 advice: a
+    jump=False deep chain could silently exhaust a cap sized for the
+    doubling path and return WRONG components): ``max_iterations``
+    defaults to 15 with the jump (2^15 reach dwarfs any real diameter)
+    and 50 without (plain propagation needs diameter rounds — 50 covers
+    the shallow-cluster workloads jump=False is for, with margin). On
+    cap exhaustion the function now RAISES unless the caller passed
+    ``stats`` (explicitly observing convergence — then it logs a
+    warning and returns, letting monitoring callers decide)."""
+    if max_iterations is None:
+        max_iterations = 15 if jump else 50
     edges = (
         pairs.select(F.col(id_a).alias("s"), F.col(id_b).alias("t"))
         .union(pairs.select(F.col(id_b).alias("s"), F.col(id_a).alias("t")))
@@ -739,6 +753,20 @@ def connected_components(
     if stats is not None:
         stats["rounds"] = rounds
         stats["converged"] = converged
+        if not converged:
+            logging.getLogger(__name__).warning(
+                "connected_components hit max_iterations=%d without a "
+                "fixpoint round; labels may span multiple true components",
+                max_iterations,
+            )
+    elif not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"max_iterations={max_iterations} (jump={jump}); raise the "
+            "bound (plain propagation needs graph-diameter rounds; the "
+            "pointer-jump path needs log2(diameter)) or pass stats= to "
+            "observe and accept partial labels"
+        )
     return labels
 
 
@@ -749,7 +777,7 @@ def quality_survivors(
     quality_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 15,
+    max_iterations: int | None = None,
     jump: bool = True,
 ) -> DataFrame:
     """Quality-aware dedup survivor selection: per duplicate CLUSTER
