@@ -85,9 +85,14 @@ ORACLES: dict[str, str] = {}
 #     not just the local DuckDB gate: sample_documents_weighted (the
 #     u=1.0 A-ES edge fix, r11 verdict defect #1), embedding_drift
 #     (O(1)-in-dim array aggregate, r11 verdict #6), and the two BPE
-#     queries (batched non-adjacent merges, r11 verdict #2);
-# (c) 19 of the 50 queries whose last driver-green is r9 — the stalest
-#     remaining block (alphabetically first 19; the other 31 hit the
+#     queries (driver-local heap trainer + exact batched fallback,
+#     r11 verdict #2);
+# (b') the NEW never-green gate for the r11 HIGH advice fix —
+#     similarity_topk_ivfpq_index_scale_invariance (pruned serve must
+#     be query-scale-invariant now that the prefilter and the ADC mask
+#     share one probe rule) — mandatory the round it lands;
+# (c) 18 of the 50 queries whose last driver-green is r9 — the stalest
+#     remaining block (alphabetically first 18; the other 32 hit the
 #     horizon in r13 and must dominate the r13 window).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
@@ -127,7 +132,9 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_drift_snapshots",
     "bpe_merges_documents",
     "bpe_token_count_documents",
-    # (c) last strict driver-green r9 (alphabetically first 19)
+    # (b') new this round — never driver-verified, mandatory
+    "similarity_topk_ivfpq_index_scale_invariance",
+    # (c) last strict driver-green r9 (alphabetically first 18)
     "anomaly_multimodel_threshold",
     "anomaly_scoring_events",
     "anomaly_seasonal_naive_validation",
@@ -146,7 +153,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_jaccard_documents",
     "dedup_quality_survivors_documents",
     "dedup_simhash_documents",
-    "dedup_simhash_pairs_documents",
 ]
 
 
@@ -5313,6 +5319,58 @@ def similarity_topk_ivfpq_index(spark, sf_dir):
                 >= F.lit(_TRAINED_ANN_RECALL_FLOOR)
             ).alias("recall_ok"),
         )
+    )
+
+
+_ORACLE_IVFPQ_SCALE_INVARIANCE = """
+SELECT vec_id AS query_id, TRUE AS scale_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query(
+    "similarity_topk_ivfpq_index_scale_invariance",
+    _ORACLE_IVFPQ_SCALE_INVARIANCE,
+)
+def similarity_topk_ivfpq_index_scale_invariance(spark, sf_dir):
+    """Driver gate for the r11 HIGH advice fix: cosine serving is
+    scale-invariant in the query, so the PRUNED persisted-index serve
+    must return the same neighbors for per-row-scaled query vectors as
+    for the originals. The pre-fix code assigned the partition-pruning
+    probe set from RAW queries while the ADC stage masked to cells from
+    NORMALIZED ones — the ||c||²−2q·c rule is not scale-invariant in q,
+    so scaled queries could have rank-side cells pruned out of the scan
+    and candidates silently dropped (a NULL side in the join below).
+    Both probe sets now come from one helper (similarity._ivfpq_probe).
+    Per query: scale_ok = identical neighbor set AND |Δcos_sim| ≤ 1e-6
+    (the serve rounds to 6, and rescaled-float cosine can differ in the
+    last ulp — set equality is the invariant, bit equality is pinned by
+    the unit-norm twin queries)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select("vec_id", "embedding")
+    scaled = q.withColumn(
+        "embedding",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x * (F.col("vec_id") % 7 + 2),
+        ),
+    )
+    d = _ivfpq_index_dir(spark, sf_dir)
+    kw = dict(rerank_corpus=emb, k=5, nprobe=5, rerank_pool=50)
+    unit = similarity.ivfpq_query_index(spark, d, q, **kw).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("cu")
+    )
+    sc = similarity.ivfpq_query_index(spark, d, scaled, **kw).select(
+        "query_id", "neighbor_id", F.col("cos_sim").alias("cs")
+    )
+    joined = unit.join(sc, ["query_id", "neighbor_id"], "full")
+    bad = (
+        F.col("cu").isNull()
+        | F.col("cs").isNull()
+        | (F.abs(F.col("cu") - F.col("cs")) > F.lit(1e-6))
+    )
+    return joined.groupBy("query_id").agg(
+        (F.sum(bad.cast("int")) == 0).alias("scale_ok")
     )
 
 
