@@ -1332,6 +1332,7 @@ def _ivfpq_rank(
     id_col: str,
     vec_col: str,
     id_type: str,
+    q_rows: list | None = None,
 ) -> DataFrame:
     """The IVF-PQ serving stage shared by the in-memory path
     (:func:`ivfpq_topk`) and the persisted index
@@ -1339,10 +1340,13 @@ def _ivfpq_rank(
     Arrow-batched scan over ``(id, cell, codes)`` masking each batch to
     the rows whose cell is probed (partition PRUNING on a
     cell-partitioned layout), global ADC top-``pool``, exact rerank
-    against ``rerank_corpus``."""
+    against ``rerank_corpus``. ``q_rows`` (collected ``(id, vector)``
+    rows) lets the persisted-index caller reuse its prefilter collect —
+    one driver job per serve instead of two."""
     m, _, d_sub = cb.shape
     cent_hat = _normalized_rows(cent)
-    q_rows = queries.select(id_col, vec_col).collect()
+    if q_rows is None:
+        q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalized_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     lut = np.einsum("jsd,scd->jsc", q_mat.reshape(len(q_ids), m, d_sub), cb)
@@ -1505,13 +1509,14 @@ def ivfpq_query_index(
     cb = np.asarray([r["vector"] for r in cb_rows], dtype=np.float64).reshape(
         m, n_c, -1
     )
-    # bounded collect (n_queries × dim — the query set is small by
-    # design); probe cells come from _ivfpq_probe, the SAME normalized
-    # rule the rank stage masks with, so the partition prefilter can
-    # never prune a cell the scorer still expects (non-unit-norm
-    # queries diverge under the raw-vector rule this replaced)
-    q_vecs = queries.select(_as_double(F.col(vec_col)).alias("qv")).collect()
-    q_mat = _normalized_rows(np.asarray([r["qv"] for r in q_vecs], dtype=np.float64))
+    # ONE bounded collect (n_queries × dim — the query set is small by
+    # design), reused by the rank stage; probe cells come from
+    # _ivfpq_probe, the SAME normalized rule the rank stage masks with,
+    # so the partition prefilter can never prune a cell the scorer
+    # still expects (non-unit-norm queries diverge under the raw-vector
+    # rule this replaced)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_mat = _normalized_rows(np.asarray([r[1] for r in q_rows], dtype=np.float64))
     probe_cells = sorted({int(c) for c in _ivfpq_probe(q_mat, cent, nprobe).ravel()})
     encoded = spark.read.parquet(f"{path}/cells").where(
         F.col("cell").isin(probe_cells)
@@ -1529,4 +1534,5 @@ def ivfpq_query_index(
         id_col=id_col,
         vec_col=vec_col,
         id_type=_col_type(rerank_corpus, id_col),
+        q_rows=q_rows,
     )
