@@ -2989,7 +2989,14 @@ def dedup_quality_survivors_documents(spark, sf_dir):
         .select("id_a", "id_b")
     )
     scored = text.quality_score(docs, "text")
-    out = dedup.quality_survivors(scored, verified, "doc_id", "quality_score")
+    # jump=False: 0.8-Jaccard MinHash clusters are shallow near-cliques
+    # (plain propagation converges in 2-3 rounds), so the pointer-jump
+    # join is pure overhead here — and the r12 convergence contract
+    # RAISES if a deep chain ever violates that assumption, instead of
+    # returning merged-wrong components
+    out = dedup.quality_survivors(
+        scored, verified, "doc_id", "quality_score", jump=False
+    )
     return out.select(
         "doc_id", "component", F.round("quality_score", 6).alias("quality_score")
     )
