@@ -94,6 +94,7 @@ HEADLINE = [
     "corpus_diff_documents",
     "streaming_interval_join_events",
     "split_documents",
+    "leakage_safe_split_documents",
     "dedup_lsh_eval",
     "hybrid_retrieval_documents",
     "mad_outliers_events",
@@ -271,6 +272,7 @@ _ABBREV = [
     (r"cohort_ret", "cohort"),
     (r"passage_dd", "psg_dd"),
     (r"dec_real", "decr"),
+    (r"leakage_safe_split", "lss"),
 ]
 
 

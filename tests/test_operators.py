@@ -1830,6 +1830,62 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     assert len(got) == 50 and heavy > 38, heavy
 
 
+def test_leakage_safe_split_clusters_share_one_split(spark):
+    """Near-dup-aware splitting: every document connected through the
+    pair graph gets the split of its CLUSTER (bucket of the component
+    label = smallest reachable id), so a near-copy of a val doc can
+    never land in train; singletons bucket on their own id, exactly
+    matching train_val_test_split."""
+    import hashlib
+
+    from thoth_spark.operators import sampling
+
+    def bucket(key, seed=42):
+        return int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:8], 16) % 1_000_000
+
+    def expected_split(key, val_fraction, test_fraction):
+        b = bucket(key)
+        if b < int(val_fraction * 1_000_000):
+            return "val"
+        if b < int((val_fraction + test_fraction) * 1_000_000):
+            return "test"
+        return "train"
+
+    # big fractions so every split class actually occurs among 400 ids
+    ids = list(range(400))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    # clusters: chains {10,11,12}, {100,200,300}; the rest singletons
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (100, 200), (200, 300)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["split"], r["component"])
+        for r in sampling.leakage_safe_split(
+            df, pairs, "doc_id", val_fraction=0.3, test_fraction=0.3,
+            component_col="component",
+        ).collect()
+    }
+    assert len(out) == 400
+    # cluster members share the min-id member's split AND label
+    for cluster in ({10, 11, 12}, {100, 200, 300}):
+        want = expected_split(min(cluster), 0.3, 0.3)
+        for i in cluster:
+            assert out[i] == (want, min(cluster)), (i, out[i], want)
+    # singletons bucket on their own id == plain splitter
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.train_val_test_split(
+            df, "doc_id", val_fraction=0.3, test_fraction=0.3
+        ).collect()
+    }
+    clustered = {10, 11, 12, 100, 200, 300}
+    for i in ids:
+        if i not in clustered:
+            assert out[i] == (plain[i], i), (i, out[i], plain[i])
+    # all three classes occur (fractions are meaningful)
+    assert {s for s, _ in out.values()} == {"train", "val", "test"}
+
+
 def test_weighted_sample_top_bucket_never_auto_wins(spark):
     """r11 verdict defect #1: with ``u = (bucket + 1)/HASH_BUCKETS`` the
     top bucket hit u = 1.0 exactly, making its A-ES key ln(u)/w = 0 —

@@ -87,12 +87,14 @@ ORACLES: dict[str, str] = {}
 #     (O(1)-in-dim array aggregate, r11 verdict #6), and the two BPE
 #     queries (driver-local heap trainer + exact batched fallback,
 #     r11 verdict #2);
-# (b') the NEW never-green gate for the r11 HIGH advice fix —
+# (b') the TWO new never-green oracles landing this round —
 #     similarity_topk_ivfpq_index_scale_invariance (pruned serve must
 #     be query-scale-invariant now that the prefilter and the ADC mask
-#     share one probe rule) — mandatory the round it lands;
-# (c) 18 of the 50 queries whose last driver-green is r9 — the stalest
-#     remaining block (alphabetically first 18; the other 32 hit the
+#     share one probe rule — the r11 HIGH advice fix) and
+#     leakage_safe_split_documents (near-dup clusters land in one
+#     train/val/test split) — mandatory the round they land;
+# (c) 17 of the 50 queries whose last driver-green is r9 — the stalest
+#     remaining block (alphabetically first 17; the other 33 hit the
 #     horizon in r13 and must dominate the r13 window).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
@@ -134,7 +136,8 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_token_count_documents",
     # (b') new this round — never driver-verified, mandatory
     "similarity_topk_ivfpq_index_scale_invariance",
-    # (c) last strict driver-green r9 (alphabetically first 18)
+    "leakage_safe_split_documents",
+    # (c) last strict driver-green r9 (alphabetically first 17)
     "anomaly_multimodel_threshold",
     "anomaly_scoring_events",
     "anomaly_seasonal_naive_validation",
@@ -152,7 +155,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_jaccard_capped",
     "dedup_ngram_jaccard_documents",
     "dedup_quality_survivors_documents",
-    "dedup_simhash_documents",
 ]
 
 
@@ -7384,6 +7386,79 @@ def split_documents(spark, sf_dir):
     return sampling.train_val_test_split(
         docs, "doc_id", val_fraction=0.05, test_fraction=0.05
     ).select("doc_id", "split")
+
+
+# --- leakage-safe split: near-dup clusters land in ONE split
+
+_COMP_BUCKET = (
+    _hex2int_sql("md5('42|' || component::VARCHAR)", 1, 8) + " % 1000000"
+)
+
+ORACLE_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE {_DOC_SHINGLES},
+{_MINHASH_SIG_SQL},
+banded AS (
+  SELECT doc_id, b, md5(list_aggregate(sg[b * 4 + 1 : b * 4 + 4], 'string_agg', '|')) AS bh
+  FROM sig CROSS JOIN generate_series(0, 7) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b USING (b, bh) WHERE a.doc_id < b.doc_id
+),
+vpairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.8
+),
+edges AS (SELECT id_a AS s, id_b AS t FROM vpairs UNION SELECT id_b, id_a FROM vpairs),
+reach AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+comp AS (
+  SELECT dd.doc_id, least(dd.doc_id, coalesce(min(r.t), dd.doc_id)) AS component
+  FROM documents dd LEFT JOIN reach r ON r.s = dd.doc_id
+  GROUP BY dd.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN {_COMP_BUCKET} < 50000 THEN 'val'
+            WHEN {_COMP_BUCKET} < 100000 THEN 'test'
+            ELSE 'train' END AS split
+FROM comp
+"""
+
+
+@query("leakage_safe_split_documents", ORACLE_LEAKAGE_SAFE_SPLIT)
+def leakage_safe_split_documents(spark, sf_dir):
+    """Near-dup-aware train/val/test split (sampling.leakage_safe_split):
+    the hash bucket is computed on the MinHash duplicate-cluster label,
+    so every member of a near-dup cluster shares one split — the
+    eval-contamination guard `split_documents`' per-doc bucket cannot
+    give (a near-copy of a val doc may land in train there). Oracle:
+    the components recursive-CTE closure + the same md5 bucket CASE on
+    the component label."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_sets(docs, "doc_id", "text", n=3).cache()
+    sigs = dedup.minhash_signatures(
+        docs, "doc_id", "text", num_hashes=32, n=3, shingles=sh
+    )
+    cands = dedup.minhash_lsh_pairs(sigs, bands=8, rows_per_band=4)
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.8
+        )
+        .select("id_a", "id_b")
+    )
+    return sampling.leakage_safe_split(
+        docs, verified, "doc_id", val_fraction=0.05, test_fraction=0.05,
+        component_col="component",
+    ).select("doc_id", "component", "split")
 
 
 # --- dedup evaluation harness: MinHash-LSH candidate recall/precision

@@ -232,6 +232,60 @@ def train_val_test_split(
     return df.withColumn("split", split)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str,
+    val_fraction: float = 0.01,
+    test_fraction: float = 0.01,
+    seed: int = 42,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    jump: bool = True,
+    component_col: str | None = None,
+) -> DataFrame:
+    """Train/val/test assignment where every NEAR-DUPLICATE CLUSTER
+    lands in one split: the hash bucket is computed on the cluster's
+    component label (smallest reachable id through the similarity-pair
+    graph), not the document id. :func:`train_val_test_split` keys on
+    the document alone, so a near-copy of a val document can land in
+    train — exactly the eval contamination dedup pipelines exist to
+    prevent; bucketing the COMPONENT makes split membership a pure
+    function of the duplicate cluster, so the guarantee survives corpus
+    rebuilds, re-crawls, and re-chunking that add more copies.
+
+    ``pairs`` is any verified similarity-pair frame (MinHash-LSH,
+    SimHash, embedding near-dup — the same input every dedup consumer
+    takes). Scale shape: connected components (see
+    :func:`thoth_spark.operators.dedup.connected_components` for the
+    pointer-jump round analysis) + one broadcast-size-agnostic join of
+    the label frame (only ids appearing in pairs — singletons never
+    enter the join and bucket on their own key, which IS their
+    component label) + the same map-side CASE as the plain splitter.
+    Pass ``component_col`` to also keep the cluster label in the
+    output (audit trail: WHY did this doc get its split)."""
+    from thoth_spark.operators.dedup import connected_components
+
+    comps = connected_components(pairs, id_a, id_b, jump=jump).select(
+        F.col("id").alias("__sid"), F.col("component").alias("__comp")
+    )
+    labeled = df.join(
+        comps, df[key_col] == comps["__sid"], "left"
+    ).withColumn("__comp", F.coalesce("__comp", F.col(key_col)))
+    val_cut = int(val_fraction * HASH_BUCKETS)
+    test_cut = val_cut + int(test_fraction * HASH_BUCKETS)
+    b = _bucket(F.col("__comp"), seed)
+    split = (
+        F.when(b < val_cut, F.lit("val"))
+        .when(b < test_cut, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    out = labeled.withColumn("split", split)
+    if component_col is not None:
+        out = out.withColumn(component_col, F.col("__comp"))
+    return out.drop("__sid", "__comp")
+
+
 def dsir_log_weights(
     df: DataFrame,
     id_col: str,
