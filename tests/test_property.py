@@ -227,6 +227,65 @@ def test_weighted_sample_invariants(spark, weights, n):
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=49),
+            st.integers(min_value=0, max_value=49),
+        ).filter(lambda t: t[0] != t[1]),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_leakage_safe_split_invariants(spark, edges):
+    """For ANY pair graph over 50 docs: (a) the split is CONSTANT within
+    every connected component (the leakage guarantee, checked against an
+    independent union-find); (b) docs in no pair get exactly
+    train_val_test_split's assignment; (c) output row count equals the
+    input's (the left join never drops or duplicates)."""
+    from thoth_spark.operators.sampling import leakage_safe_split, train_val_test_split
+
+    ids = list(range(50))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "id_a long, id_b long"
+    ).where(F.col("id_a") != F.col("id_b"))
+    out = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df, pairs, "doc_id", val_fraction=0.3, test_fraction=0.3
+        ).collect()
+    }
+    assert len(out) == 50
+    # independent union-find ground truth
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    touched = {x for e in edges for x in e}
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            df, "doc_id", val_fraction=0.3, test_fraction=0.3
+        ).collect()
+    }
+    for members in comps.values():
+        splits = {out[i] for i in members}
+        assert len(splits) == 1, (members, splits)  # (a)
+        if len(members) == 1 and members[0] not in touched:
+            assert out[members[0]] == plain[members[0]]  # (b)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(docs=texts)
 def test_bm25_score_invariants(spark, docs):
     """For ANY corpus: BM25 scores are positive, every returned doc
