@@ -87,14 +87,18 @@ ORACLES: dict[str, str] = {}
 #     (O(1)-in-dim array aggregate, r11 verdict #6), and the two BPE
 #     queries (driver-local heap trainer + exact batched fallback,
 #     r11 verdict #2);
-# (b') the TWO new never-green oracles landing this round —
+# (b') the FOUR never-green oracles landing this round —
 #     similarity_topk_ivfpq_index_scale_invariance (pruned serve must
 #     be query-scale-invariant now that the prefilter and the ADC mask
-#     share one probe rule — the r11 HIGH advice fix) and
+#     share one probe rule — the r11 HIGH advice fix),
 #     leakage_safe_split_documents (near-dup clusters land in one
-#     train/val/test split) — mandatory the round they land;
-# (c) 17 of the 50 queries whose last driver-green is r9 — the stalest
-#     remaining block (alphabetically first 17; the other 33 hit the
+#     train/val/test split), and the two RESHAPED sketch gates
+#     (sketch_rollup_weekly / sketch_trailing_wau: exact counts stay
+#     hash-exact, HLL estimates now ±3·rsd bounds vs an exact twin —
+#     the r9 estimate-equals-exact gate was scale-fragile, red at
+#     sf0.1) — mandatory the round they land;
+# (c) 15 of the 50 queries whose last driver-green is r9 — the stalest
+#     remaining block (alphabetically first 15; the other 35 hit the
 #     horizon in r13 and must dominate the r13 window).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
@@ -137,7 +141,9 @@ DRIVER_PRIORITY: list[str] = [
     # (b') new this round — never driver-verified, mandatory
     "similarity_topk_ivfpq_index_scale_invariance",
     "leakage_safe_split_documents",
-    # (c) last strict driver-green r9 (alphabetically first 17)
+    "sketch_rollup_weekly_events",
+    "sketch_trailing_wau_events",
+    # (c) last strict driver-green r9 (alphabetically first 15)
     "anomaly_multimodel_threshold",
     "anomaly_scoring_events",
     "anomaly_seasonal_naive_validation",
@@ -152,8 +158,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_minhash_components",
     "dedup_minhash_documents",
     "dedup_minhash_survivors",
-    "dedup_ngram_jaccard_capped",
-    "dedup_ngram_jaccard_documents",
     "dedup_quality_survivors_documents",
 ]
 
@@ -918,11 +922,17 @@ def profile_events_kll(spark, sf_dir):
     return _sketch_bounds_rows(agg, _KLL_QUANTILES, _KLL_MARGIN, "KLLSketch", "est")
 
 
+#: HLL lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; 3·rsd ≈ 5% is the same
+#: bounds-margin recipe as profile_events_approx. Measured worst error
+#: across sf0.001/0.01/0.1: 0.6% (sf0.1 weekly user_id, where the
+#: sketch is past its exactness threshold).
+_HLL_MARGIN = 0.05
+
 ORACLE_SKETCH_ROLLUP = """
 SELECT date_trunc('week', date_trunc('day', ts::TIMESTAMP))::DATE AS ts,
        count(*) AS row_count,
-       count(DISTINCT user_id) AS approx_distinct_user_id,
-       count(DISTINCT event_type) AS approx_distinct_event_type
+       TRUE AS user_id_within,
+       TRUE AS event_type_within
 FROM events GROUP BY 1
 """
 
@@ -932,20 +942,43 @@ def sketch_rollup_weekly_events(spark, sf_dir):
     """Mergeable-sketch rollup — the 100 TB incremental-profiling path:
     the raw data is scanned ONCE into per-day HLL sketches (bytes per
     bucket); the weekly distinct counts are then computed by merging
-    sketch bytes only, never rescanning. DataSketches HLL is exact below
-    its promotion threshold, so at fixture cardinality the estimates
-    hash-match the exact DISTINCT oracle — at billion-scale they become
-    ±1.6% estimates for the same merge cost."""
+    sketch bytes only, never rescanning (plan-locked in
+    tests/test_plans.py). Gate design (r12): row_count stays hash-EXACT
+    (counts are additive); the distinct estimates are gated as
+    ±3·rsd BOUNDS against an exact count_distinct twin computed here —
+    the r9 gate hash-matched the estimates to exact DISTINCT directly,
+    which only holds while DataSketches HLL is below its exactness
+    threshold (true at the sf0.01 driver fixture, already 0.6% off at
+    sf0.1), so the gate was silently scale-fragile."""
     from thoth_spark.profiler.sketches import rollup_sketches, sketch_profile
 
     ev = _events(spark, sf_dir)
     daily = sketch_profile(ev, "ts", distinct_cols=["user_id", "event_type"])
-    weekly = rollup_sketches(daily, "week")
-    return weekly.select(
+    weekly = rollup_sketches(daily, "week").select(
         F.col("ts").cast("date").alias("ts"),
         "row_count",
         "approx_distinct_user_id",
         "approx_distinct_event_type",
+    )
+    exact = ev.groupBy(
+        F.date_trunc("week", F.date_trunc("day", F.col("ts")))
+        .cast("date")
+        .alias("ts")
+    ).agg(
+        F.count_distinct("user_id").alias("__ex_u"),
+        F.count_distinct("event_type").alias("__ex_e"),
+    )
+
+    def within(est, ex):
+        return (
+            F.abs(F.col(est) - F.col(ex)) / F.col(ex) <= F.lit(_HLL_MARGIN)
+        )
+
+    return weekly.join(exact, "ts").select(
+        "ts",
+        "row_count",
+        within("approx_distinct_user_id", "__ex_u").alias("user_id_within"),
+        within("approx_distinct_event_type", "__ex_e").alias("event_type_within"),
     )
 
 
@@ -8330,7 +8363,7 @@ days AS (SELECT DISTINCT d FROM daily)
 SELECT days.d::DATE AS ts,
        count(DISTINCT daily.d) AS trailing_buckets,
        count(*) AS trailing_rows,
-       count(DISTINCT daily.user_id) AS trailing_distinct_user_id
+       TRUE AS wau_within
 FROM days JOIN daily
   ON daily.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
 GROUP BY 1
@@ -8344,19 +8377,45 @@ def sketch_trailing_wau_events(spark, sf_dir):
     window is then a union of 7 sketch blobs — distincts don't sum
     (overlapping users double-count), which is exactly what the
     mergeable sketch solves, and at 100 TB it turns a 7-day rescan per
-    dashboard point into byte-sized merges. Exact below the HLL
-    promotion threshold, so it hash-matches the exact DISTINCT oracle
-    at fixture cardinality."""
+    dashboard point into byte-sized merges. Gate design (r12):
+    trailing_buckets/trailing_rows stay hash-EXACT (additive); the WAU
+    estimate is gated as a ±3·rsd BOUND against the exact trailing
+    count_distinct computed here via the same day-range join the
+    DuckDB oracle uses (the r9 gate hash-matched the estimate itself,
+    which only holds below the HLL exactness threshold — already 0.8%
+    off at sf0.1)."""
     from thoth_spark.profiler.sketches import sketch_profile, trailing_distinct
 
     ev = _events(spark, sf_dir)
     daily = sketch_profile(ev, "ts", distinct_cols=["user_id"])
-    out = trailing_distinct(daily, window_buckets=7)
-    return out.select(
+    out = trailing_distinct(daily, window_buckets=7).select(
         F.col("ts").cast("date").alias("ts"),
         "trailing_buckets",
         "trailing_rows",
         "trailing_distinct_user_id",
+    )
+    d_ev = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    )
+    days = d_ev.select("d").distinct().withColumnRenamed("d", "wd")
+    exact = (
+        days.join(
+            d_ev,
+            (F.col("d") >= F.col("wd") - F.expr("INTERVAL 6 DAY"))
+            & (F.col("d") <= F.col("wd")),
+        )
+        .groupBy(F.col("wd").cast("date").alias("ts"))
+        .agg(F.count_distinct("user_id").alias("__ex"))
+    )
+    return out.join(exact, "ts").select(
+        "ts",
+        "trailing_buckets",
+        "trailing_rows",
+        (
+            F.abs(F.col("trailing_distinct_user_id") - F.col("__ex"))
+            / F.col("__ex")
+            <= F.lit(_HLL_MARGIN)
+        ).alias("wau_within"),
     )
 
 
