@@ -68,97 +68,80 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot ROUND-12 window. Rotation
+# entries, so this list is exactly the 50-slot ROUND-13 window. Rotation
 # policy: minimize the maximum staleness of any catalogue query's last
 # STRICT driver-green (hash_match is True) row, with never-verified
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
-# from CORRECTNESS_r01-r11 (regenerate with ``python tools/staleness.py``):
-# (a) the 27 queries whose last strict driver-green is r7 — they hit
-#     the 4-round staleness horizon this round and are MANDATORY (the
-#     TPC-H block q1/q3-q5/q7-q14/q17/q19/q22, rollup, set-ops,
-#     sample-hash, lsh-recall, source keywords, streaming curate +
-#     sessionize, text stats, token count, trailing-window revenue,
-#     training order, rolling band);
-# (b) 4 queries whose OPERATOR CODE changes this round — re-scheduled
-#     so the driver's typed-hash gate re-verifies the new code paths,
-#     not just the local DuckDB gate: sample_documents_weighted (the
-#     u=1.0 A-ES edge fix, r11 verdict defect #1), embedding_drift
-#     (O(1)-in-dim array aggregate, r11 verdict #6), and the two BPE
-#     queries (driver-local heap trainer + exact batched fallback,
-#     r11 verdict #2);
-# (b') the FOUR never-green oracles landing this round —
-#     similarity_topk_ivfpq_index_scale_invariance (pruned serve must
-#     be query-scale-invariant now that the prefilter and the ADC mask
-#     share one probe rule — the r11 HIGH advice fix),
-#     leakage_safe_split_documents (near-dup clusters land in one
-#     train/val/test split), and the two RESHAPED sketch gates
-#     (sketch_rollup_weekly / sketch_trailing_wau: exact counts stay
-#     hash-exact, HLL estimates now ±3·rsd bounds vs an exact twin —
-#     the r9 estimate-equals-exact gate was scale-fragile, red at
-#     sf0.1) — mandatory the round they land;
-# (c) 15 of the 50 queries whose last driver-green is r9 — the stalest
-#     remaining block (alphabetically first 15; the other 35 hit the
-#     horizon in r13 and must dominate the r13 window).
+# from CORRECTNESS_r01-r12 (regenerate with ``python tools/staleness.py``):
+# (a) the 34 queries whose last strict driver-green is r9 and that were
+#     NOT in the r12 window — they hit the 4-round staleness horizon
+#     the moment CORRECTNESS_r13 lands, so they are MANDATORY;
+# (b) the never-green oracles landing this round — mandatory the round
+#     they land (r13: the join-based distributed ANN serves that keep
+#     the query set a DataFrame end-to-end — the r12 verdict's one
+#     remaining scale hole — and QUARTER granularity in profile());
+# (c) the stalest slice of the r10-green block (alphabetically first),
+#     pre-rotated so the r14 window can fit the remaining r10 block.
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
 # never the file the current round just produced).
 DRIVER_PRIORITY: list[str] = [
-    # (a) last strict driver-green r7 — at the 4-round horizon, mandatory
-    "rollup_orders",
-    "sample_documents_hash",
-    "set_ops_customers",
-    "similarity_lsh_recall",
-    "source_keywords_documents",
-    "streaming_curate_documents",
-    "streaming_sessionize_events",
-    "text_stats_documents",
-    "token_count_documents",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promotion_effect",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q22_global_sales_opportunity",
-    "trailing_window_revenue",
-    "training_order_documents",
-    "viz_rolling_band_events",
-    # (b) operator code changed in r12 — re-verify through the driver
-    "sample_documents_weighted",
-    "embedding_drift_snapshots",
-    "bpe_merges_documents",
-    "bpe_token_count_documents",
-    # (b') new this round — never driver-verified, mandatory
-    "similarity_topk_ivfpq_index_scale_invariance",
-    "leakage_safe_split_documents",
-    "sketch_rollup_weekly_events",
-    "sketch_trailing_wau_events",
-    # (c) last strict driver-green r9 (alphabetically first 15)
-    "anomaly_multimodel_threshold",
-    "anomaly_scoring_events",
-    "anomaly_seasonal_naive_validation",
-    "anomaly_sm_threshold",
-    "anomaly_sm_validation",
-    "anomaly_sm_window_preds",
-    "bucketed_join_orders_lineitem",
-    "chi2_drift_events",
-    "dedup_containment_capped_documents",
-    "dedup_containment_documents",
-    "dedup_exact_events",
-    "dedup_minhash_components",
-    "dedup_minhash_documents",
-    "dedup_minhash_survivors",
-    "dedup_quality_survivors_documents",
+    # (a) last strict driver-green r9 — at the 4-round horizon, mandatory
+    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_jaccard_documents",
+    "dedup_simhash_documents",
+    "dedup_simhash_pairs_documents",
+    "embedding_dedup_components",
+    "embedding_neardup_lsh",
+    "line_dedup_none_documents",
+    "multimodal_decode_real",
+    "pack_documents",
+    "perplexity_documents",
+    "profile_events_extended",
+    "profile_events_gap_fill",
+    "profile_events_hourly_size",
+    "profile_events_inferred_types",
+    "profile_events_minmax_sum",
+    "profile_events_weekly",
+    "psi_drift_events",
+    "quality_assessment_events",
+    "range_join_transit_orders",
+    "repository_roundtrip_jdbc",
+    "repository_roundtrip_profiling",
+    "similarity_topk_lsh",
+    "similarity_topk_quantized",
+    "streaming_dedup_events",
+    "streaming_sketch_rollup_events",
+    "streaming_watermark_profile_events",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q6_forecast_revenue",
+    "viz_forecast_interval_events",
+    "viz_score_band_events",
+    "viz_series_events",
+    # (b) new this round — never driver-verified, mandatory
+    # (slots swapped in from group (c) as each lands; see git history)
+    # (c) last strict driver-green r10 (alphabetically first 16)
+    "anomaly_ar1_validation",
+    "anomaly_holt_validation",
+    "asof_join_purchase_click",
+    "bm25_multiquery_documents",
+    "bm25_topk_documents",
+    "chunk_documents",
+    "classifier_nb_documents",
+    "classifier_quality_accuracy_bound",
+    "contamination_documents",
+    "corpus_diff_documents",
+    "curate_documents_pipeline",
+    "dedup_exact_documents",
+    "dedup_jaccard_prefix_documents",
+    "dedup_lsh_eval",
+    "dedup_minhash_capped_documents",
+    "dsir_select_documents",
 ]
 
 
