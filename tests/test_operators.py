@@ -3241,6 +3241,69 @@ def test_bpe_greedy_on_same_symbol_runs(spark):
         assert counts[i] == expect, (i, counts[i], expect)
 
 
+def test_safe_batch_multi_gain_bar():
+    """Regression (r12 advice): the old 2T bar was unsound when a
+    competitor pair (X, Y) has BOTH slots colliding with pre-existing
+    string-collision symbols — it then gains from up to three sources
+    ('a1 b1 Y', 'X a2 b2', 'a1 b1 a2 b2') on top of its old value,
+    each bounded only by T, so it can reach ~4T and beat a kept merge
+    that only cleared 2T (the advice's instance: a cnt-98 third merge
+    kept at t_bound=40 while the competitor reaches ~105). The bar for
+    i > 0 is now cnt > 4*t_bound + max(double_max, 0)."""
+    from thoth_spark.operators.tokenizer import _safe_batch
+
+    def rows(*triples):
+        return [{"a": a, "b": b, "cnt": c} for a, b, c in triples]
+
+    # the advice's instance: ranks 2 and 3 clear 2T (>80) but not 4T
+    # (<=160) at t_bound=40 — only the head may be kept
+    r = rows(
+        ("a", "ab", 200), ("c", "d", 150), ("e", "f", 98), ("x", "a", 40)
+    )
+    assert _safe_batch(r, 4, 99) == [("a", "ab")]
+    # with a wide enough margin (every kept rank > 4T) the batch keeps
+    # the full disjoint prefix
+    r = rows(
+        ("a", "b", 900), ("c", "d", 800), ("e", "f", 700), ("x", "a", 40)
+    )
+    assert _safe_batch(r, 4, 99) == [("a", "b"), ("c", "d"), ("e", "f")]
+    # a doubled merge's self-run gain stacks ON TOP of the 4T term:
+    # cnt=205 clears 4*40=160 but not 160 + 100//2
+    r = rows(("a", "a", 100), ("c", "d", 205), ("x", "a", 40))
+    assert _safe_batch(r, 3, 99) == [("a", "a")]
+    r = rows(("a", "a", 100), ("c", "d", 211), ("x", "a", 40))
+    assert _safe_batch(r, 3, 99) == [("a", "a"), ("c", "d")]
+    # the batch head is unconditionally exact — progress is guaranteed
+    r = rows(("a", "b", 50), ("b", "c", 50))
+    assert _safe_batch(r, 1, 99) == [("a", "b")]
+
+
+def test_bpe_distributed_on_collision_prone_corpus(spark):
+    """String-collision corpus (tokens 'a', 'ab', 'aab', 'b' coexist, so
+    merges mint symbols that already exist as tokens): the distributed
+    batched fallback must stay merge-for-merge identical to sequential
+    greedy — this is the corpus shape where the unsound 2T bar could
+    diverge."""
+    from thoth_spark.operators import tokenizer
+
+    texts = [
+        "aab aab aab ab ab a b aab",
+        "a ab a ab aab b b ab",
+        "aa b aa b aab ab aab",
+        "b a b a ab ab aab aab aa",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref, _, _ = _reference_bpe(texts, 8)
+    assert tokenizer.bpe_train(df, n_merges=8) == ref
+    for bk in (2, 64):
+        got = tokenizer.bpe_train(
+            df, n_merges=8, driver_words=0, batch_k=bk
+        )
+        assert got == ref, (bk, got, ref)
+
+
 def test_ivfpq_fullprobe_fullpool_equals_brute(spark):
     from thoth_spark.operators import similarity
 

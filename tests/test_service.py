@@ -149,6 +149,31 @@ def test_e2e_flow_through_standalone_wrappers(spark, events_df, repo):
     with pytest.raises(ValueError):
         th.score("my://nowhere", last_day, repo=repo)
 
+    # ... and assess_quality's guard (reference service_layer.py:388-391):
+    # an unregistered URI or a mistyped ts must fail loudly, never report
+    # "everything good" on zero stored rows (r12 advice)
+    with pytest.raises(ValueError, match="can't be None"):
+        th.assess_quality("my://nowhere", last_day, repo=repo)
+    with pytest.raises(ValueError, match="can't be None"):
+        th.assess_quality(
+            "my://wrapped", datetime.datetime(1999, 1, 1), repo=repo
+        )
+
+    # reference-verbatim POSITIONAL service shape (r12 advice):
+    # service_layer.py:157 puts profiling_builder 3rd — this used to
+    # TypeError on 'multiple values for repo'
+    pos_metrics = th.profile(
+        history, "my://wrapped", SimpleProfilingBuilder(), repo=repo
+    )
+    assert pos_metrics.count() == metrics.count()
+
+    # core KEYWORD shape (r12 advice): profile(df, ts_column=...) used
+    # to pass the None placeholder positionally and collide
+    kw_metrics = th.profile(
+        history, ts_column="ts", profiling_builder=SimpleProfilingBuilder()
+    )
+    assert kw_metrics.count() == metrics.count()
+
     # the SAME root names still dispatch to the composable core flows
     core_metrics = th.profile(
         history, "ts", profiling_builder=SimpleProfilingBuilder()

@@ -74,6 +74,26 @@ def test_float_tolerance_and_nested_containers(spark):
         assert_dataframe_equality(a, b)  # exact mode still catches it
 
 
+def test_float_tolerance_grid_boundary_straddle(spark):
+    """r12 advice: values differing by far less than float_tol but
+    straddling a quantization-grid boundary (0.100004999 vs
+    0.100005001 at tol=1e-5 quantize to adjacent cells) must still
+    compare EQUAL — equality is pairwise isclose on raw values, the
+    grid is only the pairing sort key. Differences beyond the
+    tolerance must still raise."""
+    a = spark.createDataFrame([(1, 0.100004999)], "id int, v double")
+    b = spark.createDataFrame([(1, 0.100005001)], "id int, v double")
+    assert_dataframe_equality(a, b, float_tol=1e-5)
+    c = spark.createDataFrame([(1, 0.100025)], "id int, v double")
+    with pytest.raises(AssertionError, match="different values"):
+        assert_dataframe_equality(a, c, float_tol=1e-5)
+    # NaN still only equals NaN under the tolerant comparator
+    n = spark.createDataFrame([(1, float("nan"))], "id int, v double")
+    assert_dataframe_equality(n, n, float_tol=1e-5)
+    with pytest.raises(AssertionError, match="different values"):
+        assert_dataframe_equality(a, n, float_tol=1e-5)
+
+
 def test_collect_guard(spark):
     big = spark.range(100)
     with pytest.raises(AssertionError, match="max_rows"):

@@ -68,9 +68,21 @@ from thoth_spark.ui import DashboardServer, serve_dashboard
 
 def profile(df, x=None, *args, **kwargs):
     """``profile(df, ts_column, ...)`` (core) or
-    ``profile(df, dataset_uri, repo=...)`` (service, repo-persisted)."""
-    if "repo" in kwargs or (args and isinstance(args[0], MetricsRepository)):
+    ``profile(df, dataset_uri, [profiling_builder,] repo=...)``
+    (service, repo-persisted — positional order matches reference
+    ``service_layer.profile``, so ``profile(df, uri, builder,
+    repo=repo)`` ports verbatim)."""
+    if "repo" in kwargs:
+        if x is None and not args:  # fully-keyword service call
+            return _service.profile(df, **kwargs)
         return _service.profile(df, x, *args, **kwargs)
+    if args and isinstance(args[-1], MetricsRepository):
+        # reference-style trailing positional repo — remap to kw-only
+        return _service.profile(df, x, *args[:-1], repo=args[-1])
+    if x is None:
+        # keyword call shape, e.g. profile(df, ts_column="ts"): never
+        # forward the placeholder positionally (it would collide)
+        return _profile_core(df, *args, **kwargs)
     return _profile_core(df, x, *args, **kwargs)
 
 

@@ -105,32 +105,44 @@ def _safe_batch(
       keeps its exact count. Scanning stops at the FIRST conflicting
       candidate: anything ranked past it is <= its count and can
       never beat the 2T bar below.
-    - *the 2T bar*: after applying the accepted merges, a
-      non-accepted pair's count can EXCEED its old value — merging
-      (a, b) when symbol ``a+b`` already exists adds up to
-      old_count(x, a) occurrences to the existing pair (x, a+b).
-      Both the old value and the gain source are non-accepted
-      touching pairs, each <= T = the best non-accepted count (the
-      first conflict, or the (k+1)-th row bounding the unseen tail),
-      so every such competitor's post-merge count is <= 2T.
-    - *the self-run bar*: a DOUBLED merge (a, a) is its own gain
+    - *the 4T bar*: after applying the accepted merges, a
+      non-accepted competitor pair (X, Y) can EXCEED its old value.
+      Enumerate its post-batch occurrences by which slot was CREATED
+      by an accepted merge (X by (a1, b1), Y by (a2, b2)) vs
+      PRE-EXISTING (a string-collision token — e.g. symbol 'aab'
+      minted by an earlier round's ('aa','b') while this batch
+      accepts ('a','ab')): (pre, pre) is the old count; (created,
+      pre) comes from original runs ``a1 b1 Y``, bounded by
+      old_count(b1, Y); (pre, created) from ``X a2 b2``, bounded by
+      old_count(X, a2); (created, created) from ``a1 b1 a2 b2``,
+      bounded by old_count(b1, a2). All four bounding pairs touch an
+      accepted symbol or are ranked past the scan stop, so each is
+      non-accepted and <= T = the best non-accepted count (the first
+      conflict, or the (k+1)-th row bounding the unseen tail). A
+      competitor's post-merge count is therefore <= 4T — the old 2T
+      bar (one gain source) was NOT sufficient exactly when both
+      slots collide with pre-existing symbols (r12 advice: a cnt-98
+      kept merge at t_bound=40 could lose to a ~105 multi-gain
+      competitor).
+    - *the self-run term*: a DOUBLED merge (a, a) is its own gain
       source — in a run ``aaaa`` the new ``(aa, aa)`` adjacencies come
-      from the accepted pair itself, up to cnt(a, a)/2 of them (plus
-      <= T pre-existing), a competitor the 2T bar cannot see (caught
-      by test_bpe_greedy_on_same_symbol_runs: after merging (a, a)
+      from the accepted pair itself, up to cnt(a, a)/2 of them, a
+      gain the touching-pair argument cannot see (caught by
+      test_bpe_greedy_on_same_symbol_runs: after merging (a, a)
       with count 22, (aa, aa) appears with count 8 and must win round
       2 over the disjoint (., .) at 5). Each kept winner after a
-      doubled one must therefore also STRICTLY beat
-      T + max(cnt_i // 2) over the earlier kept doubled merges.
-      (Alternating a != b runs need no extra bar: their gain source
-      (b, a) is a touching pair, already under T.)
+      doubled one must therefore also clear max(cnt_i // 2) over the
+      earlier kept doubled merges ON TOP of the 4T term — a single
+      competitor can combine collision gains with a self-run gain.
+      (Alternating a != b runs need no extra term: their gain source
+      (b, a) is a touching pair, already inside the 4T budget.)
 
-    Keeping winners strictly above both bars guarantees the
-    sequential argmax (with its (cnt, a, b) tie-break) would have
-    picked them in exactly this order; both bars are monotone in rank,
-    so the kept set is a prefix. The batch head is always exact — it
-    IS this round's argmax — so progress is guaranteed even when the
-    guards trim everything else.
+    Keeping winners strictly above 4T + max(double_max, 0)
+    guarantees the sequential argmax (with its (cnt, a, b) tie-break)
+    would have picked them in exactly this order; the bar is monotone
+    in rank, so the kept set is a prefix. The batch head is always
+    exact — it IS this round's argmax — so progress is guaranteed
+    even when the guard trims everything else.
     """
     accepted: list[tuple[str, str, int]] = []
     blocked: set[str] = set()
@@ -147,7 +159,7 @@ def _safe_batch(
     batch: list[tuple[str, str]] = []
     double_max = -1  # max cnt // 2 over kept doubled merges so far
     for i, (a, b, cnt) in enumerate(accepted):
-        if i > 0 and (cnt <= 2 * t_bound or cnt <= t_bound + double_max):
+        if i > 0 and cnt <= 4 * t_bound + max(double_max, 0):
             break
         batch.append((a, b))
         if a == b:

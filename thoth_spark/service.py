@@ -233,11 +233,14 @@ def select_profiling(
 def profile(
     df: DataFrame,
     dataset_uri: str,
-    repo: MetricsRepository,
     profiling_builder: ProfilingBuilder | None = None,
+    *,
+    repo: MetricsRepository,
 ) -> DataFrame:
     """Profile a REGISTERED dataset and persist the metrics — reference
     ``service_layer.profile`` (``service_layer.py:157-205``): the
+    positional order matches the reference (``profiling_builder`` third,
+    so ``profile(df, uri, builder, repo=repo)`` ports verbatim), the
     ts-column and granularity come from the dataset registration (use
     :func:`profile_create` to register-and-profile in one step), and an
     unregistered URI raises :class:`ThothServiceError`, exactly the
@@ -358,6 +361,13 @@ def assess_quality(
         if scoring is not None
         else repo.select_scoring(dataset_uri, start_ts=ts, end_ts=ts)
     )
+    # Reference service_layer.py:388-391: an unregistered URI or a
+    # mistyped ts yields EMPTY stored frames; the gate must fail loudly,
+    # not report "everything good" on zero anomaly rows.
+    if scoring_df.limit(1).count() == 0 or opt_df.limit(1).count() == 0:
+        raise ValueError(
+            "scoring and optimization can't be None. Values were not found in repo."
+        )
     return _assess_quality_core(
         opt_df,
         scoring_df,

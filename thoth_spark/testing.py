@@ -27,10 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _comparable(value: Any, float_tol: float) -> Any:
-    """Rounded/canonical form of one value for tolerance-aware compare:
-    floats quantize to the tolerance grid (tol=0 keeps them exact), and
-    containers recurse so array<double>/struct/map columns compare the
-    same way scalars do."""
+    """Rounded/canonical form of one value, used only as the SORT KEY
+    for row pairing: floats quantize to the tolerance grid (tol=0 keeps
+    them exact), and containers recurse so array<double>/struct/map
+    columns sort the same way scalars do. Equality itself is decided by
+    :func:`_close` on the raw values — grid quantization alone would
+    call two values unequal that differ by far less than ``float_tol``
+    but straddle a grid boundary (r12 advice)."""
     if isinstance(value, float):
         if math.isnan(value):
             return "NaN"
@@ -40,6 +43,28 @@ def _comparable(value: Any, float_tol: float) -> Any:
     if isinstance(value, (list, tuple)):
         return [_comparable(v, float_tol) for v in value]
     return value
+
+
+def _close(a: Any, b: Any, float_tol: float) -> bool:
+    """Tolerance-aware recursive equality on RAW collected values:
+    numerics compare with ``math.isclose(abs_tol=float_tol)`` (NaN only
+    equals NaN), containers recurse, everything else is ``==``."""
+    a_num, b_num = isinstance(a, (int, float)), isinstance(b, (int, float))
+    if a_num and b_num:
+        a_nan = isinstance(a, float) and math.isnan(a)
+        b_nan = isinstance(b, float) and math.isnan(b)
+        if a_nan or b_nan:
+            return a_nan and b_nan
+        if float_tol <= 0:
+            return a == b
+        return math.isclose(a, b, rel_tol=0.0, abs_tol=float_tol)
+    if isinstance(a, dict) and isinstance(b, dict):
+        return set(a) == set(b) and all(_close(a[k], b[k], float_tol) for k in a)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            _close(x, y, float_tol) for x, y in zip(a, b)
+        )
+    return a == b
 
 
 def assert_dataframe_equality(
@@ -75,16 +100,22 @@ def assert_dataframe_equality(
         )
 
     def rows_of(df: DataFrame) -> list:
-        data = [
-            _comparable(r.asDict(recursive=True), float_tol)
-            for r in df.select(*out_cols).collect()
-        ]
-        return sorted(data, key=lambda d: repr(sorted(d.items())))
+        data = [r.asDict(recursive=True) for r in df.select(*out_cols).collect()]
+        # sort raw rows by their grid-quantized key; compare with
+        # _close so near-equal values straddling a grid cell still pair
+        return sorted(
+            data,
+            key=lambda d: repr(sorted(_comparable(d, float_tol).items())),
+        )
 
     output_data, target_data = rows_of(output_df), rows_of(target_df)
-    if output_data != target_data:
+    if not all(
+        _close(o, t, float_tol) for o, t in zip(output_data, target_data)
+    ):
         diff = [
-            (o, t) for o, t in zip(output_data, target_data) if o != t
+            (o, t)
+            for o, t in zip(output_data, target_data)
+            if not _close(o, t, float_tol)
         ][:10]
         raise AssertionError(
             "DataFrames have different values:\n"
