@@ -3391,3 +3391,77 @@ def test_ivfpq_residual_beats_global_adc(spark):
     g, r = adc_hits(False), adc_hits(True)
     assert r > g, (r, g)  # measured (g, r) = (7, 12) on this fixture
     assert r / brute.count() >= 0.4, r / brute.count()
+
+
+def test_ivf_index_join_serve_matches_collect_path(spark, tmp_path):
+    """r12 verdict #2 (the one remaining scale hole): the join-based
+    serve keeps the query set a DataFrame end-to-end and must return
+    EXACTLY the collect path's rows — float layout, SQ8 approximate,
+    and SQ8 + exact rerank, at partial and full probe."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(5)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+    for quantize in (False, True):
+        path = str(tmp_path / f"ivf_{quantize}")
+        similarity.build_ivf_index(emb, path, centroids=cents, quantize=quantize)
+        reranks = [None, emb] if quantize else [None]
+        for rc in reranks:
+            for nprobe in (2, 8):
+                kw = {"rerank_corpus": rc} if rc is not None else {}
+                got = similarity.ivf_query_index_join(
+                    spark, path, queries, k=3, nprobe=nprobe, **kw
+                )
+                want = similarity.ivf_query_index(
+                    spark, path, queries, k=3, nprobe=nprobe, **kw
+                )
+                gr = sorted(map(tuple, got.collect()))
+                wr = sorted(map(tuple, want.collect()))
+                assert gr == wr and len(gr) == 15, (quantize, nprobe, rc is None)
+
+
+def test_ivfpq_index_join_serve_matches_collect_path(spark, tmp_path):
+    """The IVF-PQ join serve (probe rule, ADC association, and rerank
+    contract shared with the collect path) must match it row-for-row on
+    global-code AND residual layouts, and must be query-scale-invariant
+    (the whole dataflow ranks on cosine)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(5)
+    for residual in (False, True):
+        path = str(tmp_path / f"ivfpq_{residual}")
+        similarity.build_ivfpq_index(
+            emb, path, n_centroids=8, m_subspaces=8, n_codes=16,
+            residual=residual,
+        )
+        for nprobe in (2, 8):
+            got = similarity.ivfpq_query_index_join(
+                spark, path, queries, emb, k=3, nprobe=nprobe, rerank_pool=15
+            )
+            want = similarity.ivfpq_query_index(
+                spark, path, queries, emb, k=3, nprobe=nprobe, rerank_pool=15
+            )
+            gr = sorted(map(tuple, got.collect()))
+            wr = sorted(map(tuple, want.collect()))
+            assert gr == wr and len(gr) == 15, (residual, nprobe)
+        # non-unit-norm queries serve identically (same neighbor ranking)
+        scaled = queries.withColumn(
+            "embedding", F.transform(F.col("embedding"), lambda x: x * 7.0)
+        )
+        unit = similarity.ivfpq_query_index_join(
+            spark, path, queries, emb, k=3, nprobe=2, rerank_pool=15
+        )
+        sc = similarity.ivfpq_query_index_join(
+            spark, path, scaled, emb, k=3, nprobe=2, rerank_pool=15
+        )
+        u = sorted((r[0], r[1], r[3]) for r in unit.collect())
+        s = sorted((r[0], r[1], r[3]) for r in sc.collect())
+        assert u == s, residual

@@ -717,3 +717,57 @@ def test_lloyd_refine_mean_update_partial_aggregates(spark, sf_dir):
         .agg(F.round(F.avg("x"), 6).alias("m"))
     )
     assert "partial_avg" in _plan(cells)
+
+
+def test_ann_join_serve_query_side_stays_distributed(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r12 verdict #2 lock: the join-based index serves must never
+    collect QUERY VECTORS to the driver — only model-sized artifacts
+    (centroids/codebooks: 'vector' columns from the index dir) and the
+    bounded probed-cell set ('cell' only, <= n_centroids rows). A spy on
+    DataFrame.collect records every collected schema during plan
+    construction; the plan itself must show the salted cell equi-join
+    and partition pruning on the cells scan."""
+    from thoth_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    DataFrame = type(emb)  # the concrete class (classic vs connect)
+    queries = emb.limit(5)
+    path = str(tmp_path / "ivf_join_lock")
+    pq_path = str(tmp_path / "ivfpq_join_lock")
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+    similarity.build_ivfpq_index(
+        emb, pq_path, n_centroids=8, m_subspaces=8, n_codes=16
+    )
+
+    real_collect = DataFrame.collect
+    collected: list[list[str]] = []
+
+    def spy(self):
+        collected.append(list(self.columns))
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+
+    got = similarity.ivf_query_index_join(spark, path, queries, k=3, nprobe=2)
+    got_pq = similarity.ivfpq_query_index_join(
+        spark, pq_path, queries, emb, k=3, nprobe=2, rerank_pool=10
+    )
+    assert len(real_collect(got)) == 15
+    assert len(real_collect(got_pq)) == 15
+    for cols in collected:
+        assert "embedding" not in cols and "qv" not in cols, collected
+    # spy sanity: the collect-based serve DOES pull query vectors
+    similarity.ivfpq_query_index(
+        spark, pq_path, queries, emb, k=3, nprobe=2, rerank_pool=10
+    )
+    assert any("embedding" in cols for cols in collected)
+
+    monkeypatch.setattr(DataFrame, "collect", real_collect)
+    for df in (got, got_pq):
+        plan = _plan(df)
+        assert "__salt" in plan, plan[:2000]  # de-skewed cell join
+        assert "PartitionFilters: [cell" in plan or re.search(
+            r"PartitionFilters: \[.*cell", plan
+        ), plan[:2000]

@@ -125,7 +125,9 @@ DRIVER_PRIORITY: list[str] = [
     "viz_series_events",
     # (b) new this round — never driver-verified, mandatory
     # (slots swapped in from group (c) as each lands; see git history)
-    # (c) last strict driver-green r10 (alphabetically first 16)
+    "similarity_topk_ivf_index_join_serve",
+    "similarity_topk_ivfpq_index_join_serve",
+    # (c) last strict driver-green r10 (alphabetically first 14)
     "anomaly_ar1_validation",
     "anomaly_holt_validation",
     "asof_join_purchase_click",
@@ -140,8 +142,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_documents",
     "dedup_jaccard_prefix_documents",
     "dedup_lsh_eval",
-    "dedup_minhash_capped_documents",
-    "dsir_select_documents",
 ]
 
 
@@ -5299,6 +5299,52 @@ def similarity_topk_ivfpq_index_fullprobe(spark, sf_dir):
     loses nothing."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivfpq_query_index(
+        spark,
+        _ivfpq_index_dir(spark, sf_dir),
+        emb.where(F.col("vec_id") < 10),
+        rerank_corpus=emb,
+        k=5,
+        nprobe=8,
+        rerank_pool=1_000_000_000,
+    )
+
+
+@query("similarity_topk_ivf_index_join_serve", ORACLE_TOPK_EMB)
+def similarity_topk_ivf_index_join_serve(spark, sf_dir):
+    """The JOIN-BASED persisted-index serve (r12 verdict #2: the last
+    collect() scale hole): similarity.ivf_query_index_join keeps the
+    query set a DataFrame end-to-end — cell assignment via the
+    Arrow-batched centroid UDF, candidates from a salted equi-join
+    queries×cells (de-skewing the n_centroids-key join), JVM-side
+    cosine, per-query window cut; only centroids and the bounded
+    probed-cell set ever reach the driver (plan-locked by
+    tests/test_plans.py::test_ann_join_serve_query_side_stays_distributed).
+    At nprobe = n_centroids the result equals exact brute force, so the
+    dataflow hash-verifies against the same top-k oracle as the collect
+    path — and a pytest pins join == collect at partial probe too."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_query_index_join(
+        spark,
+        _ivf_index_dir(spark, sf_dir),
+        emb.where(F.col("vec_id") < 10),
+        k=5,
+        nprobe=8,
+    )
+
+
+@query("similarity_topk_ivfpq_index_join_serve", ORACLE_TOPK_EMB)
+def similarity_topk_ivfpq_index_join_serve(spark, sf_dir):
+    """The IVF-PQ join serve (similarity.ivfpq_query_index_join): probe
+    sets from the one normalized _ivfpq_probe rule, candidates from the
+    salted cell equi-join (the join IS the probe mask — no in-UDF isin
+    over a collected query list), ADC in a vectorized pandas UDF with
+    only the codebooks in the closure, exact rerank joining corpus and
+    queries by key. Full probe + unbounded pool ⇒ equals exact brute
+    force ⇒ hash-verifiable; the ANN-join workloads (dedup-by-ANN,
+    corpus-vs-corpus retrieval) run this exact dataflow with a query
+    TABLE instead of a probe batch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_query_index_join(
         spark,
         _ivfpq_index_dir(spark, sf_dir),
         emb.where(F.col("vec_id") < 10),

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, IntegerType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1535,4 +1535,285 @@ def ivfpq_query_index(
         vec_col=vec_col,
         id_type=_col_type(rerank_corpus, id_col),
         q_rows=q_rows,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-based index serving: the query set stays a DataFrame end-to-end.
+#
+# The collect-based serves above (`ivf_query_index`, `ivfpq_query_index`,
+# `brute_force_topk_pandas`, `pq_topk`) ship the query batch to every task
+# in a UDF closure — the right physical strategy for the serve-a-probe-
+# batch contract (queries are a bounded batch by design), but a driver
+# bottleneck the moment a user points them at a query TABLE: dedup-by-ANN,
+# corpus-vs-corpus retrieval, bulk re-embedding joins. These variants keep
+# queries distributed: only the model-sized artifacts (centroid matrix,
+# PQ codebooks — KBs to a few MB) ride in closures/broadcasts, the
+# query×cell match is an equi-join, and scoring runs over the joined
+# frame. Crossover note (SCALE.md): below ~10⁴ queries the closure path
+# wins (no query-side shuffle); above it — and always when the query set
+# is itself a table — use these.
+# ---------------------------------------------------------------------------
+
+
+def _salted(df: DataFrame, key_col: str, salt: int) -> DataFrame:
+    """Corpus side of a de-skewed cell join: a deterministic salt from
+    the row id. A cell equi-join has only ``n_centroids`` distinct keys
+    — unsalted, each inverted list funnels through ONE reducer; salted,
+    a list fans out over ``salt`` reducers (AQE skew-join splitting
+    helps too, but the salt keeps the plan robust when AQE is off)."""
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt)).cast("int")
+    )
+
+
+def _replicated(q: DataFrame, salt: int) -> DataFrame:
+    """Query side of the de-skewed join: each probe row replicates over
+    every salt value (queries × nprobe × salt rows — the cheap side)."""
+    return q.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+
+
+def ivf_query_index_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_corpus: DataFrame | None = None,
+    rerank: int | None = None,
+    salt: int = 8,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """Serve a persisted :func:`build_ivf_index` layout with a
+    DATAFRAME-sized query set — same results as :func:`ivf_query_index`
+    (pinned by ``test_ivf_index_join_serve_matches_collect_path``), no
+    driver collect of the query side:
+
+    - cell assignment is the same Arrow-batched
+      :func:`nearest_cells_udf` (centroid matrix in the closure, O(1)
+      in n_centroids), exploded to one row per (query, probed cell);
+    - the candidate match is a salted equi-join queries×cells on
+      ``(cell, __salt)`` — Catalyst/AQE picks broadcast for a small
+      query frame and a de-skewed shuffle join for a large one;
+    - ``prune_cells`` keeps static partition pruning: the distinct
+      probed-cell set is bounded by ``n_centroids`` (a model-sized
+      collect, never query- or corpus-sized); disable it for
+      corpus-vs-corpus serves that probe every cell anyway;
+    - scoring is JVM-side (:func:`cosine` / :func:`_dequantized_cos`
+      higher-order expressions — no Python in the hot path), top-k a
+      per-query window, exactly the collect path's cut.
+
+    SQ8 layouts quantize the query side with the same
+    :func:`scalar_quantize` expressions (distributed, not collected);
+    pass ``rerank_corpus`` to recover exactness as in
+    :func:`ivf_query_index`."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cent_mat = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "cell", F.explode(nearest_cells_udf(cent_mat, nprobe)(F.col("qv")))
+    )
+    cells = spark.read.parquet(f"{path}/cells")
+    if prune_cells:
+        probe_cells = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
+        cells = cells.where(F.col("cell").isin(probe_cells))
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    if "qvec" in cells.columns:  # SQ8 layout
+        qvec = F.col("qv")
+        amax = F.array_max(F.transform(qvec, lambda x: F.abs(x)))
+        qscale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+        qq = _replicated(
+            q.select(
+                "query_id",
+                "qv",
+                "cell",
+                F.transform(
+                    qvec, lambda x: F.round(x / qscale).cast("int")
+                ).alias("q_qvec"),
+                qscale.alias("q_scale"),
+                norm(qvec).alias("q_vnorm"),
+            ),
+            salt,
+        )
+        approx = (
+            _salted(cells, "vec_id", salt)
+            .withColumnRenamed("vec_id", "neighbor_id")
+            .join(qq, on=["cell", "__salt"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("approx_cos", _dequantized_cos())
+        )
+        if rerank_corpus is None:
+            scored = approx.withColumn("cos_sim", F.col("approx_cos"))
+        else:
+            n_cand = rerank or 10 * k
+            w_a = W.partitionBy("query_id").orderBy(
+                F.col("approx_cos").desc(), F.col("neighbor_id")
+            )
+            cands = (
+                approx.withColumn("arank", F.row_number().over(w_a))
+                .where(F.col("arank") <= n_cand)
+                .select("neighbor_id", "query_id", "qv")
+            )
+            exact_c = rerank_corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
+            scored = cands.join(exact_c, "neighbor_id").withColumn(
+                "cos_sim", cosine(F.col("qv"), F.col("cv"))
+            )
+    else:
+        scored = (
+            _salted(cells, "vec_id", salt)
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                "cell",
+                "__salt",
+            )
+            .join(_replicated(q, salt), on=["cell", "__salt"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def ivfpq_query_index_join(
+    spark,
+    path: str,
+    queries: DataFrame,
+    rerank_corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 8,
+    prune_cells: bool = True,
+) -> DataFrame:
+    """Serve a persisted :func:`build_ivfpq_index` layout with a
+    DATAFRAME-sized query set — the join twin of
+    :func:`ivfpq_query_index` (same probe rule, same ADC math, same
+    exact-rerank contract; pinned by
+    ``test_ivfpq_index_join_serve_matches_collect_path``):
+
+    - the probe set comes from the SAME normalized rule as every other
+      IVF-PQ consumer (:func:`_ivfpq_probe` over Arrow batches — the
+      r11 scale-invariance fix carries over by construction);
+    - candidates come from the salted equi-join queries×codes on
+      ``(cell, __salt)`` — the join IS the probe mask, so no in-UDF
+      isin over a collected query list;
+    - ADC runs in a vectorized pandas UDF over the joined frame with
+      only the codebooks (m × n_codes × d_sub doubles) in the closure:
+      per batch, gather each row's code vectors and dot them against
+      the row's normalized query sub-vectors (same
+      dot-over-d-then-sum-over-s association as the LUT path), plus
+      the q̂·ĉ_cell bias for residual layouts;
+    - global ADC top-``max(k, rerank_pool)`` per query (window), then
+      the exact cosine rerank joins ``rerank_corpus`` and the query
+      frame by key — never broadcasting or collecting the query side.
+    """
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cent = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "c").collect()
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    m, n_c = meta["m_subspaces"], meta["n_codes"]
+    residual = bool(meta["residual"])
+    cb = np.asarray(
+        [r["vector"] for r in cb_rows], dtype=np.float64
+    ).reshape(m, n_c, -1)
+    d_sub = cb.shape[2]
+    cent_hat = _normalized_rows(cent)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            qm = _normalized_rows(
+                np.stack(vecs.to_numpy()).astype(np.float64)
+            )
+            yield pd.Series(
+                list(_ivfpq_probe(qm, cent, nprobe).astype(np.int32))
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("cell", F.explode(probe_udf(F.col("qv"))))
+    encoded = spark.read.parquet(f"{path}/cells")
+    if prune_cells:
+        probe_cells = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
+        encoded = encoded.where(F.col("cell").isin(probe_cells))
+
+    sub_idx = np.arange(m)[None, :]
+
+    @pandas_udf(DoubleType())
+    def adc_udf(
+        qvs: pd.Series, codes: pd.Series, cells_s: pd.Series
+    ) -> pd.Series:
+        qm = _normalized_rows(np.stack(qvs.to_numpy()).astype(np.float64))
+        b = qm.shape[0]
+        cd = np.stack(codes.to_numpy()).astype(np.int64)  # (b, m)
+        sel = cb[sub_idx, cd]  # (b, m, d_sub)
+        sims = (qm.reshape(b, m, d_sub) * sel).sum(axis=2).sum(axis=1)
+        if residual:
+            cells_arr = cells_s.to_numpy().astype(np.int64)
+            sims = sims + (qm * cent_hat[cells_arr]).sum(axis=1)
+        return pd.Series(sims)
+
+    pool = max(k, rerank_pool)
+    scored = (
+        _salted(encoded, "id", salt)
+        .select(
+            F.col("id").alias("neighbor_id"), "codes", "cell", "__salt"
+        )
+        .join(_replicated(q, salt), on=["cell", "__salt"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_score", adc_udf(F.col("qv"), F.col("codes"), F.col("cell"))
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= pool
+    )
+    c = rerank_corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    exact = (
+        ranked.select("query_id", "neighbor_id", "qv")
+        .join(c, "neighbor_id")
+        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
     )
