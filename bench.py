@@ -289,22 +289,32 @@ def _short(n: str) -> str:
 #: idle-machine baselines for the _calibrate sentinels, measured on this
 #: container at load-average 0 (SCALE.md "Calibration baselines").
 IDLE_CPU_MATMUL_S = 0.8
-#: a run whose mean cpu sentinel exceeds idle by this factor is flagged
-#: contended — r8-r10 artifacts each needed after-the-fact adjudication
-#: of exactly this condition.
+#: idle baseline for the fixed Spark aggregation sentinel — the mean of
+#: the r11 quiet-round pair ([0.353, 0.232] → 0.29); r10/r12 means sit
+#: at 0.31/0.34 on drifting environments.
+IDLE_SPARK_AGG_S = 0.29
+#: a run whose worse sentinel ratio exceeds idle by this factor is
+#: flagged contended — r8-r10 artifacts each needed after-the-fact
+#: adjudication of exactly this condition.
 CONTENDED_FACTOR = 1.5
 
 
 def contention_verdict(calibration) -> tuple[float, bool]:
     """(cal_factor, contended) from the ``[cpu0, spark0, cpu1, spark1]``
-    sentinel list: cal_factor = mean cpu-matmul wall over the idle
-    baseline. The cpu sentinel (not the spark one) is the basis because
-    it is independent of JVM/cache state accumulated by the bench
-    itself. ``total / cal_factor`` is the first-order quiet-machine
-    estimate of a contended run's wall (CPU-bound local[32] scales
-    ~linearly with available cycles)."""
+    sentinel list: cal_factor = the WORSE of the two sentinel-over-idle
+    ratios. The cpu matmul catches machine-level CPU contention; the
+    fixed Spark aggregation catches a slower-JVM/IO environment the
+    matmul is blind to — r12 shipped a fleet-wide ~17% wall regression
+    as ``contended: false`` because its cpu sentinel was FASTER than
+    idle while ``spark_agg_s`` rose 15% (r12 verdict watch item).
+    ``total / cal_factor`` is the first-order quiet-machine estimate of
+    a degraded run's wall (CPU-bound local[32] scales ~linearly with
+    available cycles)."""
     cpu = (calibration[0] + calibration[2]) / 2.0
-    factor = round(max(cpu / IDLE_CPU_MATMUL_S, 1.0), 2)
+    jvm = (calibration[1] + calibration[3]) / 2.0
+    factor = round(
+        max(cpu / IDLE_CPU_MATMUL_S, jvm / IDLE_SPARK_AGG_S, 1.0), 2
+    )
     return factor, factor >= CONTENDED_FACTOR
 
 

@@ -528,3 +528,35 @@ def test_bench_tail_collision_falls_back_to_full_names():
     parsed = _json.loads(line)
     assert set(parsed["queries"]) == set(timings)
     assert parsed["ratios"] == [None, None]
+
+
+def test_bench_contention_verdict_sees_slow_jvm():
+    """r12 verdict watch item: the r12 bench regressed ~17% fleet-wide
+    yet shipped ``contended: false`` because the sentinel keyed only on
+    the cpu matmul (which was FASTER than idle) while ``spark_agg_s``
+    rose 15%. cal_factor must now be the WORSE sentinel ratio, so a
+    slower-JVM/IO environment can never ship undiscounted."""
+    import bench
+
+    idle = [bench.IDLE_CPU_MATMUL_S, bench.IDLE_SPARK_AGG_S] * 2
+    assert bench.contention_verdict(idle) == (1.0, False)
+
+    # r12's actual calibration: fast cpu, slow jvm -> factor > 1
+    factor, contended = bench.contention_verdict([0.748, 0.406, 0.646, 0.268])
+    assert factor > 1.1 and not contended  # discounted, below hard flag
+
+    # jvm-only contention crosses the hard flag even with an idle cpu
+    slow_jvm = [
+        bench.IDLE_CPU_MATMUL_S,
+        bench.IDLE_SPARK_AGG_S * 2.0,
+    ] * 2
+    factor, contended = bench.contention_verdict(slow_jvm)
+    assert factor >= 2.0 and contended
+
+    # cpu contention still flags exactly as before
+    slow_cpu = [
+        bench.IDLE_CPU_MATMUL_S * 2.0,
+        bench.IDLE_SPARK_AGG_S,
+    ] * 2
+    factor, contended = bench.contention_verdict(slow_cpu)
+    assert factor >= 2.0 and contended
