@@ -197,6 +197,26 @@ def test_granularities(spark):
     assert {(r["ts"].hour, r["value"]) for r in hourly.collect()} == {(10, 2.0), (11, 1.0)}
     monthly = profile(df, "ts", ProfilingBuilder(analyzers=[Size()]), Granularity.MONTH)
     assert [r["value"] for r in monthly.collect()] == [3.0]
+    # r12 verdict #3: QUARTER/YEAR were accepted by sketch_profile but
+    # not profile(); Granularity now carries the full date_trunc set
+    rows2 = rows + [
+        (4.0, datetime.datetime(2022, 8, 2, 9, 0)),
+        (5.0, datetime.datetime(2023, 1, 15, 9, 0)),
+    ]
+    df2 = spark.createDataFrame(rows2, "v double, ts timestamp")
+    quarterly = profile(
+        df2, "ts", ProfilingBuilder(analyzers=[Size()]), Granularity.QUARTER
+    )
+    assert {
+        ((r["ts"].year, r["ts"].month), r["value"]) for r in quarterly.collect()
+    } == {((2022, 4), 3.0), ((2022, 7), 1.0), ((2023, 1), 1.0)}
+    yearly = profile(
+        df2, "ts", ProfilingBuilder(analyzers=[Size()]), Granularity.YEAR
+    )
+    assert {(r["ts"].year, r["value"]) for r in yearly.collect()} == {
+        (2022, 4.0),
+        (2023, 1.0),
+    }
 
 
 def test_profile_is_single_job_for_single_pass_analyzers(spark, events_df):

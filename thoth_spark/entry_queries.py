@@ -127,7 +127,8 @@ DRIVER_PRIORITY: list[str] = [
     # (slots swapped in from group (c) as each lands; see git history)
     "similarity_topk_ivf_index_join_serve",
     "similarity_topk_ivfpq_index_join_serve",
-    # (c) last strict driver-green r10 (alphabetically first 14)
+    "profile_events_quarterly",
+    # (c) last strict driver-green r10 (alphabetically first 13)
     "anomaly_ar1_validation",
     "anomaly_holt_validation",
     "asof_join_purchase_click",
@@ -141,7 +142,6 @@ DRIVER_PRIORITY: list[str] = [
     "curate_documents_pipeline",
     "dedup_exact_documents",
     "dedup_jaccard_prefix_documents",
-    "dedup_lsh_eval",
 ]
 
 
@@ -3134,6 +3134,43 @@ def profile_events_monthly(spark, sf_dir):
     df = _events(spark, sf_dir).select("ts", "value")
     m = profile(
         df, "ts", ProfilingBuilder(analyzers=[Mean("value"), Size()]), Granularity.MONTH
+    )
+    return m.select(
+        F.col("ts").cast("date").alias("ts"),
+        "entity",
+        "instance",
+        "name",
+        F.round("value", 6).alias("value"),
+    )
+
+
+ORACLE_QUARTERLY = """
+SELECT q::DATE AS ts, entity, instance, name, round(value, 6) AS value FROM (
+  SELECT date_trunc('quarter', ts::TIMESTAMP) AS q, 'Dataset' AS entity,
+         '*' AS instance, 'Size' AS name, count(*)::DOUBLE AS value
+  FROM events GROUP BY 1
+  UNION ALL
+  SELECT date_trunc('quarter', ts::TIMESTAMP), 'Column', 'value', 'Mean',
+         avg(value)
+  FROM events GROUP BY 1
+) t
+"""
+
+
+@query("profile_events_quarterly", ORACLE_QUARTERLY)
+def profile_events_quarterly(spark, sf_dir):
+    """QUARTER granularity (r12 verdict #3: profile() accepted only
+    DAY/HOUR/WEEK/MONTH while sketch_profile also rolls up to
+    quarter/year — a user rolling up to quarter hit the asymmetry;
+    Granularity now carries the full date_trunc set)."""
+    from thoth_spark.profiler import Mean
+
+    df = _events(spark, sf_dir).select("ts", "value")
+    m = profile(
+        df,
+        "ts",
+        ProfilingBuilder(analyzers=[Mean("value"), Size()]),
+        Granularity.QUARTER,
     )
     return m.select(
         F.col("ts").cast("date").alias("ts"),
