@@ -3465,3 +3465,39 @@ def test_ivfpq_index_join_serve_matches_collect_path(spark, tmp_path):
         u = sorted((r[0], r[1], r[3]) for r in unit.collect())
         s = sorted((r[0], r[1], r[3]) for r in sc.collect())
         assert u == s, residual
+
+
+def test_semdedup_auto_n_clusters_scales_with_corpus(spark):
+    """r12 verdict #6: n_clusters left None is DERIVED from the corpus
+    count (max(16, ceil(n_rows / target_cluster_size)), clamped to
+    max_train // 64) so the within-cluster quadratic cannot silently
+    blow up when a caller forgets the knob at 100x scale — expected
+    cluster size tracks target_cluster_size instead of n_rows/16."""
+    import numpy as np
+
+    from thoth_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)]) for i in range(n)],
+            "vec_id long, embedding array<double>",
+        )
+
+    small, big = {}, {}
+    similarity.semdedup(
+        corpus(200), stats=small, target_cluster_size=50
+    ).count()
+    similarity.semdedup(
+        corpus(2000), stats=big, target_cluster_size=50
+    ).count()
+    assert small["n_clusters"] == 16  # floor
+    assert big["n_clusters"] == 40  # ceil(2000 / 50): 10x corpus, 2.5x knob
+    # the clamp keeps >= 64 training points per centroid under a small
+    # training budget
+    clamped = {}
+    similarity.semdedup(
+        corpus(2000), stats=clamped, target_cluster_size=50, max_train=1280
+    ).count()
+    assert clamped["n_clusters"] == 20  # 1280 // 64

@@ -624,12 +624,13 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     seed: int = 42,
     max_train: int = 65536,
     centroids: np.ndarray | None = None,
     max_iterations: int = 15,
     stats: dict | None = None,
+    target_cluster_size: int = 2048,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space with K-Means, find
@@ -655,7 +656,15 @@ def semdedup(
     Candidate volume is thus Σ|distinct-in-cluster|² — ``n_clusters``
     is still THE knob and must grow with the corpus (the paper uses
     ~100k clusters at 1e8 docs; keep expected cluster size in the low
-    thousands). Centroid training is bounded at ``max_train`` sampled
+    thousands). Left ``None`` (r12 verdict #6: the manual knob could
+    silently blow up the quadratic when a caller forgot it at 100×
+    scale), it is DERIVED from one cheap ``count()``:
+    ``max(16, ceil(n_rows / target_cluster_size))``, clamped so the
+    bounded training sample keeps >= 64 points per centroid
+    (``max_train // 64``) — raise ``max_train`` together with the
+    corpus for paper-scale cluster counts. The chosen value is
+    reported in ``stats["n_clusters"]``.
+    Centroid training is bounded at ``max_train`` sampled
     rows regardless of corpus size, assignment is one Arrow-batched
     matmul pass (centroid matrix in the UDF closure, plan O(1) in
     ``n_clusters``), and survivor selection reuses
@@ -666,6 +675,13 @@ def semdedup(
     ``{"n_rows", "n_distinct_vectors", "n_rep_pairs"}``."""
     from thoth_spark.operators.dedup import quality_survivors
 
+    if n_clusters is None and centroids is None:
+        n_rows = df.count()
+        n_clusters = int(
+            max(16, min(-(-n_rows // target_cluster_size), max_train // 64))
+        )
+    if stats is not None and centroids is None:
+        stats["n_clusters"] = n_clusters
     cent_mat = (
         np.asarray(centroids, dtype=np.float64)
         if centroids is not None
