@@ -15,9 +15,12 @@ The pipeline a 100 TB curation job runs, at fixture scale:
 5. MinHash-LSH near-duplicate removal with quality-aware survivors
 6. DSIR target-distribution selection (hashed-n-gram importance
    weights vs the trusted English subset, Gumbel-top-k draw)
-7. token-budget packing + deterministic training order
-8. sharded training-data sink (bit-stable on rerun) + a vocabulary
-   coverage report of the final corpus
+7. leakage-safe train/val/test split — docs similar below the dedup
+   bar (>=0.5 Jaccard) bucket on their near-dup COMPONENT label, so a
+   near-copy of a val doc can never land in train
+8. token-budget packing + deterministic training order (train split)
+9. sharded training-data sink (bit-stable on rerun) + a vocabulary
+   coverage report of the training split
 
 Every step is engine-replayable (md5-keyed hashing throughout), so the
 resulting corpus is auditable: the same inputs produce the same shards
@@ -138,27 +141,72 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     selected = unique_docs.join(pool, "doc_id", "left_semi")
     n4 = selected.count()
 
-    # 6. pack into 256-token bins (first-fit per hash shard)
-    sized = selected.withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
+    # 6. LEAKAGE-SAFE train/val/test split (r12): the dedup stage keeps
+    # one doc per >=0.8-Jaccard cluster, but docs similar BELOW the
+    # dedup bar must still never straddle train and eval — so the
+    # split graph re-verifies the LSH candidates among the selected
+    # docs at a looser 0.5 threshold and buckets on the near-dup
+    # COMPONENT label, making split membership a pure function of the
+    # similarity cluster (sampling.leakage_safe_split)
+    sel_sh = sh.join(
+        selected.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+    split_pairs = (
+        cands.join(
+            sel_sh.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "sh", "sh_a"
+            ),
+            "id_a",
+        )
+        .join(
+            sel_sh.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "sh", "sh_b"
+            ),
+            "id_b",
+        )
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    split_docs = sampling.leakage_safe_split(
+        selected,
+        split_pairs,
+        "doc_id",
+        val_fraction=0.05,
+        test_fraction=0.05,
+        component_col="split_comp",
+    )
+    n_val = split_docs.where(F.col("split") == "val").count()
+    n_test = split_docs.where(F.col("split") == "test").count()
+
+    # 7. pack into 256-token bins (first-fit per hash shard) — the
+    # TRAIN split only; val/test stay out of the training shards
+    train_docs = split_docs.where(F.col("split") == "train").select(
+        "doc_id", "text"
+    )
+    sized = train_docs.withColumn("n_tokens", F.size(text.tokens(F.col("text"))))
     packed = curation.pack_sequences(sized, budget=256, n_shards=4)
-    with_bins = selected.join(
+    with_bins = train_docs.join(
         packed.select(F.col("id").alias("doc_id"), "bin_idx"), "doc_id"
     )
 
-    # 7. sharded sink (deterministic training order inside) — rerunning
+    # 8. sharded sink (deterministic training order inside) — rerunning
     # produces byte-identical files
     if out_dir is None:
         out_dir = os.path.join(tempfile.mkdtemp(prefix="curated_"), "shards")
     write_training_shards(with_bins, out_dir, n_shards=4)
 
     # vocabulary coverage of what we are about to train on: how many
-    # tokens cover 90% of the final corpus (tokenizer/vocab sizing)
-    vocab = text.vocabulary(selected, top_n=50)
+    # tokens cover 90% of the training split (tokenizer/vocab sizing)
+    vocab = text.vocabulary(train_docs, top_n=50)
     n90 = vocab.where(F.col("coverage") >= 0.9).agg(F.min("rank")).first()[0]
 
     # survivors of the decontamination screen, re-checked at the END of
     # the pipeline: nothing the Bloom filter flagged may reappear
-    n_bench_leaked = selected.where(F.col("doc_id") % 97 == 0).count()
+    n_bench_leaked = train_docs.where(F.col("doc_id") % 97 == 0).count()
 
     return {
         "corpus": n0,
@@ -167,9 +215,14 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
         "passage_cleaned": n2,
         "near_dup_unique": n3,
         "dsir_selected": n4,
+        "split_val": n_val,
+        "split_test": n_test,
+        "split_train": n4 - n_val - n_test,
         "vocab_90": n90,
         "bench_leaked": n_bench_leaked,
         "out_dir": out_dir,
+        "split_docs": split_docs,
+        "split_pairs": split_pairs,
     }
 
 
@@ -183,7 +236,11 @@ def main() -> None:
     print(f"passage-cleaned: {r['passage_cleaned']} docs (empty after dedup dropped)")
     print(f"near-dup-unique: {r['near_dup_unique']} docs (quality-aware MinHash survivors)")
     print(f"dsir-selected:   {r['dsir_selected']} docs (target-distribution pool)")
-    print(f"vocab-90%:       {r['vocab_90']} tokens cover 90% of the final corpus")
+    print(
+        f"split:           {r['split_train']} train / {r['split_val']} val / "
+        f"{r['split_test']} test (leakage-safe: near-dup clusters co-assigned)"
+    )
+    print(f"vocab-90%:       {r['vocab_90']} tokens cover 90% of the training split")
     print(f"shards written:  {r['out_dir']}")
     spark.stop()
 
