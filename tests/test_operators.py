@@ -459,9 +459,45 @@ def test_frame_sample_stub(spark, documents_df):
     assert all(f["frame_idx"] >= 0 for f in frames)
 
 
-def test_decode_real_raises(spark, documents_df):
+def test_decode_real_raises_without_pil(spark, documents_df):
+    """When Pillow is absent, decode_real must fail LOUDLY at call time
+    with injection instructions — never return garbage (skipped where
+    PIL exists; its twin below then exercises the real path)."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: the real-decode twin covers this")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(documents_df)
+
+
+def test_decode_real_with_pil(spark):
+    """r12 verdict #8: exercise the PIL-backed decoder when the codec
+    library IS available (skipped otherwise), so the real-codec
+    plumbing — mapInPandas schema, per-batch decode, metadata fields —
+    stays honest instead of only ever raising."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def png_bytes(w, h, mode):
+        buf = io.BytesIO()
+        Image.new(mode, (w, h), 0).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (0, png_bytes(7, 5, "L")),
+        (1, png_bytes(16, 16, "RGB")),
+        (2, png_bytes(3, 9, "RGBA")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {r["doc_id"]: r for r in multimodal.decode_real(df).collect()}
+    assert (out[0]["width"], out[0]["height"], out[0]["n_channels"]) == (7, 5, 1)
+    assert (out[1]["width"], out[1]["height"], out[1]["n_channels"]) == (16, 16, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["n_channels"]) == (3, 9, 4)
+    assert all(r["format"] == "png" for r in out.values())
+    assert all(r["media_bytes"] > 0 for r in out.values())
 
 
 def _ref_dhash(blob: bytes) -> tuple[int, int]:
