@@ -3563,3 +3563,22 @@ def test_semdedup_auto_n_clusters_scales_with_corpus(spark):
         corpus(2000), stats=clamped, target_cluster_size=50, max_train=1280
     ).count()
     assert clamped["n_clusters"] == 20  # 1280 // 64
+
+
+def test_collect_serve_guards_query_table(spark, monkeypatch):
+    """r12 verdict watch item #2: pointing a collect-based serve at a
+    query TABLE must fail loudly naming the join alternative, and the
+    guard's collect is limit-capped (the driver never materializes the
+    table). Cap patched small so the test corpus stands in for 100k+."""
+    from thoth_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_QUERY_BATCH", 3)
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ivf_query_index_join"):
+        similarity.brute_force_topk_pandas(df, df, k=2)
+    # within the cap the serve works unchanged
+    out = similarity.brute_force_topk_pandas(df, df.limit(2), k=2)
+    assert out.count() == 4

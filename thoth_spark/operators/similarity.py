@@ -737,6 +737,32 @@ def semdedup(
     ).select("id", "cluster", F.round("centroid_sim", 6).alias("centroid_sim"), "component")
 
 
+#: the collect-based serves ship the query batch to every task in a UDF
+#: closure — the probe-batch contract. Past this many queries the
+#: closure/driver cost dominates and the join serves are the right tool
+#: (r12 verdict watch item #2: a query TABLE pointed at a collect serve
+#: became a silent driver bottleneck; now it fails loudly with the
+#: distributed alternative named). The collects below are limit-capped,
+#: so the driver never materializes more than the cap + 1 rows.
+MAX_QUERY_BATCH = 100_000
+
+
+def _collect_query_batch(
+    queries: DataFrame, id_col: str, vec_col: str, caller: str, alternative: str
+) -> list:
+    q_rows = (
+        queries.select(id_col, vec_col).limit(MAX_QUERY_BATCH + 1).collect()
+    )
+    if len(q_rows) > MAX_QUERY_BATCH:
+        raise ValueError(
+            f"{caller} collects the query set to the driver (bounded "
+            f"probe-batch contract, <= {MAX_QUERY_BATCH} queries); for "
+            f"DataFrame-sized query sets use {alternative}, which keeps "
+            "queries distributed end-to-end."
+        )
+    return q_rows
+
+
 def brute_force_topk_pandas(
     corpus: DataFrame,
     queries: DataFrame,
@@ -757,7 +783,10 @@ def brute_force_topk_pandas(
     """
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(
+        queries, id_col, vec_col, "brute_force_topk_pandas",
+        "brute_force_topk (broadcast join) or ivf_query_index_join",
+    )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype="float64")
     q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1095,7 +1124,9 @@ def pq_topk(
     to brute force, the calibration point the hash gate pins."""
     cb = np.ascontiguousarray(codebooks, dtype=np.float64)
     m, n_codes, d_sub = cb.shape
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(
+        queries, id_col, vec_col, "pq_topk", "ivfpq_query_index_join"
+    )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalized_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     # (n_queries, m, n_codes): LUT[j, s, c] = q̂_j[s] · cb[s][c]
@@ -1362,7 +1393,9 @@ def _ivfpq_rank(
     m, _, d_sub = cb.shape
     cent_hat = _normalized_rows(cent)
     if q_rows is None:
-        q_rows = queries.select(id_col, vec_col).collect()
+        q_rows = _collect_query_batch(
+            queries, id_col, vec_col, "ivfpq_topk", "ivfpq_query_index_join"
+        )
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = _normalized_rows(np.array([r[1] for r in q_rows], dtype=np.float64))
     lut = np.einsum("jsd,scd->jsc", q_mat.reshape(len(q_ids), m, d_sub), cb)
@@ -1531,7 +1564,9 @@ def ivfpq_query_index(
     # so the partition prefilter can never prune a cell the scorer
     # still expects (non-unit-norm queries diverge under the raw-vector
     # rule this replaced)
-    q_rows = queries.select(id_col, vec_col).collect()
+    q_rows = _collect_query_batch(
+        queries, id_col, vec_col, "ivfpq_query_index", "ivfpq_query_index_join"
+    )
     q_mat = _normalized_rows(np.asarray([r[1] for r in q_rows], dtype=np.float64))
     probe_cells = sorted({int(c) for c in _ivfpq_probe(q_mat, cent, nprobe).ravel()})
     encoded = spark.read.parquet(f"{path}/cells").where(
