@@ -511,7 +511,10 @@ def ivf_query_index(
     approximate candidates per query are re-scored with exact float
     cosine — the candidate join touches O(queries × rerank) rows,
     never a cell. Without it, ranks and ``cos_sim`` are the
-    de-quantized approximations."""
+    de-quantized approximations.
+
+    The query side is broadcast (probe-batch contract); for a
+    DataFrame-sized query set use :func:`ivf_query_index_join`."""
     cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
     cent_mat = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
     q = (
