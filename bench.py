@@ -142,6 +142,11 @@ HEADLINE = [
     "streaming_cms_events",
     "bpe_token_count_documents",
     "dsir_select_documents",
+    # round-13 additions: the join-based index serves (queries stay a
+    # DataFrame) and quarterly profiling
+    "similarity_topk_ivf_index_join_serve",
+    "similarity_topk_ivfpq_index_join_serve",
+    "profile_events_quarterly",
 ]
 
 
@@ -273,6 +278,22 @@ _ABBREV = [
     (r"passage_dd", "psg_dd"),
     (r"dec_real", "decr"),
     (r"leakage_safe_split", "lss"),
+    # round-13: 3 new queries joined HEADLINE (join serves + quarterly);
+    # squeeze them and the longest residual names to keep the worst-case
+    # tail inside the 2000-char capture budget
+    (r"_join_serve$", "j"),
+    (r"qtrly$", "qtr"),
+    (r"quarterly$", "qtr"),
+    (r"njac_cap$", "njc"),
+    (r"cont_cap$", "cnc"),
+    (r"decon_sem$", "dcs"),
+    (r"q_pct_src$", "qps"),
+    (r"audio_nd$", "aud"),
+    (r"video_nd$", "vid"),
+    (r"phash_nd$", "ph"),
+    (r"lsh_eval$", "lshe"),
+    (r"rollwk$", "rlwk"),
+    (r"mh_incr$", "mhi"),
 ]
 
 
