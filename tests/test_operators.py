@@ -3582,3 +3582,43 @@ def test_collect_serve_guards_query_table(spark, monkeypatch):
     # within the cap the serve works unchanged
     out = similarity.brute_force_topk_pandas(df, df.limit(2), k=2)
     assert out.count() == 4
+
+
+def test_ivfpq_index_append_equals_full_build(spark, tmp_path):
+    """r13: the PQ index gets the same O(batch) nightly-ingest shape as
+    the float/SQ8 one — build on half the corpus, append the other half
+    under the FROZEN quantizers; queries over the appended index equal
+    the same queries over a single full build with the same quantizers,
+    for BOTH the global-code and residual layouts, through BOTH serves."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    second = emb.where(F.col("vec_id") % 2 == 1)
+    queries = emb.limit(5)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+    for residual in (False, True):
+        inc = str(tmp_path / f"inc_{residual}")
+        full = str(tmp_path / f"full_{residual}")
+        _, cb = similarity.build_ivfpq_index(
+            first, inc, n_centroids=8, m_subspaces=8, n_codes=16,
+            centroids=cents, residual=residual,
+        )
+        similarity.ivfpq_index_append(spark, inc, second)
+        similarity.build_ivfpq_index(
+            emb, full, n_centroids=8, m_subspaces=8, n_codes=16,
+            centroids=cents, codebooks=cb, residual=residual,
+        )
+        for serve in (
+            similarity.ivfpq_query_index, similarity.ivfpq_query_index_join
+        ):
+            got = serve(spark, inc, queries, emb, k=3, nprobe=2, rerank_pool=15)
+            want = serve(spark, full, queries, emb, k=3, nprobe=2, rerank_pool=15)
+            gr = sorted(map(tuple, got.collect()))
+            wr = sorted(map(tuple, want.collect()))
+            assert gr == wr and len(gr) == 15, (residual, serve.__name__)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cell" in plan or "cell#" in plan, plan[:1500]

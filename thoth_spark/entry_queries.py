@@ -127,8 +127,9 @@ DRIVER_PRIORITY: list[str] = [
     # (slots swapped in from group (c) as each lands; see git history)
     "similarity_topk_ivf_index_join_serve",
     "similarity_topk_ivfpq_index_join_serve",
+    "similarity_topk_ivfpq_index_append_fullprobe",
     "profile_events_quarterly",
-    # (c) last strict driver-green r10 (alphabetically first 13)
+    # (c) last strict driver-green r10 (alphabetically first 12)
     "anomaly_ar1_validation",
     "anomaly_holt_validation",
     "asof_join_purchase_click",
@@ -141,7 +142,6 @@ DRIVER_PRIORITY: list[str] = [
     "corpus_diff_documents",
     "curate_documents_pipeline",
     "dedup_exact_documents",
-    "dedup_jaccard_prefix_documents",
 ]
 
 
@@ -5338,6 +5338,56 @@ def similarity_topk_ivfpq_index_fullprobe(spark, sf_dir):
     return similarity.ivfpq_query_index(
         spark,
         _ivfpq_index_dir(spark, sf_dir),
+        emb.where(F.col("vec_id") < 10),
+        rerank_corpus=emb,
+        k=5,
+        nprobe=8,
+        rerank_pool=1_000_000_000,
+    )
+
+
+_IVFPQ_APPEND_DIRS: dict[str, str] = {}
+
+
+def _ivfpq_append_dir(spark, sf_dir: str) -> str:
+    """Per-process INCREMENTALLY-built IVF-PQ index: built on the even
+    vec_ids, then the odds appended under the frozen quantizers
+    (similarity.ivfpq_index_append) — the nightly-ingest shape the PQ
+    index gains in r13, mirroring _ivf_append_dir."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = _IVFPQ_APPEND_DIRS.get(sf_dir)
+    if d is None:
+        d = tempfile.mkdtemp(prefix="thoth_ivfpqapp_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        similarity.build_ivfpq_index(
+            emb.where(F.col("vec_id") % 2 == 0), d, n_centroids=8,
+            m_subspaces=8, n_codes=16,
+        )
+        similarity.ivfpq_index_append(
+            spark, d, emb.where(F.col("vec_id") % 2 == 1)
+        )
+        _IVFPQ_APPEND_DIRS[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+@query("similarity_topk_ivfpq_index_append_fullprobe", ORACLE_TOPK_EMB)
+def similarity_topk_ivfpq_index_append_fullprobe(spark, sf_dir):
+    """Incremental PQ-index maintenance hash gate (r13,
+    similarity.ivfpq_index_append): the index is built on HALF the
+    corpus and the other half appended under the frozen coarse+PQ
+    quantizers; probed at nprobe = n_centroids with an unbounded rerank
+    pool the union must equal exact brute force over the whole corpus —
+    proving the append path encodes with exactly the builder's rule
+    (residual flag included) and loses nothing to the partition-append,
+    the same storage-roundtrip trick as the IVF append gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_query_index(
+        spark,
+        _ivfpq_append_dir(spark, sf_dir),
         emb.where(F.col("vec_id") < 10),
         rerank_corpus=emb,
         k=5,

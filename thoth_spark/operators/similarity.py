@@ -1532,6 +1532,37 @@ def build_ivfpq_index(
     return cent, cb
 
 
+def ivfpq_index_append(
+    spark,
+    path: str,
+    new_rows: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of a persisted :func:`build_ivfpq_index`
+    layout — the PQ twin of :func:`ivf_index_append` (r13: the IVF
+    float/SQ8 index had O(batch) nightly ingest, the PQ index did not):
+    encode the new vectors with the STORED quantizers (coarse centroids
+    AND codebooks are frozen — retraining either invalidates every
+    stored code; rebuild on measured drift instead, see
+    examples/ann_serving.py stage 5) via the same :func:`_ivfpq_encode`
+    rule the builder used — including the residual flag from the meta
+    table — and dynamic-partition-append only the touched cells. An
+    append of n rows costs O(n) regardless of index size; both the
+    collect and join serves see the union at their next file listing,
+    still partition-pruned."""
+    cent_rows = spark.read.parquet(f"{path}/centroids").orderBy("cid").collect()
+    cent = np.asarray([r["vector"] for r in cent_rows], dtype=np.float64)
+    cb_rows = spark.read.parquet(f"{path}/codebooks").orderBy("s", "c").collect()
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    cb = np.asarray(
+        [r["vector"] for r in cb_rows], dtype=np.float64
+    ).reshape(meta["m_subspaces"], meta["n_codes"], -1)
+    _ivfpq_encode(
+        new_rows, cent, cb, bool(meta["residual"]), id_col, vec_col
+    ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
 def ivfpq_query_index(
     spark,
     path: str,
