@@ -1704,7 +1704,7 @@ def ivf_query_index_join(
         "cell", F.explode(nearest_cells_udf(cent_mat, nprobe)(F.col("qv")))
     )
     cells = spark.read.parquet(f"{path}/cells")
-    if prune_cells:
+    if prune_cells and nprobe < len(cent_mat):  # fullprobe reads every cell
         probe_cells = sorted(
             r["cell"] for r in q.select("cell").distinct().collect()
         )
@@ -1841,7 +1841,7 @@ def ivfpq_query_index_join(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("cell", F.explode(probe_udf(F.col("qv"))))
     encoded = spark.read.parquet(f"{path}/cells")
-    if prune_cells:
+    if prune_cells and nprobe < len(cent):  # fullprobe reads every cell
         probe_cells = sorted(
             r["cell"] for r in q.select("cell").distinct().collect()
         )
