@@ -18,6 +18,9 @@ The index lifecycle a 10⁹-vector deployment runs, at fixture scale:
    O(batch) cost, no rebuild; the next probe sees the union.
 4. EVALUATE — recall@k of the pruned serve against exact brute force,
    the number every ANN deployment tunes nprobe/rerank_pool against.
+5. BULK SERVE — `ivfpq_query_index_join`: the same index answers a
+   query TABLE (corpus-vs-corpus retrieval / dedup-by-ANN) with the
+   query side kept distributed — no driver collect, no closure copy.
 
 Every stage is deterministic given the data, and the exactness of the
 storage roundtrip is hash-gated in the driver suite
@@ -82,12 +85,26 @@ def run(spark, sf_dir: str, root: str | None = None) -> dict:
         exact.join(full_serve, ["query_id", "neighbor_id"]).count() / exact.count()
     )
 
+    # 5. BULK serve (r13): the SAME persisted PQ index answers a query
+    # TABLE — here corpus-vs-corpus retrieval (every vector retrieves
+    # its neighbors: the dedup-by-ANN / recommendation shape) through
+    # ivfpq_query_index_join, which keeps the query side distributed;
+    # the probe batch above and this table serve read the same files
+    bulk = similarity.ivfpq_query_index_join(
+        spark, ivfpq_dir, emb, rerank_corpus=emb, k=3, nprobe=5,
+        rerank_pool=30,
+    )
+    bulk_rows = bulk.count()
+    bulk_queries = bulk.select("query_id").distinct().count()
+
     return {
         "corpus": emb.count(),
         "n_cells": n_cells,
         "pruned_recall_at_5": recall,
         "appended_rows": union_rows,
         "fullprobe_recall_at_5": full_recall,
+        "bulk_rows": bulk_rows,
+        "bulk_queries": bulk_queries,
         "root": root,
     }
 

@@ -2459,6 +2459,10 @@ def test_ann_serving_example(spark, tmp_path):
     assert r["appended_rows"] == r["corpus"]
     assert r["pruned_recall_at_5"] >= 0.1  # the driver gate's floor
     assert r["fullprobe_recall_at_5"] == 1.0
+    # r13 bulk stage: the SAME index serves a query TABLE (corpus-vs-
+    # corpus) through the join path — every vector got its neighbors
+    assert r["bulk_queries"] == r["corpus"]
+    assert r["bulk_rows"] == 3 * r["corpus"]
 
 
 def test_ann_index_drift_triggered_retrain(spark, tmp_path):
