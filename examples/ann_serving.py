@@ -110,7 +110,7 @@ def run(spark, sf_dir: str, root: str | None = None) -> dict:
 
 
 def run_drift_retrain(spark, sf_dir: str, root: str | None = None) -> dict:
-    """Stage 5 of the lifecycle: the RETRAIN DECISION. The append path
+    """Stage 6 of the lifecycle: the RETRAIN DECISION. The append path
     freezes the coarse quantizer (moving a centroid invalidates every
     cell's membership), which is only sustainable while new batches
     ride the old geometry — SCALE.md's rule is "retrain on measured
