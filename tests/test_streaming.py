@@ -404,3 +404,83 @@ def test_chi2_foreach_batch_matches_batch(spark, sf_dir):
         for r in chi2_daily(events, "ts", "event_type", ref_end).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_index_ingest_foreach_batch_continuous_append(spark, tmp_path):
+    """r13 streaming twin of the nightly index ingest: vectors arrive
+    as a file stream (maxFilesPerTrigger=1, so each file is its own
+    micro-batch and each append must ride the STORED quantizers, not
+    anything from the builder's session), flow through
+    index_ingest_foreach_batch into persisted IVF and IVF-PQ indexes,
+    and the serves over the streamed-in union equal the same serves
+    over a single batch build with the same quantizers."""
+    from pyspark.sql import functions as F
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+    from thoth_spark.streaming import index_ingest_foreach_batch
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    late1 = emb.where(F.col("vec_id") % 3 == 1)
+    late2 = emb.where(F.col("vec_id") % 3 == 2)
+    queries = emb.limit(5)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+
+    stream_dir = str(tmp_path / "arrivals")
+    late1.coalesce(1).write.mode("append").parquet(stream_dir)
+    late2.coalesce(1).write.mode("append").parquet(stream_dir)
+
+    ivf_dir = str(tmp_path / "ivf_stream")
+    pq_dir = str(tmp_path / "pq_stream")
+    similarity.build_ivf_index(base, ivf_dir, centroids=cents)
+    _, cb = similarity.build_ivfpq_index(
+        base, pq_dir, n_centroids=8, m_subspaces=8, n_codes=16,
+        centroids=cents,
+    )
+
+    seen: list[tuple[int, int]] = []
+    src = spark.readStream.schema(emb.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(stream_dir)
+    q1 = src.writeStream.foreachBatch(
+        index_ingest_foreach_batch(
+            ivf_dir, kind="ivf", on_batch=lambda n, b: seen.append((n, b))
+        )
+    ).start()
+    q1.processAllAvailable()
+    q1.stop()
+    q2 = src.writeStream.foreachBatch(
+        index_ingest_foreach_batch(pq_dir, kind="ivfpq")
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+
+    assert len(seen) == 2 and all(n > 0 for n, _ in seen)  # 2 micro-batches
+    assert sum(n for n, _ in seen) == late1.count() + late2.count()
+
+    # serves over the streamed union == single full build, same quantizers
+    ivf_full = str(tmp_path / "ivf_full")
+    pq_full = str(tmp_path / "pq_full")
+    similarity.build_ivf_index(emb, ivf_full, centroids=cents)
+    similarity.build_ivfpq_index(
+        emb, pq_full, n_centroids=8, m_subspaces=8, n_codes=16,
+        centroids=cents, codebooks=cb,
+    )
+    got = sorted(map(tuple, similarity.ivf_query_index(
+        spark, ivf_dir, queries, k=3, nprobe=2
+    ).collect()))
+    want = sorted(map(tuple, similarity.ivf_query_index(
+        spark, ivf_full, queries, k=3, nprobe=2
+    ).collect()))
+    assert got == want and len(got) == 15
+    got_pq = sorted(map(tuple, similarity.ivfpq_query_index(
+        spark, pq_dir, queries, emb, k=3, nprobe=2, rerank_pool=15
+    ).collect()))
+    want_pq = sorted(map(tuple, similarity.ivfpq_query_index(
+        spark, pq_full, queries, emb, k=3, nprobe=2, rerank_pool=15
+    ).collect()))
+    assert got_pq == want_pq and len(got_pq) == 15
+
+    with pytest.raises(ValueError, match="kind"):
+        index_ingest_foreach_batch(ivf_dir, kind="hnsw")

@@ -25,7 +25,11 @@ maps onto three native pieces:
   ``sessionize``);
 - :func:`interval_join_stream` — watermarked stream-stream interval
   join (attribution); the time-bounded condition keeps join state
-  finite.
+  finite;
+- :func:`index_ingest_foreach_batch` — continuous ANN index
+  maintenance: each micro-batch appends to a persisted IVF/IVF-PQ
+  index under its frozen quantizers (O(batch) dynamic-partition
+  write), the nightly-ingest path upgraded to streaming.
 """
 
 from thoth_spark.streaming.stream import (
@@ -38,6 +42,7 @@ from thoth_spark.streaming.stream import (
     sessionize_stream,
     cms_stream,
     sketch_profile_stream,
+    index_ingest_foreach_batch,
 )
 
 __all__ = [
@@ -50,4 +55,5 @@ __all__ = [
     "interval_join_stream",
     "cms_stream",
     "sketch_profile_stream",
+    "index_ingest_foreach_batch",
 ]

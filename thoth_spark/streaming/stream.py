@@ -470,3 +470,53 @@ def cms_stream(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window.start").alias("ts"), "row", "pos", "cnt")
     )
+
+
+def index_ingest_foreach_batch(
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kind: str = "ivf",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Continuous ANN index maintenance as a ``foreachBatch`` sink
+    (r13): each micro-batch of ``(id, embedding)`` rows is appended to
+    the persisted index at ``path`` under its FROZEN quantizers —
+    :func:`~thoth_spark.operators.similarity.ivf_index_append` for the
+    float/SQ8 layout (``kind="ivf"``) or
+    :func:`~thoth_spark.operators.similarity.ivfpq_index_append` for
+    PQ codes (``kind="ivfpq"``). foreachBatch runs batch-mode plans, so
+    the append is the exact same O(batch) dynamic-partition write the
+    nightly-ingest path uses — this is that path upgraded from nightly
+    to continuous; both serves see each appended batch at their next
+    file listing. Pair with the drift-gated retrain playbook
+    (examples/ann_serving.py stage 6): appends ride the stored
+    geometry, rebuilds happen on measured drift, never per batch.
+
+    ``on_batch(n_rows, batch_id)`` (optional) observes each non-empty
+    append — wire checkpoint/metrics/alerting there."""
+    from thoth_spark.operators import similarity
+
+    if kind not in ("ivf", "ivfpq"):
+        raise ValueError(f"kind must be 'ivf' or 'ivfpq'; got {kind!r}")
+    append = (
+        similarity.ivf_index_append
+        if kind == "ivf"
+        else similarity.ivfpq_index_append
+    )
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col)
+        if on_batch is not None:
+            batch = batch.localCheckpoint()  # count + append: one compute
+            n = batch.count()
+            if n == 0:
+                return
+            append(batch.sparkSession, path, batch, id_col, vec_col)
+            on_batch(n, batch_id)
+            return
+        if batch.limit(1).count() == 0:
+            return
+        append(batch.sparkSession, path, batch, id_col, vec_col)
+
+    return callback
