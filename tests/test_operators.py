@@ -3626,3 +3626,52 @@ def test_ivfpq_index_append_equals_full_build(spark, tmp_path):
             assert gr == wr and len(gr) == 15, (residual, serve.__name__)
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [cell" in plan or "cell#" in plan, plan[:1500]
+
+
+def test_ivf_index_compact_preserves_serves(spark, tmp_path):
+    """r13: after repeated appends multiply the per-cell file count,
+    ivf_index_compact must shrink files without changing a single serve
+    result, for both the float and PQ layouts (same quantizers, same
+    rows, same top-k through the collect AND join serves)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.limit(5)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+
+    ivf = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb.where(F.col("vec_id") % 4 == 0), ivf, centroids=cents)
+    for r in (1, 2, 3):  # three appends -> up to 4 files per cell
+        similarity.ivf_index_append(spark, ivf, emb.where(F.col("vec_id") % 4 == r))
+    before = sorted(map(tuple, similarity.ivf_query_index(
+        spark, ivf, queries, k=3, nprobe=2
+    ).collect()))
+    stats = similarity.ivf_index_compact(spark, ivf)
+    assert stats["files_after"] < stats["files_before"], stats
+    assert spark.read.parquet(f"{ivf}/cells").count() == emb.count()
+    after = sorted(map(tuple, similarity.ivf_query_index(
+        spark, ivf, queries, k=3, nprobe=2
+    ).collect()))
+    after_join = sorted(map(tuple, similarity.ivf_query_index_join(
+        spark, ivf, queries, k=3, nprobe=2
+    ).collect()))
+    assert before == after == after_join
+
+    pq = str(tmp_path / "pq")
+    similarity.build_ivfpq_index(
+        emb.where(F.col("vec_id") % 2 == 0), pq, n_centroids=8,
+        m_subspaces=8, n_codes=16, centroids=cents,
+    )
+    similarity.ivfpq_index_append(spark, pq, emb.where(F.col("vec_id") % 2 == 1))
+    before_pq = sorted(map(tuple, similarity.ivfpq_query_index(
+        spark, pq, queries, emb, k=3, nprobe=2, rerank_pool=15
+    ).collect()))
+    stats_pq = similarity.ivf_index_compact(spark, pq)
+    assert stats_pq["files_after"] <= stats_pq["files_before"], stats_pq
+    after_pq = sorted(map(tuple, similarity.ivfpq_query_index(
+        spark, pq, queries, emb, k=3, nprobe=2, rerank_pool=15
+    ).collect()))
+    assert before_pq == after_pq

@@ -1563,6 +1563,56 @@ def ivfpq_index_append(
     ).write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
+def ivf_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact the ``cells`` table of a persisted IVF / IVF-PQ index
+    (r13): continuous ingest (:func:`ivf_index_append` /
+    :func:`ivfpq_index_append`, or the streaming
+    ``index_ingest_foreach_batch`` sink) appends one parquet file per
+    touched cell per batch — after thousands of micro-batches the file
+    count, not the data, dominates listing and open/seek cost. This
+    rewrites the cell table to ~``target_file_bytes`` files (one file
+    per cell minimum — the cell directory is the pruning unit) and
+    swaps it in with filesystem renames (atomic per rename on HDFS and
+    local FS; a reader between the two renames must retry, the standard
+    OPTIMIZE caveat outside a table format). Quantizers, layout, and
+    serve results are untouched — pinned by
+    ``test_ivf_index_compact_preserves_serves``. Returns
+    ``{files_before, files_after, bytes}``."""
+    import math
+
+    cells_src = f"{path}/cells"
+    df = spark.read.parquet(cells_src)
+    files_before = len(df.inputFiles())
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(cells_src).getFileSystem(conf)
+    total = fs.getContentSummary(hpath(cells_src)).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    tmp, old = f"{path}/cells_compacting", f"{path}/cells_old"
+    for stale in (tmp, old):  # leftovers from a crashed prior compact
+        fs.delete(hpath(stale), True)
+    df.repartition(n, F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(tmp)
+    if not fs.rename(hpath(cells_src), hpath(old)):
+        raise IOError(f"compact: could not move {cells_src} aside")
+    if not fs.rename(hpath(tmp), hpath(cells_src)):
+        fs.rename(hpath(old), hpath(cells_src))  # roll back
+        raise IOError(f"compact: could not install {tmp}")
+    fs.delete(hpath(old), True)
+    files_after = len(spark.read.parquet(cells_src).inputFiles())
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total),
+    }
+
+
 def ivfpq_query_index(
     spark,
     path: str,
