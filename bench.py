@@ -147,6 +147,14 @@ HEADLINE = [
     "similarity_topk_ivf_index_join_serve",
     "similarity_topk_ivfpq_index_join_serve",
     "profile_events_quarterly",
+    # round-13 second batch: pipeline curation ops (Gopher gate, domain
+    # caps, kNN graph through the join serve, diversity sampling, fuzzy
+    # decontamination)
+    "gopher_rules_documents",
+    "domain_cap_sample_documents",
+    "knn_graph_embeddings",
+    "cluster_balanced_sample_embeddings",
+    "ngram_decontaminate_documents",
 ]
 
 
@@ -294,6 +302,41 @@ _ABBREV = [
     (r"lsh_eval$", "lshe"),
     (r"rollwk$", "rlwk"),
     (r"mh_incr$", "mhi"),
+    # round-13 second batch (plus squeezes on the longest residual short
+    # names to keep the worst-case tail inside the capture budget)
+    (r"gopher_rules", "gop"),
+    (r"domain_cap_sample", "dcap"),
+    (r"cluster_balanced_sample", "cbs"),
+    (r"ngram_decon$", "ndec"),
+    (r"knn_graph$", "kng"),
+    (r"^pf_approx$", "pf_apx"),
+    (r"^pf_exact$", "pf_ex"),
+    (r"^bm25_topk$", "bm25"),
+    (r"^a_sm_thr$", "a_smt"),
+    (r"^q_assess$", "q_ass"),
+    (r"^rj_trans$", "rj_tr"),
+    (r"^clf_qual$", "clf_q"),
+    (r"^d_mh_cap$", "d_mhc"),
+    (r"^s_ivf_fp$", "s_ivff"),
+    (r"^s_lshrec$", "s_lshr"),
+    (r"^chk_cons$", "chk_c"),
+    (r"^d_jacpre$", "d_jpre"),
+    (r"^viz_band$", "viz_b"),
+    (r"^top_ord$", "tpord"),
+    (r"^d_exact$", "d_ex"),
+    (r"^d_sh_pr$", "d_shp"),
+    (r"^t_stats$", "t_st"),
+    (r"^lang_id$", "lid"),
+    (r"^smp_bdg$", "sbdg"),
+    (r"^s_brute$", "s_br"),
+    (r"^sk_rlwk$", "skrw"),
+    (r"^line_dd$", "l_dd"),
+    (r"^s_quant$", "s_qt"),
+    (r"^a_chgpt$", "a_cp"),
+    (r"^pf_topk$", "pf_tk"),
+    (r"^bm25_mq$", "b25mq"),
+    (r"^smp_wtd$", "swtd"),
+    (r"^pf_diff$", "pfdif"),
 ]
 
 

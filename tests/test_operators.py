@@ -3675,3 +3675,134 @@ def test_ivf_index_compact_preserves_serves(spark, tmp_path):
         spark, pq, queries, emb, k=3, nprobe=2, rerank_pool=15
     ).collect()))
     assert before_pq == after_pq
+
+
+# ---------------------------------------------------------------------------
+# round-13 additions: gopher rules, domain caps, kNN graph, diversity
+# sampling, fuzzy decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_flags(spark):
+    """Each Gopher rule trips on the document built to violate exactly
+    it, and the well-formed document passes all of them."""
+    good = " ".join(
+        ["the cat sat on that mat with one very happy dog and some fish"] * 5
+    )
+    short = "the cat sat with that dog"  # < 50 words
+    symbols = " ".join(["the office### cat... sat with### that... dog"] * 8)
+    bullets = "\n".join(["- the cat sat with that dog and fish today"] * 10)
+    ellipsis = "\n".join(["the cat sat with that dog and fish today..."] * 10)
+    numeric = " ".join(["the 12 34 56 78 90 11 22 33 44 with"] * 6)
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, short),
+            (3, symbols),
+            (4, bullets),
+            (5, ellipsis),
+            (6, numeric),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.gopher_rules(df).collect()}
+    assert rows[1]["pass_gopher"] is True
+    assert rows[2]["pass_gopher"] is False and rows[2]["n_words"] < 50
+    assert rows[3]["pass_gopher"] is False
+    assert rows[3]["symbol_word_ratio"] > 0.1
+    assert rows[4]["pass_gopher"] is False and rows[4]["bullet_ratio"] == 1.0
+    assert rows[5]["pass_gopher"] is False and rows[5]["ellipsis_ratio"] == 1.0
+    assert rows[6]["pass_gopher"] is False
+    assert rows[6]["alpha_word_ratio"] < 0.8
+    # the passing doc's signals are sane
+    assert rows[1]["stop_hits"] >= 2
+    assert 3.0 <= rows[1]["avg_word_len"] <= 10.0
+
+
+def test_domain_cap_sample_matches_single_window_on_skew(spark):
+    """The two-stage salted cut must equal the one-window contract
+    exactly — including on a hot domain much larger than cap × salts —
+    and leave under-cap domains untouched."""
+    from pyspark.sql import Window as W
+
+    from thoth_spark.operators import sampling
+
+    rows = [(f"k{i}", "hot") for i in range(500)] + [
+        (f"c{i}", "cold") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "k string, dom string")
+    got = sampling.domain_cap_sample(df, "dom", "k", cap=5, n_salts=4)
+    b = sampling._bucket(F.col("k"), 42)
+    w = W.partitionBy("dom").orderBy(b, F.col("k"))
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    gr = sorted(map(tuple, got.collect()))
+    assert gr == sorted(map(tuple, want.collect()))
+    assert sum(1 for _, d in gr if d == "hot") == 5
+    assert sum(1 for _, d in gr if d == "cold") == 3
+
+
+def test_cluster_balanced_sample_bounds_and_determinism(spark):
+    from thoth_spark.operators import sampling
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = sampling.cluster_balanced_sample(
+        emb, "vec_id", "embedding", n_clusters=8, per_cluster=10
+    )
+    counts = {
+        r["cluster"]: r["n"]
+        for r in got.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n <= 10 for n in counts.values())
+    assert len(counts) >= 2  # the sample actually spans clusters
+    again = sampling.cluster_balanced_sample(
+        emb, "vec_id", "embedding", n_clusters=8, per_cluster=10
+    )
+    assert sorted(r["vec_id"] for r in got.select("vec_id").collect()) == sorted(
+        r["vec_id"] for r in again.select("vec_id").collect()
+    )
+
+
+def test_ngram_decontaminate_catches_paraphrase(spark):
+    """A lightly edited near-copy of a benchmark doc is flagged (high
+    Jaccard, low verbatim containment need not be 1.0), an unrelated doc
+    is not, and the exact candidate join has no false negatives."""
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank every single morning before the sun rises fully"
+    )
+    near_copy = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank every single morning before the moon rises fully"
+    )
+    unrelated = "completely different subject matter about spark query engines"
+    train = spark.createDataFrame(
+        [(1, near_copy), (2, unrelated)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = dedup.ngram_decontaminate(train, bench, "doc_id", "text", threshold=0.5)
+    rows = {r["id"]: r["max_jaccard"] for r in got.collect()}
+    assert set(rows) == {1}
+    assert rows[1] > 0.7
+    # below-threshold similarity is filtered, not returned as 0
+    none = dedup.ngram_decontaminate(
+        train, bench, "doc_id", "text", threshold=0.999
+    )
+    assert none.count() == 0
+
+
+def test_knn_graph_exact_at_fullprobe(spark, tmp_path):
+    """knn_graph at nprobe = n_centroids equals brute force with the
+    corpus as the query set — the corpus-vs-corpus join-serve contract."""
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(120)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=4)
+    got = similarity.knn_graph(spark, path, emb, k=3, nprobe=4)
+    want = similarity.brute_force_topk(emb, emb, k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -128,6 +128,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Fuzzy eval-set decontamination: every TRAIN document whose word-
+    n-gram Jaccard against ANY benchmark document reaches ``threshold``,
+    with the highest matching similarity — the cross-corpus sibling of
+    :func:`ngram_jaccard_pairs`, and the fuzzy complement of
+    :func:`thoth_spark.operators.text.contamination_check` (which counts
+    verbatim shingle overlap, so a lightly paraphrased eval leak slips
+    it; a Jaccard gate does not).
+
+    Exact, not LSH: candidates come from the shingle equi-join, which
+    has NO false negatives — a pair sharing zero shingles has Jaccard 0.
+    Scale shape: the benchmark is eval-set-sized, so its inverted index
+    broadcasts and the train corpus streams through one explode + one
+    partial-agg ``groupBy`` — never train × benchmark rows, and no
+    corpus-side self-join at all. A boilerplate shingle costs
+    (its train df) × (its bench df) candidate rows — bounded by the
+    bench df; ``max_shingle_df`` caps the BENCH index for adversarial
+    benchmarks (same documented results-trade as the capped Jaccard
+    family).
+
+    Returns ``(id, max_jaccard)`` for contaminated train documents;
+    anti-join the result to drop them, or keep it as the audit trail.
+    """
+    bench_id_col = bench_id_col or id_col
+    bench_text_col = bench_text_col or text_col
+    t_sh = shingle_sets(train, id_col, text_col, n).localCheckpoint(eager=False)
+    b_sh = shingle_sets(bench, bench_id_col, bench_text_col, n).localCheckpoint(
+        eager=False
+    )
+    b_inv = b_sh.select(
+        F.col("id").alias("bid"), F.explode("sh").alias("shingle")
+    )
+    if max_shingle_df is not None:
+        b_inv = cap_shingle_df(b_inv, max_shingle_df, key="shingle")
+    b_sz = b_sh.select(F.col("id").alias("bid"), F.size("sh").alias("sz_b"))
+    t_inv = t_sh.select("id", F.explode("sh").alias("shingle"))
+    inter = (
+        t_inv.join(F.broadcast(b_inv), on="shingle")
+        .groupBy("id", "bid")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(t_sh.select("id", F.size("sh").alias("sz_t")), "id")
+        .join(F.broadcast(b_sz), "bid")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_t") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return scored.groupBy("id").agg(
+        F.round(F.max("jaccard"), 6).alias("max_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -286,6 +286,99 @@ def leakage_safe_split(
     return out.drop("__sid", "__comp")
 
 
+def domain_cap_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    cap: int,
+    seed: int = 42,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Keep at most ``cap`` rows per domain/source, chosen by the
+    content-key hash — the RefinedWeb-style frequency cap that stops a
+    handful of mega-domains from dominating a crawl corpus, while the
+    kept subset stays a pure function of the data (reruns, repartitions
+    and corpus refreshes keep the same rows).
+
+    Skew is the whole problem here: a 100 TB crawl has domains with
+    billions of rows, and a single ``row_number`` window per domain
+    funnels each hot domain through one task. Two exact stages instead:
+
+    1. rank within ``(domain, hash(key) % n_salts)`` and keep ``cap``
+       per salt — every window partition holds ~1/n_salts of even the
+       hottest domain, and the global ``cap`` smallest-hash rows of a
+       domain are necessarily among its per-salt winners;
+    2. re-rank the surviving ≤ ``cap × n_salts`` rows per domain
+       (bounded, tiny) and keep the true ``cap``.
+
+    Under-cap domains pass through stage 2 untouched, so the result is
+    exactly "the ``cap`` smallest-hash rows of every domain" — the same
+    single-window semantics, replayable in one SQL ``row_number``."""
+    b = _bucket(F.col(key_col), seed)
+    w1 = W.partitionBy(F.col(domain_col), b % n_salts).orderBy(
+        b, F.col(key_col)
+    )
+    survivors = (
+        df.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= cap)
+        .drop("__r1")
+    )
+    w2 = W.partitionBy(domain_col).orderBy(b, F.col(key_col))
+    return (
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= cap)
+        .drop("__r2")
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 8,
+    per_cluster: int = 10,
+    seed: int = 42,
+    centroids=None,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Diversity sampling over an embedding column: assign every row to
+    its nearest centroid, then keep the ``per_cluster`` smallest-hash
+    rows of each cluster — so the sample spans the embedding space
+    instead of re-drawing the corpus's majority mode (the standard
+    cluster-balanced selection step before expensive annotation or
+    training-mix experiments).
+
+    Assignment is the IVF machinery: centroids default to
+    :func:`thoth_spark.operators.clustering.seed_centroids` (the
+    ``n_clusters`` smallest-id vectors — the reproducible, SQL-replayable
+    init; pass :func:`thoth_spark.operators.similarity.coarse_centroids`
+    output when quality matters more than replay), assignment is the
+    Arrow-batched :func:`similarity.nearest_cells_udf` argmin over
+    ``||c||² − 2x·c`` with ties to the lower cluster id — the plan stays
+    O(1) in ``n_clusters``. The per-cluster cut is one window over
+    ``n_clusters`` partitions; a cluster is at most the corpus but the
+    window carries only ``per_cluster`` rows of state per partition, and
+    the ``cap``-per-salt trick of :func:`domain_cap_sample` applies
+    verbatim when a cluster is hot enough to matter."""
+    from thoth_spark.operators.clustering import seed_centroids
+    from thoth_spark.operators.similarity import _as_double, nearest_cells_udf
+
+    if centroids is None:
+        centroids = seed_centroids(df, id_col, vec_col, n_clusters)
+    assigned = df.withColumn(
+        cluster_col,
+        nearest_cells_udf(centroids, 1)(_as_double(F.col(vec_col)))[0],
+    )
+    w = W.partitionBy(cluster_col).orderBy(
+        _bucket(F.col(id_col), seed), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= per_cluster)
+        .drop("__r")
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     id_col: str,

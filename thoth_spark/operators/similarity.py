@@ -1952,3 +1952,41 @@ def ivfpq_query_index_join(
             "rank",
         )
     )
+
+
+def knn_graph(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: int = 8,
+) -> DataFrame:
+    """k-nearest-neighbor GRAPH over the whole corpus — every row's
+    top-``k`` cosine neighbors as ``(query_id, neighbor_id, cos_sim,
+    rank)`` edges — the substrate for graph-based dedup, diversity
+    analysis, and label propagation at corpus scale.
+
+    This is the corpus-vs-corpus workload the join serve exists for: the
+    corpus plays BOTH sides of :func:`ivf_query_index_join`, so the
+    query side never collects to the driver (a corpus-sized
+    ``collect()`` is exactly what the guarded probe-batch paths refuse).
+    Cost shape: each row scores against its ``nprobe`` / ``n_centroids``
+    fraction of the corpus through the salted cell equi-join — the IVF
+    partitioning is what keeps this off the all-pairs n² cliff, and
+    ``nprobe`` is the recall/cost dial. ``prune_cells`` is off: a corpus
+    query set probes essentially every cell, so the distinct-cell
+    pre-job would be a wasted pass."""
+    return ivf_query_index_join(
+        spark,
+        path,
+        corpus,
+        k=k,
+        nprobe=nprobe,
+        id_col=id_col,
+        vec_col=vec_col,
+        salt=salt,
+        prune_cells=False,
+    )

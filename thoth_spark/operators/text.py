@@ -331,6 +331,107 @@ def contamination_check(
     )
 
 
+#: The stop-list used by the Gopher "contains ≥2 stop words" rule
+#: (Rae et al. 2021, appendix A1.1). Fixed and tiny by design — the rule
+#: tests for the PRESENCE of common function words, not a stopword rate.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+#: Line prefixes the bullet-ratio rule counts as bullets.
+GOPHER_BULLETS = ["-", "*", "•"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) as one
+    map-side column pass — the standard heuristic gate a web corpus goes
+    through before dedup/classifier stages. Per document:
+
+    - ``n_words`` in ``[min_words, max_words]``;
+    - mean word length in ``[min_avg_word_len, max_avg_word_len]``;
+    - symbol-to-word ratio (``#`` chars + ``...`` runs per word) at most
+      ``max_symbol_word_ratio``;
+    - at most ``max_bullet_ratio`` of lines starting with a bullet and
+      ``max_ellipsis_ratio`` of lines ending with an ellipsis;
+    - at least ``min_alpha_word_ratio`` of words containing a letter;
+    - at least ``min_stop_hits`` distinct :data:`GOPHER_STOPWORDS`.
+
+    Returns one row per input row with the measured signals (ratios
+    rounded to 6) and a ``pass_gopher`` verdict; filtering is the
+    caller's ``WHERE pass_gopher`` so rejected docs stay inspectable.
+    Pure built-in expressions — no UDF, no shuffle, SQL-replayable —
+    so the pass runs at scan speed over any corpus size."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    avg_word_len = sum_len.cast("double") / n_words
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_word_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    bullet_arr = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.array_contains(
+                    bullet_arr, F.substring(F.ltrim(l), 1, 1)
+                ),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("..."))))
+        .cast("double")
+        / n_lines
+    )
+    alpha_word_ratio = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double")
+        / n_words
+    )
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    out = df.withColumns(
+        {
+            "n_words": n_words,
+            "avg_word_len": F.round(avg_word_len, 6),
+            "symbol_word_ratio": F.round(symbol_word_ratio, 6),
+            "bullet_ratio": F.round(bullet_ratio, 6),
+            "ellipsis_ratio": F.round(ellipsis_ratio, 6),
+            "alpha_word_ratio": F.round(alpha_word_ratio, 6),
+            "stop_hits": stop_hits,
+        }
+    )
+    verdict = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("avg_word_len").between(min_avg_word_len, max_avg_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("pass_gopher", verdict)
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality heuristic in [0,1]: rewards mid-length documents
     with diverse tokens and a natural stopword rate, penalizes digit/punct
