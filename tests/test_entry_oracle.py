@@ -190,6 +190,11 @@ ROWS_ONLY_MIN = {
     "anomaly_changepoint_validation": 10,
     "anomaly_sarima_validation": 10,
     "classifier_quality_documents": 100,
+    # r13 queued (oracled in QUEUED_ORACLES, wired r14): structural
+    # floors — 5 orders × every doc; temperature mix keeps the binding
+    # stratum whole
+    "gopher_repetition_documents": 2500,
+    "temperature_mix_documents": 100,
 }
 
 

@@ -3806,3 +3806,62 @@ def test_knn_graph_exact_at_fullprobe(spark, tmp_path):
     got = similarity.knn_graph(spark, path, emb, k=3, nprobe=4)
     want = similarity.brute_force_topk(emb, emb, k=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_gopher_repetition_signals(spark):
+    """Known-by-hand repetition arithmetic: 'a b a b c' has bigrams
+    [a b, b a, a b, b c] → total 4, distinct 3, top 2."""
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    rows = {
+        (r["id"], r["n"]): r
+        for r in text.gopher_repetition(df, ns=(2, 3)).collect()
+    }
+    r = rows[(1, 2)]
+    assert (r["total_ngrams"], r["distinct_ngrams"], r["top_count"]) == (4, 3, 2)
+    assert r["top_ratio"] == 0.5 and r["dup_ratio"] == 0.25
+    # doc 2 is too short for trigrams: the dense grid emits the zero row
+    z = rows[(2, 3)]
+    assert (z["total_ngrams"], z["top_ratio"], z["dup_ratio"]) == (0, 0.0, 0.0)
+    assert set(rows) == {(1, 2), (1, 3), (2, 2), (2, 3)}
+
+
+def test_gopher_repetition_verdict(spark):
+    """Template spam trips the top-bigram rule, a duplicated-line doc
+    trips the line rules, clean prose passes."""
+    spam = " ".join(["buy now"] * 40)
+    dup_lines = "\n".join(["the same exact line of text here"] * 8 + ["unique one"])
+    clean_words = (
+        "many different words appear once each making every ngram unique "
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    )
+    df = spark.createDataFrame(
+        [(1, spam), (2, dup_lines), (3, clean_words)], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in text.gopher_repetition_verdict(df).collect()}
+    assert rows[1]["pass_repetition"] is False
+    assert rows[1]["top_2gram_ratio"] > 0.2
+    assert rows[2]["pass_repetition"] is False
+    assert rows[2]["dup_line_ratio"] > 0.3
+    assert rows[3]["pass_repetition"] is True
+    assert rows[3]["dup_line_ratio"] == 0.0
+
+
+def test_temperature_mix_proportions(spark):
+    """alpha=0 equalizes a skewed two-source corpus (binding source kept
+    whole), alpha=1 is a no-op; determinism across reruns."""
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    eq = curation.temperature_mix(df, alpha=0.0)
+    got = {
+        r["source"]: r["n"]
+        for r in eq.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["small"] == 50  # binding source survives whole
+    assert abs(got["big"] - 50) <= 15  # hash-thinned to ~the same size
+    noop = curation.temperature_mix(df, alpha=1.0)
+    assert noop.count() == 450
+    assert sorted(map(tuple, eq.collect())) == sorted(
+        map(tuple, curation.temperature_mix(df, alpha=0.0).collect())
+    )

@@ -8878,6 +8878,28 @@ def ngram_decontaminate_documents(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "max_jaccard")
 
 
+@query("gopher_repetition_documents")
+def gopher_repetition_documents(spark, sf_dir):
+    """Gopher repetition signals (text.gopher_repetition) for orders
+    2/3/4 (top-n-gram share) and 5/10 (duplicate-n-gram fraction) in one
+    dataflow — long format, one row per (doc, order). Oracle queued for
+    r14 window headroom (QUEUED_ORACLES)."""
+    docs = _documents(spark, sf_dir)
+    return text.gopher_repetition(docs, ns=(2, 3, 4, 5, 10))
+
+
+@query("temperature_mix_documents")
+def temperature_mix_documents(spark, sf_dir):
+    """Temperature corpus rebalancing (curation.temperature_mix,
+    α = 0.5) over the skewed ``lang`` strata — output proportions follow
+    count^α renormalized, the binding (scarcest-per-weight) stratum kept
+    whole. Oracle queued for r14 window headroom (QUEUED_ORACLES)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.temperature_mix(
+        docs, source_col="lang", key_col="doc_id", alpha=0.5
+    ).select("doc_id", "lang", "mix_rate")
+
+
 # --- oracle queue -----------------------------------------------------
 # Pre-written exact-replay oracles for queries whose wiring must wait for
 # driver-window headroom (an oracled query must be scheduled the round it
@@ -8889,4 +8911,41 @@ def ngram_decontaminate_documents(spark, sf_dir):
 # queue cannot rot between rounds. The 18 r10-queued oracles were wired
 # in round 11 after the staleness horizon widened from 3 to 4 recorded
 # rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
-QUEUED_ORACLES: dict[str, str] = {}
+QUEUED_ORACLES: dict[str, str] = {
+    # r13 second batch: the r13 window was already at its 50-slot
+    # capacity (34 r9-stale mandatory + 9 never-green + 7 pre-rotated)
+    # when these landed; wire both into the r14 window.
+    "gopher_repetition_documents": """
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+nn AS (SELECT unnest([2, 3, 4, 5, 10]) AS n),
+grid AS (SELECT doc_id, n, toks FROM d CROSS JOIN nn),
+grams AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, len(toks) - n + 1),
+                i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+  FROM grid WHERE len(toks) >= n
+),
+per AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+agg AS (SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS topc
+        FROM per GROUP BY 1, 2)
+SELECT grid.doc_id AS id, grid.n::INT AS n,
+       coalesce(total, 0)::BIGINT AS total_ngrams,
+       coalesce(dist, 0)::BIGINT AS distinct_ngrams,
+       coalesce(topc, 0)::BIGINT AS top_count,
+       round(coalesce(topc::DOUBLE / total, 0.0), 6) AS top_ratio,
+       round(coalesce((total - dist)::DOUBLE / total, 0.0), 6) AS dup_ratio
+FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.n = grid.n
+""",
+    "temperature_mix_documents": f"""
+WITH counts AS (SELECT lang AS s, count(*) AS c FROM documents GROUP BY 1),
+scale AS (SELECT min(c / pow(c, 0.5)) AS sc FROM counts),
+thr AS (
+  SELECT s, floor(((sc * pow(c, 0.5)) / c) * 1000000)::BIGINT AS t
+  FROM counts, scale
+)
+SELECT doc_id, lang, t / 1000000.0 AS mix_rate
+FROM documents JOIN thr ON s = lang
+WHERE {_hex2int_sql("md5('42|' || doc_id::VARCHAR)", 1, 8)} % 1000000 < t
+""",
+}

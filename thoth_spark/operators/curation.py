@@ -368,6 +368,41 @@ def mix_corpora(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: down-sample so output
+    proportions follow ``count_s ** alpha`` renormalized — the
+    multilingual/multi-source mixing rule of the XLM-R / mT5 / LLaMA
+    recipes. ``alpha=1`` keeps natural proportions (no-op), ``alpha=0``
+    equalizes every source, and the usual 0.3–0.7 range up-weights
+    scarce sources without flattening the head entirely.
+
+    Implementation: the target weights are the observed per-source
+    counts raised to ``alpha`` (one tiny aggregate), then the
+    :func:`mix_corpora` keep-all-of-the-binding-source rate math and
+    map-side hash filter apply unchanged — deterministic in
+    (data, alpha, seed), one scan, no shuffle."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError("empty input")
+    weights = {s: float(c) ** alpha for s, c in counts.items()}
+    return mix_corpora(
+        df, weights, source_col=source_col, key_col=key_col, seed=seed
+    )
+
+
 def training_order(
     df: DataFrame,
     id_col: str = "doc_id",
