@@ -4,12 +4,17 @@ Run:  python examples/curation_pipeline.py  [sf_dir]
 
 The pipeline a 100 TB curation job runs, at fixture scale:
 
+0. Gopher heuristic gates (per-word rules + repetition rules) — the
+   scan-speed filters go first, then a per-source frequency cap so no
+   domain dominates the corpus
 1. heuristic quality score + language ID (pure column expressions)
 2. model-based quality filter — Bernoulli Naive Bayes trained on
    balanced weak labels (closed-form, deterministic)
-3. benchmark decontamination — a packed-bitmap Bloom filter over the
-   held-out eval set's fingerprints screens every training doc (no
-   false negatives: nothing from the benchmark survives)
+3. benchmark decontamination, exact AND fuzzy — a packed-bitmap Bloom
+   filter over the held-out eval set's fingerprints (no false
+   negatives: nothing byte-equal to the benchmark survives), then an
+   n-gram-Jaccard screen that catches the paraphrased leaks the
+   exact filter cannot
 4. exact-substring passage dedup (duplicated 12-token runs removed
    from every occurrence — licence headers, templated paragraphs)
 5. MinHash-LSH near-duplicate removal with quality-aware survivors
@@ -58,8 +63,36 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # 0. Gopher heuristic gates FIRST — both run at scan speed (pure
+    # column expressions / one bounded gram pass), so everything
+    # downstream pays for fewer rows: the per-word rules
+    # (text.gopher_rules; min_stop_hits=1 — the fixture's synthetic
+    # vocabulary carries at most one Gopher stopword) and the
+    # repetition rules (text.gopher_repetition_verdict — template spam,
+    # duplicated lines)
+    ruled = (
+        text.gopher_rules(docs, min_stop_hits=1)
+        .where(F.col("pass_gopher"))
+        .select("doc_id", "text", "source")
+    )
+    rep_ok = (
+        text.gopher_repetition_verdict(ruled, "doc_id", "text")
+        .where(F.col("pass_repetition"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    gated = ruled.join(rep_ok, "doc_id", "left_semi")
+    n0a = gated.count()
+
+    # 0b. per-source frequency cap (sampling.domain_cap_sample): no
+    # single source may dominate the corpus — a no-op on the balanced
+    # fixture at sf0.001, binding at larger sf / real crawls
+    capped = sampling.domain_cap_sample(
+        gated, "source", "doc_id", cap=30
+    ).select("doc_id", "text")
+    n0b = capped.count()
+
     # 1. heuristic signals
-    scored = text.quality_score(docs, "text").select(
+    scored = text.quality_score(capped, "text").select(
         "doc_id", "text", "quality_score"
     )
 
@@ -82,6 +115,7 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     # negatives: a doc byte-equal to a benchmark doc CANNOT survive.
     fps = kept.select("doc_id", F.md5(text.normalize(F.col("text"))).alias("fp"))
     bench = fps.where(F.col("doc_id") % 97 == 0)
+    bench_docs = kept.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     flt = membership.bloom_build(bench, "fp", m=1 << 16, n_hashes=3)
     clean_ids = (
         membership.bloom_probe(flt, fps, "doc_id", "fp", m=1 << 16, n_hashes=3)
@@ -90,6 +124,19 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     )
     kept = kept.join(clean_ids, "doc_id", "left_semi")
     n1b = kept.count()
+
+    # 3b. FUZZY decontamination (dedup.ngram_decontaminate): the Bloom
+    # screen is exact-normalized-match only, so a lightly paraphrased
+    # benchmark doc sails through it — anything still >= 0.8 3-gram
+    # Jaccard to the benchmark slice is dropped here (exact candidate
+    # join, benchmark inverted index broadcast)
+    fuzzy_hits = dedup.ngram_decontaminate(
+        kept, bench_docs, "doc_id", "text", n=3, threshold=0.8
+    )
+    kept = kept.join(
+        fuzzy_hits.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    n1c = kept.count()
 
     # 4. passage dedup (ExactSubstr): drop duplicated 12-token runs
     passages = curation.passage_dedup(kept, "doc_id", "text", window=12)
@@ -210,8 +257,11 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
 
     return {
         "corpus": n0,
+        "gopher_gated": n0a,
+        "domain_capped": n0b,
         "quality_kept": n1,
         "decontaminated": n1b,
+        "fuzzy_decontaminated": n1c,
         "passage_cleaned": n2,
         "near_dup_unique": n3,
         "dsir_selected": n4,
@@ -231,8 +281,11 @@ def main() -> None:
     spark = get_spark(shuffle_partitions=8, app_name="curation-pipeline")
     r = run(spark, sf_dir)
     print(f"corpus:          {r['corpus']} docs")
+    print(f"gopher-gated:    {r['gopher_gated']} docs (rules + repetition)")
+    print(f"domain-capped:   {r['domain_capped']} docs (per-source cap)")
     print(f"quality-kept:    {r['quality_kept']} docs (NB filter)")
     print(f"decontaminated:  {r['decontaminated']} docs (Bloom screen vs eval set)")
+    print(f"fuzzy-decontam:  {r['fuzzy_decontaminated']} docs (>=0.8 Jaccard screen)")
     print(f"passage-cleaned: {r['passage_cleaned']} docs (empty after dedup dropped)")
     print(f"near-dup-unique: {r['near_dup_unique']} docs (quality-aware MinHash survivors)")
     print(f"dsir-selected:   {r['dsir_selected']} docs (target-distribution pool)")

@@ -2391,11 +2391,14 @@ def test_curation_pipeline_example_waterfall(spark, tmp_path):
     out_dir = str(tmp_path / "shards")
     r = mod.run(spark, "/root/testdata/sf0.001", out_dir=out_dir)
     waterfall = [
-        r["corpus"], r["quality_kept"], r["decontaminated"],
+        r["corpus"], r["gopher_gated"], r["domain_capped"],
+        r["quality_kept"], r["decontaminated"], r["fuzzy_decontaminated"],
         r["passage_cleaned"], r["near_dup_unique"], r["dsir_selected"],
     ]
     assert all(a >= b for a, b in zip(waterfall, waterfall[1:])), waterfall
     assert all(n > 0 for n in waterfall), waterfall
+    # the r13 Gopher gate actually discriminates at fixture scale
+    assert r["gopher_gated"] < r["corpus"]
     # the Bloom screen dropped the synthetic benchmark subset and it
     # never reappears downstream
     assert r["decontaminated"] < r["quality_kept"]

@@ -771,3 +771,43 @@ def test_ann_join_serve_query_side_stays_distributed(
         assert "PartitionFilters: [cell" in plan or re.search(
             r"PartitionFilters: \[.*cell", plan
         ), plan[:2000]
+
+
+def test_gopher_rules_zero_exchange(spark, sf_dir):
+    """The Gopher quality gate is a pure map-side expression pass: no
+    UDF, no exchange anywhere in the plan — the property that makes it
+    free at 100 TB (it rides the scan). Locked on the raw loader (the
+    _documents() driver wrapper adds its deliberate small-fixture
+    round-robin repartition, which vanishes on real multi-file input)."""
+    from thoth_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(text_ops.gopher_rules(docs))
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # no UDF in the hot path
+
+
+def test_ngram_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set side must BROADCAST into the shingle equi-join (the
+    corpus never shuffles against it) and nothing may degenerate to a
+    cartesian/nested-loop pairing."""
+    plan = _plan(
+        entry_queries.QUERIES["ngram_decontaminate_documents"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_repetition_exchanges_independent_of_orders(spark, sf_dir):
+    """One gram pass regardless of how many n-gram orders are requested:
+    the exchange count for 5 orders must equal the count for 2 — the
+    unioned legs share the same groupBy chain, not one job per n."""
+    from thoth_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    few = _plan(text_ops.gopher_repetition(docs, ns=(2, 3)))
+    many = _plan(text_ops.gopher_repetition(docs, ns=(2, 3, 4, 5, 10)))
+    n_few = few.count("Exchange hashpartitioning")
+    n_many = many.count("Exchange hashpartitioning")
+    assert n_many == n_few
