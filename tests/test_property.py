@@ -442,3 +442,41 @@ def test_bloom_membership_invariants(spark, keys, probes):
     for i, p in enumerate(probes):
         if p in inserted:
             assert hits[i], (p, "false negative")
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=5),
+    cap=st.integers(min_value=1, max_value=12),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+def test_domain_cap_two_stage_equals_one_window(spark, sizes, cap, n_salts):
+    """The skew-proof two-stage salted cut is EXACT for any (domain
+    sizes, cap, n_salts): identical row set to the single-window
+    contract, and every domain keeps min(size, cap) rows."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from thoth_spark.operators import sampling
+
+    rows = [
+        (f"d{d}k{i}", f"dom{d}")
+        for d, size in enumerate(sizes)
+        for i in range(size)
+    ]
+    df = spark.createDataFrame(rows, "k string, dom string")
+    got = sampling.domain_cap_sample(df, "dom", "k", cap=cap, n_salts=n_salts)
+    b = sampling._bucket(F.col("k"), 42)
+    w = W.partitionBy("dom").orderBy(b, F.col("k"))
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    gr = sorted(map(tuple, got.collect()))
+    assert gr == sorted(map(tuple, want.collect()))
+    per_dom = {}
+    for _, dom in gr:
+        per_dom[dom] = per_dom.get(dom, 0) + 1
+    for d, size in enumerate(sizes):
+        assert per_dom.get(f"dom{d}", 0) == min(size, cap)
