@@ -340,6 +340,7 @@ def cluster_balanced_sample(
     seed: int = 42,
     centroids=None,
     cluster_col: str = "cluster",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Diversity sampling over an embedding column: assign every row to
     its nearest centroid, then keep the ``per_cluster`` smallest-hash
@@ -355,11 +356,15 @@ def cluster_balanced_sample(
     output when quality matters more than replay), assignment is the
     Arrow-batched :func:`similarity.nearest_cells_udf` argmin over
     ``||c||² − 2x·c`` with ties to the lower cluster id — the plan stays
-    O(1) in ``n_clusters``. The per-cluster cut is one window over
-    ``n_clusters`` partitions; a cluster is at most the corpus but the
-    window carries only ``per_cluster`` rows of state per partition, and
-    the ``cap``-per-salt trick of :func:`domain_cap_sample` applies
-    verbatim when a cluster is hot enough to matter."""
+    O(1) in ``n_clusters``. The per-cluster cut is the
+    :func:`domain_cap_sample` two-stage salted trick (a cluster can be
+    most of the corpus — the embedding-space majority mode is exactly
+    what this sampler exists to tame — so a one-window cut would funnel
+    it through a single task): rank within ``(cluster, hash % n_salts)``
+    keeping ``per_cluster`` each, then re-rank the bounded survivors.
+    Result set is identical to the one-window contract (the global
+    ``per_cluster`` smallest-hash rows of a cluster are each
+    smallest-hash within their own salt)."""
     from thoth_spark.operators.clustering import seed_centroids
     from thoth_spark.operators.similarity import _as_double, nearest_cells_udf
 
@@ -369,13 +374,20 @@ def cluster_balanced_sample(
         cluster_col,
         nearest_cells_udf(centroids, 1)(_as_double(F.col(vec_col)))[0],
     )
-    w = W.partitionBy(cluster_col).orderBy(
-        _bucket(F.col(id_col), seed), F.col(id_col)
+    b = _bucket(F.col(id_col), seed)
+    w1 = W.partitionBy(F.col(cluster_col), b % n_salts).orderBy(
+        b, F.col(id_col)
     )
+    survivors = (
+        assigned.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= per_cluster)
+        .drop("__r1")
+    )
+    w2 = W.partitionBy(cluster_col).orderBy(b, F.col(id_col))
     return (
-        assigned.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= per_cluster)
-        .drop("__r")
+        survivors.withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= per_cluster)
+        .drop("__r2")
     )
 
 
