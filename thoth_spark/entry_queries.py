@@ -3547,9 +3547,16 @@ def embedding_neardup_exact(spark, sf_dir):
     """Exact cosine near-dup pairs (threshold tuned to this corpus's
     similarity ceiling) — the brute-force baseline for the LSH variant."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("vn", similarity.norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")
-    cos = similarity.cosine(F.col("a.v"), F.col("b.v"))
+    # per-side norms hoisted below the n² self-join (bit-identical to
+    # similarity.cosine — same sqrt, same multiply, 3× less array work)
+    cos = similarity.dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.vn") * F.col("b.vn")
+    )
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(

@@ -603,8 +603,11 @@ def embedding_near_dup_pairs(
     # leg's explode re-evaluated it per flip via projection collapse)
     base = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn(
-        "sig", hyperplane_signature(F.col("v"), planes)
+    ).withColumns(
+        # norm stored per ROW (rides the checkpoint) so the verify stage
+        # pays one dot per candidate pair, not dot + two sqrt(Σx²);
+        # dot/(na·nb) is bit-identical to cosine(a, b)
+        {"sig": hyperplane_signature(F.col("v"), planes), "vn": norm(F.col("v"))}
     ).localCheckpoint(eager=False)
     probes = [F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
     a = base.withColumn("bucket", F.explode(F.array(*probes))).alias("a")
@@ -615,7 +618,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn")),
+                6,
+            ).alias("cos_sim"),
         )
         .distinct()
         .where(F.col("cos_sim") >= threshold)
@@ -722,11 +728,17 @@ def semdedup(
     reps_only = base.join(
         rep.select(F.col("__rep").alias("id")), "id", "left_semi"
     )
-    a, b = reps_only.alias("a"), reps_only.alias("b")
+    reps_n = reps_only.withColumn("__vn", norm(F.col("v")))
+    a, b = reps_n.alias("a"), reps_n.alias("b")
     rep_pairs = (
         a.join(b, "cluster")
         .where(F.col("a.id") < F.col("b.id"))
-        .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .where(
+            # per-side norms hoisted below the self-join: one dot per
+            # within-cluster pair instead of dot + two norms
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.__vn") * F.col("b.__vn"))
+            >= threshold
+        )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     if stats is not None:
@@ -919,12 +931,14 @@ def embedding_cross_neardup(
     planes = _hyperplanes(dim, nbits)
     l = left.select(
         F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("lv")
-    ).withColumn("sig", hyperplane_signature(F.col("lv"), planes)).localCheckpoint(
-        eager=False
-    )
+    ).withColumns(
+        {"sig": hyperplane_signature(F.col("lv"), planes), "ln": norm(F.col("lv"))}
+    ).localCheckpoint(eager=False)
     r = right.select(
         F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("rv")
-    ).withColumn("bucket", hyperplane_signature(F.col("rv"), planes))
+    ).withColumns(
+        {"bucket": hyperplane_signature(F.col("rv"), planes), "rn": norm(F.col("rv"))}
+    )
     probes = [F.col("sig")] + [
         F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)
     ]
@@ -934,7 +948,9 @@ def embedding_cross_neardup(
         .select(
             "left_id",
             "right_id",
-            F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")), 6
+            ).alias("cos_sim"),
         )
         .distinct()
         .where(F.col("cos_sim") >= threshold)
@@ -1806,17 +1822,30 @@ def ivf_query_index_join(
                 "cos_sim", cosine(F.col("qv"), F.col("cv"))
             )
     else:
+        # norms precomputed ONCE PER SIDE before the join: the naive
+        # cosine(qv, cv) re-evaluates sqrt(Σx²) for BOTH vectors on
+        # every candidate PAIR — for a corpus-as-queries serve (the
+        # knn_graph workload) that triples the per-pair array work.
+        # dot/(qn·vn) is bit-identical arithmetic (same sqrt, same
+        # multiply), just hoisted above the join.
         scored = (
             _salted(cells, "vec_id", salt)
             .select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),
+                norm(F.col("v")).alias("__vn"),
                 "cell",
                 "__salt",
             )
-            .join(_replicated(q, salt), on=["cell", "__salt"])
+            .join(
+                _replicated(q.withColumn("__qn", norm(F.col("qv"))), salt),
+                on=["cell", "__salt"],
+            )
             .where(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+            .withColumn(
+                "cos_sim",
+                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__vn")),
+            )
         )
     return (
         scored.withColumn("rank", F.row_number().over(w))
