@@ -195,6 +195,7 @@ ROWS_ONLY_MIN = {
     # stratum whole
     "gopher_repetition_documents": 2500,
     "temperature_mix_documents": 100,
+    "streaming_gopher_documents": 100,
 }
 
 

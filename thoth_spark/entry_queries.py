@@ -8885,6 +8885,35 @@ def ngram_decontaminate_documents(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "max_jaccard")
 
 
+@query("streaming_gopher_documents")
+def streaming_gopher_documents(spark, sf_dir):
+    """The Gopher quality gate run UNCHANGED under Structured Streaming
+    (the streaming_curate recipe): readStream over the corpus → the same
+    stateless text.gopher_rules column pass → pass_gopher filter → sink.
+    Zero state, no watermark, batch-equivalent at any micro-batch
+    boundary — a live document feed gets the same front-line filter as
+    the static corpus, at the same scan speed. Oracle queued for r14
+    window headroom (QUEUED_ORACLES)."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    gated = (
+        text.gopher_rules(stream, min_stop_hits=1)
+        .where(F.col("pass_gopher"))
+        .select("doc_id", "n_words", "avg_word_len", "stop_hits")
+    )
+    name = f"stream_gopher_{uuid.uuid4().hex[:8]}"
+    q = gated.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
 @query("gopher_repetition_documents")
 def gopher_repetition_documents(spark, sf_dir):
     """Gopher repetition signals (text.gopher_repetition) for orders
@@ -8921,7 +8950,44 @@ def temperature_mix_documents(spark, sf_dir):
 QUEUED_ORACLES: dict[str, str] = {
     # r13 second batch: the r13 window was already at its 50-slot
     # capacity (34 r9-stale mandatory + 9 never-green + 7 pre-rotated)
-    # when these landed; wire both into the r14 window.
+    # when these landed; wire all three into the r14 window.
+    "streaming_gopher_documents": """
+WITH d AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         string_split(text, chr(10)) AS ls
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    len(toks)::INT AS n_words,
+    round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 6)
+      AS avg_word_len,
+    round(((len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE
+          / len(toks), 6) AS symbol_word_ratio,
+    round(len(list_filter(ls, l ->
+          list_contains(['-', '*', '•'], substr(ltrim(l), 1, 1))))::DOUBLE
+          / len(ls), 6) AS bullet_ratio,
+    round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))::DOUBLE
+          / len(ls), 6) AS ellipsis_ratio,
+    round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+          / len(toks), 6) AS alpha_word_ratio,
+    len(list_intersect(list_distinct(toks),
+        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::INT
+      AS stop_hits
+  FROM d
+)
+SELECT doc_id, n_words, avg_word_len, stop_hits
+FROM sig
+WHERE n_words BETWEEN 50 AND 100000
+  AND avg_word_len BETWEEN 3.0 AND 10.0
+  AND symbol_word_ratio <= 0.1
+  AND bullet_ratio <= 0.9
+  AND ellipsis_ratio <= 0.3
+  AND alpha_word_ratio >= 0.8
+  AND stop_hits >= 1
+""",
     "gopher_repetition_documents": """
 WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
            FROM documents),
