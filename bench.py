@@ -155,6 +155,9 @@ HEADLINE = [
     "knn_graph_embeddings",
     "cluster_balanced_sample_embeddings",
     "ngram_decontaminate_documents",
+    "gopher_repetition_documents",
+    "temperature_mix_documents",
+    "streaming_gopher_documents",
 ]
 
 
@@ -305,6 +308,9 @@ _ABBREV = [
     # round-13 second batch (plus squeezes on the longest residual short
     # names to keep the worst-case tail inside the capture budget)
     (r"gopher_rules", "gop"),
+    (r"gopher_repetition", "gorep"),
+    (r"temperature_mix", "tmix"),
+    (r"st_gopher$", "st_gop"),
     (r"domain_cap_sample", "dcap"),
     (r"cluster_balanced_sample", "cbs"),
     (r"ngram_decon$", "ndec"),
@@ -337,6 +343,24 @@ _ABBREV = [
     (r"^bm25_mq$", "b25mq"),
     (r"^smp_wtd$", "swtd"),
     (r"^pf_diff$", "pfdif"),
+    (r"^knn_clf$", "kclf"),
+    (r"^sdd_fix$", "sddf"),
+    (r"^s_ivfpq$", "sipq"),
+    (r"^cms_tok$", "cmst"),
+    (r"^bpe_tok$", "bpet"),
+    (r"^s_ivfxj$", "sivj"),
+    (r"^s_ipqxj$", "sipj"),
+    (r"^pf_apx$", "pfap"),
+    (r"^a_mthr$", "amth"),
+    (r"^t_qual$", "tqul"),
+    (r"^curate$", "cur8"),
+    (r"^s_ivfr$", "sivr"),
+    (r"^pf_kll$", "pkll"),
+    (r"^redact$", "rdct"),
+    (r"^contam$", "ctam"),
+    (r"^m_decr$", "mdcr"),
+    (r"^psg_dd$", "psgd"),
+    (r"^clf_nb$", "cnb"),
 ]
 
 
