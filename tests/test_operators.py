@@ -3803,7 +3803,12 @@ def test_knn_graph_exact_at_fullprobe(spark, tmp_path):
     corpus as the query set — the corpus-vs-corpus join-serve contract."""
     from thoth_spark.sources import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(120)
+    # vec_id < 120, not limit(120): an unordered LIMIT is evaluated
+    # independently by the index-build, query, and reference jobs and
+    # Spark guarantees nothing about which rows it picks
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        F.col("vec_id") < 120
+    )
     path = str(tmp_path / "ivf")
     similarity.build_ivf_index(emb, path, n_centroids=4)
     got = similarity.knn_graph(spark, path, emb, k=3, nprobe=4)

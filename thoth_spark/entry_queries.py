@@ -8681,11 +8681,13 @@ def dedup_containment_survivors(spark, sf_dir):
 # sampling, fuzzy decontamination
 # ---------------------------------------------------------------------------
 
-# Gopher quality-rule thresholds on the ROUNDED signal columns (the
-# operator compares after round(…, 6) so the verdict is a pure function
-# of the emitted row — the oracle mirrors that).
-ORACLE_GOPHER = """
-WITH d AS (
+# Gopher quality-rule signal CTE, shared by the batch oracle and the
+# streaming twin's queued replay (the two must never drift apart) —
+# thresholds are applied to the ROUNDED signal columns because the
+# operator compares after round(…, 6), making the verdict a pure
+# function of the emitted row.
+_GOPHER_SIG_SQL = """
+d AS (
   SELECT doc_id, text,
          string_split_regex(lower(trim(text)), '\\s+') AS toks,
          string_split(text, chr(10)) AS ls
@@ -8710,15 +8712,19 @@ sig AS (
         ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::INT
       AS stop_hits
   FROM d
-)
-SELECT *,
-  (n_words BETWEEN 50 AND 100000
+)"""
+
+_GOPHER_PASS_SQL = """n_words BETWEEN 50 AND 100000
    AND avg_word_len BETWEEN 3.0 AND 10.0
    AND symbol_word_ratio <= 0.1
    AND bullet_ratio <= 0.9
    AND ellipsis_ratio <= 0.3
    AND alpha_word_ratio >= 0.8
-   AND stop_hits >= 1) AS pass_gopher
+   AND stop_hits >= 1"""
+
+ORACLE_GOPHER = f"""
+WITH {_GOPHER_SIG_SQL}
+SELECT *, ({_GOPHER_PASS_SQL}) AS pass_gopher
 FROM sig
 """
 
@@ -8951,42 +8957,11 @@ QUEUED_ORACLES: dict[str, str] = {
     # r13 second batch: the r13 window was already at its 50-slot
     # capacity (34 r9-stale mandatory + 9 never-green + 7 pre-rotated)
     # when these landed; wire all three into the r14 window.
-    "streaming_gopher_documents": """
-WITH d AS (
-  SELECT doc_id, text,
-         string_split_regex(lower(trim(text)), '\\s+') AS toks,
-         string_split(text, chr(10)) AS ls
-  FROM documents
-),
-sig AS (
-  SELECT doc_id,
-    len(toks)::INT AS n_words,
-    round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 6)
-      AS avg_word_len,
-    round(((len(text) - len(replace(text, '#', '')))
-           + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE
-          / len(toks), 6) AS symbol_word_ratio,
-    round(len(list_filter(ls, l ->
-          list_contains(['-', '*', '•'], substr(ltrim(l), 1, 1))))::DOUBLE
-          / len(ls), 6) AS bullet_ratio,
-    round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))::DOUBLE
-          / len(ls), 6) AS ellipsis_ratio,
-    round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
-          / len(toks), 6) AS alpha_word_ratio,
-    len(list_intersect(list_distinct(toks),
-        ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with']))::INT
-      AS stop_hits
-  FROM d
-)
+    "streaming_gopher_documents": f"""
+WITH {_GOPHER_SIG_SQL}
 SELECT doc_id, n_words, avg_word_len, stop_hits
 FROM sig
-WHERE n_words BETWEEN 50 AND 100000
-  AND avg_word_len BETWEEN 3.0 AND 10.0
-  AND symbol_word_ratio <= 0.1
-  AND bullet_ratio <= 0.9
-  AND ellipsis_ratio <= 0.3
-  AND alpha_word_ratio >= 0.8
-  AND stop_hits >= 1
+WHERE {_GOPHER_PASS_SQL}
 """,
     "gopher_repetition_documents": """
 WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks

@@ -313,6 +313,7 @@ def mix_corpora(
     source_col: str = "source",
     key_col: str = "doc_id",
     seed: int = 42,
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Down-sample sources so the output mixture matches target
     ``weights`` while keeping ALL of the scarcest source (relative to its
@@ -335,13 +336,17 @@ def mix_corpora(
     if not weights or any(w <= 0 for w in weights.values()):
         raise ValueError("weights must be a non-empty dict of positive numbers")
 
-    counts = {
-        r["s"]: r["c"]
-        for r in df.where(F.col(source_col).isin(list(weights)))
-        .groupBy(F.col(source_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    }
+    # ``counts`` lets a caller that already aggregated per-source counts
+    # (temperature_mix derives its weights from them) skip the recount —
+    # otherwise the counting pass, a full corpus scan, would run twice.
+    if counts is None:
+        counts = {
+            r["s"]: r["c"]
+            for r in df.where(F.col(source_col).isin(list(weights)))
+            .groupBy(F.col(source_col).alias("s"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
     missing = [s for s in weights if s not in counts]
     if missing:
         raise ValueError(f"sources absent from the data: {sorted(missing)}")
@@ -391,15 +396,25 @@ def temperature_mix(
         raise ValueError("alpha must be in [0, 1]")
     counts = {
         r["s"]: r["c"]
-        for r in df.groupBy(F.col(source_col).alias("s"))
+        for r in df.where(F.col(source_col).isNotNull())
+        .groupBy(F.col(source_col).alias("s"))
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     }
     if not counts:
-        raise ValueError("empty input")
+        raise ValueError("empty input (or every source is NULL)")
     weights = {s: float(c) ** alpha for s, c in counts.items()}
+    # NULL-source rows are dropped (mix_corpora's isin filter can never
+    # keep them anyway — real crawls carry null lang/source routinely,
+    # and a rebalancing pass must not die on them); counts are threaded
+    # through so the corpus is scanned once, not recounted.
     return mix_corpora(
-        df, weights, source_col=source_col, key_col=key_col, seed=seed
+        df,
+        weights,
+        source_col=source_col,
+        key_col=key_col,
+        seed=seed,
+        counts=counts,
     )
 
 

@@ -374,20 +374,12 @@ def cluster_balanced_sample(
         cluster_col,
         nearest_cells_udf(centroids, 1)(_as_double(F.col(vec_col)))[0],
     )
-    b = _bucket(F.col(id_col), seed)
-    w1 = W.partitionBy(F.col(cluster_col), b % n_salts).orderBy(
-        b, F.col(id_col)
-    )
-    survivors = (
-        assigned.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= per_cluster)
-        .drop("__r1")
-    )
-    w2 = W.partitionBy(cluster_col).orderBy(b, F.col(id_col))
-    return (
-        survivors.withColumn("__r2", F.row_number().over(w2))
-        .where(F.col("__r2") <= per_cluster)
-        .drop("__r2")
+    # the per-cluster cut IS the domain cap with cluster as the domain —
+    # one implementation of the exactness-critical two-stage cut, one
+    # property test pinning it
+    return domain_cap_sample(
+        assigned, cluster_col, id_col, cap=per_cluster, seed=seed,
+        n_salts=n_salts,
     )
 
 

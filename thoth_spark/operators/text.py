@@ -323,10 +323,7 @@ def gopher_repetition(
     toks = (
         df.select(
             F.col(id_col).alias("id"),
-            F.split(
-                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
-                " ",
-            ).alias("__toks"),
+            tokens(F.col(text_col)).alias("__toks"),
         )
         .repartition("id")
         .localCheckpoint(eager=False)
@@ -507,7 +504,6 @@ GOPHER_BULLETS = ["-", "*", "•"]
 
 def gopher_rules(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     min_words: int = 50,
     max_words: int = 100_000,
