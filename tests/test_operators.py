@@ -3873,3 +3873,14 @@ def test_temperature_mix_proportions(spark):
     assert sorted(map(tuple, eq.collect())) == sorted(
         map(tuple, curation.temperature_mix(df, alpha=0.0).collect())
     )
+
+
+def test_temperature_mix_tolerates_null_sources(spark):
+    """A NULL source must be dropped, not crash the rebalancing pass
+    (re-crawls routinely carry null lang/source)."""
+    rows = [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = curation.temperature_mix(df, alpha=1.0)
+    srcs = {r["source"] for r in got.collect()}
+    assert None not in srcs
+    assert got.count() == 4  # alpha=1 keeps every non-null row
