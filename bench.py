@@ -158,6 +158,9 @@ HEADLINE = [
     "gopher_repetition_documents",
     "temperature_mix_documents",
     "streaming_gopher_documents",
+    # round-14: the streaming repetition twin completes the live-feed
+    # Gopher story (stateless gate + per-batch repetition pass)
+    "streaming_gopher_repetition_documents",
 ]
 
 
@@ -309,6 +312,14 @@ _ABBREV = [
     # names to keep the worst-case tail inside the capture budget)
     (r"gopher_rules", "gop"),
     (r"gopher_repetition", "gorep"),
+    # round-14: the streaming repetition twin joined HEADLINE; squeeze
+    # it and the longest residual short names to stay inside the budget
+    (r"^st_gorep$", "sgr"),
+    (r"^s_ivff$", "sivf"),
+    (r"^s_lshr$", "slsh"),
+    (r"^pf_typ$", "pftp"),
+    (r"^st_ivj$", "stvj"),
+    (r"^d_lshe$", "dlsh"),
     (r"temperature_mix", "tmix"),
     (r"st_gopher$", "st_gop"),
     (r"domain_cap_sample", "dcap"),

@@ -190,12 +190,6 @@ ROWS_ONLY_MIN = {
     "anomaly_changepoint_validation": 10,
     "anomaly_sarima_validation": 10,
     "classifier_quality_documents": 100,
-    # r13 queued (oracled in QUEUED_ORACLES, wired r14): structural
-    # floors — 5 orders × every doc; temperature mix keeps the binding
-    # stratum whole
-    "gopher_repetition_documents": 2500,
-    "temperature_mix_documents": 100,
-    "streaming_gopher_documents": 100,
 }
 
 
@@ -275,6 +269,41 @@ def test_gap_fill_oracle_observed_null_is_not_a_gap():
     # absent bucket: gap; Size zero-filled, Mean stays null
     assert by_key[("2024-01-02", "Size")] == (0.0, True)
     assert by_key[("2024-01-02", "Mean")] == (None, True)
+
+
+def test_temperature_mix_oracle_null_lang_agrees_with_operator(spark):
+    """ORACLE_TEMPERATURE_MIX must exclude NULL langs from the counts
+    CTE exactly as the operator does (curation.temperature_mix drops
+    NULL sources BEFORE the binding-scale min) — on a fixture where the
+    NULL stratum has the SMALLEST count, an unfixed oracle would make
+    NULL the binding source and silently thin the true scarcest stratum
+    (r13 verdict nit #1, the HLL-gate defect class)."""
+    import pandas as pd
+
+    from thoth_spark.entry_queries import ORACLES
+    from thoth_spark.operators import curation
+
+    rows = (
+        [(i, "big") for i in range(400)]
+        + [(1000 + i, "small") for i in range(50)]
+        + [(2000 + i, None) for i in range(10)]  # smallest count: would
+        # set the binding scale if the oracle's counts CTE kept it
+    )
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle_rows = con.sql(ORACLES["temperature_mix_documents"]).fetchall()
+
+    sdf = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = (
+        curation.temperature_mix(sdf, source_col="lang", alpha=0.5)
+        .select("doc_id", "lang", "mix_rate")
+        .collect()
+    )
+    assert sorted(tuple(r) for r in got) == sorted(oracle_rows)
+    # the true scarcest non-null stratum is kept whole
+    kept_small = sum(1 for r in got if r["lang"] == "small")
+    assert kept_small == 50
 
 
 def test_type_lattice_widths():

@@ -2435,6 +2435,22 @@ def test_curation_pipeline_example_waterfall(spark, tmp_path):
     )
     assert straddling == 0
 
+    # r14: the curation-funnel dashboard view renders THIS run's audit
+    # dict live (docs in → Gopher pass → cap survivors → split sizes)
+    from urllib.request import urlopen
+
+    import thoth_spark as th
+
+    repo = th.init_db(spark, str(tmp_path / "funnel_repo"))
+    with th.serve_dashboard(repo, curation_stats=r) as srv:
+        home = urlopen(srv.url + "/").read().decode()
+        assert "/curation" in home
+        page = urlopen(srv.url + "/curation").read().decode()
+        for key in ("corpus", "gopher_gated", "dsir_selected"):
+            assert f"<b>{r[key]}</b>" in page, key
+        assert f"<b>{r['split_train']}</b> docs" in page
+        assert "benchmark docs leaked into train: <b>0</b>" in page
+
 
 def test_ann_serving_example(spark, tmp_path):
     """The ANN-serving showcase (examples/ann_serving.py: build
@@ -3712,7 +3728,9 @@ def test_gopher_rules_flags(spark):
     assert rows[1]["pass_gopher"] is True
     assert rows[2]["pass_gopher"] is False and rows[2]["n_words"] < 50
     assert rows[3]["pass_gopher"] is False
-    assert rows[3]["symbol_word_ratio"] > 0.1
+    # the paper gates hash and ellipsis EACH at 0.1, not their sum
+    assert rows[3]["hash_word_ratio"] > 0.1
+    assert rows[3]["ellipsis_word_ratio"] > 0.1
     assert rows[4]["pass_gopher"] is False and rows[4]["bullet_ratio"] == 1.0
     assert rows[5]["pass_gopher"] is False and rows[5]["ellipsis_ratio"] == 1.0
     assert rows[6]["pass_gopher"] is False
@@ -3746,6 +3764,26 @@ def test_domain_cap_sample_matches_single_window_on_skew(spark):
     assert gr == sorted(map(tuple, want.collect()))
     assert sum(1 for _, d in gr if d == "hot") == 5
     assert sum(1 for _, d in gr if d == "cold") == 3
+
+
+def test_domain_cap_sample_raises_on_null_key_or_domain(spark):
+    """NULL keys/domains would silently diverge from the single-window
+    exact-replay contract (NULL buckets, NULLS FIRST vs LAST), so the
+    operator must fail loudly instead."""
+    import pytest
+
+    from thoth_spark.operators import sampling
+
+    null_key = spark.createDataFrame(
+        [("a", "d1"), (None, "d1"), ("b", "d2")], "k string, dom string"
+    )
+    with pytest.raises(Exception, match="domain_cap_sample: NULL"):
+        sampling.domain_cap_sample(null_key, "dom", "k", cap=1).collect()
+    null_dom = spark.createDataFrame(
+        [("a", "d1"), ("b", None)], "k string, dom string"
+    )
+    with pytest.raises(Exception, match="domain_cap_sample: NULL"):
+        sampling.domain_cap_sample(null_dom, "dom", "k", cap=1).collect()
 
 
 def test_cluster_balanced_sample_bounds_and_determinism(spark):
@@ -3854,6 +3892,40 @@ def test_gopher_repetition_verdict(spark):
     assert rows[2]["dup_line_ratio"] > 0.3
     assert rows[3]["pass_repetition"] is True
     assert rows[3]["dup_line_ratio"] == 0.0
+
+
+def test_gopher_repetition_verdict_blank_line_paragraphs(spark):
+    """Well-formed multi-paragraph prose — distinct paragraphs joined by
+    blank lines — must NOT fail the duplicate-line rule on its identical
+    empty separator lines (the separators are layout, not repetition)."""
+    # every token unique so no n-gram rule can trip — only the blank
+    # separator lines could (and must not)
+    paragraphs = [
+        " ".join(f"word{p}x{w}" for w in range(8)) for p in range(10)
+    ]
+    prose = "\n\n".join(paragraphs)
+    df = spark.createDataFrame([(1, prose)], "doc_id long, text string")
+    r = text.gopher_repetition_verdict(df).collect()[0]
+    assert r["dup_line_ratio"] == 0.0
+    assert r["pass_repetition"] is True
+
+
+def test_gopher_rules_separate_symbol_gates(spark):
+    """Hash and ellipsis ratios are gated separately at 0.1 each (the
+    paper's 'either' phrasing): a doc at ~0.07 on both would fail a
+    combined-sum gate but must pass; the unicode ellipsis counts."""
+    base = ["the cat sat on that mat with one very happy dog and a fish"] * 5
+    body = " ".join(base)  # 70 words, all rules pass
+    # leading symbols so the line does not END with an ellipsis:
+    # 5 hash chars / 73 words ≈ 0.068; 3 unicode ellipses / 73 ≈ 0.041
+    mild = "##### …… … " + body
+    df = spark.createDataFrame([(1, mild)], "doc_id long, text string")
+    r = text.gopher_rules(df).collect()[0]
+    assert 0.0 < r["hash_word_ratio"] <= 0.1
+    assert 0.0 < r["ellipsis_word_ratio"] <= 0.1
+    assert r["pass_gopher"] is True
+    # combined they exceed 0.1 — the old summed gate would have rejected
+    assert r["hash_word_ratio"] + r["ellipsis_word_ratio"] > 0.1
 
 
 def test_temperature_mix_proportions(spark):

@@ -799,6 +799,32 @@ def test_ngram_decontaminate_broadcasts_benchmark(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ngram_decontaminate_broadcast_size_guard(spark, sf_dir):
+    """An oversized "benchmark" must fall back to a shuffle join instead
+    of a forced broadcast (the OOM path at scale) — with identical
+    results either way."""
+    from thoth_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    guarded = dedup_ops.ngram_decontaminate(
+        train, bench, "doc_id", "text", n=3, threshold=0.5,
+        broadcast_max_rows=1,
+    )
+    # the bench inverted index must NOT carry the broadcast hint past
+    # the guard (AQE may still pick a broadcast strategy on tiny test
+    # data, so assert on the optimized logical plan's hints instead)
+    logical = guarded._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower()
+    normal = dedup_ops.ngram_decontaminate(
+        train, bench, "doc_id", "text", n=3, threshold=0.5
+    )
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, normal.collect())
+    )
+
+
 def test_gopher_repetition_exchanges_independent_of_orders(spark, sf_dir):
     """One gram pass regardless of how many n-gram orders are requested:
     the exchange count for 5 orders must equal the count for 2 — the

@@ -5,6 +5,7 @@ onboard history, assess a normal batch (no alert), assess a perturbed
 batch (alert), verify repository round-trips and re-assessment upsert."""
 
 import datetime
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -504,6 +505,7 @@ def test_public_api_parity_flow(spark, events_df, tmp_path):
             ("/dataset?uri=no://such", 404),
             ("/dataset", 400),
             ("/nope", 404),
+            ("/curation", 404),  # r14: 404 unless curation_stats passed
         ]:
             try:
                 urlopen(srv.url + bad)
@@ -627,3 +629,65 @@ def test_dashboard_malformed_date_param_is_400(spark, repo):
             srv.url + "/dataset?uri=bad://dates&start=2024-01-01&end=2024-01-02"
         ).read().decode()
         assert "<form" in ok
+
+
+def test_jdbc_url_override_resolution(spark, tmp_path, monkeypatch):
+    """The Postgres-ready URL path (r13 verdict residual #1): explicit
+    url= and THOTH_SPARK_DATABASE_URL beat db_path, the driver class is
+    inferred from the scheme, and a constructor with nothing raises.
+    The Derby path must keep working end-to-end through the same
+    override (proving the URL plumbing carries real traffic)."""
+    from thoth_spark.repository_jdbc import _DRIVER, JdbcMetricsRepository
+
+    monkeypatch.delenv("THOTH_SPARK_DATABASE_URL", raising=False)
+    pg = JdbcMetricsRepository(
+        spark, url="jdbc:postgresql://host:5432/metrics"
+    )
+    assert pg.url == "jdbc:postgresql://host:5432/metrics"
+    assert pg._driver == "org.postgresql.Driver"
+
+    monkeypatch.setenv(
+        "THOTH_SPARK_DATABASE_URL", "jdbc:postgresql://envhost/m"
+    )
+    env_repo = JdbcMetricsRepository(spark, str(tmp_path / "ignored"))
+    assert env_repo.url == "jdbc:postgresql://envhost/m"
+    monkeypatch.delenv("THOTH_SPARK_DATABASE_URL")
+
+    with pytest.raises(ValueError, match="THOTH_SPARK_DATABASE_URL"):
+        JdbcMetricsRepository(spark)
+
+    # unknown scheme: driver left to Spark unless given explicitly
+    other = JdbcMetricsRepository(spark, url="jdbc:h2:mem:x")
+    assert other._driver is None
+    forced = JdbcMetricsRepository(
+        spark, url="jdbc:h2:mem:x", driver="org.h2.Driver"
+    )
+    assert forced._driver == "org.h2.Driver"
+
+    # Derby through the URL-override path carries real reads/writes
+    derby = JdbcMetricsRepository(
+        spark, url=f"jdbc:derby:{tmp_path / 'urldb'};create=true"
+    )
+    assert derby._driver == _DRIVER
+    derby.add_dataset("datasets://via-url", "ts", ["value"])
+    got = derby.get_dataset("datasets://via-url")
+    assert got is not None and got["columns"] == ["value"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("THOTH_SPARK_PG_URL"),
+    reason="set THOTH_SPARK_PG_URL to a jdbc:postgresql:// URL (with the "
+    "driver jar on spark.jars) to exercise the live Postgres path",
+)
+def test_jdbc_postgres_live_roundtrip(spark):
+    """The reference deploys on Postgres (DATABASE_URL in its
+    docker-compose); this repo's claim becomes runnable the day a server
+    exists: point THOTH_SPARK_PG_URL at it and this roundtrip must pass
+    with zero code changes."""
+    from thoth_spark.repository_jdbc import JdbcMetricsRepository
+
+    repo = JdbcMetricsRepository(spark, url=os.environ["THOTH_SPARK_PG_URL"])
+    uri = "datasets://pg-live"
+    repo.add_dataset(uri, "ts", ["value", "kind"])
+    got = repo.get_dataset(uri)
+    assert got is not None and got["columns"] == ["value", "kind"]

@@ -484,3 +484,36 @@ def test_index_ingest_foreach_batch_continuous_append(spark, tmp_path):
 
     with pytest.raises(ValueError, match="kind"):
         index_ingest_foreach_batch(ivf_dir, kind="hnsw")
+
+
+def test_gopher_repetition_foreach_batch_matches_batch(spark, sf_dir):
+    """The streaming repetition twin must drain to EXACTLY the batch
+    operator's rows regardless of micro-batch boundaries — the grouping
+    key is the doc id, so no group straddles a batch. Forced multi-batch
+    via maxFilesPerTrigger=1 over a two-file corpus."""
+    import tempfile
+
+    from thoth_spark.operators.text import gopher_repetition
+    from thoth_spark.streaming import gopher_repetition_foreach_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as d:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        seen = []
+        cb = gopher_repetition_foreach_batch(
+            lambda out, bid: seen.append((bid, out.collect())), ns=(2, 5)
+        )
+        q = stream.writeStream.foreachBatch(cb).start()
+        q.processAllAvailable()
+        q.stop()
+    assert len(seen) >= 2, "maxFilesPerTrigger=1 must force >=2 batches"
+    got = sorted(tuple(r) for _, rows in seen for r in rows)
+    want = sorted(
+        tuple(r) for r in gopher_repetition(docs, ns=(2, 5)).collect()
+    )
+    assert got == want and len(got) > 0

@@ -319,3 +319,81 @@ def export_dashboard_html(repo, dataset_uri: str, path: str, max_points: int = 1
     with open(path, "w", encoding="utf-8") as f:
         f.write(content)
     return path
+
+
+#: display order + labels for the curation-funnel view; keys are the
+#: stage-count keys of examples/curation_pipeline.run()'s audit dict.
+_CURATION_STAGES = [
+    ("corpus", "documents in"),
+    ("gopher_gated", "Gopher rules + repetition pass"),
+    ("domain_capped", "per-source frequency cap"),
+    ("quality_kept", "NB quality filter"),
+    ("decontaminated", "Bloom decontamination"),
+    ("fuzzy_decontaminated", "fuzzy n-gram decontamination"),
+    ("passage_cleaned", "passage dedup"),
+    ("near_dup_unique", "MinHash near-dup survivors"),
+    ("dsir_selected", "DSIR selection"),
+]
+
+
+def render_curation_html(stats: dict) -> str:
+    """The curation-funnel view: docs in → Gopher pass → cap/mix
+    survivors → split sizes, as one HTML page of proportional bars fed
+    from the showcase's audit dict (``examples/curation_pipeline.run()``
+    return value — plain ints, so the page renders from the pipeline's
+    own bookkeeping without rescanning any corpus). Unknown stage keys
+    are skipped, so the funnel degrades gracefully when a caller feeds
+    a partial pipeline's stats."""
+    stages = [
+        (label, int(stats[key]))
+        for key, label in _CURATION_STAGES
+        if key in stats and stats[key] is not None
+    ]
+    total = max((n for _, n in stages), default=0)
+    rows = []
+    for label, n in stages:
+        w = 0 if total == 0 else max(1, round(600 * n / total))
+        rows.append(
+            "<tr><td style='text-align:right;padding-right:8px'>"
+            f"{html.escape(label)}</td>"
+            f"<td><div style='background:#1f77b4;height:18px;width:{w}px;"
+            "display:inline-block;vertical-align:middle'></div>"
+            f" <b>{n}</b></td></tr>"
+        )
+    parts = [
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        "<title>thoth_spark — curation funnel</title>"
+        "<style>body{font-family:sans-serif;margin:24px}"
+        "h2{border-bottom:1px solid #ccc;padding-bottom:4px}</style></head><body>",
+        "<h1>thoth_spark — curation funnel</h1>",
+        "<h2>stage survivors</h2>",
+        "<table>", *rows, "</table>",
+    ]
+    split = [
+        (k, stats.get(f"split_{k}"))
+        for k in ("train", "val", "test")
+        if stats.get(f"split_{k}") is not None
+    ]
+    if split:
+        parts.append("<h2>leakage-safe split</h2><table>")
+        for k, n in split:
+            parts.append(
+                f"<tr><td style='padding-right:8px'>{k}</td>"
+                f"<td><b>{int(n)}</b> docs</td></tr>"
+            )
+        parts.append("</table>")
+    extras = []
+    if stats.get("vocab_90") is not None:
+        extras.append(
+            f"<li>{int(stats['vocab_90'])} tokens cover 90% of the "
+            "training split</li>"
+        )
+    if "bench_leaked" in stats:
+        extras.append(
+            f"<li>benchmark docs leaked into train: "
+            f"<b>{int(stats['bench_leaked'])}</b></li>"
+        )
+    if extras:
+        parts.append("<h2>audit</h2><ul>" + "".join(extras) + "</ul>")
+    parts.append("</body></html>")
+    return "".join(parts)

@@ -68,83 +68,88 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot ROUND-13 window. Rotation
+# entries, so this list is exactly the 50-slot ROUND-14 window. Rotation
 # policy: minimize the maximum staleness of any catalogue query's last
 # STRICT driver-green (hash_match is True) row, with never-verified
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
-# from CORRECTNESS_r01-r12 (regenerate with ``python tools/staleness.py``):
-# (a) the 34 queries whose last strict driver-green is r9 and that were
-#     NOT in the r12 window — they hit the 4-round staleness horizon
-#     the moment CORRECTNESS_r13 lands, so they are MANDATORY;
+# from CORRECTNESS_r01-r13 (regenerate with ``python tools/staleness.py``):
+# (a) the 41 queries whose last strict driver-green is r10 — they hit
+#     the 4-round staleness horizon the moment CORRECTNESS_r14 lands,
+#     so they are MANDATORY;
 # (b) the never-green oracles landing this round — mandatory the round
-#     they land (r13: the join-based distributed ANN serves that keep
-#     the query set a DataFrame end-to-end — the r12 verdict's one
-#     remaining scale hole — and QUARTER granularity in profile());
-# (c) the stalest slice of the r10-green block (alphabetically first),
-#     pre-rotated so the r14 window can fit the remaining r10 block.
+#     they land (r14: the three r13-queued oracles now wired — Gopher
+#     repetition, temperature mix, streaming Gopher gate — plus the new
+#     streaming repetition twin);
+# (c) fillers: gopher_rules_documents (its r14 semantics change — the
+#     paper's separate hash/ellipsis gates — deserves a fresh driver
+#     hash) and the stalest slice of the r11-green block.
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
 # never the file the current round just produced).
 DRIVER_PRIORITY: list[str] = [
-    # (a) last strict driver-green r9 — at the 4-round horizon, mandatory
-    "dedup_ngram_jaccard_capped",
-    "dedup_ngram_jaccard_documents",
-    "dedup_simhash_documents",
-    "dedup_simhash_pairs_documents",
-    "embedding_dedup_components",
-    "embedding_neardup_lsh",
-    "line_dedup_none_documents",
-    "multimodal_decode_real",
-    "pack_documents",
-    "perplexity_documents",
-    "profile_events_extended",
-    "profile_events_gap_fill",
-    "profile_events_hourly_size",
-    "profile_events_inferred_types",
-    "profile_events_minmax_sum",
-    "profile_events_weekly",
-    "psi_drift_events",
-    "quality_assessment_events",
-    "range_join_transit_orders",
-    "repository_roundtrip_jdbc",
-    "repository_roundtrip_profiling",
-    "similarity_topk_lsh",
-    "similarity_topk_quantized",
-    "streaming_dedup_events",
-    "streaming_sketch_rollup_events",
-    "streaming_watermark_profile_events",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume_customer",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "viz_forecast_interval_events",
-    "viz_score_band_events",
-    "viz_series_events",
-    # (b) new this round — never driver-verified, mandatory
-    # (slots swapped in from group (c) as each lands; see git history)
-    "similarity_topk_ivf_index_join_serve",
-    "similarity_topk_ivfpq_index_join_serve",
-    "similarity_topk_ivfpq_index_append_fullprobe",
-    "profile_events_quarterly",
+    # (a) last strict driver-green r10 — the 4-round staleness horizon
+    #     hits them the moment CORRECTNESS_r14 lands, so ALL 41 are
+    #     mandatory this round (histogram after r13: 50@r13, 50@r12,
+    #     47@r11, 41@r10; regenerate with `python tools/staleness.py`)
+    "classifier_quality_accuracy_bound",
+    "contamination_documents",
+    "corpus_diff_documents",
+    "curate_documents_pipeline",
+    "dedup_exact_documents",
+    "dedup_jaccard_prefix_documents",
+    "dedup_lsh_eval",
+    "dedup_minhash_capped_documents",
+    "dsir_select_documents",
+    "embedding_neardup_exact",
+    "events_json_props",
+    "ewma_control_events",
+    "ks_drift_events",
+    "line_dedup_documents",
+    "passage_dedup_documents",
+    "profile_documents_mutual_information",
+    "profile_events_approx",
+    "profile_events_exact",
+    "profile_events_frequency",
+    "profile_events_histogram",
+    "profile_events_kll",
+    "profile_events_monthly",
+    "profile_events_topk",
+    "redact_pii_documents",
+    "repetition_documents",
+    "sample_documents_budget",
+    "sample_documents_stratified",
+    "sample_documents_token_budget",
+    "sessionize_events",
+    "similarity_topk_brute",
+    "similarity_topk_ivf_fullprobe",
+    "similarity_topk_ivf_recall",
+    "similarity_topk_vectorized",
+    "split_documents",
+    "streaming_interval_join_events",
+    "streaming_profile_events",
+    "streaming_running_score",
+    "text_quality_documents",
+    "top_orders_per_customer",
+    "tpch_q16_supplier_counts",
+    "tpch_q20_part_promotion",
+    # (b) wired this round — never driver-verified, mandatory: the r13
+    #     oracle queue (Gopher repetition / temperature mix / streaming
+    #     Gopher gate) plus the NEW streaming repetition twin
+    "gopher_repetition_documents",
+    "temperature_mix_documents",
+    "streaming_gopher_documents",
+    "streaming_gopher_repetition_documents",
+    # (c) fillers: gopher_rules re-verifies its r14 semantics change
+    #     (separate hash/ellipsis symbol gates per the paper), then the
+    #     4 alphabetically-first r11-green queries (stalest cohort next
+    #     in line for the r15 horizon)
     "gopher_rules_documents",
-    "domain_cap_sample_documents",
-    "knn_graph_embeddings",
-    "cluster_balanced_sample_embeddings",
-    "ngram_decontaminate_documents",
-    # (c) last strict driver-green r10 (alphabetically first 7; the next
-    # 5 ceded their pre-rotation slots to the second new-query batch —
-    # they rejoin the mandatory set when their r10 green hits the
-    # horizon at r14)
-    "anomaly_ar1_validation",
-    "anomaly_holt_validation",
-    "asof_join_purchase_click",
-    "bm25_multiquery_documents",
-    "bm25_topk_documents",
-    "chunk_documents",
-    "classifier_nb_documents",
+    "anomaly_fixed_changepoint_validation",
+    "anomaly_sarima_fixed_validation",
+    "bloom_contamination_documents",
+    "check_events_constraints",
 ]
 
 
@@ -8698,13 +8703,16 @@ sig AS (
     len(toks)::INT AS n_words,
     round(list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks), 6)
       AS avg_word_len,
-    round(((len(text) - len(replace(text, '#', '')))
-           + (len(text) - len(replace(text, '...', ''))) / 3)::DOUBLE
-          / len(toks), 6) AS symbol_word_ratio,
+    round((len(text) - len(replace(text, '#', '')))::DOUBLE
+          / len(toks), 6) AS hash_word_ratio,
+    round(((len(text) - len(replace(text, '...', ''))) / 3
+           + (len(text) - len(replace(text, '…', ''))))::DOUBLE
+          / len(toks), 6) AS ellipsis_word_ratio,
     round(len(list_filter(ls, l ->
           list_contains(['-', '*', '•'], substr(ltrim(l), 1, 1))))::DOUBLE
           / len(ls), 6) AS bullet_ratio,
-    round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')))::DOUBLE
+    round(len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+                               OR ends_with(rtrim(l), '…')))::DOUBLE
           / len(ls), 6) AS ellipsis_ratio,
     round(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
           / len(toks), 6) AS alpha_word_ratio,
@@ -8716,7 +8724,8 @@ sig AS (
 
 _GOPHER_PASS_SQL = """n_words BETWEEN 50 AND 100000
    AND avg_word_len BETWEEN 3.0 AND 10.0
-   AND symbol_word_ratio <= 0.1
+   AND hash_word_ratio <= 0.1
+   AND ellipsis_word_ratio <= 0.1
    AND bullet_ratio <= 0.9
    AND ellipsis_ratio <= 0.3
    AND alpha_word_ratio >= 0.8
@@ -8745,7 +8754,8 @@ def gopher_rules_documents(spark, sf_dir):
         "doc_id",
         "n_words",
         "avg_word_len",
-        "symbol_word_ratio",
+        "hash_word_ratio",
+        "ellipsis_word_ratio",
         "bullet_ratio",
         "ellipsis_ratio",
         "alpha_word_ratio",
@@ -8891,15 +8901,22 @@ def ngram_decontaminate_documents(spark, sf_dir):
     ).select(F.col("id").alias("doc_id"), "max_jaccard")
 
 
-@query("streaming_gopher_documents")
+ORACLE_STREAMING_GOPHER = f"""
+WITH {_GOPHER_SIG_SQL}
+SELECT doc_id, n_words, avg_word_len, stop_hits
+FROM sig
+WHERE {_GOPHER_PASS_SQL}
+"""
+
+
+@query("streaming_gopher_documents", ORACLE_STREAMING_GOPHER)
 def streaming_gopher_documents(spark, sf_dir):
     """The Gopher quality gate run UNCHANGED under Structured Streaming
     (the streaming_curate recipe): readStream over the corpus → the same
     stateless text.gopher_rules column pass → pass_gopher filter → sink.
     Zero state, no watermark, batch-equivalent at any micro-batch
     boundary — a live document feed gets the same front-line filter as
-    the static corpus, at the same scan speed. Oracle queued for r14
-    window headroom (QUEUED_ORACLES)."""
+    the static corpus, at the same scan speed."""
     import uuid
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -8920,50 +8937,7 @@ def streaming_gopher_documents(spark, sf_dir):
     return spark.table(name)
 
 
-@query("gopher_repetition_documents")
-def gopher_repetition_documents(spark, sf_dir):
-    """Gopher repetition signals (text.gopher_repetition) for orders
-    2/3/4 (top-n-gram share) and 5/10 (duplicate-n-gram fraction) in one
-    dataflow — long format, one row per (doc, order). Oracle queued for
-    r14 window headroom (QUEUED_ORACLES)."""
-    docs = _documents(spark, sf_dir)
-    return text.gopher_repetition(docs, ns=(2, 3, 4, 5, 10))
-
-
-@query("temperature_mix_documents")
-def temperature_mix_documents(spark, sf_dir):
-    """Temperature corpus rebalancing (curation.temperature_mix,
-    α = 0.5) over the skewed ``lang`` strata — output proportions follow
-    count^α renormalized, the binding (scarcest-per-weight) stratum kept
-    whole. Oracle queued for r14 window headroom (QUEUED_ORACLES)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return curation.temperature_mix(
-        docs, source_col="lang", key_col="doc_id", alpha=0.5
-    ).select("doc_id", "lang", "mix_rate")
-
-
-# --- oracle queue -----------------------------------------------------
-# Pre-written exact-replay oracles for queries whose wiring must wait for
-# driver-window headroom (an oracled query must be scheduled the round it
-# lands, and never-green ⊆ window is enforced by
-# test_driver_window_rotation). Wiring one = move its SQL into the @query
-# decorator, DELETE its entry here, and add the name to DRIVER_PRIORITY.
-# Until then tests/test_entry_oracle.py::test_queued_oracle_matches runs
-# every pair through the SAME typed compare as the wired gate, so the
-# queue cannot rot between rounds. The 18 r10-queued oracles were wired
-# in round 11 after the staleness horizon widened from 3 to 4 recorded
-# rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
-QUEUED_ORACLES: dict[str, str] = {
-    # r13 second batch: the r13 window was already at its 50-slot
-    # capacity (34 r9-stale mandatory + 9 never-green + 7 pre-rotated)
-    # when these landed; wire all three into the r14 window.
-    "streaming_gopher_documents": f"""
-WITH {_GOPHER_SIG_SQL}
-SELECT doc_id, n_words, avg_word_len, stop_hits
-FROM sig
-WHERE {_GOPHER_PASS_SQL}
-""",
-    "gopher_repetition_documents": """
+ORACLE_GOPHER_REPETITION = """
 WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
            FROM documents),
 nn AS (SELECT unnest([2, 3, 4, 5, 10]) AS n),
@@ -8984,9 +8958,52 @@ SELECT grid.doc_id AS id, grid.n::INT AS n,
        round(coalesce(topc::DOUBLE / total, 0.0), 6) AS top_ratio,
        round(coalesce((total - dist)::DOUBLE / total, 0.0), 6) AS dup_ratio
 FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.n = grid.n
-""",
-    "temperature_mix_documents": f"""
-WITH counts AS (SELECT lang AS s, count(*) AS c FROM documents GROUP BY 1),
+"""
+
+
+@query("gopher_repetition_documents", ORACLE_GOPHER_REPETITION)
+def gopher_repetition_documents(spark, sf_dir):
+    """Gopher repetition signals (text.gopher_repetition) for orders
+    2/3/4 (top-n-gram share) and 5/10 (duplicate-n-gram fraction) in one
+    dataflow — long format, one row per (doc, order)."""
+    docs = _documents(spark, sf_dir)
+    return text.gopher_repetition(docs, ns=(2, 3, 4, 5, 10))
+
+
+@query("streaming_gopher_repetition_documents", ORACLE_GOPHER_REPETITION)
+def streaming_gopher_repetition_documents(spark, sf_dir):
+    """The Gopher REPETITION pass under Structured Streaming
+    (streaming.gopher_repetition_foreach_batch): per micro-batch, the
+    exact batch groupBy(doc, n, gram) plan runs via foreachBatch; the
+    grouping key is the document id and a doc's text lives in one row,
+    so per-batch outputs concatenate to the batch operator's result at
+    ANY trigger cadence — same oracle as the batch query. Batch results
+    stay distributed (localCheckpoint + union), never driver-collected;
+    at scale the callback appends to the curation audit table instead."""
+    from thoth_spark.streaming import gopher_repetition_foreach_batch
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    parts: list[DataFrame] = []
+    cb = gopher_repetition_foreach_batch(
+        lambda out, _bid: parts.append(out.localCheckpoint())
+    )
+    q = stream.writeStream.foreachBatch(cb).start()
+    q.processAllAvailable()
+    q.stop()
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLE_TEMPERATURE_MIX = f"""
+WITH counts AS (SELECT lang AS s, count(*) AS c FROM documents
+                WHERE lang IS NOT NULL GROUP BY 1),
 scale AS (SELECT min(c / pow(c, 0.5)) AS sc FROM counts),
 thr AS (
   SELECT s, floor(((sc * pow(c, 0.5)) / c) * 1000000)::BIGINT AS t
@@ -8995,5 +9012,36 @@ thr AS (
 SELECT doc_id, lang, t / 1000000.0 AS mix_rate
 FROM documents JOIN thr ON s = lang
 WHERE {_hex2int_sql("md5('42|' || doc_id::VARCHAR)", 1, 8)} % 1000000 < t
-""",
+"""
+
+
+@query("temperature_mix_documents", ORACLE_TEMPERATURE_MIX)
+def temperature_mix_documents(spark, sf_dir):
+    """Temperature corpus rebalancing (curation.temperature_mix,
+    α = 0.5) over the skewed ``lang`` strata — output proportions follow
+    count^α renormalized, the binding (scarcest-per-weight) stratum kept
+    whole. The counts CTE excludes NULL langs exactly as the operator
+    does (curation.py) — a NULL stratum must never set the binding
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.temperature_mix(
+        docs, source_col="lang", key_col="doc_id", alpha=0.5
+    ).select("doc_id", "lang", "mix_rate")
+
+
+# --- oracle queue -----------------------------------------------------
+# Pre-written exact-replay oracles for queries whose wiring must wait for
+# driver-window headroom (an oracled query must be scheduled the round it
+# lands, and never-green ⊆ window is enforced by
+# test_driver_window_rotation). Wiring one = move its SQL into the @query
+# decorator, DELETE its entry here, and add the name to DRIVER_PRIORITY.
+# Until then tests/test_entry_oracle.py::test_queued_oracle_matches runs
+# every pair through the SAME typed compare as the wired gate, so the
+# queue cannot rot between rounds. The 18 r10-queued oracles were wired
+# in round 11 after the staleness horizon widened from 3 to 4 recorded
+# rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
+QUEUED_ORACLES: dict[str, str] = {
+    # empty since r14: the r13 second batch (streaming_gopher,
+    # gopher_repetition, temperature_mix) was wired into the r14
+    # window — SQL moved into each @query decorator above.
 }

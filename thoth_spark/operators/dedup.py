@@ -138,6 +138,7 @@ def ngram_decontaminate(
     bench_id_col: str | None = None,
     bench_text_col: str | None = None,
     max_shingle_df: int | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Fuzzy eval-set decontamination: every TRAIN document whose word-
     n-gram Jaccard against ANY benchmark document reaches ``threshold``,
@@ -158,6 +159,14 @@ def ngram_decontaminate(
     benchmarks (same documented results-trade as the capped Jaccard
     family).
 
+    The broadcast is size-guarded: the bench inverted index is counted
+    once (one cheap job over the eval-set-sized side, reusing its
+    checkpoint), and past ``broadcast_max_rows`` (~2M (shingle, doc)
+    rows ≈ low hundreds of MB serialized — past any sane eval set) the
+    hint is dropped so Spark falls back to a plain shuffle join instead
+    of a driver/executor broadcast OOM. Results are identical either
+    way; only the physical join strategy changes.
+
     Returns ``(id, max_jaccard)`` for contaminated train documents;
     anti-join the result to drop them, or keep it as the audit trail.
     """
@@ -174,14 +183,19 @@ def ngram_decontaminate(
         b_inv = cap_shingle_df(b_inv, max_shingle_df, key="shingle")
     b_sz = b_sh.select(F.col("id").alias("bid"), F.size("sh").alias("sz_b"))
     t_inv = t_sh.select("id", F.explode("sh").alias("shingle"))
+    # size-guard the broadcast: one count over the (checkpointed,
+    # eval-set-sized) bench index; an oversized "benchmark" degrades to
+    # a shuffle join instead of a broadcast OOM
+    small_bench = b_inv.count() <= broadcast_max_rows
+    maybe_bc = F.broadcast if small_bench else (lambda d: d)
     inter = (
-        t_inv.join(F.broadcast(b_inv), on="shingle")
+        t_inv.join(maybe_bc(b_inv), on="shingle")
         .groupBy("id", "bid")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     scored = (
         inter.join(t_sh.select("id", F.size("sh").alias("sz_t")), "id")
-        .join(F.broadcast(b_sz), "bid")
+        .join(maybe_bc(b_sz), "bid")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_t") + F.col("sz_b") - F.col("inter")),

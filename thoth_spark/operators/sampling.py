@@ -313,13 +313,30 @@ def domain_cap_sample(
 
     Under-cap domains pass through stage 2 untouched, so the result is
     exactly "the ``cap`` smallest-hash rows of every domain" — the same
-    single-window semantics, replayable in one SQL ``row_number``."""
+    single-window semantics, replayable in one SQL ``row_number``.
+
+    CONTRACT: ``key_col`` and ``domain_col`` must be non-null (and keys
+    unique) — the exact-replay guarantee is meaningless otherwise
+    (``_bucket(NULL)`` is NULL, Spark windows order nulls first while
+    ANSI SQL defaults to nulls last, and NULL domains would form their
+    own silent partition). Rather than diverge silently, a runtime
+    assertion fails the job on the first NULL — filter or coalesce
+    upstream if your corpus carries them."""
+    nn = F.assert_true(
+        F.col(key_col).isNotNull() & F.col(domain_col).isNotNull(),
+        F.lit(
+            f"domain_cap_sample: NULL in key '{key_col}' or domain "
+            f"'{domain_col}' — the exact single-window contract requires "
+            "non-null keys and domains; filter or coalesce upstream"
+        ),
+    )
     b = _bucket(F.col(key_col), seed)
     w1 = W.partitionBy(F.col(domain_col), b % n_salts).orderBy(
         b, F.col(key_col)
     )
     survivors = (
-        df.withColumn("__r1", F.row_number().over(w1))
+        df.where(nn.isNull())
+        .withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= cap)
         .drop("__r1")
     )

@@ -289,7 +289,13 @@ def repetition_signals(
 
 
 #: Gopher repetition thresholds (Rae et al. 2021 table A1): max fraction
-#: of n-grams taken by the top n-gram, and max duplicate-n-gram fraction.
+#: taken by the top n-gram, and max duplicate-n-gram fraction. DEVIATION,
+#: stated: the paper defines these as CHARACTER fractions (chars inside
+#: the most-frequent / inside duplicate n-grams over doc chars); this
+#: engine applies them to n-gram OCCURRENCE fractions, which needs no
+#: per-gram length bookkeeping and keeps the whole pass one partial-agg
+#: chain. The operating point shifts slightly vs the cited recipe —
+#: tune ``top_max``/``dup_max`` per-corpus if exact parity matters.
 GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
@@ -309,7 +315,9 @@ def gopher_repetition(
     dup_ratio)`` where ``top_ratio`` is the most-frequent n-gram's share
     of all n-grams (Gopher's top-n-gram rule, n ∈ 2..4) and
     ``dup_ratio`` is the fraction of n-gram occurrences beyond their
-    first (Gopher's duplicate-n-gram rule, n ∈ 5..10). Docs with fewer
+    first (Gopher's duplicate-n-gram rule, n ∈ 5..10). Both are
+    OCCURRENCE fractions, a stated deviation from the paper's character
+    fractions — see :data:`GOPHER_TOP_NGRAM_MAX`. Docs with fewer
     than ``n`` tokens emit ``(0, 0, 0, 0.0, 0.0)`` for that n.
 
     Shape: the token array materializes ONCE (the ngram_stream barrier),
@@ -414,10 +422,22 @@ def gopher_repetition_verdict(
             )
         )
     wide = long.groupBy("id").agg(*aggs)
-    lines = F.split(F.col(text_col), "\n")
+    # blank separator lines are layout, not repetition: a ten-paragraph
+    # document joined with '\n\n' must not fail the duplicate-line rule
+    # on its nine identical empty separators, so only lines with content
+    # enter both line signals (whitespace-only lines would likewise be
+    # counted as duplicate chars by the raw split)
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
     n_lines = F.size(lines)
     dup_line_ratio = F.round(
-        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines, 6
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct(lines))).cast("double")
+            / n_lines,
+        ).otherwise(F.lit(0.0)),
+        6,
     )
     line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
@@ -521,10 +541,15 @@ def gopher_rules(
 
     - ``n_words`` in ``[min_words, max_words]``;
     - mean word length in ``[min_avg_word_len, max_avg_word_len]``;
-    - symbol-to-word ratio (``#`` chars + ``...`` runs per word) at most
-      ``max_symbol_word_ratio``;
+    - symbol-to-word ratios at most ``max_symbol_word_ratio`` EACH, the
+      way the paper states the rule ("either the hash symbol or the
+      ellipsis"): ``hash_word_ratio`` (``#`` chars per word) and
+      ``ellipsis_word_ratio`` (``...`` runs plus ``…`` chars per word)
+      are separate signals gated separately — a combined sum would be
+      strictly tighter than the cited recipe;
     - at most ``max_bullet_ratio`` of lines starting with a bullet and
-      ``max_ellipsis_ratio`` of lines ending with an ellipsis;
+      ``max_ellipsis_ratio`` of lines ending with an ellipsis (ASCII
+      ``...`` or unicode ``…``);
     - at least ``min_alpha_word_ratio`` of words containing a letter;
     - at least ``min_stop_hits`` distinct :data:`GOPHER_STOPWORDS`.
 
@@ -543,8 +568,9 @@ def gopher_rules(
     n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
     n_ellipsis = (
         F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
-    ) / 3
-    symbol_word_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    ) / 3 + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
+    hash_word_ratio = n_hash.cast("double") / n_words
+    ellipsis_word_ratio = n_ellipsis.cast("double") / n_words
     lines = F.split(c, "\n")
     n_lines = F.size(lines)
     bullet_arr = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
@@ -560,7 +586,13 @@ def gopher_rules(
         / n_lines
     )
     ellipsis_ratio = (
-        F.size(F.filter(lines, lambda l: F.endswith(F.rtrim(l), F.lit("..."))))
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+                | F.endswith(F.rtrim(l), F.lit("…")),
+            )
+        )
         .cast("double")
         / n_lines
     )
@@ -574,7 +606,8 @@ def gopher_rules(
         {
             "n_words": n_words,
             "avg_word_len": F.round(avg_word_len, 6),
-            "symbol_word_ratio": F.round(symbol_word_ratio, 6),
+            "hash_word_ratio": F.round(hash_word_ratio, 6),
+            "ellipsis_word_ratio": F.round(ellipsis_word_ratio, 6),
             "bullet_ratio": F.round(bullet_ratio, 6),
             "ellipsis_ratio": F.round(ellipsis_ratio, 6),
             "alpha_word_ratio": F.round(alpha_word_ratio, 6),
@@ -584,7 +617,8 @@ def gopher_rules(
     verdict = (
         F.col("n_words").between(min_words, max_words)
         & F.col("avg_word_len").between(min_avg_word_len, max_avg_word_len)
-        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("hash_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("ellipsis_word_ratio") <= max_symbol_word_ratio)
         & (F.col("bullet_ratio") <= max_bullet_ratio)
         & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
         & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)

@@ -68,21 +68,69 @@ _COLUMN_TYPES = {
 }
 
 
-class JdbcMetricsRepository:
-    """Derby-backed port of the reference's SqlRepository."""
+#: JDBC URL scheme → driver class, for the URL-override path. Postgres
+#: mirrors the reference's ``DATABASE_URL=postgresql+pg8000://...``
+#: deployment knob (/root/reference/docker-compose.yaml,
+#: thoth/service_layer.py:20-26) — the day a server exists, point
+#: ``THOTH_SPARK_DATABASE_URL`` (or the ``url=`` argument) at it and no
+#: code changes are needed. The Postgres JDBC driver jar must be on the
+#: Spark classpath (``spark.jars``); it is not bundled here.
+_DRIVERS_BY_SCHEME = {
+    "jdbc:derby:": _DRIVER,
+    "jdbc:postgresql:": "org.postgresql.Driver",
+}
 
-    def __init__(self, spark: SparkSession, db_path: str):
+
+def _infer_driver(url: str) -> str | None:
+    for scheme, driver in _DRIVERS_BY_SCHEME.items():
+        if url.startswith(scheme):
+            return driver
+    return None
+
+
+class JdbcMetricsRepository:
+    """Derby-backed port of the reference's SqlRepository. Any other
+    RDBMS is a URL away: pass ``url=`` (full JDBC URL, e.g.
+    ``jdbc:postgresql://host/db?user=u&password=p``) or set
+    ``THOTH_SPARK_DATABASE_URL`` — both beat ``db_path``; the driver
+    class is inferred from the URL scheme (override with ``driver=``
+    for schemes not in ``_DRIVERS_BY_SCHEME``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        db_path: str | None = None,
+        url: str | None = None,
+        driver: str | None = None,
+    ):
+        import os
+
         self.spark = spark
-        self.url = f"jdbc:derby:{db_path};create=true"
+        env_url = os.environ.get("THOTH_SPARK_DATABASE_URL")
+        if url or env_url:
+            self.url = url or env_url
+        elif db_path is not None:
+            self.url = f"jdbc:derby:{db_path};create=true"
+        else:
+            raise ValueError(
+                "JdbcMetricsRepository needs db_path, url=, or the "
+                "THOTH_SPARK_DATABASE_URL environment variable"
+            )
+        self._driver = driver or _infer_driver(self.url)
 
     # -- storage primitives --------------------------------------------------
+
+    def _with_driver(self, rw):
+        """Attach the driver option when one is known; an unknown scheme
+        lets Spark's JDBC source resolve the driver from the URL."""
+        return rw.option("driver", self._driver) if self._driver else rw
 
     def _read(self, table: str, schema: str) -> DataFrame:
         try:
             df = (
-                self.spark.read.format("jdbc")
-                .option("url", self.url)
-                .option("driver", _DRIVER)
+                self._with_driver(
+                    self.spark.read.format("jdbc").option("url", self.url)
+                )
                 .option("dbtable", table)
                 .load()
             )
@@ -105,9 +153,9 @@ class JdbcMetricsRepository:
         overwriting)."""
         materialized = df.localCheckpoint(eager=True)
         writer = (
-            materialized.write.format("jdbc")
-            .option("url", self.url)
-            .option("driver", _DRIVER)
+            self._with_driver(
+                materialized.write.format("jdbc").option("url", self.url)
+            )
             .option("dbtable", table)
             .mode("overwrite")
         )

@@ -29,7 +29,12 @@ maps onto three native pieces:
 - :func:`index_ingest_foreach_batch` — continuous ANN index
   maintenance: each micro-batch appends to a persisted IVF/IVF-PQ
   index under its frozen quantizers (O(batch) dynamic-partition
-  write), the nightly-ingest path upgraded to streaming.
+  write), the nightly-ingest path upgraded to streaming;
+- :func:`gopher_repetition_foreach_batch` — the per-document Gopher
+  repetition pass per micro-batch: the grouping key is the doc id,
+  so per-batch outputs concatenate to the exact batch result — a
+  live feed gets the FULL Gopher treatment (stateless rules inline
+  + repetition here).
 """
 
 from thoth_spark.streaming.stream import (
@@ -43,6 +48,7 @@ from thoth_spark.streaming.stream import (
     cms_stream,
     sketch_profile_stream,
     index_ingest_foreach_batch,
+    gopher_repetition_foreach_batch,
 )
 
 __all__ = [
@@ -56,4 +62,5 @@ __all__ = [
     "cms_stream",
     "sketch_profile_stream",
     "index_ingest_foreach_batch",
+    "gopher_repetition_foreach_batch",
 ]

@@ -520,3 +520,35 @@ def index_ingest_foreach_batch(
         append(batch.sparkSession, path, batch, id_col, vec_col)
 
     return callback
+
+
+def gopher_repetition_foreach_batch(
+    on_result: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3, 4, 5, 10),
+) -> Callable[[DataFrame, int], None]:
+    """The Gopher repetition pass (r14) as a ``foreachBatch`` sink —
+    the stateful half of the streaming curation front line (the
+    stateless :func:`thoth_spark.operators.text.gopher_rules` gate runs
+    inline on the stream; repetition needs a per-document ``groupBy``
+    over the exploded grams, which foreachBatch runs as the exact batch
+    plan per micro-batch).
+
+    Batch-equivalence is structural, not approximate: the grouping key
+    is the DOCUMENT id and a document's text lives in one row, so no
+    group ever straddles a micro-batch boundary — concatenating the
+    per-batch callback outputs reproduces
+    :func:`thoth_spark.operators.text.gopher_repetition` over the union
+    of the batches row-for-row, at any trigger cadence. Downstream,
+    ``on_result`` typically appends to the curation audit table or
+    joins the verdict back onto the live feed."""
+    from thoth_spark.operators.text import gopher_repetition
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        out = gopher_repetition(batch_df, id_col, text_col, ns=ns)
+        on_result(out, batch_id)
+
+    return callback

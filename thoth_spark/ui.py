@@ -11,6 +11,10 @@ Pages:
   (:func:`thoth_spark.dashboard_html.render_dashboard_html` — inline-SVG
   charts of the same data views the reference plots)
 - ``/about``       — engine/about text (reference ``about_page``)
+- ``/curation``    — the curation-funnel view (docs in → Gopher pass →
+  cap/mix survivors → split sizes), rendered from the audit dict the
+  showcase pipeline returns (net-new vs the reference: its UI has no
+  curation surface); 404 unless ``curation_stats`` was passed
 
 The server is presentation-boundary only: every request renders from
 bounded repository reads (``max_points`` newest points per metric); the
@@ -27,7 +31,11 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from thoth_spark.dashboard_html import _parse_date, render_dashboard_html
+from thoth_spark.dashboard_html import (
+    _parse_date,
+    render_curation_html,
+    render_dashboard_html,
+)
 
 _ABOUT = (
     "<!doctype html><html><head><meta charset='utf-8'>"
@@ -40,7 +48,7 @@ _ABOUT = (
 )
 
 
-def _home_html(repo) -> str:
+def _home_html(repo, has_curation: bool = False) -> str:
     rows = repo.get_datasets()
     items = "".join(
         "<li><a href='/dataset?uri={q}'>{t}</a></li>".format(
@@ -54,11 +62,17 @@ def _home_html(repo) -> str:
         if items
         else "<p>No datasets registered yet — run profile_create first.</p>"
     )
+    curation_link = (
+        "<p><a href='/curation'>&#128202; Curation funnel</a></p>"
+        if has_curation
+        else ""
+    )
     return (
         "<!doctype html><html><head><meta charset='utf-8'>"
         "<title>thoth_spark dashboard</title></head><body>"
         "<h1>&#127968; thoth_spark dashboard</h1>"
-        f"{body}<p><a href='/about'>&#10067; About</a></p></body></html>"
+        f"{body}{curation_link}"
+        "<p><a href='/about'>&#10067; About</a></p></body></html>"
     )
 
 
@@ -72,6 +86,7 @@ class DashboardServer:
         host: str = "127.0.0.1",
         port: int = 0,
         max_points: int = 1000,
+        curation_stats: dict | None = None,
     ):
         outer = self
 
@@ -91,9 +106,31 @@ class DashboardServer:
                 url = urlparse(self.path)
                 try:
                     if url.path == "/":
-                        self._send(200, _home_html(outer.repo))
+                        self._send(
+                            200,
+                            _home_html(
+                                outer.repo,
+                                has_curation=outer.curation_stats is not None,
+                            ),
+                        )
                     elif url.path == "/about":
                         self._send(200, _ABOUT)
+                    elif url.path == "/curation":
+                        # the curation-funnel view (r14): docs in →
+                        # Gopher pass → cap/mix survivors → split
+                        # sizes, fed from the showcase's audit dict
+                        if outer.curation_stats is None:
+                            self._send(
+                                404,
+                                "<h1>404</h1><p>no curation stats "
+                                "configured — pass curation_stats= to "
+                                "serve_dashboard</p>",
+                            )
+                        else:
+                            self._send(
+                                200,
+                                render_curation_html(outer.curation_stats),
+                            )
                     elif url.path == "/dataset":
                         qs = parse_qs(url.query)
                         uris = qs.get("uri", [])
@@ -153,6 +190,7 @@ class DashboardServer:
 
         self.repo = repo
         self.max_points = max_points
+        self.curation_stats = curation_stats
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True
@@ -177,8 +215,18 @@ class DashboardServer:
 
 
 def serve_dashboard(
-    repo, host: str = "127.0.0.1", port: int = 0, max_points: int = 1000
+    repo,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    max_points: int = 1000,
+    curation_stats: dict | None = None,
 ) -> DashboardServer:
     """Start the dashboard server in a daemon thread and return it (read
     ``.url`` for the address; ``.stop()`` when done)."""
-    return DashboardServer(repo, host=host, port=port, max_points=max_points)
+    return DashboardServer(
+        repo,
+        host=host,
+        port=port,
+        max_points=max_points,
+        curation_stats=curation_stats,
+    )
