@@ -159,8 +159,12 @@ HEADLINE = [
     "temperature_mix_documents",
     "streaming_gopher_documents",
     # round-14: the streaming repetition twin completes the live-feed
-    # Gopher story (stateless gate + per-batch repetition pass)
+    # Gopher story (stateless gate + per-batch repetition pass); the
+    # char-weighted repetition signals and the C4 gate join the
+    # curation front line
     "streaming_gopher_repetition_documents",
+    "gopher_repetition_charweighted_documents",
+    "c4_rules_documents",
 ]
 
 
@@ -314,12 +318,6 @@ _ABBREV = [
     (r"gopher_repetition", "gorep"),
     # round-14: the streaming repetition twin joined HEADLINE; squeeze
     # it and the longest residual short names to stay inside the budget
-    (r"^st_gorep$", "sgr"),
-    (r"^s_ivff$", "sivf"),
-    (r"^s_lshr$", "slsh"),
-    (r"^pf_typ$", "pftp"),
-    (r"^st_ivj$", "stvj"),
-    (r"^d_lshe$", "dlsh"),
     (r"temperature_mix", "tmix"),
     (r"st_gopher$", "st_gop"),
     (r"domain_cap_sample", "dcap"),
@@ -372,6 +370,26 @@ _ABBREV = [
     (r"^m_decr$", "mdcr"),
     (r"^psg_dd$", "psgd"),
     (r"^clf_nb$", "cnb"),
+    # round-14 squeezes — MUST stay at the end: they match the FINAL
+    # short forms the rules above produce
+    (r"^st_gorep$", "sgr"),
+    (r"^gorep_charwtd$", "gocw"),
+    (r"^c4_rules$", "c4"),
+    (r"^s_ivff$", "sivf"),
+    (r"^s_lshr$", "slsh"),
+    (r"^pf_typ$", "pftp"),
+    (r"^st_ivj$", "stvj"),
+    (r"^d_lshe$", "dlsh"),
+    (r"^sivj$", "svj"),
+    (r"^sipj$", "spj"),
+    (r"^funnel$", "fnl"),
+    (r"^cohort$", "coh"),
+    (r"^colloc$", "col"),
+    (r"^pr_cal$", "prc"),
+    (r"^src_kw$", "skw"),
+    (r"^d_jpre$", "djp"),
+    (r"^d_cont$", "dct"),
+    (r"^pf_gap$", "pfg"),
 ]
 
 

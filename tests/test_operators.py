@@ -3910,6 +3910,66 @@ def test_gopher_repetition_verdict_blank_line_paragraphs(spark):
     assert r["pass_repetition"] is True
 
 
+def test_gopher_repetition_char_weighted(spark):
+    """char_weighted=True adds the paper's character fractions from the
+    same aggregate: hand-computed on a known doc, zero rows for short
+    docs, and the occurrence columns unchanged vs the default path."""
+    # "buy now buy now buy now": 6 toks, bigrams: "buy now"×3, "now buy"×2
+    # doc_chars = 18 token chars + 5 spaces = 23; top mass = 3×7 = 21;
+    # dup mass = 21 + 2×7 = 35 (overlap NOT deduped — documented bound)
+    df = spark.createDataFrame(
+        [(1, "buy now buy now buy now"), (2, "x")], "doc_id long, text string"
+    )
+    rows = {
+        r["id"]: r
+        for r in text.gopher_repetition(df, ns=(2,), char_weighted=True).collect()
+    }
+    r1 = rows[1]
+    assert round(r1["top_char_ratio"], 6) == round(21 / 23, 6)
+    assert round(r1["dup_char_ratio"], 6) == round(35 / 23, 6)
+    assert (r1["total_ngrams"], r1["top_count"]) == (5, 3)
+    assert rows[2]["top_char_ratio"] == 0.0 and rows[2]["dup_char_ratio"] == 0.0
+    # occurrence columns identical to the default (non-weighted) path
+    plain = {r["id"]: r for r in text.gopher_repetition(df, ns=(2,)).collect()}
+    for i in (1, 2):
+        assert plain[i]["top_ratio"] == rows[i]["top_ratio"]
+        assert plain[i]["dup_ratio"] == rows[i]["dup_ratio"]
+
+
+def test_c4_rules_line_and_doc_gates(spark):
+    """Each C4 rule trips on the line/doc built to violate exactly it:
+    terminal punctuation, per-line word floor, javascript mention,
+    policy substrings, lorem ipsum, curly brace, sentence floor."""
+    good_line = "this line has plenty of words and ends properly."
+    good = "\n".join([good_line] * 4)
+    mixed = "\n".join(
+        [
+            good_line,
+            "this line mentions JavaScript libraries and other things too.",
+            "please read our privacy policy before continuing with browsing.",
+            "too short.",
+            "this line has many words but no terminal punctuation at all",
+            good_line,
+        ]
+    )
+    lorem = good + "\nlorem ipsum dolor sit amet is placeholder text here."
+    brace = good.replace("properly.", "properly {ok}.")
+    df = spark.createDataFrame(
+        [(1, good), (2, mixed), (3, lorem), (4, brace), (5, "one. two.")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.c4_rules(df).collect()}
+    assert rows[1]["pass_c4"] is True and rows[1]["n_kept_lines"] == 4
+    # mixed doc: only the two good lines survive the line gates
+    assert rows[2]["n_kept_lines"] == 2
+    assert rows[2]["kept_text"] == "\n".join([good_line] * 2)
+    assert rows[3]["pass_c4"] is False and rows[3]["has_lorem_ipsum"] is True
+    assert rows[4]["pass_c4"] is False and rows[4]["has_brace"] is True
+    # one-line doc of two tiny sentences: every line fails the word
+    # floor, so zero sentences survive -> fails the doc floor
+    assert rows[5]["n_kept_lines"] == 0 and rows[5]["pass_c4"] is False
+
+
 def test_gopher_rules_separate_symbol_gates(spark):
     """Hash and ellipsis ratios are gated separately at 0.1 each (the
     paper's 'either' phrasing): a doc at ~0.07 on both would fail a

@@ -825,6 +825,33 @@ def test_ngram_decontaminate_broadcast_size_guard(spark, sf_dir):
     )
 
 
+def test_c4_rules_zero_exchange(spark, sf_dir):
+    """The C4 gate must be a pure map-side pass like gopher_rules: no
+    exchange, no Python in the hot path."""
+    from thoth_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(text_ops.c4_rules(docs))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_gopher_repetition_char_weighted_no_extra_exchange(spark, sf_dir):
+    """The char-mass columns ride the existing per-gram partial-agg
+    chain: char_weighted=True must add ZERO exchanges vs the plain
+    occurrence path."""
+    from thoth_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = _plan(text_ops.gopher_repetition(docs, ns=(2, 3)))
+    weighted = _plan(
+        text_ops.gopher_repetition(docs, ns=(2, 3), char_weighted=True)
+    )
+    assert weighted.count("Exchange hashpartitioning") == plain.count(
+        "Exchange hashpartitioning"
+    )
+
+
 def test_gopher_repetition_exchanges_independent_of_orders(spark, sf_dir):
     """One gram pass regardless of how many n-gram orders are requested:
     the exchange count for 5 orders must equal the count for 2 — the

@@ -141,15 +141,16 @@ DRIVER_PRIORITY: list[str] = [
     "temperature_mix_documents",
     "streaming_gopher_documents",
     "streaming_gopher_repetition_documents",
+    # (b continued) the r14 second batch — never-green, mandatory
+    "gopher_repetition_charweighted_documents",
+    "c4_rules_documents",
     # (c) fillers: gopher_rules re-verifies its r14 semantics change
     #     (separate hash/ellipsis symbol gates per the paper), then the
-    #     4 alphabetically-first r11-green queries (stalest cohort next
+    #     2 alphabetically-first r11-green queries (stalest cohort next
     #     in line for the r15 horizon)
     "gopher_rules_documents",
     "anomaly_fixed_changepoint_validation",
     "anomaly_sarima_fixed_validation",
-    "bloom_contamination_documents",
-    "check_events_constraints",
 ]
 
 
@@ -8968,6 +8969,138 @@ def gopher_repetition_documents(spark, sf_dir):
     dataflow — long format, one row per (doc, order)."""
     docs = _documents(spark, sf_dir)
     return text.gopher_repetition(docs, ns=(2, 3, 4, 5, 10))
+
+
+ORACLE_GOPHER_REPETITION_CHARW = """
+WITH d AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+           FROM documents),
+dd AS (SELECT doc_id, toks,
+              greatest(coalesce(list_sum(list_transform(toks, t -> len(t))), 0)
+                       + len(toks) - 1, 0)::BIGINT AS doc_chars
+       FROM d),
+nn AS (SELECT unnest([2, 3]) AS n),
+grid AS (SELECT doc_id, n, toks, doc_chars FROM dd CROSS JOIN nn),
+grams AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, len(toks) - n + 1),
+                i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+  FROM grid WHERE len(toks) >= n
+),
+per AS (SELECT doc_id, n, g, count(*) AS c, count(*) * len(g) AS mass
+        FROM grams GROUP BY 1, 2, 3),
+per2 AS (SELECT *, max(c) OVER (PARTITION BY doc_id, n) AS cmax FROM per),
+agg AS (SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS topc,
+               max(CASE WHEN c = cmax THEN mass END) AS topmass,
+               sum(CASE WHEN c > 1 THEN mass ELSE 0 END) AS dupmass
+        FROM per2 GROUP BY 1, 2)
+SELECT grid.doc_id AS id, grid.n::INT AS n,
+       coalesce(total, 0)::BIGINT AS total_ngrams,
+       coalesce(dist, 0)::BIGINT AS distinct_ngrams,
+       coalesce(topc, 0)::BIGINT AS top_count,
+       round(coalesce(topc::DOUBLE / total, 0.0), 6) AS top_ratio,
+       round(coalesce((total - dist)::DOUBLE / total, 0.0), 6) AS dup_ratio,
+       round(coalesce(topmass::DOUBLE / nullif(doc_chars, 0), 0.0), 6)
+         AS top_char_ratio,
+       round(coalesce(dupmass::DOUBLE / nullif(doc_chars, 0), 0.0), 6)
+         AS dup_char_ratio
+FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.n = grid.n
+"""
+
+
+@query(
+    "gopher_repetition_charweighted_documents",
+    ORACLE_GOPHER_REPETITION_CHARW,
+)
+def gopher_repetition_charweighted_documents(spark, sf_dir):
+    """The paper's CHARACTER-fraction repetition signals
+    (text.gopher_repetition char_weighted=True, r14): top-gram and
+    duplicate-gram char mass over the coverable token chars, riding the
+    SAME per-gram partial-agg chain as the occurrence ratios — closing
+    the r13-ADVICE occurrence-vs-character deviation as an opt-in
+    column pair (dup_char_ratio stays a documented upper bound: no
+    overlap de-duplication). Orders 2/3 keep the oracle's window pass
+    cheap; the operator is order-count-invariant either way."""
+    docs = _documents(spark, sf_dir)
+    return text.gopher_repetition(
+        docs, ns=(2, 3), char_weighted=True
+    )
+
+
+ORACLE_C4_RULES = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         list_transform([0, 1, 2], i ->
+           array_to_string(toks[1 + i * 8: (i + 1) * 8], ' ')
+           || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END) AS ls
+  FROM base
+),
+sig AS (
+  SELECT doc_id,
+    list_filter(ls, l ->
+      len(trim(l)) > 0
+      AND list_contains(['.', '!', '?', '"'],
+                        substr(trim(l), len(trim(l)), 1))
+      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+      AND NOT contains(lower(trim(l)), 'javascript')
+      AND NOT (contains(lower(trim(l)), 'terms of use')
+               OR contains(lower(trim(l)), 'privacy policy')
+               OR contains(lower(trim(l)), 'cookie policy')
+               OR contains(lower(trim(l)), 'uses cookies'))) AS kept,
+    ls
+  FROM lined
+),
+fin AS (
+  SELECT doc_id,
+         coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
+         len(ls)::INT AS n_lines,
+         len(kept)::INT AS n_kept_lines
+  FROM sig
+)
+SELECT doc_id, kept_text, n_lines, n_kept_lines,
+       (len(kept_text) - len(regexp_replace(kept_text, '[.!?]', '', 'g')))::INT
+         AS n_sentences,
+       (len(kept_text) - len(regexp_replace(kept_text, '[.!?]', '', 'g'))) >= 2
+         AS pass_c4
+FROM fin
+"""
+
+
+@query("c4_rules_documents", ORACLE_C4_RULES)
+def c4_rules_documents(spark, sf_dir):
+    """The C4 cleaning recipe (text.c4_rules, r14) — terminal-punct /
+    min-words / javascript / policy line gates plus the doc-level
+    sentence floor. The fixture corpus has no newlines or punctuation,
+    so the query derives a deterministic line-structured corpus first
+    (three 8-word lines per doc; lines where (doc_id + line) is even
+    get a terminal '.') — the SAME expression in the oracle — so the
+    gate genuinely discriminates: even doc_ids pass the 2-sentence
+    floor, odd ones fail, and short docs fail the per-line word floor.
+    lorem-ipsum/brace columns are dropped from the driver result (the
+    fixture cannot produce them; they are unit-tested instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    line_parts = []
+    for i in range(3):
+        body = F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8))
+        dot = F.when((F.col("doc_id") + i) % 2 == 0, F.lit(".")).otherwise(
+            F.lit("")
+        )
+        line_parts.append(F.concat(body, dot))
+    lined = docs.select(
+        "doc_id", F.concat_ws("\n", *line_parts).alias("text")
+    )
+    return text.c4_rules(lined, min_sentences=2).select(
+        "doc_id",
+        "kept_text",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "pass_c4",
+    )
 
 
 @query("streaming_gopher_repetition_documents", ORACLE_GOPHER_REPETITION)

@@ -10,6 +10,8 @@ matters.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -305,6 +307,7 @@ def gopher_repetition(
     id_col: str = "doc_id",
     text_col: str = "text",
     ns: tuple[int, ...] = (2, 3, 4, 5, 10),
+    char_weighted: bool = False,
 ) -> DataFrame:
     """Gopher repetition signals for SEVERAL n-gram orders in one
     dataflow — the template-spam / boilerplate detector that complements
@@ -319,6 +322,20 @@ def gopher_repetition(
     OCCURRENCE fractions, a stated deviation from the paper's character
     fractions — see :data:`GOPHER_TOP_NGRAM_MAX`. Docs with fewer
     than ``n`` tokens emit ``(0, 0, 0, 0.0, 0.0)`` for that n.
+
+    ``char_weighted=True`` adds the paper's CHARACTER fractions as two
+    extra columns from the same per-gram aggregate (the char mass
+    ``count × len(gram)`` rides the existing partial-agg chain — no new
+    shuffle): ``top_char_ratio`` = the top gram's char mass over the
+    doc's token chars, and ``dup_char_ratio`` = the char mass of every
+    gram seen more than once over the same denominator. One stated
+    difference from Rae et al.'s footnote remains: overlapping
+    occurrences of a duplicated gram are NOT de-overlapped (the paper
+    counts each character once), so ``dup_char_ratio`` is an upper
+    bound — exact span-union counting would need per-position state the
+    partial-agg shape cannot carry. The denominator is token characters
+    plus single separating spaces (= what grams can ever cover), not
+    raw text length.
 
     Shape: the token array materializes ONCE (the ngram_stream barrier),
     every order's grams explode from it in the same select — one scan,
@@ -356,20 +373,52 @@ def gopher_repetition(
         )
         legs = leg if legs is None else legs.unionByName(leg)
     per_gram = legs.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = per_gram.groupBy("id", "n").agg(
+    per_doc_aggs = [
         F.sum("c").alias("total_ngrams"),
         F.count(F.lit(1)).alias("distinct_ngrams"),
         F.max("c").alias("top_count"),
-    )
+    ]
+    if char_weighted:
+        # char mass = count × len(gram); the top gram is chosen by
+        # count with char-mass tiebreak (struct max compares fields in
+        # order), so the ratio is deterministic under count ties
+        mass = (F.col("c") * F.length("g")).cast("long")
+        per_doc_aggs.append(
+            F.max(F.struct(F.col("c").alias("c"), mass.alias("m")))["m"].alias(
+                "top_char_mass"
+            )
+        )
+        per_doc_aggs.append(
+            F.sum(F.when(F.col("c") > 1, mass).otherwise(F.lit(0))).alias(
+                "dup_char_mass"
+            )
+        )
+    per_doc = per_gram.groupBy("id", "n").agg(*per_doc_aggs)
     # dense (doc, n) grid from the one-row-per-doc token frame (docs too
     # short for an order still emit that order's zero row) — never a
     # distinct over the exploded gram volume
-    grid = toks.select(
-        "id", F.explode(F.array(*[F.lit(n) for n in sorted(set(ns))])).alias("n")
-    )
-    return grid.join(per_doc, on=["id", "n"], how="left").select(
-        "id",
-        "n",
+    grid_cols = [
+        F.col("id"),
+        F.explode(F.array(*[F.lit(n) for n in sorted(set(ns))])).alias("n"),
+    ]
+    if char_weighted:
+        # the coverable denominator: token chars + single joining spaces
+        grid_cols.append(
+            F.greatest(
+                F.aggregate(
+                    "__toks",
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t),
+                )
+                + F.size("__toks")
+                - 1,
+                F.lit(0).cast("long"),
+            ).alias("doc_chars")
+        )
+    grid = toks.select(*grid_cols)
+    out_cols = [
+        F.col("id"),
+        F.col("n"),
         F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
         F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
         F.coalesce("top_count", F.lit(0)).alias("top_count"),
@@ -384,7 +433,25 @@ def gopher_repetition(
             ),
             6,
         ).alias("dup_ratio"),
-    )
+    ]
+    if char_weighted:
+        out_cols.append(
+            F.round(
+                F.coalesce(
+                    F.col("top_char_mass") / F.col("doc_chars"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_char_ratio")
+        )
+        out_cols.append(
+            F.round(
+                F.coalesce(
+                    F.col("dup_char_mass") / F.col("doc_chars"), F.lit(0.0)
+                ),
+                6,
+            ).alias("dup_char_ratio")
+        )
+    return grid.join(per_doc, on=["id", "n"], how="left").select(*out_cols)
 
 
 def gopher_repetition_verdict(
@@ -625,6 +692,93 @@ def gopher_rules(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("pass_gopher", verdict)
+
+
+#: line-level policy substrings the C4 recipe drops (cookie banners,
+#: boilerplate legal links) — Raffel et al. 2020 §2.2's cleanup as
+#: popularized by the C4/RefinedWeb reimplementations.
+C4_POLICY_SUBSTRINGS = [
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+]
+
+#: characters C4 accepts as a terminal line ending.
+C4_TERMINAL_PUNCT = [".", "!", "?", '"']
+
+
+def c4_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning recipe (Raffel et al. 2020 §2.2) as one map-side
+    column pass — the other canonical web-corpus gate next to
+    :func:`gopher_rules`. Line level, a line survives iff it
+
+    - ends in terminal punctuation (``. ! ? "``),
+    - has at least ``min_line_words`` words,
+    - does not mention ``javascript`` (case-insensitive), and
+    - carries none of :data:`C4_POLICY_SUBSTRINGS`;
+
+    document level, ``pass_c4`` then requires at least
+    ``min_sentences`` sentences in the KEPT text (terminal-punctuation
+    count as the sentence proxy — no NLTK dependency), no
+    ``lorem ipsum``, and no ``{`` anywhere (the code-page tell).
+
+    Returns every input row with ``kept_text`` (surviving lines joined
+    by newline), the measured signals (``n_lines``, ``n_kept_lines``,
+    ``n_sentences``, ``has_lorem_ipsum``, ``has_brace``) and the
+    verdict — filtering is the caller's ``WHERE pass_c4`` so rejected
+    docs stay inspectable. Pure built-in higher-order expressions: no
+    UDF, no shuffle, SQL-replayable, scan-speed at any corpus size."""
+    c = F.col(text_col)
+    lower = F.lower(c)
+    lines = F.split(c, "\n")
+    punct_arr = F.array(*[F.lit(p) for p in C4_TERMINAL_PUNCT])
+
+    def _line_ok(line: Column) -> Column:
+        t = F.trim(line)
+        low = F.lower(t)
+        ends_ok = F.array_contains(
+            punct_arr, F.substring(t, F.length(t).cast("int"), 1)
+        )
+        words_ok = F.size(F.split(t, r"\s+")) >= min_line_words
+        return (
+            (F.length(t) > 0)
+            & ends_ok
+            & words_ok
+            & ~low.contains("javascript")
+            & ~reduce(
+                lambda a, b: a | b,
+                [low.contains(s) for s in C4_POLICY_SUBSTRINGS],
+            )
+        )
+
+    kept_lines = F.filter(lines, _line_ok)
+    kept_text = F.array_join(kept_lines, "\n")
+    n_sentences = F.length(kept_text) - F.length(
+        F.regexp_replace(kept_text, r"[.!?]", "")
+    )
+    out = df.withColumns(
+        {
+            "kept_text": kept_text,
+            "n_lines": F.size(lines),
+            "n_kept_lines": F.size(kept_lines),
+            "n_sentences": n_sentences,
+            "has_lorem_ipsum": lower.contains("lorem ipsum"),
+            "has_brace": c.contains("{"),
+        }
+    )
+    verdict = (
+        (F.col("n_sentences") >= min_sentences)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+    )
+    return out.withColumn("pass_c4", verdict)
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
