@@ -852,6 +852,26 @@ def test_gopher_repetition_char_weighted_no_extra_exchange(spark, sf_dir):
     )
 
 
+def test_gopher_repetition_gram_volume_never_shuffles(spark, sf_dir):
+    """r14 shuffle shape: the exploded gram volume must NOT cross the
+    wire — the cached id-partitioned token frame already satisfies both
+    groupBys' clustering, so the FINAL adaptive plan may contain no
+    ENSURE_REQUIREMENTS exchange (only the REPARTITION_BY_COL barrier
+    that builds the cache). Reverting cache() to localCheckpoint()
+    erases outputPartitioning and regresses to a gram-row shuffle
+    (measured 56 MB vs 757 MB at the 20x probe) — this lock catches
+    that. Materialize first: AQE only drops the provisional exchanges
+    in the final re-plan."""
+    from thoth_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = text_ops.gopher_repetition(docs, ns=(2, 3, 5), char_weighted=True)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ENSURE_REQUIREMENTS" not in plan, plan[:2000]
+    assert "InMemoryTableScan" in plan  # the shared token barrier
+
+
 def test_gopher_repetition_exchanges_independent_of_orders(spark, sf_dir):
     """One gram pass regardless of how many n-gram orders are requested:
     the exchange count for 5 orders must equal the count for 2 — the

@@ -337,12 +337,17 @@ def gopher_repetition(
     plus single separating spaces (= what grams can ever cover), not
     raw text length.
 
-    Shape: the token array materializes ONCE (the ngram_stream barrier),
-    every order's grams explode from it in the same select — one scan,
-    one ``groupBy(id, n, gram)`` + one ``groupBy(id, n)`` partial-agg
-    chain regardless of how many orders are requested; shuffle volume is
-    ∝ Σ_n distinct (doc, gram) pairs, never corpus × corpus. Wide-format
-    verdicts: :func:`gopher_repetition_verdict`."""
+    Shape (r14 — ONE exchange total): the token arrays repartition by
+    id once and are CACHED (``cache`` preserves outputPartitioning
+    where ``localCheckpoint`` would erase it into an unknown-partitioned
+    RDD scan — measured: the erased variant re-shuffled the exploded
+    gram volume, 757 MB at the 20× probe, vs the token arrays' 77 MB);
+    every order's grams then explode from the cached frame in one
+    select, as (n, xxhash64(gram), len) identities rather than gram
+    strings, and BOTH ``groupBy(id, ...)`` stages plus the dense-grid
+    join key on id first, so HashPartitioning(id) already satisfies
+    their clustering — the gram volume never crosses the wire. Wide-
+    format verdicts: :func:`gopher_repetition_verdict`."""
     if not ns or any(n < 1 for n in ns):
         raise ValueError("ns must be a non-empty tuple of positive ints")
     toks = (
@@ -351,7 +356,7 @@ def gopher_repetition(
             tokens(F.col(text_col)).alias("__toks"),
         )
         .repartition("id")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     def _grams(n: int) -> Column:
         # a plain 1-arg lambda: F.transform dispatches on lambda ARITY,
@@ -365,14 +370,43 @@ def gopher_repetition(
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    legs = None
-    for n in sorted(set(ns)):
-        grams = _grams(n)
-        leg = toks.select(
-            "id", F.lit(n).alias("n"), F.explode(grams).alias("g")
+    # r14 shuffle shape (measured on the 20× probe, 5 orders, 100k
+    # docs: 757 MB gram-string shuffle → token-array shuffle only):
+    # 1. gram IDENTITIES, not gram strings, enter the aggregate — the
+    #    ratios only need counts per DISTINCT gram, so each gram
+    #    becomes (n, xxhash64(gram), len(gram)). A cross-gram 64-bit
+    #    collision within one (doc, n) merges two counts; at 10⁶
+    #    grams/doc the per-doc odds are ~3·10⁻⁸ — far below the
+    #    signal's meaning. The DuckDB oracle keeps grouping by the
+    #    strings and stays value-identical.
+    # 2. EVERY order explodes in ONE select from the id-partitioned
+    #    token frame (flatten of per-order struct arrays, not a union
+    #    of legs): both downstream groupBys key on id first, so
+    #    HashPartitioning(id) from the barrier above already satisfies
+    #    their clustering and the exploded gram volume never crosses
+    #    the wire — the only exchange left is the token-array
+    #    repartition (plan-locked).
+    def _leg(n: int) -> Column:
+        # 1-arg lambda (see _grams); n is captured by _leg's scope
+        return F.transform(
+            _grams(n),
+            lambda g: F.struct(
+                F.lit(n).cast("int").alias("n"),
+                F.xxhash64(g).alias("gh"),
+                F.length(g).cast("long").alias("glen"),
+            ),
         )
-        legs = leg if legs is None else legs.unionByName(leg)
-    per_gram = legs.groupBy("id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+
+    exploded = toks.select(
+        "id",
+        F.explode(
+            F.flatten(F.array(*[_leg(n) for n in sorted(set(ns))]))
+        ).alias("p"),
+    ).select("id", "p.n", "p.gh", "p.glen")
+    per_gram_aggs = [F.count(F.lit(1)).alias("c")]
+    if char_weighted:
+        per_gram_aggs.append(F.max("glen").alias("glen"))
+    per_gram = exploded.groupBy("id", "n", "gh").agg(*per_gram_aggs)
     per_doc_aggs = [
         F.sum("c").alias("total_ngrams"),
         F.count(F.lit(1)).alias("distinct_ngrams"),
@@ -382,7 +416,7 @@ def gopher_repetition(
         # char mass = count × len(gram); the top gram is chosen by
         # count with char-mass tiebreak (struct max compares fields in
         # order), so the ratio is deterministic under count ties
-        mass = (F.col("c") * F.length("g")).cast("long")
+        mass = (F.col("c") * F.col("glen")).cast("long")
         per_doc_aggs.append(
             F.max(F.struct(F.col("c").alias("c"), mass.alias("m")))["m"].alias(
                 "top_char_mass"
