@@ -269,24 +269,17 @@ def repetition_signals(
     n-grams taken by the single most frequent n-gram (boilerplate and
     template spam score near 1). Returns ``(id, total_ngrams,
     top_ngram_count, top_ngram_ratio)``; documents with < n tokens get
-    zeros. One explode + one groupBy(id, gram) + one groupBy(id) —
-    shuffle ∝ distinct (doc, gram) pairs."""
-    grams = ngram_stream(df, id_col, text_col, n)
-    per_gram = grams.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
-    per_doc = per_gram.groupBy("id").agg(
-        F.sum("c").alias("total_ngrams"), F.max("c").alias("top_ngram_count")
-    )
-    base = df.select(F.col(id_col).alias("id"))
-    return (
-        base.join(per_doc, on="id", how="left")
-        .select(
-            "id",
-            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
-            F.coalesce("top_ngram_count", F.lit(0)).alias("top_ngram_count"),
-            F.coalesce(
-                F.col("top_ngram_count") / F.col("total_ngrams"), F.lit(0.0)
-            ).alias("top_ngram_ratio"),
-        )
+    zeros. Since r14 this is a single-order projection of
+    :func:`gopher_repetition`, inheriting its shuffle shape: gram
+    IDENTITIES (xxhash64) over the cached id-partitioned token barrier,
+    so the gram volume never crosses the wire (the pre-r14 version
+    shuffled the exploded gram strings)."""
+    out = gopher_repetition(df, id_col, text_col, ns=(n,))
+    return out.select(
+        "id",
+        "total_ngrams",
+        F.col("top_count").alias("top_ngram_count"),
+        F.col("top_ratio").alias("top_ngram_ratio"),
     )
 
 
