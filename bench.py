@@ -165,6 +165,7 @@ HEADLINE = [
     "streaming_gopher_repetition_documents",
     "gopher_repetition_charweighted_documents",
     "c4_rules_documents",
+    "streaming_c4_documents",
 ]
 
 
@@ -390,6 +391,11 @@ _ABBREV = [
     (r"^d_jpre$", "djp"),
     (r"^d_cont$", "dct"),
     (r"^pf_gap$", "pfg"),
+    (r"^st_c4$", "sc4"),
+    (r"^d_surv$", "dsv"),
+    (r"^sk_wau$", "sku"),
+    (r"^win_fp$", "wfp"),
+    (r"^kmeans$", "kms"),
 ]
 
 

@@ -144,13 +144,13 @@ DRIVER_PRIORITY: list[str] = [
     # (b continued) the r14 second batch — never-green, mandatory
     "gopher_repetition_charweighted_documents",
     "c4_rules_documents",
+    "streaming_c4_documents",
     # (c) fillers: gopher_rules re-verifies its r14 semantics change
     #     (separate hash/ellipsis symbol gates per the paper), then the
     #     2 alphabetically-first r11-green queries (stalest cohort next
     #     in line for the r15 horizon)
     "gopher_rules_documents",
     "anomaly_fixed_changepoint_validation",
-    "anomaly_sarima_fixed_validation",
 ]
 
 
@@ -9101,6 +9101,51 @@ def c4_rules_documents(spark, sf_dir):
         "n_sentences",
         "pass_c4",
     )
+
+
+ORACLE_STREAMING_C4 = f"""
+WITH oc AS ({ORACLE_C4_RULES})
+SELECT doc_id, kept_text, n_sentences FROM oc WHERE pass_c4
+"""
+
+
+@query("streaming_c4_documents", ORACLE_STREAMING_C4)
+def streaming_c4_documents(spark, sf_dir):
+    """The C4 gate run UNCHANGED under Structured Streaming: readStream
+    over the corpus → the same stateless text.c4_rules column pass (on
+    the derived line-structured corpus, as in c4_rules_documents) →
+    pass_c4 filter → sink. Zero state, batch-equivalent at any
+    micro-batch boundary — same oracle as the batch query, filtered to
+    the survivors."""
+    import uuid
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    line_parts = []
+    for i in range(3):
+        body = F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8))
+        dot = F.when((F.col("doc_id") + i) % 2 == 0, F.lit(".")).otherwise(
+            F.lit("")
+        )
+        line_parts.append(F.concat(body, dot))
+    lined = stream.select(
+        "doc_id", F.concat_ws("\n", *line_parts).alias("text")
+    )
+    gated = (
+        text.c4_rules(lined, min_sentences=2)
+        .where(F.col("pass_c4"))
+        .select("doc_id", "kept_text", "n_sentences")
+    )
+    name = f"stream_c4_{uuid.uuid4().hex[:8]}"
+    q = gated.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
 
 
 @query("streaming_gopher_repetition_documents", ORACLE_GOPHER_REPETITION)
