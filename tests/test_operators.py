@@ -3934,6 +3934,21 @@ def test_gopher_repetition_char_weighted(spark):
     for i in (1, 2):
         assert plain[i]["top_ratio"] == rows[i]["top_ratio"]
         assert plain[i]["dup_ratio"] == rows[i]["dup_ratio"]
+    # barrier="checkpoint" (the unbounded-caller mode, no CacheManager
+    # entry) must be result-identical to the default cache barrier
+    ckpt = sorted(
+        map(
+            tuple,
+            text.gopher_repetition(
+                df, ns=(2,), char_weighted=True, barrier="checkpoint"
+            ).collect(),
+        )
+    )
+    assert ckpt == sorted(tuple(r) for r in rows.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="barrier"):
+        text.gopher_repetition(df, barrier="nope")
 
 
 def test_c4_rules_line_and_doc_gates(spark):

@@ -147,8 +147,8 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_c4_documents",
     # (c) fillers: gopher_rules re-verifies its r14 semantics change
     #     (separate hash/ellipsis symbol gates per the paper), then the
-    #     2 alphabetically-first r11-green queries (stalest cohort next
-    #     in line for the r15 horizon)
+    #     alphabetically-first r11-green query (the r11 cohort — 47
+    #     queries — hits the horizon at r15 and fills that window)
     "gopher_rules_documents",
     "anomaly_fixed_changepoint_validation",
 ]
@@ -9173,6 +9173,12 @@ def streaming_gopher_repetition_documents(spark, sf_dir):
     q = stream.writeStream.foreachBatch(cb).start()
     q.processAllAvailable()
     q.stop()
+    if not parts:  # empty source: zero rows, stable schema
+        return spark.createDataFrame(
+            [],
+            "id long, n int, total_ngrams long, distinct_ngrams long,"
+            " top_count long, top_ratio double, dup_ratio double",
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -183,9 +183,13 @@ def ngram_decontaminate(
         b_inv = cap_shingle_df(b_inv, max_shingle_df, key="shingle")
     b_sz = b_sh.select(F.col("id").alias("bid"), F.size("sh").alias("sz_b"))
     t_inv = t_sh.select("id", F.explode("sh").alias("shingle"))
-    # size-guard the broadcast: one count over the (checkpointed,
-    # eval-set-sized) bench index; an oversized "benchmark" degrades to
-    # a shuffle join instead of a broadcast OOM
+    # size-guard the broadcast: one count over the eval-set-sized bench
+    # index picks the join strategy (an eager job at construction time —
+    # the price of the guard); an oversized "benchmark" degrades to a
+    # shuffle join instead of a broadcast OOM. The (possibly df-capped)
+    # index is checkpointed FIRST so the count and the join share one
+    # materialization instead of running the cap window twice.
+    b_inv = b_inv.localCheckpoint(eager=False)
     small_bench = b_inv.count() <= broadcast_max_rows
     maybe_bc = F.broadcast if small_bench else (lambda d: d)
     inter = (

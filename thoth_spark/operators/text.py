@@ -301,6 +301,7 @@ def gopher_repetition(
     text_col: str = "text",
     ns: tuple[int, ...] = (2, 3, 4, 5, 10),
     char_weighted: bool = False,
+    barrier: str = "cache",
 ) -> DataFrame:
     """Gopher repetition signals for SEVERAL n-gram orders in one
     dataflow — the template-spam / boilerplate detector that complements
@@ -323,18 +324,29 @@ def gopher_repetition(
     doc's token chars, and ``dup_char_ratio`` = the char mass of every
     gram seen more than once over the same denominator. One stated
     difference from Rae et al.'s footnote remains: overlapping
-    occurrences of a duplicated gram are NOT de-overlapped (the paper
-    counts each character once), so ``dup_char_ratio`` is an upper
-    bound — exact span-union counting would need per-position state the
-    partial-agg shape cannot carry. The denominator is token characters
-    plus single separating spaces (= what grams can ever cover), not
-    raw text length.
+    occurrences are NOT de-overlapped (the paper counts each character
+    once), so BOTH ratios are upper bounds and can exceed 1.0 on
+    degenerate runs ("a a a a": top bigram covers 9 non-distinct chars
+    over 7 coverable) — exact span-union counting would need
+    per-position state the partial-agg shape cannot carry. The
+    denominator is token characters plus single separating spaces
+    (= what grams can ever cover), not raw text length.
+
+    ``barrier`` picks the token-materialization mechanism: ``"cache"``
+    (default) preserves the id partitioning so the gram volume never
+    shuffles, but registers a CacheManager entry that lives until the
+    session ends — right for batch jobs and ad-hoc sessions.
+    ``"checkpoint"`` (localCheckpoint) is GC-reclaimed but erases the
+    partitioning, re-shuffling the gram volume — right for UNBOUNDED
+    callers like the per-micro-batch streaming twin, where one cache
+    entry per trigger would accumulate forever and each batch is small
+    enough that the extra shuffle is noise.
 
     Shape (r14 — ONE exchange total): the token arrays repartition by
     id once and are CACHED (``cache`` preserves outputPartitioning
     where ``localCheckpoint`` would erase it into an unknown-partitioned
     RDD scan — measured: the erased variant re-shuffled the exploded
-    gram volume, 757 MB at the 20× probe, vs the token arrays' 77 MB);
+    gram volume, 757 MB at the 20× probe, vs the token arrays' 56 MB);
     every order's grams then explode from the cached frame in one
     select, as (n, xxhash64(gram), len) identities rather than gram
     strings, and BOTH ``groupBy(id, ...)`` stages plus the dense-grid
@@ -343,14 +355,13 @@ def gopher_repetition(
     format verdicts: :func:`gopher_repetition_verdict`."""
     if not ns or any(n < 1 for n in ns):
         raise ValueError("ns must be a non-empty tuple of positive ints")
-    toks = (
-        df.select(
-            F.col(id_col).alias("id"),
-            tokens(F.col(text_col)).alias("__toks"),
-        )
-        .repartition("id")
-        .cache()
-    )
+    if barrier not in ("cache", "checkpoint"):
+        raise ValueError(f"barrier must be 'cache' or 'checkpoint'; got {barrier!r}")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    ).repartition("id")
+    toks = toks.cache() if barrier == "cache" else toks.localCheckpoint(eager=False)
     def _grams(n: int) -> Column:
         # a plain 1-arg lambda: F.transform dispatches on lambda ARITY,
         # so a `lambda i, n=n` default-capture would receive the element

@@ -548,7 +548,14 @@ def gopher_repetition_foreach_batch(
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        out = gopher_repetition(batch_df, id_col, text_col, ns=ns)
+        # barrier="checkpoint": the batch operator's default cache()
+        # registers a CacheManager entry per call that only dies with
+        # the session — one per trigger on an unbounded stream would
+        # accumulate forever. The checkpoint is GC-reclaimed; the
+        # partitioning it costs is micro-batch-sized shuffle, noise.
+        out = gopher_repetition(
+            batch_df, id_col, text_col, ns=ns, barrier="checkpoint"
+        )
         on_result(out, batch_id)
 
     return callback
