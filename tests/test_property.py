@@ -480,3 +480,148 @@ def test_domain_cap_two_stage_equals_one_window(spark, sizes, cap, n_salts):
         per_dom[dom] = per_dom.get(dom, 0) + 1
     for d, size in enumerate(sizes):
         assert per_dom.get(f"dom{d}", 0) == min(size, cap)
+
+
+# --- r14: C4 rules vs a pure-Python reference --------------------------
+
+C4_POLICY = ["terms of use", "privacy policy", "cookie policy", "uses cookies"]
+C4_PUNCT = (".", "!", "?", '"')
+
+
+def _c4_reference(text: str, min_line_words: int = 5, min_sentences: int = 3):
+    """Line-for-line Python re-implementation of text.c4_rules."""
+    import re
+
+    lines = text.split("\n")
+    kept = []
+    for line in lines:
+        t = line.strip()
+        low = t.lower()
+        if not t:
+            continue
+        if not t.endswith(C4_PUNCT):
+            continue
+        if len(re.split(r"\s+", t)) < min_line_words:
+            continue
+        if "javascript" in low:
+            continue
+        if any(p in low for p in C4_POLICY):
+            continue
+        kept.append(line.strip())
+    kept_text = "\n".join(kept)
+    n_sentences = sum(kept_text.count(c) for c in ".!?")
+    return {
+        "kept_text": kept_text,
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "n_sentences": n_sentences,
+        "has_lorem_ipsum": "lorem ipsum" in text.lower(),
+        "has_brace": "{" in text,
+        "pass_c4": (
+            n_sentences >= min_sentences
+            and "lorem ipsum" not in text.lower()
+            and "{" not in text
+        ),
+    }
+
+
+c4_line = st.text(
+    alphabet=st.sampled_from(
+        list("abcdef ") + [".", "!", "?", '"', "{", "j"]
+    ),
+    min_size=0,
+    max_size=40,
+)
+c4_docs = st.lists(
+    st.builds("\n".join, st.lists(c4_line, min_size=1, max_size=5)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=c4_docs)
+def test_c4_rules_matches_python_reference(spark, docs):
+    """Every C4 signal equals a line-for-line Python reference on ANY
+    text shape (empty lines, punctuation runs, braces, no words)."""
+    from thoth_spark.operators.text import c4_rules
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in c4_rules(df).collect()}
+    for i, d in enumerate(docs):
+        want = _c4_reference(d)
+        r = got[i]
+        for k, v in want.items():
+            assert r[k] == v, (k, repr(d), r[k], v)
+
+
+# --- r14: Gopher repetition (incl. char fractions) vs Python -----------
+
+
+def _gopher_reference(text: str, n: int):
+    """Python re-implementation of one gopher_repetition order."""
+    import re
+    from collections import Counter
+
+    toks = re.split(r"\s+", re.sub(r"\s+", " ", text.strip().lower()))
+    if text.strip() == "":
+        toks = [""]
+    grams = [
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    ] if len(toks) >= n else []
+    doc_chars = max(sum(len(t) for t in toks) + len(toks) - 1, 0)
+    if not grams:
+        return (0, 0, 0, 0.0, 0.0, 0.0, 0.0)
+    c = Counter(grams)
+    total = len(grams)
+    dist = len(c)
+    topc = max(c.values())
+    top_mass = max(
+        (cnt, cnt * len(g)) for g, cnt in c.items() if cnt == topc
+    )[1]
+    dup_mass = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+    rnd = lambda x: round(x, 6)
+    return (
+        total,
+        dist,
+        topc,
+        rnd(topc / total),
+        rnd((total - dist) / total),
+        rnd(top_mass / doc_chars) if doc_chars else 0.0,
+        rnd(dup_mass / doc_chars) if doc_chars else 0.0,
+    )
+
+
+gopher_texts = st.lists(
+    st.text(alphabet=list("ab c"), min_size=0, max_size=60),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs=gopher_texts)
+def test_gopher_repetition_matches_python_reference(spark, docs):
+    """total/distinct/top counts, occurrence ratios AND the r14 char
+    fractions equal a Counter-based Python reference on ANY whitespace
+    shape — including the xxhash64 gram-identity path (collisions would
+    show up here as merged counts)."""
+    from thoth_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    out = gopher_repetition(df, ns=(2, 3), char_weighted=True).collect()
+    got = {(r["id"], r["n"]): r for r in out}
+    for i, d in enumerate(docs):
+        for n in (2, 3):
+            want = _gopher_reference(d, n)
+            r = got[(i, n)]
+            have = (
+                r["total_ngrams"], r["distinct_ngrams"], r["top_count"],
+                r["top_ratio"], r["dup_ratio"],
+                r["top_char_ratio"], r["dup_char_ratio"],
+            )
+            assert have == want, (repr(d), n, have, want)
