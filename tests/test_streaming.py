@@ -517,3 +517,58 @@ def test_gopher_repetition_foreach_batch_matches_batch(spark, sf_dir):
         tuple(r) for r in gopher_repetition(docs, ns=(2, 5)).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_c4_gate_stream_matches_batch_across_micro_batches(spark, sf_dir):
+    """The stateless C4 gate must emit exactly the batch survivors
+    regardless of micro-batch boundaries (maxFilesPerTrigger=1 over a
+    two-file corpus) — the streaming_c4 recipe's batch-equivalence."""
+    import tempfile
+    import uuid
+
+    from thoth_spark.operators.text import c4_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # derive the line-structured corpus the driver query uses (the
+    # fixture has no newlines/punctuation)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    parts = []
+    for i in range(3):
+        body = F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8))
+        dot = F.when((F.col("doc_id") + i) % 2 == 0, F.lit(".")).otherwise(
+            F.lit("")
+        )
+        parts.append(F.concat(body, dot))
+    lined = docs.select("doc_id", F.concat_ws("\n", *parts).alias("text"))
+    want = sorted(
+        tuple(r)
+        for r in c4_rules(lined, min_sentences=2)
+        .where(F.col("pass_c4"))
+        .select("doc_id", "kept_text", "n_sentences")
+        .collect()
+    )
+    with tempfile.TemporaryDirectory() as d:
+        lined.repartition(2).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(lined.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        gated = (
+            c4_rules(stream, min_sentences=2)
+            .where(F.col("pass_c4"))
+            .select("doc_id", "kept_text", "n_sentences")
+        )
+        name = f"c4_eq_{uuid.uuid4().hex[:8]}"
+        q = (
+            gated.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+        q.stop()
+        got = sorted(tuple(r) for r in spark.table(name).collect())
+    assert n_batches >= 2, "maxFilesPerTrigger=1 must force >=2 batches"
+    assert got == want and len(got) > 0
