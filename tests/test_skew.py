@@ -714,3 +714,46 @@ def test_ann_join_serve_degenerate_single_cell_is_salted(spark, tmp_path):
         .count()
     )
     assert n_salts >= 4, n_salts
+
+
+def test_gopher_repetition_mega_document_skew(spark):
+    """One 200k-token mega-document among 2k small docs. Per-document
+    grouping means the mega-doc's grams land in one partition by
+    construction — the bound is the DOC's own gram count streaming
+    through one task's partial-agg hash map (gram identities, 8-byte
+    keys), never a corpus-wide hot key. Exactness on the mega-doc is
+    derived from its construction: 'w0 w1 ... w99' repeated 2000 times
+    gives a known top bigram ('w99 w0' spans every repeat boundary plus
+    none inside — each distinct bigram inside the cycle occurs once per
+    repeat except the boundary one occurs repeats-1... asserted via the
+    Counter reference instead of hand algebra)."""
+    from collections import Counter
+
+    from thoth_spark.operators.text import gopher_repetition
+
+    cycle = " ".join(f"w{i}" for i in range(100))
+    mega = " ".join([cycle] * 2000)  # 200k tokens
+    rows = [(0, mega)] + [
+        (i, f"doc {i} alpha beta gamma delta") for i in range(1, 2001)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    out, wall = _timed(
+        lambda: {
+            (r["id"], r["n"]): r
+            for r in gopher_repetition(df, ns=(2,)).collect()
+        }
+    )
+    toks = mega.split(" ")
+    c = Counter(
+        " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+    )
+    r = out[(0, 2)]
+    assert r["total_ngrams"] == len(toks) - 1
+    assert r["distinct_ngrams"] == len(c)
+    assert r["top_count"] == max(c.values())
+    # every small doc present with its own counts (6 tokens -> 5 bigrams)
+    assert out[(1, 2)]["total_ngrams"] == 5
+    assert len(out) == 2001
+    # generous bound: a plan that shuffled the mega-doc's gram STRINGS
+    # (or re-exploded per order) would blow far past this on local[32]
+    assert wall < 120, f"mega-doc repetition took {wall:.1f}s"
