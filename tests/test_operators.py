@@ -3956,7 +3956,7 @@ def test_c4_rules_line_and_doc_gates(spark):
     terminal punctuation, per-line word floor, javascript mention,
     policy substrings, lorem ipsum, curly brace, sentence floor."""
     good_line = "this line has plenty of words and ends properly."
-    good = "\n".join([good_line] * 4)
+    good = "\n".join([good_line] * 5)
     mixed = "\n".join(
         [
             good_line,
@@ -3974,7 +3974,7 @@ def test_c4_rules_line_and_doc_gates(spark):
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in text.c4_rules(df).collect()}
-    assert rows[1]["pass_c4"] is True and rows[1]["n_kept_lines"] == 4
+    assert rows[1]["pass_c4"] is True and rows[1]["n_kept_lines"] == 5
     # mixed doc: only the two good lines survive the line gates
     assert rows[2]["n_kept_lines"] == 2
     assert rows[2]["kept_text"] == "\n".join([good_line] * 2)

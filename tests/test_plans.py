@@ -813,12 +813,25 @@ def test_ngram_decontaminate_broadcast_size_guard(spark, sf_dir):
         broadcast_max_rows=1,
     )
     # the bench inverted index must NOT carry the broadcast hint past
-    # the guard (AQE may still pick a broadcast strategy on tiny test
-    # data, so assert on the optimized logical plan's hints instead)
+    # the guard, but the per-doc size frame b_sz (one row per bench
+    # doc, always safe) keeps its unconditional hint — so the guarded
+    # plan carries exactly ONE hint and the shingle join none. (AQE may
+    # still pick a broadcast strategy on tiny test data, so assert on
+    # the optimized logical plan's hints instead.)
     logical = guarded._jdf.queryExecution().optimizedPlan().toString()
-    assert "broadcast" not in logical.lower()
+    assert logical.lower().count("broadcast") == 1
+    shingle_join = [
+        ln for ln in logical.splitlines() if "shingle" in ln and "Join" in ln
+    ]
+    assert shingle_join and all(
+        "broadcast" not in ln.lower() for ln in shingle_join
+    )
     normal = dedup_ops.ngram_decontaminate(
         train, bench, "doc_id", "text", n=3, threshold=0.5
+    )
+    assert (
+        normal._jdf.queryExecution().optimizedPlan().toString().lower().count("broadcast")
+        == 2
     )
     assert sorted(map(tuple, guarded.collect())) == sorted(
         map(tuple, normal.collect())

@@ -488,7 +488,7 @@ C4_POLICY = ["terms of use", "privacy policy", "cookie policy", "uses cookies"]
 C4_PUNCT = (".", "!", "?", '"')
 
 
-def _c4_reference(text: str, min_line_words: int = 5, min_sentences: int = 3):
+def _c4_reference(text: str, min_line_words: int = 3, min_sentences: int = 5):
     """Line-for-line Python re-implementation of text.c4_rules."""
     import re
 

@@ -9044,21 +9044,25 @@ sig AS (
       len(trim(l)) > 0
       AND list_contains(['.', '!', '?', '"'],
                         substr(trim(l), len(trim(l)), 1))
-      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+      AND len(string_split_regex(trim(l), '\\s+')) >= 3
       AND NOT contains(lower(trim(l)), 'javascript')
       AND NOT (contains(lower(trim(l)), 'terms of use')
                OR contains(lower(trim(l)), 'privacy policy')
                OR contains(lower(trim(l)), 'cookie policy')
-               OR contains(lower(trim(l)), 'uses cookies'))) AS kept,
+               OR contains(lower(trim(l)), 'uses cookies'))) AS kept_raw,
     ls
   FROM lined
+),
+sig2 AS (
+  SELECT doc_id, list_transform(kept_raw, l -> trim(l)) AS kept, ls
+  FROM sig
 ),
 fin AS (
   SELECT doc_id,
          coalesce(array_to_string(kept, chr(10)), '') AS kept_text,
          len(ls)::INT AS n_lines,
          len(kept)::INT AS n_kept_lines
-  FROM sig
+  FROM sig2
 )
 SELECT doc_id, kept_text, n_lines, n_kept_lines,
        (len(kept_text) - len(regexp_replace(kept_text, '[.!?]', '', 'g')))::INT

@@ -165,7 +165,14 @@ def ngram_decontaminate(
     rows ≈ low hundreds of MB serialized — past any sane eval set) the
     hint is dropped so Spark falls back to a plain shuffle join instead
     of a driver/executor broadcast OOM. Results are identical either
-    way; only the physical join strategy changes.
+    way; only the physical join strategy changes. The guard makes
+    construction EAGER (since r14): building the plan runs one Spark
+    job (the bench-index count + its checkpoint materialization) even
+    if the result is never executed — callers building plans purely
+    speculatively should know they pay that count. The guard applies
+    only to the per-(shingle, doc) index; the per-doc size frame
+    ``b_sz`` (exactly one row per benchmark doc, strictly smaller) is
+    always broadcast.
 
     Returns ``(id, max_jaccard)`` for contaminated train documents;
     anti-join the result to drop them, or keep it as the audit trail.
@@ -199,7 +206,7 @@ def ngram_decontaminate(
     )
     scored = (
         inter.join(t_sh.select("id", F.size("sh").alias("sz_t")), "id")
-        .join(maybe_bc(b_sz), "bid")
+        .join(F.broadcast(b_sz), "bid")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_t") + F.col("sz_b") - F.col("inter")),

@@ -263,7 +263,11 @@ def chunk_documents(
 
 
 def repetition_signals(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    barrier: str = "cache",
 ) -> DataFrame:
     """Gopher-style repetition quality signals: the fraction of all word
     n-grams taken by the single most frequent n-gram (boilerplate and
@@ -273,8 +277,16 @@ def repetition_signals(
     :func:`gopher_repetition`, inheriting its shuffle shape: gram
     IDENTITIES (xxhash64) over the cached id-partitioned token barrier,
     so the gram volume never crosses the wire (the pre-r14 version
-    shuffled the exploded gram strings)."""
-    out = gopher_repetition(df, id_col, text_col, ns=(n,))
+    shuffled the exploded gram strings).
+
+    NOTE on ``barrier``: the default ``"cache"`` registers one
+    CacheManager entry per distinct input DataFrame that lives until
+    the session ends — right for batch jobs, wrong for UNBOUNDED
+    callers (a long-lived service scoring many corpora, a foreachBatch
+    trigger). Those should pass ``barrier="checkpoint"``
+    (GC-reclaimed localCheckpoint, at the cost of re-shuffling the
+    gram volume) — the same trade :func:`gopher_repetition` documents."""
+    out = gopher_repetition(df, id_col, text_col, ns=(n,), barrier=barrier)
     return out.select(
         "id",
         "total_ngrams",
@@ -750,29 +762,33 @@ def c4_rules(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    min_line_words: int = 5,
-    min_sentences: int = 3,
+    min_line_words: int = 3,
+    min_sentences: int = 5,
 ) -> DataFrame:
     """The C4 cleaning recipe (Raffel et al. 2020 §2.2) as one map-side
     column pass — the other canonical web-corpus gate next to
-    :func:`gopher_rules`. Line level, a line survives iff it
+    :func:`gopher_rules`. Defaults follow the paper exactly: lines are
+    retained with at least 3 words, pages are discarded with fewer
+    than 5 sentences. Line level, a line survives iff it
 
     - ends in terminal punctuation (``. ! ? "``),
-    - has at least ``min_line_words`` words,
+    - has at least ``min_line_words`` words (paper: 3),
     - does not mention ``javascript`` (case-insensitive), and
     - carries none of :data:`C4_POLICY_SUBSTRINGS`;
 
     document level, ``pass_c4`` then requires at least
-    ``min_sentences`` sentences in the KEPT text (terminal-punctuation
-    count as the sentence proxy — no NLTK dependency), no
-    ``lorem ipsum``, and no ``{`` anywhere (the code-page tell).
+    ``min_sentences`` sentences (paper: 5) in the KEPT text
+    (terminal-punctuation count as the sentence proxy — no NLTK
+    dependency), no ``lorem ipsum``, and no ``{`` anywhere (the
+    code-page tell).
 
-    Returns every input row with ``kept_text`` (surviving lines joined
-    by newline), the measured signals (``n_lines``, ``n_kept_lines``,
-    ``n_sentences``, ``has_lorem_ipsum``, ``has_brace``) and the
-    verdict — filtering is the caller's ``WHERE pass_c4`` so rejected
-    docs stay inspectable. Pure built-in higher-order expressions: no
-    UDF, no shuffle, SQL-replayable, scan-speed at any corpus size."""
+    Returns every input row with ``kept_text`` (surviving lines
+    TRIMMED, as upstream C4 does, and joined by newline), the measured
+    signals (``n_lines``, ``n_kept_lines``, ``n_sentences``,
+    ``has_lorem_ipsum``, ``has_brace``) and the verdict — filtering is
+    the caller's ``WHERE pass_c4`` so rejected docs stay inspectable.
+    Pure built-in higher-order expressions: no UDF, no shuffle,
+    SQL-replayable, scan-speed at any corpus size."""
     c = F.col(text_col)
     lower = F.lower(c)
     lines = F.split(c, "\n")
@@ -796,7 +812,7 @@ def c4_rules(
             )
         )
 
-    kept_lines = F.filter(lines, _line_ok)
+    kept_lines = F.transform(F.filter(lines, _line_ok), F.trim)
     kept_text = F.array_join(kept_lines, "\n")
     n_sentences = F.length(kept_text) - F.length(
         F.regexp_replace(kept_text, r"[.!?]", "")
