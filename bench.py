@@ -166,6 +166,9 @@ HEADLINE = [
     "gopher_repetition_charweighted_documents",
     "c4_rules_documents",
     "streaming_c4_documents",
+    # round-15: the wide repetition verdict — the frame the curation
+    # showcase actually filters on — joins the curation front line
+    "gopher_repetition_verdict_documents",
 ]
 
 
@@ -396,6 +399,17 @@ _ABBREV = [
     (r"^sk_wau$", "sku"),
     (r"^win_fp$", "wfp"),
     (r"^kmeans$", "kms"),
+    # round-15 (anchored final forms — keep at the END: rules apply
+    # sequentially, so these only match after the earlier squeezes)
+    (r"^gorep_verdict$", "gorv"),
+    (r"^s_ivfx$", "sivx"),
+    (r"^s_ipqx$", "sipx"),
+    (r"^zorder$", "zord"),
+    (r"^st_cms$", "scms"),
+    (r"^pf_qtr$", "pfqt"),
+    (r"^st_gop$", "sgop"),
+    (r"^pf_ex$", "pfex"),
+    (r"^tpord$", "tpo"),
 ]
 
 

@@ -68,89 +68,87 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot ROUND-14 window. Rotation
+# entries, so this list is exactly the 50-slot ROUND-15 window. Rotation
 # policy: minimize the maximum staleness of any catalogue query's last
 # STRICT driver-green (hash_match is True) row, with never-verified
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
-# from CORRECTNESS_r01-r13 (regenerate with ``python tools/staleness.py``):
-# (a) the 41 queries whose last strict driver-green is r10 — they hit
-#     the 4-round staleness horizon the moment CORRECTNESS_r14 lands,
-#     so they are MANDATORY;
-# (b) the never-green oracles landing this round — mandatory the round
-#     they land (r14: the three r13-queued oracles now wired — Gopher
-#     repetition, temperature mix, streaming Gopher gate — plus the new
-#     streaming repetition twin);
-# (c) fillers: gopher_rules_documents (its r14 semantics change — the
-#     paper's separate hash/ellipsis gates — deserves a fresh driver
-#     hash) and the stalest slice of the r11-green block.
+# from CORRECTNESS_r01-r14 (regenerate with ``python tools/staleness.py``):
+# (a) the 46 queries whose last strict driver-green is r11 — the whole
+#     r11 cohort hits the 4-round staleness horizon the moment
+#     CORRECTNESS_r15 lands, so ALL are MANDATORY (histogram after r14:
+#     50@r14, 49@r13, 50@r12, 46@r11);
+# (b) the never-green oracle landing this round: the wide Gopher
+#     repetition VERDICT (the only r14-touched semantics that lacked a
+#     typed DuckDB gate — r14 verdict nit #2);
+# (c) the two C4 queries whose SEMANTICS changed this round (paper
+#     defaults: min_line_words 5→3, min_sentences 3→5, kept lines
+#     trimmed — r14 ADVICE) — a semantics change deserves a fresh
+#     driver hash, as gopher_rules did in r14;
+# (d) one r12 pre-rotation filler: the alphabetically-first r12-green
+#     query, easing r16's otherwise exactly-50 mandatory crunch
+#     (the 50-query r12 cohort hits the horizon at r16).
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
 # never the file the current round just produced).
 DRIVER_PRIORITY: list[str] = [
-    # (a) last strict driver-green r10 — the 4-round staleness horizon
-    #     hits them the moment CORRECTNESS_r14 lands, so ALL 41 are
-    #     mandatory this round (histogram after r13: 50@r13, 50@r12,
-    #     47@r11, 41@r10; regenerate with `python tools/staleness.py`)
-    "classifier_quality_accuracy_bound",
-    "contamination_documents",
-    "corpus_diff_documents",
-    "curate_documents_pipeline",
-    "dedup_exact_documents",
-    "dedup_jaccard_prefix_documents",
-    "dedup_lsh_eval",
-    "dedup_minhash_capped_documents",
-    "dsir_select_documents",
-    "embedding_neardup_exact",
-    "events_json_props",
-    "ewma_control_events",
-    "ks_drift_events",
-    "line_dedup_documents",
-    "passage_dedup_documents",
-    "profile_documents_mutual_information",
-    "profile_events_approx",
-    "profile_events_exact",
-    "profile_events_frequency",
-    "profile_events_histogram",
-    "profile_events_kll",
-    "profile_events_monthly",
-    "profile_events_topk",
-    "redact_pii_documents",
-    "repetition_documents",
-    "sample_documents_budget",
-    "sample_documents_stratified",
-    "sample_documents_token_budget",
-    "sessionize_events",
-    "similarity_topk_brute",
-    "similarity_topk_ivf_fullprobe",
-    "similarity_topk_ivf_recall",
-    "similarity_topk_vectorized",
-    "split_documents",
-    "streaming_interval_join_events",
-    "streaming_profile_events",
-    "streaming_running_score",
-    "text_quality_documents",
-    "top_orders_per_customer",
-    "tpch_q16_supplier_counts",
-    "tpch_q20_part_promotion",
-    # (b) wired this round — never driver-verified, mandatory: the r13
-    #     oracle queue (Gopher repetition / temperature mix / streaming
-    #     Gopher gate) plus the NEW streaming repetition twin
-    "gopher_repetition_documents",
-    "temperature_mix_documents",
-    "streaming_gopher_documents",
-    "streaming_gopher_repetition_documents",
-    # (b continued) the r14 second batch — never-green, mandatory
-    "gopher_repetition_charweighted_documents",
+    # (a) last strict driver-green r11 — all 46 mandatory this round
+    "anomaly_sarima_fixed_validation",
+    "bloom_contamination_documents",
+    "check_events_constraints",
+    "cms_token_counts_documents",
+    "cohort_retention_events",
+    "collocations_documents",
+    "cube_orders",
+    "customer_revenue_deciles",
+    "decontaminate_embeddings_semantic",
+    "dedup_containment_survivors",
+    "dedup_minhash_incremental",
+    "fingerprint_documents",
+    "funnel_events",
+    "grouping_sets_orders",
+    "hybrid_retrieval_documents",
+    "kmeans_refine_embeddings",
+    "knn_classify_embeddings",
+    "lang_id_documents",
+    "mad_outliers_events",
+    "mix_documents",
+    "multimodal_audio_neardup",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_phash_neardup",
+    "multimodal_video_neardup",
+    "pagerank_documents_calibration",
+    "profile_diff_events",
+    "profile_events_by_type",
+    "quality_percentile_by_source",
+    "quality_percentile_documents",
+    "semdedup_embeddings",
+    "semdedup_fixed_embeddings",
+    "similarity_topk_ivf_index",
+    "similarity_topk_ivf_index_append_fullprobe",
+    "similarity_topk_ivf_index_fullprobe",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_fullprobe",
+    "similarity_topk_ivfpq_index",
+    "similarity_topk_ivfpq_index_fullprobe",
+    "similarity_topk_pq",
+    "similarity_topk_pq_rerank_full",
+    "similarity_topk_pq_trained",
+    "streaming_cms_events",
+    "vocabulary_documents",
+    "winnow_fingerprints_documents",
+    "zorder_key_events",
+    # (b) wired this round — never driver-verified, mandatory
+    "gopher_repetition_verdict_documents",
+    # (c) r15 semantics change (C4 paper defaults + trimmed kept lines)
+    #     — re-verify the new hashes
     "c4_rules_documents",
     "streaming_c4_documents",
-    # (c) fillers: gopher_rules re-verifies its r14 semantics change
-    #     (separate hash/ellipsis symbol gates per the paper), then the
-    #     alphabetically-first r11-green query (the r11 cohort — 47
-    #     queries — hits the horizon at r15 and fills that window)
-    "gopher_rules_documents",
-    "anomaly_fixed_changepoint_validation",
+    # (d) r12 pre-rotation filler (the 50-query r12 cohort hits the
+    #     horizon at r16; verifying one early leaves r16 a free slot)
+    "anomaly_multimodel_threshold",
 ]
 
 
@@ -9024,6 +9022,114 @@ def gopher_repetition_charweighted_documents(spark, sf_dir):
     return text.gopher_repetition(
         docs, ns=(2, 3), char_weighted=True
     )
+
+
+ORACLE_GOPHER_REPETITION_VERDICT = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+         list_concat(
+           list_transform([0, 1, 2], i ->
+             coalesce(array_to_string(toks[1 + i * 8: (i + 1) * 8], ' '), '')),
+           CASE WHEN doc_id % 4 = 0
+                THEN [coalesce(array_to_string(toks[1:8], ' '), '')]
+                ELSE [] END) AS ls
+  FROM base
+),
+linesig AS (
+  SELECT doc_id, list_filter(ls, l -> len(trim(l)) > 0) AS nls, ls
+  FROM lined
+),
+linestats AS (
+  SELECT doc_id,
+    CASE WHEN len(nls) > 0
+         THEN round((len(nls) - len(list_distinct(nls)))::DOUBLE / len(nls), 6)
+         ELSE 0.0 END AS dup_line_ratio,
+    CASE WHEN coalesce(list_sum(list_transform(nls, l -> len(l))), 0) > 0
+         THEN round(
+           (list_sum(list_transform(nls, l -> len(l)))
+            - list_sum(list_transform(list_distinct(nls), l -> len(l))))::DOUBLE
+           / list_sum(list_transform(nls, l -> len(l))), 6)
+         ELSE 0.0 END AS dup_line_char_ratio,
+    string_split_regex(lower(trim(array_to_string(ls, chr(10)))), '\\s+')
+      AS gtoks
+  FROM linesig
+),
+nn AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+grid AS (SELECT doc_id, n, gtoks FROM linestats CROSS JOIN nn),
+grams AS (
+  SELECT doc_id, n,
+         unnest(list_transform(generate_series(1, len(gtoks) - n + 1),
+                i -> array_to_string(gtoks[i:i+n-1], ' '))) AS g
+  FROM grid WHERE len(gtoks) >= n
+),
+per AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+agg AS (SELECT doc_id, n, sum(c) AS total, count(*) AS dist, max(c) AS topc
+        FROM per GROUP BY 1, 2),
+long AS (
+  SELECT grid.doc_id, grid.n,
+         round(coalesce(topc::DOUBLE / total, 0.0), 6) AS top_ratio,
+         round(coalesce((total - dist)::DOUBLE / total, 0.0), 6) AS dup_ratio
+  FROM grid LEFT JOIN agg ON agg.doc_id = grid.doc_id AND agg.n = grid.n
+),
+wide AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_ratio END) AS top_2gram_ratio,
+         max(CASE WHEN n = 3 THEN top_ratio END) AS top_3gram_ratio,
+         max(CASE WHEN n = 4 THEN top_ratio END) AS top_4gram_ratio,
+         max(CASE WHEN n = 5 THEN dup_ratio END) AS dup_5gram_ratio,
+         max(CASE WHEN n = 6 THEN dup_ratio END) AS dup_6gram_ratio,
+         max(CASE WHEN n = 7 THEN dup_ratio END) AS dup_7gram_ratio,
+         max(CASE WHEN n = 8 THEN dup_ratio END) AS dup_8gram_ratio,
+         max(CASE WHEN n = 9 THEN dup_ratio END) AS dup_9gram_ratio,
+         max(CASE WHEN n = 10 THEN dup_ratio END) AS dup_10gram_ratio
+  FROM long GROUP BY doc_id
+)
+SELECT l.doc_id AS id, l.dup_line_ratio, l.dup_line_char_ratio,
+       w.top_2gram_ratio, w.top_3gram_ratio, w.top_4gram_ratio,
+       w.dup_5gram_ratio, w.dup_6gram_ratio, w.dup_7gram_ratio,
+       w.dup_8gram_ratio, w.dup_9gram_ratio, w.dup_10gram_ratio,
+       (l.dup_line_ratio <= 0.30 AND l.dup_line_char_ratio <= 0.20
+        AND w.top_2gram_ratio <= 0.20 AND w.top_3gram_ratio <= 0.18
+        AND w.top_4gram_ratio <= 0.16 AND w.dup_5gram_ratio <= 0.15
+        AND w.dup_6gram_ratio <= 0.14 AND w.dup_7gram_ratio <= 0.13
+        AND w.dup_8gram_ratio <= 0.12 AND w.dup_9gram_ratio <= 0.11
+        AND w.dup_10gram_ratio <= 0.10) AS pass_repetition
+FROM linestats l JOIN wide w USING (doc_id)
+"""
+
+
+@query(
+    "gopher_repetition_verdict_documents",
+    ORACLE_GOPHER_REPETITION_VERDICT,
+)
+def gopher_repetition_verdict_documents(spark, sf_dir):
+    """The WIDE Gopher repetition verdict (text.gopher_repetition_verdict)
+    — the frame the curation showcase actually filters on: the 2/3/4
+    top-n-gram gates, the 5..10 duplicate-n-gram gates, and the two
+    line-level rules (repeated-line fraction and repeated-line CHAR
+    fraction, blank lines excluded per the r14 semantics change), fused
+    into pass_repetition. The fixture corpus has no newlines, so the
+    query derives a deterministic line-structured corpus first (three
+    8-word lines per doc; docs with doc_id % 4 == 0 get their first
+    line REPEATED — the same expression in the oracle) so the dup-line
+    rules genuinely discriminate: every fourth doc carries a 25%
+    duplicate-line ratio and fails or passes on the char ratio by its
+    own line lengths."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    parts = [F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)) for i in range(3)]
+    dup_leg = F.when(
+        F.col("doc_id") % 4 == 0, F.array(parts[0])
+    ).otherwise(F.array().cast("array<string>"))
+    lined = docs.select(
+        "doc_id",
+        F.array_join(F.concat(F.array(*parts), dup_leg), "\n").alias("text"),
+    )
+    return text.gopher_repetition_verdict(lined)
 
 
 ORACLE_C4_RULES = """
