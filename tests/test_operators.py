@@ -3607,6 +3607,55 @@ def test_collect_serve_guards_query_table(spark, monkeypatch):
     assert out.count() == 4
 
 
+def test_knn_classify_guards_corpus_sized_seed_set(spark, monkeypatch):
+    """r14 verdict nit #1a: a corpus-sized "labeled" side must fail
+    loudly naming the join-serve alternative instead of collecting the
+    corpus to the driver; the guard's collect is limit-capped. Within
+    the cap the classifier works unchanged."""
+    from thoth_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "MAX_QUERY_BATCH", 3)
+    labeled = spark.createDataFrame(
+        [(i, [float(i), 1.0], "a" if i % 2 else "b") for i in range(10)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    unlabeled = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ivf_query_index_join"):
+        similarity.knn_classify(labeled, unlabeled, k=2)
+    out = similarity.knn_classify(labeled.limit(3), unlabeled, k=2)
+    assert out.count() == 4
+
+
+def test_bm25_multi_guards_corpus_sized_query_terms(spark, monkeypatch):
+    """r14 verdict nit #1b: bm25_topk_multi's documented broadcast
+    contract is enforced — a query table whose DISTINCT term set
+    exceeds the cap fails loudly (limit-capped collect), while a wide
+    query table over a small shared vocabulary still works."""
+    from thoth_spark.operators import retrieval
+
+    monkeypatch.setattr(retrieval, "MAX_QUERY_TERMS", 3)
+    docs = spark.createDataFrame(
+        [(i, f"term{i} alpha beta gamma") for i in range(8)],
+        "doc_id long, text string",
+    )
+    wide = spark.createDataFrame(
+        [(q, f"term{q}") for q in range(8)], "query_id long, term string"
+    )
+    with pytest.raises(ValueError, match="bm25_topk_multi collects"):
+        retrieval.bm25_topk_multi(docs, "doc_id", "text", wide, k=2)
+    # many queries over a SMALL shared vocabulary stay inside the
+    # contract: distinct terms, not query rows, are what's bounded
+    shared = spark.createDataFrame(
+        [(q, t) for q in range(8) for t in ("alpha", "beta")],
+        "query_id long, term string",
+    )
+    out = retrieval.bm25_topk_multi(docs, "doc_id", "text", shared, k=2)
+    assert out.count() == 16
+
+
 def test_ivfpq_index_append_equals_full_build(spark, tmp_path):
     """r13: the PQ index gets the same O(batch) nightly-ingest shape as
     the float/SQ8 one — build on half the corpus, append the other half

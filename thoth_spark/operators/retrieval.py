@@ -115,6 +115,13 @@ def bm25_topk(
     return per_doc.orderBy(F.desc("score"), F.asc("id")).limit(k)
 
 
+#: bound on the DISTINCT query terms bm25_topk_multi collects to prune
+#: the corpus-side explode — the same fail-loud contract as the ANN
+#: serves' MAX_QUERY_BATCH (similarity.py): past this, the "query table"
+#: is corpus-shaped and a per-term broadcast join is the wrong tool.
+MAX_QUERY_TERMS = 100_000
+
+
 def bm25_topk_multi(
     df: DataFrame,
     id_col: str,
@@ -131,8 +138,25 @@ def bm25_topk_multi(
     explode serves every query: postings join the broadcast query table
     on term, scores aggregate per (query_id, doc), and the top-k runs as
     one window partitioned by query_id — corpus work is shared across
-    all queries instead of one scan per query."""
-    all_terms = [r["term"] for r in queries.select("term").distinct().collect()]
+    all queries instead of one scan per query.
+
+    The documented broadcast contract is enforced: the distinct query
+    TERMS are collected to the driver (they prune the corpus explode),
+    bounded by ``MAX_QUERY_TERMS`` — a corpus-sized "query table" fails
+    loudly instead of OOMing the driver. Distinct terms, not rows: a
+    million queries over a shared vocabulary is fine."""
+    term_rows = (
+        queries.select("term").distinct().limit(MAX_QUERY_TERMS + 1).collect()
+    )
+    if len(term_rows) > MAX_QUERY_TERMS:
+        raise ValueError(
+            "bm25_topk_multi collects the DISTINCT query terms to the "
+            f"driver (bounded broadcast contract, <= {MAX_QUERY_TERMS} "
+            "terms); a query side this wide is corpus-shaped — score it "
+            "as a document-to-document similarity join (ngram/minhash "
+            "family) instead of per-term BM25."
+        )
+    all_terms = [r["term"] for r in term_rows]
     postings = term_postings(df, id_col, text_col, all_terms)
     stats = df.select(
         F.count(F.lit(1)).alias("n_docs"),

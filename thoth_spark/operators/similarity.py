@@ -861,8 +861,28 @@ def knn_classify(
     id and label columns keep their input types (string labels vote
     and tie-break lexicographically — r10 advice: the old int64
     coercion crashed on non-integer labels).
+
+    The seed collect is bounded by :data:`MAX_QUERY_BATCH` (the same
+    contract as the probe-batch ANN serves): a corpus-sized "labeled"
+    side fails loudly with the distributed alternative named instead of
+    OOMing the driver — past that size, label propagation should run
+    through the join serves (:func:`ivf_query_index_join` for top-k
+    neighbors as an equi-join, then a per-id majority vote), which keep
+    both sides distributed.
     """
-    seeds = labeled.select(id_col, vec_col, label_col).collect()
+    seeds = (
+        labeled.select(id_col, vec_col, label_col)
+        .limit(MAX_QUERY_BATCH + 1)
+        .collect()
+    )
+    if len(seeds) > MAX_QUERY_BATCH:
+        raise ValueError(
+            "knn_classify collects the labeled seed set to the driver "
+            f"(bounded seed contract, <= {MAX_QUERY_BATCH} rows); for "
+            "corpus-sized labeled sets compute neighbors with a join "
+            "serve (ivf_query_index_join / knn_graph) and majority-vote "
+            "per id, which keeps the labeled side distributed."
+        )
     if not seeds:
         raise ValueError("labeled seed set is empty")
     s_ids = np.array([r[0] for r in seeds])
