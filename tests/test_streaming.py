@@ -572,3 +572,72 @@ def test_c4_gate_stream_matches_batch_across_micro_batches(spark, sf_dir):
         got = sorted(tuple(r) for r in spark.table(name).collect())
     assert n_batches >= 2, "maxFilesPerTrigger=1 must force >=2 batches"
     assert got == want and len(got) > 0
+
+
+def test_curation_gate_stream_counters_render_in_dashboard(
+    spark, sf_dir, tmp_path
+):
+    """r15 (r14 verdict next-step #6): the instrumented streaming
+    curation front line emits per-micro-batch waterfall counts (docs in
+    -> Gopher pass -> repetition pass) whose totals equal the batch
+    operators' own counts, and the dashboard's /curation page renders
+    the live-feed section from them over live HTTP."""
+    import tempfile
+    from urllib.request import urlopen
+
+    import thoth_spark as th
+    from thoth_spark.operators.text import (
+        gopher_repetition_verdict,
+        gopher_rules,
+    )
+    from thoth_spark.streaming import curation_gate_foreach_batch
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts, survivor_rows = [], []
+    with tempfile.TemporaryDirectory() as d:
+        docs.repartition(2).write.mode("overwrite").parquet(d)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        cb = curation_gate_foreach_batch(
+            counts.append,
+            gate_kwargs={"min_stop_hits": 1},
+            on_survivors=lambda df, bid: survivor_rows.extend(
+                r["doc_id"] for r in df.select("doc_id").collect()
+            ),
+        )
+        q = stream.writeStream.foreachBatch(cb).start()
+        q.processAllAvailable()
+        q.stop()
+    assert len(counts) >= 2, "maxFilesPerTrigger=1 must force >=2 batches"
+
+    # batch equivalence of the counters: totals == the batch operators'
+    n_in = docs.count()
+    gated = gopher_rules(docs, min_stop_hits=1).where(F.col("pass_gopher"))
+    n_gop = gated.count()
+    want_survivors = sorted(
+        r["id"]
+        for r in gopher_repetition_verdict(
+            gated.select("doc_id", "text")
+        )
+        .where(F.col("pass_repetition"))
+        .select("id")
+        .collect()
+    )
+    assert sum(c["docs_in"] for c in counts) == n_in
+    assert sum(c["gopher_pass"] for c in counts) == n_gop
+    assert sum(c["repetition_pass"] for c in counts) == len(want_survivors)
+    assert sorted(survivor_rows) == want_survivors and len(want_survivors) > 0
+
+    # live-e2e: the /curation page renders every batch's counts
+    repo = th.init_db(spark, str(tmp_path / "live_funnel_repo"))
+    stats = {"corpus": n_in, "streaming_batches": counts}
+    with th.serve_dashboard(repo, curation_stats=stats) as srv:
+        page = urlopen(srv.url + "/curation").read().decode()
+        assert "live feed (per micro-batch)" in page
+        for c in counts:
+            assert f"<td>#{c['batch_id']}</td>" in page
+            assert f"<td><b>{c['docs_in']}</b></td>" in page
+        assert f"<td><b>{n_in}</b></td>" in page  # totals row

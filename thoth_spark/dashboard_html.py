@@ -382,6 +382,39 @@ def render_curation_html(stats: dict) -> str:
                 f"<td><b>{int(n)}</b> docs</td></tr>"
             )
         parts.append("</table>")
+    batches = stats.get("streaming_batches") or []
+    if batches:
+        # the live-feed section (r15): per-micro-batch waterfall from
+        # streaming.curation_gate_foreach_batch's on_counts dicts —
+        # the SAME gates as the batch showcase, observable per trigger
+        parts.append(
+            "<h2>live feed (per micro-batch)</h2>"
+            "<table><tr><th style='padding-right:12px'>batch</th>"
+            "<th style='padding-right:12px'>docs in</th>"
+            "<th style='padding-right:12px'>Gopher pass</th>"
+            "<th style='padding-right:12px'>repetition pass</th>"
+            "<th>pass rate</th></tr>"
+        )
+        t_in = t_gop = t_rep = 0
+        for b in batches:
+            n_in = int(b["docs_in"])
+            n_gop = int(b["gopher_pass"])
+            n_rep = int(b["repetition_pass"])
+            t_in += n_in
+            t_gop += n_gop
+            t_rep += n_rep
+            rate = 0.0 if n_in == 0 else n_rep / n_in
+            parts.append(
+                f"<tr><td>#{int(b['batch_id'])}</td>"
+                f"<td><b>{n_in}</b></td><td><b>{n_gop}</b></td>"
+                f"<td><b>{n_rep}</b></td><td>{rate:.0%}</td></tr>"
+            )
+        t_rate = 0.0 if t_in == 0 else t_rep / t_in
+        parts.append(
+            f"<tr><td><i>total</i></td><td><b>{t_in}</b></td>"
+            f"<td><b>{t_gop}</b></td><td><b>{t_rep}</b></td>"
+            f"<td>{t_rate:.0%}</td></tr></table>"
+        )
     extras = []
     if stats.get("vocab_90") is not None:
         extras.append(

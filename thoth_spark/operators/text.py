@@ -512,6 +512,7 @@ def gopher_repetition_verdict(
     dup_max: dict[int, float] | None = None,
     max_dup_line_ratio: float = 0.30,
     max_dup_line_char_ratio: float = 0.20,
+    barrier: str = "cache",
 ) -> DataFrame:
     """Wide per-document Gopher repetition verdict: pivots
     :func:`gopher_repetition` over the rule orders and adds the two
@@ -520,11 +521,14 @@ def gopher_repetition_verdict(
     every configured threshold holds. Line signals are one map-side
     expression (distinct-vs-total over the split line array); the pivot
     is a conditional agg over the long frame, so the whole verdict costs
-    the long pass plus one ``groupBy(id)``."""
+    the long pass plus one ``groupBy(id)``. ``barrier`` passes through
+    to :func:`gopher_repetition` — unbounded callers (per-micro-batch
+    streaming) should use ``"checkpoint"`` to avoid session-lifetime
+    cache accumulation."""
     top_max = GOPHER_TOP_NGRAM_MAX if top_max is None else top_max
     dup_max = GOPHER_DUP_NGRAM_MAX if dup_max is None else dup_max
     ns = tuple(sorted(set(top_max) | set(dup_max)))
-    long = gopher_repetition(df, id_col, text_col, ns=ns)
+    long = gopher_repetition(df, id_col, text_col, ns=ns, barrier=barrier)
     aggs = []
     for n in sorted(top_max):
         aggs.append(

@@ -30,6 +30,10 @@ maps onto three native pieces:
   maintenance: each micro-batch appends to a persisted IVF/IVF-PQ
   index under its frozen quantizers (O(batch) dynamic-partition
   write), the nightly-ingest path upgraded to streaming;
+- :func:`curation_gate_foreach_batch` — the instrumented streaming
+  curation front line: Gopher gate -> repetition verdict per
+  micro-batch, emitting the per-batch waterfall counts the
+  dashboard's /curation live-feed section renders;
 - :func:`gopher_repetition_foreach_batch` — the per-document Gopher
   repetition pass per micro-batch: the grouping key is the doc id,
   so per-batch outputs concatenate to the exact batch result — a
@@ -49,9 +53,11 @@ from thoth_spark.streaming.stream import (
     sketch_profile_stream,
     index_ingest_foreach_batch,
     gopher_repetition_foreach_batch,
+    curation_gate_foreach_batch,
 )
 
 __all__ = [
+    "curation_gate_foreach_batch",
     "profile_stream",
     "running_score_stream",
     "assess_foreach_batch",

@@ -559,3 +559,76 @@ def gopher_repetition_foreach_batch(
         on_result(out, batch_id)
 
     return callback
+
+
+def curation_gate_foreach_batch(
+    on_counts: Callable[[dict], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate_kwargs: dict | None = None,
+    on_survivors: Callable[[DataFrame, int], None] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The streaming curation FRONT LINE as one ``foreachBatch`` sink,
+    instrumented for the dashboard's ``/curation`` funnel: per
+    micro-batch, the stateless Gopher word-rules gate runs first, the
+    repetition verdict (n-gram + duplicate-line rules) runs on the
+    gate's survivors, and ``on_counts`` receives the batch's waterfall
+
+    ``{"batch_id", "docs_in", "gopher_pass", "repetition_pass"}``
+
+    — exactly the shape ``render_curation_html`` renders as the
+    live-feed section when collected under a ``streaming_batches`` key.
+    ``on_survivors`` (optional) receives the fully-gated batch frame
+    for the downstream pipeline (audit table, training sink).
+
+    Scale shape: both passes are the exact batch operators
+    (batch-equivalence is structural — the gates are per-document, and
+    a document's text lives in one row, so no group straddles a
+    micro-batch boundary); the repetition barrier is ``"checkpoint"``
+    so an unbounded stream never accumulates CacheManager entries. The
+    batch is checkpointed ONCE here and every count reuses that
+    materialization — three counters cost one compute of the batch."""
+    from thoth_spark.operators.text import (
+        gopher_repetition_verdict,
+        gopher_rules,
+    )
+
+    gate_kwargs = gate_kwargs or {}
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.localCheckpoint()
+        docs_in = batch.count()
+        if docs_in == 0:
+            return
+        gated = (
+            gopher_rules(batch, text_col=text_col, **gate_kwargs)
+            .where(F.col("pass_gopher"))
+            .select(batch.columns)
+            .localCheckpoint()
+        )
+        gopher_pass = gated.count()
+        if gopher_pass:
+            survivors = (
+                gopher_repetition_verdict(
+                    gated, id_col, text_col, barrier="checkpoint"
+                )
+                .where(F.col("pass_repetition"))
+                .select(F.col("id").alias(id_col))
+                .join(gated, id_col)
+            )
+            repetition_pass = survivors.count()
+        else:
+            survivors = gated
+            repetition_pass = 0
+        on_counts(
+            {
+                "batch_id": batch_id,
+                "docs_in": docs_in,
+                "gopher_pass": gopher_pass,
+                "repetition_pass": repetition_pass,
+            }
+        )
+        if on_survivors is not None:
+            on_survivors(survivors, batch_id)
+
+    return callback
