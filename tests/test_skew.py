@@ -757,3 +757,43 @@ def test_gopher_repetition_mega_document_skew(spark):
     # generous bound: a plan that shuffled the mega-doc's gram STRINGS
     # (or re-exploded per order) would blow far past this on local[32]
     assert wall < 120, f"mega-doc repetition took {wall:.1f}s"
+
+
+def test_gopher_repetition_verdict_mega_document_skew(spark):
+    """r15: the WIDE verdict path (9 orders + duplicate-LINE rules +
+    the per-id pivot) through the same 200k-token mega-document skew.
+    The mega-doc additionally carries 4k duplicate LINES (the cycle as
+    a line, repeated), so the line rules do real work on the hot row:
+    dup_line_ratio must flag it while the 2k small docs (one line each)
+    pass. The pivot keys on id — the mega-doc's long rows collapse in
+    ONE task's hash agg, never a corpus-wide hot key."""
+    from thoth_spark.operators.text import gopher_repetition_verdict
+
+    cycle = " ".join(f"w{i}" for i in range(50))
+    mega = "\n".join([cycle] * 4000)  # 200k tokens over 4k dup lines
+    # small docs get 30 DISTINCT tokens each: short docs with few grams
+    # legitimately fail the top-n-gram share thresholds (top share of 4
+    # trigrams is 0.25 > 0.18), so realistic all-distinct docs are the
+    # right pass-side control
+    rows = [(0, mega)] + [
+        (i, " ".join(f"d{i}t{j}" for j in range(30)))
+        for i in range(1, 2001)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    out, wall = _timed(
+        lambda: {r["id"]: r for r in gopher_repetition_verdict(df).collect()}
+    )
+    assert len(out) == 2001
+    mega_row = out[0]
+    # 4000 identical non-blank lines -> dup_line_ratio = 3999/4000
+    assert abs(mega_row["dup_line_ratio"] - 3999 / 4000) < 1e-6
+    assert mega_row["dup_line_char_ratio"] > 0.99
+    assert mega_row["pass_repetition"] is False
+    # a small all-distinct doc: single line, no repetition -> passes
+    small = out[1]
+    assert small["dup_line_ratio"] == 0.0
+    assert small["pass_repetition"] is True
+    # the top bigram of the mega doc: cycle boundary 'w49 w0' dominates
+    # inside-cycle bigrams 1:1 per repeat -> top_2gram_ratio ~ 1/50
+    assert abs(mega_row["top_2gram_ratio"] - (3999 / 199999)) < 1e-4
+    assert wall < 180, f"mega-doc verdict took {wall:.1f}s"
