@@ -3647,13 +3647,26 @@ def test_bm25_multi_guards_corpus_sized_query_terms(spark, monkeypatch):
     with pytest.raises(ValueError, match="bm25_topk_multi collects"):
         retrieval.bm25_topk_multi(docs, "doc_id", "text", wide, k=2)
     # many queries over a SMALL shared vocabulary stay inside the
-    # contract: distinct terms, not query rows, are what's bounded
+    # contract: distinct terms, not query rows, gate the fail-loud path
     shared = spark.createDataFrame(
         [(q, t) for q in range(8) for t in ("alpha", "beta")],
         "query_id long, term string",
     )
     out = retrieval.bm25_topk_multi(docs, "doc_id", "text", shared, k=2)
-    assert out.count() == 16
+    rows = sorted(map(tuple, out.collect()))
+    assert len(rows) == 16
+    # the (query_id, term) ROWS axis degrades the broadcast hint past
+    # its own cap (shuffle join) with identical results — never an OOM
+    # (dfreq and the 1-row stats frame keep their hints — only the
+    # queries-frame hint is dropped, so the count falls by exactly one)
+    n_hints = (
+        out._jdf.queryExecution().optimizedPlan().toString().lower().count("broadcast")
+    )
+    monkeypatch.setattr(retrieval, "MAX_QUERY_ROWS", 3)
+    degraded = retrieval.bm25_topk_multi(docs, "doc_id", "text", shared, k=2)
+    logical = degraded._jdf.queryExecution().optimizedPlan().toString()
+    assert logical.lower().count("broadcast") == n_hints - 1
+    assert sorted(map(tuple, degraded.collect())) == rows
 
 
 def test_ivfpq_index_append_equals_full_build(spark, tmp_path):

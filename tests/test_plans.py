@@ -808,16 +808,17 @@ def test_ngram_decontaminate_broadcast_size_guard(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 10 != 0)
     bench = docs.where(F.col("doc_id") % 10 == 0)
+    # cap between the bench DOC count (50) and the bench INDEX rows
+    # (thousands): the common big-eval-set shape — the per-(shingle,
+    # doc) index trips the guard and loses its hint, while the per-doc
+    # size frame b_sz keeps its own-count-guarded hint. So exactly ONE
+    # hint, and none on the shingle join. (AQE may still pick a
+    # broadcast strategy on tiny test data, so assert on the optimized
+    # logical plan's hints instead.)
     guarded = dedup_ops.ngram_decontaminate(
         train, bench, "doc_id", "text", n=3, threshold=0.5,
-        broadcast_max_rows=1,
+        broadcast_max_rows=100,
     )
-    # the bench inverted index must NOT carry the broadcast hint past
-    # the guard, but the per-doc size frame b_sz (one row per bench
-    # doc, always safe) keeps its unconditional hint — so the guarded
-    # plan carries exactly ONE hint and the shingle join none. (AQE may
-    # still pick a broadcast strategy on tiny test data, so assert on
-    # the optimized logical plan's hints instead.)
     logical = guarded._jdf.queryExecution().optimizedPlan().toString()
     assert logical.lower().count("broadcast") == 1
     shingle_join = [
@@ -825,6 +826,17 @@ def test_ngram_decontaminate_broadcast_size_guard(spark, sf_dir):
     ]
     assert shingle_join and all(
         "broadcast" not in ln.lower() for ln in shingle_join
+    )
+    # a degenerate corpus-scale bench side (cap below even the doc
+    # count) drops EVERY hint — b_sz is guarded by its own count, not
+    # assumed safe
+    degenerate = dedup_ops.ngram_decontaminate(
+        train, bench, "doc_id", "text", n=3, threshold=0.5,
+        broadcast_max_rows=1,
+    )
+    assert (
+        degenerate._jdf.queryExecution().optimizedPlan().toString().lower().count("broadcast")
+        == 0
     )
     normal = dedup_ops.ngram_decontaminate(
         train, bench, "doc_id", "text", n=3, threshold=0.5
@@ -834,6 +846,9 @@ def test_ngram_decontaminate_broadcast_size_guard(spark, sf_dir):
         == 2
     )
     assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, normal.collect())
+    )
+    assert sorted(map(tuple, degenerate.collect())) == sorted(
         map(tuple, normal.collect())
     )
 

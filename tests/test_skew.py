@@ -793,7 +793,8 @@ def test_gopher_repetition_verdict_mega_document_skew(spark):
     small = out[1]
     assert small["dup_line_ratio"] == 0.0
     assert small["pass_repetition"] is True
-    # the top bigram of the mega doc: cycle boundary 'w49 w0' dominates
-    # inside-cycle bigrams 1:1 per repeat -> top_2gram_ratio ~ 1/50
-    assert abs(mega_row["top_2gram_ratio"] - (3999 / 199999)) < 1e-4
+    # the top bigram of the mega doc: each WITHIN-cycle bigram appears
+    # once per repeat (4000x); the cycle-boundary bigram 'w49 w0' spans
+    # only the 3999 repeat joints and is the RAREST -> top = 4000/199999
+    assert abs(mega_row["top_2gram_ratio"] - (4000 / 199999)) < 5e-6
     assert wall < 180, f"mega-doc verdict took {wall:.1f}s"

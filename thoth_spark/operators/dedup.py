@@ -169,10 +169,12 @@ def ngram_decontaminate(
     construction EAGER (since r14): building the plan runs one Spark
     job (the bench-index count + its checkpoint materialization) even
     if the result is never executed — callers building plans purely
-    speculatively should know they pay that count. The guard applies
-    only to the per-(shingle, doc) index; the per-doc size frame
-    ``b_sz`` (exactly one row per benchmark doc, strictly smaller) is
-    always broadcast.
+    speculatively should know they pay that count. The per-doc size
+    frame ``b_sz`` (exactly one row per benchmark doc) is guarded by
+    its OWN count against the same bound, so it keeps its broadcast
+    hint when the index alone is oversized (the common big-eval-set
+    shape) but degrades with everything else on a degenerate
+    corpus-scale bench side.
 
     Returns ``(id, max_jaccard)`` for contaminated train documents;
     anti-join the result to drop them, or keep it as the audit trail.
@@ -199,6 +201,15 @@ def ngram_decontaminate(
     b_inv = b_inv.localCheckpoint(eager=False)
     small_bench = b_inv.count() <= broadcast_max_rows
     maybe_bc = F.broadcast if small_bench else (lambda d: d)
+    # b_sz (one row per bench DOC) is usually far narrower than the
+    # index, so it keeps its broadcast hint even when the per-(shingle,
+    # doc) index trips the guard — BUT it is bounded by its OWN count,
+    # not assumed safe: a degenerate corpus-scale "benchmark" of
+    # near-empty docs has a tiny index (few shingles) and 50M size
+    # rows. The count is cheap — b_sh's checkpoint was just
+    # materialized by the b_inv count above.
+    small_bench_docs = b_sh.count() <= broadcast_max_rows
+    maybe_bc_sz = F.broadcast if small_bench_docs else (lambda d: d)
     inter = (
         t_inv.join(maybe_bc(b_inv), on="shingle")
         .groupBy("id", "bid")
@@ -206,7 +217,7 @@ def ngram_decontaminate(
     )
     scored = (
         inter.join(t_sh.select("id", F.size("sh").alias("sz_t")), "id")
-        .join(F.broadcast(b_sz), "bid")
+        .join(maybe_bc_sz(b_sz), "bid")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_t") + F.col("sz_b") - F.col("inter")),

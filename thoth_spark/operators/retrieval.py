@@ -121,6 +121,14 @@ def bm25_topk(
 #: is corpus-shaped and a per-term broadcast join is the wrong tool.
 MAX_QUERY_TERMS = 100_000
 
+#: bound on the (query_id, term) ROWS broadcast into the postings join —
+#: the frame's size scales with query rows, not distinct terms, so a
+#: million low-vocabulary queries can pass the term guard while being
+#: too big to broadcast. Past this the hint is dropped (shuffle join,
+#: identical results) — the same degrade-not-OOM trade as
+#: dedup.ngram_decontaminate's broadcast_max_rows.
+MAX_QUERY_ROWS = 2_000_000
+
 
 def bm25_topk_multi(
     df: DataFrame,
@@ -140,11 +148,14 @@ def bm25_topk_multi(
     one window partitioned by query_id — corpus work is shared across
     all queries instead of one scan per query.
 
-    The documented broadcast contract is enforced: the distinct query
-    TERMS are collected to the driver (they prune the corpus explode),
-    bounded by ``MAX_QUERY_TERMS`` — a corpus-sized "query table" fails
-    loudly instead of OOMing the driver. Distinct terms, not rows: a
-    million queries over a shared vocabulary is fine."""
+    The documented broadcast contract is enforced on both axes: the
+    DISTINCT query terms are collected to the driver (they prune the
+    corpus explode), bounded by ``MAX_QUERY_TERMS`` — a term set wider
+    than any query workload fails loudly instead of OOMing the driver —
+    and the (query_id, term) frame itself, whose size scales with query
+    ROWS rather than distinct terms, loses its broadcast HINT past
+    ``MAX_QUERY_ROWS`` (identical results through a shuffle join; a
+    million queries over a shared vocabulary still broadcasts)."""
     term_rows = (
         queries.select("term").distinct().limit(MAX_QUERY_TERMS + 1).collect()
     )
@@ -157,6 +168,9 @@ def bm25_topk_multi(
             "family) instead of per-term BM25."
         )
     all_terms = [r["term"] for r in term_rows]
+    q_frame = queries.select("query_id", "term")
+    small_queries = q_frame.limit(MAX_QUERY_ROWS + 1).count() <= MAX_QUERY_ROWS
+    maybe_bc = F.broadcast if small_queries else (lambda d: d)
     postings = term_postings(df, id_col, text_col, all_terms)
     stats = df.select(
         F.count(F.lit(1)).alias("n_docs"),
@@ -164,7 +178,7 @@ def bm25_topk_multi(
     )
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        postings.join(F.broadcast(queries.select("query_id", "term")), "term")
+        postings.join(maybe_bc(q_frame), "term")
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(

@@ -771,9 +771,14 @@ def c4_rules(
 ) -> DataFrame:
     """The C4 cleaning recipe (Raffel et al. 2020 §2.2) as one map-side
     column pass — the other canonical web-corpus gate next to
-    :func:`gopher_rules`. Defaults follow the paper exactly: lines are
-    retained with at least 3 words, pages are discarded with fewer
-    than 5 sentences. Line level, a line survives iff it
+    :func:`gopher_rules`. Defaults follow the paper TEXT: "We discarded
+    any page with fewer than 5 sentences and only retained lines that
+    contained at least 3 words" (§2.2). Note the released TFDS
+    ``c4_utils`` constants differ from the paper's own prose
+    (``_MIN_WORDS_PER_LINE = 5``) — a known text-vs-code discrepancy in
+    the original; callers wanting parity with the RELEASED pipeline
+    rather than the paper should pass ``min_line_words=5``. Line level,
+    a line survives iff it
 
     - ends in terminal punctuation (``. ! ? "``),
     - has at least ``min_line_words`` words (paper: 3),

@@ -585,9 +585,13 @@ def curation_gate_foreach_batch(
     (batch-equivalence is structural — the gates are per-document, and
     a document's text lives in one row, so no group straddles a
     micro-batch boundary); the repetition barrier is ``"checkpoint"``
-    so an unbounded stream never accumulates CacheManager entries. The
-    batch is checkpointed ONCE here and every count reuses that
-    materialization — three counters cost one compute of the batch."""
+    so an unbounded stream never accumulates CacheManager entries.
+    Each stage is checkpointed before its count, so the counters AND
+    the ``on_survivors`` sink share one materialization per stage —
+    the verdict pipeline (the dominant per-batch cost) runs once per
+    trigger, not once per consumer. Idle (empty) triggers report a
+    zero-count row rather than skipping, so the live-feed table has no
+    batch-id gaps."""
     from thoth_spark.operators.text import (
         gopher_repetition_verdict,
         gopher_rules,
@@ -599,6 +603,16 @@ def curation_gate_foreach_batch(
         batch = batch_df.localCheckpoint()
         docs_in = batch.count()
         if docs_in == 0:
+            # an idle trigger still reports a zero row — the live-feed
+            # table shows every batch id, no silent gaps
+            on_counts(
+                {
+                    "batch_id": batch_id,
+                    "docs_in": 0,
+                    "gopher_pass": 0,
+                    "repetition_pass": 0,
+                }
+            )
             return
         gated = (
             gopher_rules(batch, text_col=text_col, **gate_kwargs)
@@ -608,6 +622,12 @@ def curation_gate_foreach_batch(
         )
         gopher_pass = gated.count()
         if gopher_pass:
+            # checkpoint BEFORE counting so the counter and the
+            # on_survivors sink share one materialization of the
+            # verdict pipeline (the dominant per-batch cost) — and
+            # re-select batch.columns so both branches hand
+            # on_survivors the same column ORDER (the join puts its
+            # key first; a positional sink would silently transpose)
             survivors = (
                 gopher_repetition_verdict(
                     gated, id_col, text_col, barrier="checkpoint"
@@ -615,6 +635,8 @@ def curation_gate_foreach_batch(
                 .where(F.col("pass_repetition"))
                 .select(F.col("id").alias(id_col))
                 .join(gated, id_col)
+                .select(batch.columns)
+                .localCheckpoint()
             )
             repetition_pass = survivors.count()
         else:
