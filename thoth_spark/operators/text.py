@@ -821,7 +821,11 @@ def c4_rules(
             )
         )
 
-    kept_lines = F.transform(F.filter(lines, _line_ok), F.trim)
+    # explicit 1-arg lambda: F.transform dispatches on callable ARITY
+    # and F.trim has a deprecated 2-parameter signature — passing it
+    # bare binds (element, index) and the INDEX becomes the
+    # trim-character set (same footgun as gopher_repetition._grams)
+    kept_lines = F.transform(F.filter(lines, _line_ok), lambda l: F.trim(l))
     kept_text = F.array_join(kept_lines, "\n")
     n_sentences = F.length(kept_text) - F.length(
         F.regexp_replace(kept_text, r"[.!?]", "")
