@@ -4093,3 +4093,38 @@ def test_temperature_mix_tolerates_null_sources(spark):
     srcs = {r["source"] for r in got.collect()}
     assert None not in srcs
     assert got.count() == 4  # alpha=1 keeps every non-null row
+
+
+def test_c4_span_dedup_keeps_first_occurrence(spark):
+    """C4 span dedup semantics (Raffel et al. 2020 §2.2): the GLOBALLY
+    first occurrence (smallest (id, pos)) of a duplicated 3-sentence
+    span survives, every later occurrence loses those sentences,
+    overlapping duplicate spans union their removals, and docs with
+    fewer than 3 sentences pass through untouched."""
+    from thoth_spark.operators.dedup import c4_span_dedup
+
+    shared = "one two. three four. five six."
+    rows = [
+        (1, f"{shared} unique one here."),
+        (2, f"prefix sentence. {shared}"),
+        (3, shared),
+        (4, "short doc. two sentences."),
+        (5, "all different. sentences here. nothing shared. at all."),
+        # overlap: shares spans (s1,s2,s3) AND (s2,s3,s4) with doc 1's
+        # 4-sentence window -> removals union to all 4 sentences
+        (6, f"{shared} unique one here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in c4_span_dedup(df).collect()}
+    assert out[1]["text"] == f"{shared} unique one here."
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "prefix sentence."
+    assert out[2]["n_removed"] == 3
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 3
+    assert out[4]["text"] == "short doc. two sentences."
+    assert out[4]["n_sentences"] == 2 and out[4]["n_removed"] == 0
+    assert out[5]["n_removed"] == 0
+    assert out[6]["text"] == "" and out[6]["n_removed"] == 4
+
+    with pytest.raises(ValueError, match="span"):
+        c4_span_dedup(df, span=0)

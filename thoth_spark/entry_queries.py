@@ -9323,6 +9323,38 @@ def temperature_mix_documents(spark, sf_dir):
     ).select("doc_id", "lang", "mix_rate")
 
 
+@query("c4_span_dedup_documents")  # oracle queued below (r16 window slot)
+def c4_span_dedup_documents(spark, sf_dir):
+    """C4's exact span deduplication (dedup.c4_span_dedup, r15): the
+    globally FIRST occurrence of any duplicated 3-sentence span
+    survives, later occurrences lose those sentences — the other half
+    of the C4 recipe next to c4_rules. The fixture has no punctuation,
+    so the query derives a 3-pseudo-sentence corpus (8-word sentences)
+    and PREPENDS a fixed shared 3-sentence phrase to every fifth doc —
+    the same expression in the queued oracle — so the dedup genuinely
+    fires: the smallest doc_id % 5 == 0 doc keeps the phrase, every
+    other fifth doc loses exactly those three sentences (plus whatever
+    organic duplicate spans the derived corpus carries — the oracle
+    replays the global (id, pos) keeper rule exactly)."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    parts = [
+        F.concat(F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)), F.lit("."))
+        for i in range(3)
+    ]
+    body = F.concat_ws(" ", *parts)
+    shared = (
+        "alpha shared span one. beta shared span two. gamma shared span three."
+    )
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit(shared + " "), body)
+    ).otherwise(body)
+    lined = docs.select("doc_id", text.alias("text"))
+    return dedup.c4_span_dedup(lined).select(
+        F.col("id").alias("doc_id"), "text", "n_sentences", "n_removed"
+    )
+
+
 # --- oracle queue -----------------------------------------------------
 # Pre-written exact-replay oracles for queries whose wiring must wait for
 # driver-window headroom (an oracled query must be scheduled the round it
@@ -9335,7 +9367,65 @@ def temperature_mix_documents(spark, sf_dir):
 # in round 11 after the staleness horizon widened from 3 to 4 recorded
 # rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
 QUEUED_ORACLES: dict[str, str] = {
-    # empty since r14: the r13 second batch (streaming_gopher,
-    # gopher_repetition, temperature_mix) was wired into the r14
-    # window — SQL moved into each @query decorator above.
+    # r15: the C4 span dedup landed after the r15 window was committed
+    # (46 r11-stale mandatory left 4 slots, all spent); r16 has exactly
+    # one free slot (anomaly_multimodel_threshold was pre-rotated) —
+    # wire this there.
+    "c4_span_dedup_documents": """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+lined AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0
+         THEN 'alpha shared span one. beta shared span two. gamma shared span three. '
+         ELSE '' END
+    || coalesce(array_to_string(toks[1:8], ' '), '') || '. '
+    || coalesce(array_to_string(toks[9:16], ' '), '') || '. '
+    || coalesce(array_to_string(toks[17:24], ' '), '') || '.' AS text
+  FROM base
+),
+sents AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'),
+           chr(1)) AS s
+  FROM lined
+),
+spans AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(s) - 2),
+             i -> struct_pack(pos := i,
+                              g := array_to_string(s[i:i+2], chr(1))))) AS u
+    FROM sents WHERE len(s) >= 3
+  ) q
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS occ
+  FROM spans
+),
+rmpos AS (
+  SELECT doc_id, unnest(generate_series(pos, pos + 2)) AS ri
+  FROM ranked WHERE occ > 1 AND rn > 1
+),
+rm AS (
+  SELECT doc_id, list_sort(list(DISTINCT ri)) AS rml
+  FROM rmpos GROUP BY doc_id
+)
+SELECT s.doc_id,
+  coalesce(array_to_string(
+    list_filter(
+      list_transform(generate_series(1, len(s.s)),
+        i -> CASE WHEN rm.rml IS NULL OR NOT list_contains(rm.rml, i)
+                  THEN s.s[i] END),
+      x -> x IS NOT NULL),
+    ' '), '') AS text,
+  len(s.s)::INT AS n_sentences,
+  coalesce(len(rm.rml), 0)::INT AS n_removed
+FROM sents s LEFT JOIN rm USING (doc_id)
+""",
 }

@@ -1274,3 +1274,120 @@ def containment_dedup(
     if not probe_needed or drop.count() <= broadcast_threshold:
         drop = F.broadcast(drop)
     return df.join(drop, df[id_col] == F.col("__drop"), "left_anti")
+
+
+def c4_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+) -> DataFrame:
+    """C4's exact span deduplication (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set") — the OTHER half of the C4 recipe next
+    to :func:`thoth_spark.operators.text.c4_rules`, and the
+    sentence-grained sibling of :func:`passage_dedup`'s token-run
+    removal (which drops EVERY occurrence; C4 keeps the first).
+
+    Sentences are the terminal-punctuation proxy used across the C4
+    family (a ``[.!?]`` followed by whitespace ends a sentence — no
+    NLTK dependency, replayable in SQL). Every ``span`` consecutive
+    sentences form a span; the GLOBALLY first occurrence of each
+    duplicated span (smallest ``(id, position)``, a total order, so
+    the keeper is deterministic under any partitioning) survives and
+    every later occurrence has those sentences removed. Overlapping
+    duplicate spans union their removals. Docs with fewer than
+    ``span`` sentences pass through untouched.
+
+    Returns ``(id, text, n_sentences, n_removed)`` with ``text``
+    rebuilt from the surviving sentences (single-space joined).
+
+    Scale shape: the wire carries span IDENTITIES, not span text —
+    each span enters the global aggregate as ``xxhash64`` of its
+    sentence window (the repetition-pass trade: a 64-bit collision
+    merges two spans at ~2⁻⁶⁴ per pair; the DuckDB oracle keeps
+    grouping the strings and stays value-identical), so the dedup
+    shuffle is O(#sentences) 16-byte rows, never corpus bytes. One
+    ``groupBy(hash)`` with a ``min(struct(id, pos))`` partial agg
+    finds every keeper (no window over the corpus), one equi-join
+    marks later occurrences, and the rebuild is a per-doc
+    ``groupBy(id)`` collecting removed positions back onto the
+    one-row-per-doc sentence frame."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1; got {span}")
+    # sentence split: insert a sentinel after terminal punct + space —
+    # RE2 (DuckDB) has no lookbehind, so the same replace-then-split
+    # expression replays exactly in the oracle
+    sent_arr = F.split(
+        F.regexp_replace(F.trim(F.col(text_col)), r"([.!?])\s+", "$1\x01"),
+        "\x01",
+    )
+    sents = df.select(
+        F.col(id_col).alias("id"), sent_arr.alias("__sents")
+    ).localCheckpoint(eager=False)
+    n_sent = F.size("__sents")
+    spans = sents.select(
+        "id",
+        F.explode(
+            F.when(
+                n_sent >= span,
+                F.transform(
+                    F.sequence(F.lit(1), n_sent - (span - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws("\x01", F.slice("__sents", i, span))
+                        ).alias("h"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
+        ).alias("s"),
+    ).select("id", "s.pos", "s.h")
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    dup_occurrences = (
+        spans.join(keepers.where(F.col("occ") > 1), on="h")
+        .where(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", "pos")
+    )
+    removed = (
+        dup_occurrences.select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (span - 1))
+            ).alias("ri"),
+        )
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("ri")).alias("__rm"))
+    )
+    rebuilt = (
+        sents.join(removed, on="id", how="left")
+        .select(
+            "id",
+            F.array_join(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("__sents")),
+                        lambda i: F.when(
+                            ~F.coalesce(
+                                F.array_contains("__rm", i), F.lit(False)
+                            ),
+                            F.element_at("__sents", i),
+                        ),
+                    ),
+                    lambda s: s.isNotNull(),
+                ),
+                " ",
+            ).alias(text_col),
+            F.size("__sents").cast("int").alias("n_sentences"),
+            F.coalesce(F.size("__rm"), F.lit(0)).cast("int").alias(
+                "n_removed"
+            ),
+        )
+    )
+    return rebuilt
