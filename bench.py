@@ -169,6 +169,9 @@ HEADLINE = [
     # round-15: the wide repetition verdict — the frame the curation
     # showcase actually filters on — joins the curation front line
     "gopher_repetition_verdict_documents",
+    # round-16: the C4 span dedup (the other half of the C4 recipe),
+    # wired from the r15 oracle queue this round
+    "c4_span_dedup_documents",
 ]
 
 
@@ -410,6 +413,34 @@ _ABBREV = [
     (r"^st_gop$", "sgop"),
     (r"^pf_ex$", "pfex"),
     (r"^tpord$", "tpo"),
+    # round-16 (anchored final forms — keep at the END): the span dedup
+    # joining HEADLINE pushed the worst-case tail past the capture
+    # budget; squeeze twelve residual 5-char shorts to 4
+    (r"^c4_span_dd$", "c4sd"),
+    (r"^a_smt$", "asmt"),
+    (r"^q_ass$", "qass"),
+    (r"^d_shp$", "dshp"),
+    (r"^s_vec$", "svec"),
+    (r"^a_ar1$", "aar1"),
+    (r"^rj_tr$", "rjtr"),
+    (r"^clf_q$", "clfq"),
+    (r"^d_mhc$", "dmhc"),
+    (r"^d_njc$", "dnjc"),
+    (r"^pf_tk$", "pftk"),
+    (r"^chk_c$", "chkc"),
+    (r"^d_mhi$", "dmhi"),
+    (r"^b25mq$", "b25q"),
+    (r"^cdiff$", "cdif"),
+    (r"^split$", "splt"),
+    (r"^q_pct$", "qpct"),
+    (r"^pfdif$", "pfdf"),
+    (r"^d_cnc$", "dcnc"),
+    (r"^viz_b$", "vizb"),
+    (r"^m_aud$", "maud"),
+    (r"^m_vid$", "mvid"),
+    (r"^bloom$", "blom"),
+    (r"^vocab$", "vocb"),
+    (r"^gorep$", "gorp"),
 ]
 
 

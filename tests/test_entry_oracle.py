@@ -190,10 +190,6 @@ ROWS_ONLY_MIN = {
     "anomaly_changepoint_validation": 10,
     "anomaly_sarima_validation": 10,
     "classifier_quality_documents": 100,
-    # r15: queued exact oracle in QUEUED_ORACLES (held to the wired
-    # gate by test_queued_oracle_matches at 3 SFs) — wires in r16;
-    # one output row per input doc
-    "c4_span_dedup_documents": 500,
 }
 
 

@@ -68,87 +68,80 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 # The driver's correctness gate checks the first 50 ``queries()``
-# entries, so this list is exactly the 50-slot ROUND-15 window. Rotation
+# entries, so this list is exactly the 50-slot ROUND-16 window. Rotation
 # policy: minimize the maximum staleness of any catalogue query's last
 # STRICT driver-green (hash_match is True) row, with never-verified
 # oracled queries outranking everything (round 5 proved the local gate
 # can pass what the driver's typed hash fails). Composition, derived
-# from CORRECTNESS_r01-r14 (regenerate with ``python tools/staleness.py``):
-# (a) the 46 queries whose last strict driver-green is r11 — the whole
-#     r11 cohort hits the 4-round staleness horizon the moment
-#     CORRECTNESS_r15 lands, so ALL are MANDATORY (histogram after r14:
-#     50@r14, 49@r13, 50@r12, 46@r11);
-# (b) the never-green oracle landing this round: the wide Gopher
-#     repetition VERDICT (the only r14-touched semantics that lacked a
-#     typed DuckDB gate — r14 verdict nit #2);
-# (c) the two C4 queries whose SEMANTICS changed this round (paper
-#     defaults: min_line_words 5→3, min_sentences 3→5, kept lines
-#     trimmed — r14 ADVICE) — a semantics change deserves a fresh
-#     driver hash, as gopher_rules did in r14;
-# (d) one r12 pre-rotation filler: the alphabetically-first r12-green
-#     query, easing r16's otherwise exactly-50 mandatory crunch
-#     (the 50-query r12 cohort hits the horizon at r16).
+# from CORRECTNESS_r01-r15 (regenerate with ``python tools/staleness.py``):
+# (a) the 49 queries whose last strict driver-green is r12 — the whole
+#     r12 cohort hits the 4-round staleness horizon the moment
+#     CORRECTNESS_r16 lands, so ALL are MANDATORY (histogram after r15:
+#     50@r15, 48@r14, 49@r13, 49@r12 — r15 pre-rotated
+#     anomaly_multimodel_threshold out of the r12 cohort for exactly
+#     this crunch);
+# (b) the single remaining slot wires the r15-queued C4 span dedup
+#     oracle — never driver-verified, so mandatory the round it lands.
+# r17 arithmetic, fixed now: 49 r13-cohort mandatory + the queued
+# incremental span-dedup wiring = 50 exactly, so r16 may queue AT MOST
+# one new oracle and r17 has zero discretionary slots.
 # tests/test_entry_oracle.py::test_driver_window_rotation enforces a
 # staleness invariant over this list that stays green across round
 # boundaries (it compares against the PRIOR round's recorded window,
 # never the file the current round just produced).
 DRIVER_PRIORITY: list[str] = [
-    # (a) last strict driver-green r11 — all 46 mandatory this round
-    "anomaly_sarima_fixed_validation",
-    "bloom_contamination_documents",
-    "check_events_constraints",
-    "cms_token_counts_documents",
-    "cohort_retention_events",
-    "collocations_documents",
-    "cube_orders",
-    "customer_revenue_deciles",
-    "decontaminate_embeddings_semantic",
-    "dedup_containment_survivors",
-    "dedup_minhash_incremental",
-    "fingerprint_documents",
-    "funnel_events",
-    "grouping_sets_orders",
-    "hybrid_retrieval_documents",
-    "kmeans_refine_embeddings",
-    "knn_classify_embeddings",
-    "lang_id_documents",
-    "mad_outliers_events",
-    "mix_documents",
-    "multimodal_audio_neardup",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_phash_neardup",
-    "multimodal_video_neardup",
-    "pagerank_documents_calibration",
-    "profile_diff_events",
-    "profile_events_by_type",
-    "quality_percentile_by_source",
-    "quality_percentile_documents",
-    "semdedup_embeddings",
-    "semdedup_fixed_embeddings",
-    "similarity_topk_ivf_index",
-    "similarity_topk_ivf_index_append_fullprobe",
-    "similarity_topk_ivf_index_fullprobe",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_fullprobe",
-    "similarity_topk_ivfpq_index",
-    "similarity_topk_ivfpq_index_fullprobe",
-    "similarity_topk_pq",
-    "similarity_topk_pq_rerank_full",
-    "similarity_topk_pq_trained",
-    "streaming_cms_events",
-    "vocabulary_documents",
-    "winnow_fingerprints_documents",
-    "zorder_key_events",
-    # (b) wired this round — never driver-verified, mandatory
-    "gopher_repetition_verdict_documents",
-    # (c) r15 semantics change (C4 paper defaults + trimmed kept lines)
-    #     — re-verify the new hashes
-    "c4_rules_documents",
-    "streaming_c4_documents",
-    # (d) r12 pre-rotation filler (the 50-query r12 cohort hits the
-    #     horizon at r16; verifying one early leaves r16 a free slot)
-    "anomaly_multimodel_threshold",
+    # (a) last strict driver-green r12 — all 49 mandatory this round
+    "anomaly_scoring_events",
+    "anomaly_seasonal_naive_validation",
+    "anomaly_sm_threshold",
+    "anomaly_sm_validation",
+    "anomaly_sm_window_preds",
+    "bpe_merges_documents",
+    "bpe_token_count_documents",
+    "bucketed_join_orders_lineitem",
+    "chi2_drift_events",
+    "dedup_containment_capped_documents",
+    "dedup_containment_documents",
+    "dedup_exact_events",
+    "dedup_minhash_components",
+    "dedup_minhash_documents",
+    "dedup_minhash_survivors",
+    "dedup_quality_survivors_documents",
+    "embedding_drift_snapshots",
+    "leakage_safe_split_documents",
+    "rollup_orders",
+    "sample_documents_hash",
+    "sample_documents_weighted",
+    "set_ops_customers",
+    "similarity_lsh_recall",
+    "similarity_topk_ivfpq_index_scale_invariance",
+    "sketch_rollup_weekly_events",
+    "sketch_trailing_wau_events",
+    "source_keywords_documents",
+    "streaming_curate_documents",
+    "streaming_sessionize_events",
+    "text_stats_documents",
+    "token_count_documents",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promotion_effect",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "trailing_window_revenue",
+    "training_order_documents",
+    "viz_rolling_band_events",
+    # (b) wired this round from the r15 queue — never driver-verified
+    "c4_span_dedup_documents",
 ]
 
 
@@ -9323,55 +9316,7 @@ def temperature_mix_documents(spark, sf_dir):
     ).select("doc_id", "lang", "mix_rate")
 
 
-@query("c4_span_dedup_documents")  # oracle queued below (r16 window slot)
-def c4_span_dedup_documents(spark, sf_dir):
-    """C4's exact span deduplication (dedup.c4_span_dedup, r15): the
-    globally FIRST occurrence of any duplicated 3-sentence span
-    survives, later occurrences lose those sentences — the other half
-    of the C4 recipe next to c4_rules. The fixture has no punctuation,
-    so the query derives a 3-pseudo-sentence corpus (8-word sentences)
-    and PREPENDS a fixed shared 3-sentence phrase to every fifth doc —
-    the same expression in the queued oracle — so the dedup genuinely
-    fires: the smallest doc_id % 5 == 0 doc keeps the phrase, every
-    other fifth doc loses exactly those three sentences (plus whatever
-    organic duplicate spans the derived corpus carries — the oracle
-    replays the global (id, pos) keeper rule exactly)."""
-    docs = _documents(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    parts = [
-        F.concat(F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)), F.lit("."))
-        for i in range(3)
-    ]
-    body = F.concat_ws(" ", *parts)
-    shared = (
-        "alpha shared span one. beta shared span two. gamma shared span three."
-    )
-    text = F.when(
-        F.col("doc_id") % 5 == 0, F.concat(F.lit(shared + " "), body)
-    ).otherwise(body)
-    lined = docs.select("doc_id", text.alias("text"))
-    return dedup.c4_span_dedup(lined).select(
-        F.col("id").alias("doc_id"), "text", "n_sentences", "n_removed"
-    )
-
-
-# --- oracle queue -----------------------------------------------------
-# Pre-written exact-replay oracles for queries whose wiring must wait for
-# driver-window headroom (an oracled query must be scheduled the round it
-# lands, and never-green ⊆ window is enforced by
-# test_driver_window_rotation). Wiring one = move its SQL into the @query
-# decorator, DELETE its entry here, and add the name to DRIVER_PRIORITY.
-# Until then tests/test_entry_oracle.py::test_queued_oracle_matches runs
-# every pair through the SAME typed compare as the wired gate, so the
-# queue cannot rot between rounds. The 18 r10-queued oracles were wired
-# in round 11 after the staleness horizon widened from 3 to 4 recorded
-# rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
-QUEUED_ORACLES: dict[str, str] = {
-    # r15: the C4 span dedup landed after the r15 window was committed
-    # (46 r11-stale mandatory left 4 slots, all spent); r16 has exactly
-    # one free slot (anomaly_multimodel_threshold was pre-rotated) —
-    # wire this there.
-    "c4_span_dedup_documents": """
+ORACLE_C4_SPAN_DEDUP = """
 WITH base AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
   FROM documents
@@ -9427,5 +9372,50 @@ SELECT s.doc_id,
   len(s.s)::INT AS n_sentences,
   coalesce(len(rm.rml), 0)::INT AS n_removed
 FROM sents s LEFT JOIN rm USING (doc_id)
-""",
-}
+"""
+
+
+@query("c4_span_dedup_documents", ORACLE_C4_SPAN_DEDUP)  # wired r16 (queued r15)
+def c4_span_dedup_documents(spark, sf_dir):
+    """C4's exact span deduplication (dedup.c4_span_dedup, r15): the
+    globally FIRST occurrence of any duplicated 3-sentence span
+    survives, later occurrences lose those sentences — the other half
+    of the C4 recipe next to c4_rules. The fixture has no punctuation,
+    so the query derives a 3-pseudo-sentence corpus (8-word sentences)
+    and PREPENDS a fixed shared 3-sentence phrase to every fifth doc —
+    the same expression in the queued oracle — so the dedup genuinely
+    fires: the smallest doc_id % 5 == 0 doc keeps the phrase, every
+    other fifth doc loses exactly those three sentences (plus whatever
+    organic duplicate spans the derived corpus carries — the oracle
+    replays the global (id, pos) keeper rule exactly)."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    parts = [
+        F.concat(F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)), F.lit("."))
+        for i in range(3)
+    ]
+    body = F.concat_ws(" ", *parts)
+    shared = (
+        "alpha shared span one. beta shared span two. gamma shared span three."
+    )
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit(shared + " "), body)
+    ).otherwise(body)
+    lined = docs.select("doc_id", text.alias("text"))
+    return dedup.c4_span_dedup(lined).select(
+        F.col("id").alias("doc_id"), "text", "n_sentences", "n_removed"
+    )
+
+
+# --- oracle queue -----------------------------------------------------
+# Pre-written exact-replay oracles for queries whose wiring must wait for
+# driver-window headroom (an oracled query must be scheduled the round it
+# lands, and never-green ⊆ window is enforced by
+# test_driver_window_rotation). Wiring one = move its SQL into the @query
+# decorator, DELETE its entry here, and add the name to DRIVER_PRIORITY.
+# Until then tests/test_entry_oracle.py::test_queued_oracle_matches runs
+# every pair through the SAME typed compare as the wired gate, so the
+# queue cannot rot between rounds. The 18 r10-queued oracles were wired
+# in round 11 after the staleness horizon widened from 3 to 4 recorded
+# rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
+QUEUED_ORACLES: dict[str, str] = {}
