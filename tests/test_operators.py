@@ -4113,6 +4113,11 @@ def test_c4_span_dedup_keeps_first_occurrence(spark):
         # overlap: shares spans (s1,s2,s3) AND (s2,s3,s4) with doc 1's
         # 4-sentence window -> removals union to all 4 sentences
         (6, f"{shared} unique one here."),
+        # self-overlapping repeat (r15 advice): the span at pos 2
+        # duplicates the keeper at pos 1 INSIDE the same doc, and its
+        # removal (positions 2-4) overlaps the kept span — only the
+        # non-overlapped prefix of the keeper survives
+        (7, "a. a. a. a."),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["id"]: r for r in c4_span_dedup(df).collect()}
@@ -4125,6 +4130,8 @@ def test_c4_span_dedup_keeps_first_occurrence(spark):
     assert out[4]["n_sentences"] == 2 and out[4]["n_removed"] == 0
     assert out[5]["n_removed"] == 0
     assert out[6]["text"] == "" and out[6]["n_removed"] == 4
+    assert out[7]["text"] == "a." and out[7]["n_removed"] == 3
+    assert out[7]["n_sentences"] == 4
 
     with pytest.raises(ValueError, match="span"):
         c4_span_dedup(df, span=0)

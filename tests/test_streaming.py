@@ -641,3 +641,39 @@ def test_curation_gate_stream_counters_render_in_dashboard(
             assert f"<td>#{c['batch_id']}</td>" in page
             assert f"<td><b>{c['docs_in']}</b></td>" in page
         assert f"<td><b>{n_in}</b></td>" in page  # totals row
+
+
+def test_curation_gate_passthrough_columns_not_shadowed(spark):
+    """r15 advice: an incoming batch that already carries a column
+    named like one of gopher_rules' signal columns (``n_words`` here)
+    must reach ``on_survivors`` with its ORIGINAL values — the gate
+    runs on an (id, text) projection and semi-joins survivor ids back
+    to the raw batch, so the gate's computed signals never shadow
+    passthrough data."""
+    from thoth_spark.streaming import curation_gate_foreach_batch
+
+    # 60 stopword-bearing, repetition-free words per doc -> passes the
+    # default Gopher gate AND the repetition verdict; n_words carries a
+    # SENTINEL value unrelated to the real count
+    rows = [
+        (
+            i,
+            " ".join(f"the w{i}x{j} and t{i}y{j}" for j in range(15)),
+            -999,
+        )
+        for i in range(4)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string, n_words int")
+
+    seen = []
+    cb = curation_gate_foreach_batch(
+        lambda c: None,
+        on_survivors=lambda df, bid: seen.extend(
+            df.select("doc_id", "n_words").collect()
+        ),
+    )
+    cb(batch, 0)
+    assert len(seen) == 4
+    assert all(r["n_words"] == -999 for r in seen), (
+        "gate signal columns shadowed the batch's own n_words column"
+    )

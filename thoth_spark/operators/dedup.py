@@ -1296,8 +1296,16 @@ def c4_span_dedup(
     duplicated span (smallest ``(id, position)``, a total order, so
     the keeper is deterministic under any partitioning) survives and
     every later occurrence has those sentences removed. Overlapping
-    duplicate spans union their removals. Docs with fewer than
-    ``span`` sentences pass through untouched.
+    duplicate spans union their removals — which bounds the "first
+    occurrence survives" guarantee: when a LATER occurrence overlaps
+    the keeper span itself (a doc of repeated identical sentences,
+    e.g. ``"a. a. a. a."`` — keeper at pos 1, duplicate at pos 2),
+    the duplicate's removal strips sentences the keeper span shares,
+    so only the non-overlapped prefix of the kept span survives. What
+    is guaranteed: the keeper's own positions are never removed BY
+    ITS OWN span group, and a span's first occurrence is never
+    removed when no other duplicated span overlaps it. Docs with
+    fewer than ``span`` sentences pass through untouched.
 
     Returns ``(id, text, n_sentences, n_removed)`` with ``text``
     rebuilt from the surviving sentences (single-space joined).

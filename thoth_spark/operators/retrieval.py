@@ -156,8 +156,17 @@ def bm25_topk_multi(
     ROWS rather than distinct terms, loses its broadcast HINT past
     ``MAX_QUERY_ROWS`` (identical results through a shuffle join; a
     million queries over a shared vocabulary still broadcasts)."""
+    # ONE eager job guards both broadcast axes (r15 advice flagged the
+    # second guard job): grouping the query side by term yields the
+    # distinct-term list for the postings prune AND, as the sum of the
+    # group counts, the exact (query_id, term) row count — so the rows
+    # guard costs no extra job. The sum is only trusted when the limit
+    # did not truncate, which is exactly the non-raising path.
     term_rows = (
-        queries.select("term").distinct().limit(MAX_QUERY_TERMS + 1).collect()
+        queries.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .limit(MAX_QUERY_TERMS + 1)
+        .collect()
     )
     if len(term_rows) > MAX_QUERY_TERMS:
         raise ValueError(
@@ -169,7 +178,7 @@ def bm25_topk_multi(
         )
     all_terms = [r["term"] for r in term_rows]
     q_frame = queries.select("query_id", "term")
-    small_queries = q_frame.limit(MAX_QUERY_ROWS + 1).count() <= MAX_QUERY_ROWS
+    small_queries = sum(r["n"] for r in term_rows) <= MAX_QUERY_ROWS
     maybe_bc = F.broadcast if small_queries else (lambda d: d)
     postings = term_postings(df, id_col, text_col, all_terms)
     stats = df.select(

@@ -614,9 +614,22 @@ def curation_gate_foreach_batch(
                 }
             )
             return
+        # run the gate on an (id, text) projection and semi-join the
+        # survivor ids back to the RAW batch (r15 advice): gopher_rules
+        # adds its signal columns via withColumns, so gating the full
+        # frame would let a batch that already carries one of those
+        # names (e.g. n_words) silently reach on_survivors with the
+        # gate's computed value instead of the original data — the
+        # repetition stage below already uses this join-back shape
         gated = (
-            gopher_rules(batch, text_col=text_col, **gate_kwargs)
+            gopher_rules(
+                batch.select(id_col, text_col),
+                text_col=text_col,
+                **gate_kwargs,
+            )
             .where(F.col("pass_gopher"))
+            .select(id_col)
+            .join(batch, id_col)
             .select(batch.columns)
             .localCheckpoint()
         )
