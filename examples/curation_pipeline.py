@@ -91,6 +91,46 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     ).select("doc_id", "text")
     n0b = capped.count()
 
+    # 0c. the OTHER canonical recipe as an AUDIT branch (r16): the
+    # complete C4 pipeline — line/page gates then keep-first span dedup
+    # (curation.c4_pipeline) — over the same corpus, rendered next to
+    # the Gopher stage in the /curation funnel. The fixture has no
+    # newlines or punctuation, so the branch derives the deterministic
+    # line-structured corpus the C4 driver queries use (three 8-word
+    # lines, terminal '.' when (doc_id + line) is even) and prepends a
+    # fixed shared 3-sentence phrase to every fifth doc so the span
+    # dedup genuinely fires; the MAIN flow stays Gopher-gated.
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    line_parts = []
+    for i in range(3):
+        body = F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8))
+        dot = F.when((F.col("doc_id") + i) % 2 == 0, F.lit(".")).otherwise(
+            F.lit("")
+        )
+        line_parts.append(F.concat(body, dot))
+    shared = (
+        "alpha shared span one. beta shared span two. gamma shared span three."
+    )
+    lined = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws("\n", F.lit(shared), *line_parts),
+        )
+        .otherwise(F.concat_ws("\n", *line_parts))
+        .alias("text"),
+    )
+    c4_clean = curation.c4_pipeline(lined, min_sentences=2).localCheckpoint()
+    n_c4_gated = c4_clean.count()
+    # re-apply the paper's page floor AFTER span removal: a page whose
+    # surviving sentences drop under the floor leaves the funnel here
+    n_c4_deduped = c4_clean.where(
+        F.col("n_sentences") - F.col("n_removed") >= 2
+    ).count()
+    c4_spans_removed = int(
+        c4_clean.agg(F.sum("n_removed")).first()[0] or 0
+    )
+
     # 1. heuristic signals
     scored = text.quality_score(capped, "text").select(
         "doc_id", "text", "quality_score"
@@ -258,6 +298,9 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     return {
         "corpus": n0,
         "gopher_gated": n0a,
+        "c4_gated": n_c4_gated,
+        "c4_span_deduped": n_c4_deduped,
+        "c4_spans_removed": c4_spans_removed,
         "domain_capped": n0b,
         "quality_kept": n1,
         "decontaminated": n1b,
@@ -282,6 +325,11 @@ def main() -> None:
     r = run(spark, sf_dir)
     print(f"corpus:          {r['corpus']} docs")
     print(f"gopher-gated:    {r['gopher_gated']} docs (rules + repetition)")
+    print(
+        f"c4 audit branch: {r['c4_gated']} pages pass the line/page gates, "
+        f"{r['c4_span_deduped']} still over the floor after span dedup "
+        f"({r['c4_spans_removed']} duplicated sentences removed)"
+    )
     print(f"domain-capped:   {r['domain_capped']} docs (per-source cap)")
     print(f"quality-kept:    {r['quality_kept']} docs (NB filter)")
     print(f"decontaminated:  {r['decontaminated']} docs (Bloom screen vs eval set)")

@@ -190,6 +190,10 @@ ROWS_ONLY_MIN = {
     "anomaly_changepoint_validation": 10,
     "anomaly_sarima_validation": 10,
     "classifier_quality_documents": 100,
+    # r16: queued exact oracle in QUEUED_ORACLES (held to the wired
+    # gate by test_queued_oracle_matches at 3 SFs) — wires in r17;
+    # one output row per input doc
+    "c4_span_dedup_incremental_documents": 500,
 }
 
 

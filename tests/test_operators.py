@@ -2399,6 +2399,14 @@ def test_curation_pipeline_example_waterfall(spark, tmp_path):
     assert all(n > 0 for n in waterfall), waterfall
     # the r13 Gopher gate actually discriminates at fixture scale
     assert r["gopher_gated"] < r["corpus"]
+    # r16: the C4 AUDIT branch (curation.c4_pipeline — line/page gates
+    # then keep-first span dedup over the derived line corpus) did real
+    # work: the gate discriminates, the planted shared phrase was
+    # span-deduped (keeper kept, later occurrences removed), and pages
+    # whose surviving sentences fell under the floor left the funnel
+    assert 0 < r["c4_gated"] < r["corpus"]
+    assert 0 < r["c4_span_deduped"] < r["c4_gated"]
+    assert r["c4_spans_removed"] > 0
     # the Bloom screen dropped the synthetic benchmark subset and it
     # never reappears downstream
     assert r["decontaminated"] < r["quality_kept"]
@@ -2446,10 +2454,18 @@ def test_curation_pipeline_example_waterfall(spark, tmp_path):
         home = urlopen(srv.url + "/").read().decode()
         assert "/curation" in home
         page = urlopen(srv.url + "/curation").read().decode()
-        for key in ("corpus", "gopher_gated", "dsir_selected"):
+        for key in (
+            "corpus", "gopher_gated", "c4_gated", "c4_span_deduped",
+            "dsir_selected",
+        ):
             assert f"<b>{r[key]}</b>" in page, key
         assert f"<b>{r['split_train']}</b> docs" in page
         assert "benchmark docs leaked into train: <b>0</b>" in page
+        # r16: the C4 audit-branch rows render next to the Gopher stage
+        assert "C4 line/page gate" in page
+        assert (
+            f"C4 span dedup removed <b>{r['c4_spans_removed']}</b>" in page
+        )
 
 
 def test_ann_serving_example(spark, tmp_path):
@@ -4135,3 +4151,125 @@ def test_c4_span_dedup_keeps_first_occurrence(spark):
 
     with pytest.raises(ValueError, match="span"):
         c4_span_dedup(df, span=0)
+
+
+def test_c4_span_dedup_incremental_matches_batch(spark, tmp_path):
+    """r16: ascending-id micro-batches against a fresh persisted span
+    index reproduce the one-shot batch operator exactly — under
+    ascending arrival the arrival-first keeper IS the global (id, pos)
+    keeper, so union(incremental outputs) == c4_span_dedup(union).
+    This is the parity contract the queued driver oracle relies on."""
+    from thoth_spark.operators.dedup import (
+        build_span_index,
+        c4_span_dedup,
+        c4_span_dedup_incremental,
+    )
+
+    shared = "one two. three four. five six."
+    rows = [
+        (1, f"{shared} unique one here."),
+        (2, f"prefix sentence. {shared}"),
+        (3, "all different. sentences here. nothing shared. at all."),
+        (4, shared),
+        (5, "short doc. two sentences."),
+        (6, f"tail text. {shared}"),
+        (7, "a. a. a. a."),
+        (8, f"{shared} unique one here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_out = sorted(
+        tuple(r) for r in c4_span_dedup(df).collect()
+    )
+    path = str(tmp_path / "span_idx")
+    build_span_index(df.limit(0), path, n_buckets=8)
+    incr = []
+    for lo, hi in ((1, 3), (4, 6), (7, 8)):
+        b = df.where((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        incr.extend(
+            tuple(r) for r in c4_span_dedup_incremental(b, path).collect()
+        )
+    assert sorted(incr) == batch_out
+
+
+def test_c4_span_dedup_incremental_cross_batch_and_seed(spark, tmp_path):
+    """The index can be SEEDED from an already-emitted corpus
+    (build_span_index bookkeeps the ORIGINAL span stream, exactly what
+    the batch operator computes keepers from), later batches dedup
+    against it, the keeper across batches is the first occurrence ever
+    SEEN (arrival order — even when a later batch carries a smaller
+    id), and a batch with no >=span-sentence doc passes through without
+    touching the index."""
+    from thoth_spark.operators.dedup import (
+        build_span_index,
+        c4_span_dedup_incremental,
+    )
+
+    shared = "one two. three four. five six."
+    seed = spark.createDataFrame(
+        [(10, f"{shared} unique ten here."), (11, "other text. more words. here now.")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "span_idx")
+    build_span_index(seed, path, n_buckets=8)
+
+    # arrival-first keeper: doc 1 has a SMALLER id than the seeded doc
+    # 10 but arrives later -> it loses the span (documented semantics)
+    b2 = spark.createDataFrame(
+        [(1, f"{shared} fresh tail."), (2, "lone span. in this. batch only.")],
+        "doc_id long, text string",
+    )
+    out2 = {r["id"]: r for r in c4_span_dedup_incremental(b2, path).collect()}
+    assert out2[1]["text"] == "fresh tail." and out2[1]["n_removed"] == 3
+    assert out2[2]["n_removed"] == 0  # first sighting: untouched, indexed
+
+    # doc 2's span was appended by the PREVIOUS call -> removed now
+    b3 = spark.createDataFrame(
+        [(30, "lone span. in this. batch only."), (31, "two. sentences.")],
+        "doc_id long, text string",
+    )
+    out3 = {r["id"]: r for r in c4_span_dedup_incremental(b3, path).collect()}
+    assert out3[30]["text"] == "" and out3[30]["n_removed"] == 3
+    assert out3[31]["text"] == "two. sentences."  # < span sentences
+
+    # all-short batch: the no-span fast path (nothing probed/appended)
+    b4 = spark.createDataFrame(
+        [(40, "just one. or two.")], "doc_id long, text string"
+    )
+    out4 = c4_span_dedup_incremental(b4, path).collect()
+    assert len(out4) == 1 and out4[0]["n_removed"] == 0
+
+
+def test_span_index_compact_preserves_dedup(spark, tmp_path):
+    """After several appends the spans table carries one file per
+    touched bucket per batch; span_index_compact rewrites it (atomic
+    rename swap, same machinery as the IVF cell compactor) without
+    changing any later dedup decision."""
+    from thoth_spark.operators.dedup import (
+        build_span_index,
+        c4_span_dedup_incremental,
+        span_index_compact,
+    )
+
+    path = str(tmp_path / "span_idx")
+    rows = [
+        (i, f"block {i} a. block {i} b. block {i} c. common one. common two. common three.")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    build_span_index(df.limit(0), path, n_buckets=4)
+    for lo in (0, 2, 4):
+        c4_span_dedup_incremental(
+            df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 2)),
+            path,
+        ).collect()
+    stats = span_index_compact(spark, path)
+    assert stats["files_after"] <= stats["files_before"]
+    probe = spark.createDataFrame(
+        [(100, "common one. common two. common three. novel a. novel b. novel c.")],
+        "doc_id long, text string",
+    )
+    out = c4_span_dedup_incremental(probe, path).collect()[0]
+    # the common block (seen in every earlier batch) is removed, the
+    # novel tail survives and is now indexed
+    assert out["n_removed"] == 3
+    assert out["text"] == "novel a. novel b. novel c."

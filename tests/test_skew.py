@@ -798,3 +798,86 @@ def test_gopher_repetition_verdict_mega_document_skew(spark):
     # only the 3999 repeat joints and is the RAREST -> top = 4000/199999
     assert abs(mega_row["top_2gram_ratio"] - (4000 / 199999)) < 5e-6
     assert wall < 180, f"mega-doc verdict took {wall:.1f}s"
+
+
+def test_c4_span_dedup_boilerplate_span_skew(spark):
+    """r16: the span-dedup hot key. A boilerplate 3-sentence span shared
+    by ALL 2k docs makes one `h` group huge in the keeper aggregate and
+    floods dup_occurrences with one removal per doc — plus a 200k-token
+    mega-document of ONE repeated sentence, whose ~67k spans all carry
+    the SAME hash (the worst single-key case: a corpus-wide hot span
+    AND a within-doc hot span at once). The keeper aggregate is
+    min(struct)/count with map-side partials, so the hot hash never
+    buffers its instances; the removals themselves are inherent output.
+    Exactness is derived from the construction: every non-keeper doc
+    loses exactly the 3 boilerplate sentences, and the mega-doc
+    collapses to its first sentence (each later occurrence of the
+    repeated span overlaps the keeper — the documented
+    self-overlapping-repeat semantics)."""
+    boiler = "common one. common two. common three."
+    n_docs = 2000
+    rows = [
+        (i, f"{boiler} doc {i} alpha. doc {i} beta. doc {i} gamma.")
+        for i in range(1, n_docs + 1)
+    ]
+    # one sentence = 3 tokens ("sent word N." reused verbatim), repeated
+    # 66,667 times -> ~200k tokens, ~66,665 spans, ALL the same xxhash64
+    mega = " ".join(["repeat sentence here."] * 66667)
+    rows.append((0, mega))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    out, wall = _timed(
+        lambda: {r["id"]: r for r in dedup.c4_span_dedup(df).collect()}
+    )
+    assert len(out) == n_docs + 1
+    # global keeper of the boilerplate span is (0, 1)? No: the mega-doc's
+    # span is a DIFFERENT string than the boilerplate, so the boilerplate
+    # keeper is doc 1 pos 1 — doc 1 keeps everything
+    assert out[1]["n_removed"] == 0
+    assert out[1]["text"].startswith("common one.")
+    # every other doc loses exactly the 3 boilerplate sentences but
+    # keeps its distinct tail
+    for i in (2, 1000, n_docs):
+        assert out[i]["n_removed"] == 3
+        assert out[i]["text"] == f"doc {i} alpha. doc {i} beta. doc {i} gamma."
+    # the mega-doc: keeper span at pos 1, duplicates at 2..n-2 whose
+    # removals cover positions 2..n -> only sentence 1 survives
+    assert out[0]["n_sentences"] == 66667
+    assert out[0]["n_removed"] == 66666
+    assert out[0]["text"] == "repeat sentence here."
+    assert wall < 120, f"boilerplate span dedup took {wall:.1f}s"
+
+
+def test_c4_span_dedup_incremental_boilerplate_skew(spark, tmp_path):
+    """The same corpus-wide boilerplate span through the INCREMENTAL
+    path (persisted index, two batches): the hot hash is one index row,
+    the second batch's probe join fans the hot key across its
+    occurrences (hash join on h — no single-task buffering beyond the
+    batch's own rows), and every second-batch doc loses the span."""
+    boiler = "common one. common two. common three."
+    rows = [
+        (i, f"{boiler} doc {i} alpha. doc {i} beta. doc {i} gamma.")
+        for i in range(1, 2001)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    path = str(tmp_path / "span_idx")
+    dedup.build_span_index(df.limit(0), path, n_buckets=16)
+    first = df.where(F.col("doc_id") <= 1000)
+    second = df.where(F.col("doc_id") > 1000)
+    out1, w1 = _timed(
+        lambda: {
+            r["id"]: r
+            for r in dedup.c4_span_dedup_incremental(first, path).collect()
+        }
+    )
+    out2, w2 = _timed(
+        lambda: {
+            r["id"]: r
+            for r in dedup.c4_span_dedup_incremental(second, path).collect()
+        }
+    )
+    assert out1[1]["n_removed"] == 0
+    assert out1[1000]["n_removed"] == 3
+    # second batch: the boilerplate span is IN THE INDEX -> all 1000 lose it
+    assert all(out2[i]["n_removed"] == 3 for i in range(1001, 2001))
+    assert out2[1500]["text"] == "doc 1500 alpha. doc 1500 beta. doc 1500 gamma."
+    assert w1 + w2 < 120, f"incremental span dedup took {w1 + w2:.1f}s"

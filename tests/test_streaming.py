@@ -677,3 +677,61 @@ def test_curation_gate_passthrough_columns_not_shadowed(spark):
     assert all(r["n_words"] == -999 for r in seen), (
         "gate signal columns shadowed the batch's own n_words column"
     )
+
+
+def test_span_dedup_stream_keep_first_across_micro_batches(spark, tmp_path):
+    """r16: the span-dedup streaming twin. Two micro-batches
+    (maxFilesPerTrigger=1, ascending ids — files written with distinct
+    mtimes so the file source replays them in order) through
+    span_dedup_foreach_batch against a fresh persisted index: a span
+    first seen in trigger 1 is removed from trigger 2's docs, and the
+    concatenated outputs equal one batch c4_span_dedup run over the
+    union corpus (the ascending-arrival parity contract)."""
+    import time as _time
+
+    from thoth_spark.operators.dedup import build_span_index, c4_span_dedup
+    from thoth_spark.streaming import span_dedup_foreach_batch
+
+    shared = "one two. three four. five six."
+    df1 = spark.createDataFrame(
+        [(1, f"{shared} b1 tail one."), (2, "b1 a. b1 b. b1 c.")],
+        "doc_id long, text string",
+    )
+    df2 = spark.createDataFrame(
+        [
+            (10, f"{shared} b2 tail."),
+            (11, "b1 a. b1 b. b1 c."),
+            (12, "fresh x. fresh y. fresh z."),
+        ],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "in")
+    df1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(0.2)  # distinct mtimes -> deterministic trigger order
+    df2.coalesce(1).write.mode("append").parquet(src)
+    idx = str(tmp_path / "span_idx")
+    build_span_index(df1.limit(0), idx, n_buckets=8)
+    seen = []
+    cb = span_dedup_foreach_batch(
+        idx, lambda out, bid: seen.append((bid, [tuple(r) for r in out.collect()]))
+    )
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(cb).start()
+    q.processAllAvailable()
+    q.stop()
+    assert len(seen) >= 2, "maxFilesPerTrigger=1 must force >=2 triggers"
+    got = sorted(t for _, rows in seen for t in rows)
+    want = sorted(
+        tuple(r) for r in c4_span_dedup(df1.unionByName(df2)).collect()
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    # cross-trigger state: doc 10's shared span and doc 11's whole text
+    # were first seen in trigger 1 -> removed in trigger 2
+    assert by_id[10][1] == "b2 tail." and by_id[10][3] == 3
+    assert by_id[11][1] == "" and by_id[11][3] == 3
+    assert by_id[12][3] == 0

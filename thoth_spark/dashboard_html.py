@@ -326,6 +326,8 @@ def export_dashboard_html(repo, dataset_uri: str, path: str, max_points: int = 1
 _CURATION_STAGES = [
     ("corpus", "documents in"),
     ("gopher_gated", "Gopher rules + repetition pass"),
+    ("c4_gated", "C4 line/page gate (audit branch)"),
+    ("c4_span_deduped", "C4 span dedup, page floor re-applied (audit branch)"),
     ("domain_capped", "per-source frequency cap"),
     ("quality_kept", "NB quality filter"),
     ("decontaminated", "Bloom decontamination"),
@@ -416,6 +418,11 @@ def render_curation_html(stats: dict) -> str:
             f"<td>{t_rate:.0%}</td></tr></table>"
         )
     extras = []
+    if stats.get("c4_spans_removed") is not None:
+        extras.append(
+            f"<li>C4 span dedup removed <b>{int(stats['c4_spans_removed'])}"
+            "</b> duplicated sentences (audit branch)</li>"
+        )
     if stats.get("vocab_90") is not None:
         extras.append(
             f"<li>{int(stats['vocab_90'])} tokens cover 90% of the "

@@ -9407,6 +9407,58 @@ def c4_span_dedup_documents(spark, sf_dir):
     )
 
 
+@query("c4_span_dedup_incremental_documents")  # oracle queued (r17 slot)
+def c4_span_dedup_incremental_documents(spark, sf_dir):
+    """Incremental keep-first span dedup against the persisted span-hash
+    index (dedup.c4_span_dedup_incremental, r16): the SAME derived
+    corpus as c4_span_dedup_documents arrives as THREE ascending-id
+    batches against a fresh index — batch N+1 dedups against every
+    span batches 1..N already ingested, plus its own earlier
+    occurrences. Under ascending arrival the arrival-first keeper IS
+    the global (id, pos) keeper, so the union of the three per-batch
+    outputs must equal one batch c4_span_dedup run — the queued oracle
+    is therefore the same global-replay SQL, and a drift between the
+    incremental path and the batch path hash-fails the gate. The range
+    split is derived from the id span (a 2-scalar driver collect), so
+    the batches are deterministic at every sf."""
+    docs = _documents(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    parts = [
+        F.concat(F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)), F.lit("."))
+        for i in range(3)
+    ]
+    body = F.concat_ws(" ", *parts)
+    shared = (
+        "alpha shared span one. beta shared span two. gamma shared span three."
+    )
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit(shared + " "), body)
+    ).otherwise(body)
+    lined = docs.select("doc_id", text.alias("text"))
+    lo, hi = lined.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
+    idx = f"{_scratch_dir('thoth_spanidx_')}/idx"
+    dedup.build_span_index(lined.limit(0), idx, n_buckets=16)
+    outs = [
+        dedup.c4_span_dedup_incremental(b, idx)
+        for b in (
+            lined.where(F.col("doc_id") <= cut1),
+            lined.where(
+                (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)
+            ),
+            lined.where(F.col("doc_id") > cut2),
+        )
+    ]
+    return (
+        outs[0]
+        .unionByName(outs[1])
+        .unionByName(outs[2])
+        .select(
+            F.col("id").alias("doc_id"), "text", "n_sentences", "n_removed"
+        )
+    )
+
+
 # --- oracle queue -----------------------------------------------------
 # Pre-written exact-replay oracles for queries whose wiring must wait for
 # driver-window headroom (an oracled query must be scheduled the round it
@@ -9418,4 +9470,13 @@ def c4_span_dedup_documents(spark, sf_dir):
 # queue cannot rot between rounds. The 18 r10-queued oracles were wired
 # in round 11 after the staleness horizon widened from 3 to 4 recorded
 # rounds (capacity 50×4 = 200 ≥ 168 wired oracles).
-QUEUED_ORACLES: dict[str, str] = {}
+QUEUED_ORACLES: dict[str, str] = {
+    # r16: the incremental span dedup landed with the r16 window already
+    # committed (49 r12-stale mandatory + the r15-queued batch span
+    # dedup). r17 arithmetic (fixed in the DRIVER_PRIORITY comment): the
+    # 49-query r13 cohort is mandatory + this wiring = 50 exactly, so
+    # this is the ONLY oracle r16 may queue. Ascending-id batches make
+    # the incremental keeper the global (id, pos) keeper, so the exact
+    # batch-replay SQL is the oracle.
+    "c4_span_dedup_incremental_documents": ORACLE_C4_SPAN_DEDUP,
+}

@@ -479,3 +479,40 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select("id", status.alias("status"))
+
+
+def c4_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 5,
+    span: int = 3,
+) -> DataFrame:
+    """The complete C4 recipe (Raffel et al. 2020 §2.2) composed end to
+    end — the two halves that shipped separately
+    (:func:`thoth_spark.operators.text.c4_rules` line/page gates and
+    :func:`thoth_spark.operators.dedup.c4_span_dedup` keep-first span
+    dedup) as ONE waterfall, the C4 sibling of the Gopher-first
+    ``curate_documents_pipeline`` showcase: gate first, so the
+    corpus-wide span aggregate only ever hashes surviving pages' KEPT
+    lines — at 100 TB the gate is a scan-speed column pass and
+    typically removes most of the span shuffle before it exists.
+
+    Returns one row per SURVIVING page in :func:`c4_span_dedup`'s
+    schema ``(id, text, n_sentences, n_removed)``, where ``text`` is
+    the gated page's kept lines with duplicated spans removed
+    (``n_sentences`` counts the gated page's sentences BEFORE span
+    removal). Rejected pages are dropped — ``c4_rules`` itself keeps
+    them inspectable; a composed pipeline's contract is the clean
+    corpus. Callers re-applying the paper's page floor after span
+    removal filter ``n_sentences - n_removed >= min_sentences``."""
+    from thoth_spark.operators.dedup import c4_span_dedup
+    from thoth_spark.operators.text import c4_rules
+
+    gated = (
+        c4_rules(df, id_col, text_col, min_line_words, min_sentences)
+        .where(F.col("pass_c4"))
+        .select(F.col(id_col), F.col("kept_text").alias(text_col))
+    )
+    return c4_span_dedup(gated, id_col, text_col, span)

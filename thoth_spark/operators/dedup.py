@@ -1323,18 +1323,47 @@ def c4_span_dedup(
     one-row-per-doc sentence frame."""
     if span < 1:
         raise ValueError(f"span must be >= 1; got {span}")
-    # sentence split: insert a sentinel after terminal punct + space —
-    # RE2 (DuckDB) has no lookbehind, so the same replace-then-split
-    # expression replays exactly in the oracle
+    sents = _c4_sentence_frame(df, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    spans = _c4_span_hashes(sents, span)
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("occ"),
+    )
+    dup_occurrences = (
+        spans.join(keepers.where(F.col("occ") > 1), on="h")
+        .where(
+            (F.col("id") != F.col("first.id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", "pos")
+    )
+    return _c4_rebuild(sents, dup_occurrences, text_col, span)
+
+
+def _c4_sentence_frame(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``(id, __sents)`` — one row per document with its sentence array.
+
+    Sentence split: insert a sentinel after terminal punct + space —
+    RE2 (DuckDB) has no lookbehind, so the same replace-then-split
+    expression replays exactly in the oracle."""
     sent_arr = F.split(
         F.regexp_replace(F.trim(F.col(text_col)), r"([.!?])\s+", "$1\x01"),
         "\x01",
     )
-    sents = df.select(
-        F.col(id_col).alias("id"), sent_arr.alias("__sents")
-    ).localCheckpoint(eager=False)
+    return df.select(F.col(id_col).alias("id"), sent_arr.alias("__sents"))
+
+
+def _c4_span_hashes(sents: DataFrame, span: int) -> DataFrame:
+    """``(id, pos, h)`` — the xxhash64 identity of every ``span``-sentence
+    window (1-based start position). Docs with fewer than ``span``
+    sentences contribute no rows. Span IDENTITIES, not span text, are
+    what crosses every downstream shuffle."""
     n_sent = F.size("__sents")
-    spans = sents.select(
+    return sents.select(
         "id",
         F.explode(
             F.when(
@@ -1351,18 +1380,15 @@ def c4_span_dedup(
             ).otherwise(F.array().cast("array<struct<pos:int,h:bigint>>"))
         ).alias("s"),
     ).select("id", "s.pos", "s.h")
-    keepers = spans.groupBy("h").agg(
-        F.min(F.struct("id", "pos")).alias("first"),
-        F.count(F.lit(1)).alias("occ"),
-    )
-    dup_occurrences = (
-        spans.join(keepers.where(F.col("occ") > 1), on="h")
-        .where(
-            (F.col("id") != F.col("first.id"))
-            | (F.col("pos") != F.col("first.pos"))
-        )
-        .select("id", "pos")
-    )
+
+
+def _c4_rebuild(
+    sents: DataFrame, dup_occurrences: DataFrame, text_col: str, span: int
+) -> DataFrame:
+    """Rebuild ``(id, text, n_sentences, n_removed)`` from the removal
+    occurrences ``(id, pos)``: explode each duplicate span to its
+    ``span`` sentence positions, union overlaps per doc, and filter the
+    one-row-per-doc sentence frame."""
     removed = (
         dup_occurrences.select(
             "id",
@@ -1373,7 +1399,7 @@ def c4_span_dedup(
         .groupBy("id")
         .agg(F.array_sort(F.collect_set("ri")).alias("__rm"))
     )
-    rebuilt = (
+    return (
         sents.join(removed, on="id", how="left")
         .select(
             "id",
@@ -1398,4 +1424,174 @@ def c4_span_dedup(
             ),
         )
     )
-    return rebuilt
+
+
+def build_span_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 3,
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the persisted keep-first span-hash index — the state
+    store that upgrades :func:`c4_span_dedup` from one-shot batch to a
+    GROWING corpus (the span twin of the MinHash band index behind
+    :func:`minhash_lsh_pairs_incremental` and of
+    ``similarity.build_ivf_index``'s nightly-ingest layout):
+
+    - ``<path>/spans`` — ``(h, id, pos)``, the FIRST occurrence of every
+      span hash seen so far, written ``partitionBy("bucket")`` with
+      ``bucket = pmod(h, n_buckets)`` so an incremental batch lists and
+      scans only the hash buckets it actually touches;
+    - ``<path>/meta`` — ``(span, n_buckets, spans_schema)``: the query
+      side must hash the same window width, prune on the same fan-out,
+      and read a possibly file-less spans directory with an explicit
+      schema (a fresh/empty index has no part files to infer from).
+
+    Index rows are span IDENTITIES (one 16-byte ``(h, pos)`` + the doc
+    id per DISTINCT span), so index size is O(#distinct spans), never
+    corpus bytes. Seed it from an already-emitted corpus — the ORIGINAL
+    span stream, exactly the bookkeeping :func:`c4_span_dedup` computes
+    its keepers from — or from ``df.limit(0)`` for an empty index that
+    the streaming sink fills from the first micro-batch. Size
+    ``n_buckets`` to the cluster (thousands at 100 TB: the per-append
+    file count is ≤ n_buckets and the pruning grain is 1/n_buckets of
+    the index)."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1; got {span}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1; got {n_buckets}")
+    spark = df.sparkSession
+    sents = _c4_sentence_frame(df, id_col, text_col)
+    firsts = _c4_span_hashes(sents, span).groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
+    rows = firsts.select(
+        "h",
+        F.col("first.id").alias("id"),
+        F.col("first.pos").alias("pos"),
+        F.pmod("h", F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    # one writer task per bucket: without this, every shuffle partition
+    # of the groupBy holds a mix of buckets and the dynamic-partition
+    # write fans out to O(tasks × buckets) tiny files
+    rows.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/spans")
+    ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in rows.schema.fields
+    )
+    spark.createDataFrame(
+        [(span, n_buckets, ddl)],
+        "span int, n_buckets int, spans_schema string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def c4_span_dedup_incremental(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-first C4 span dedup for an INCREMENTAL batch against the
+    persisted :func:`build_span_index` at ``path`` — the production
+    shape for a growing corpus: crawl N+1 dedups against every span
+    already ingested without re-reading the corpus, exactly like
+    :func:`minhash_lsh_pairs_incremental` for the LSH family. A batch
+    occurrence is removed iff its span hash is already in the index
+    (the keeper was emitted in an earlier batch) or an earlier
+    ``(id, pos)`` occurrence exists within the batch itself; the
+    batch's NEW first occurrences are then appended to the index
+    (O(batch) dynamic-partition write, only touched buckets).
+
+    Returns the batch in :func:`c4_span_dedup`'s output schema
+    ``(id, text, n_sentences, n_removed)``. The removal set is
+    checkpoint-pinned BEFORE the append, so the returned frame can
+    never observe the index rows its own batch just added, however
+    late it is evaluated.
+
+    Keeper semantics across batches is ARRIVAL order — the first
+    occurrence ever SEEN survives, which is the only causal choice
+    when earlier batches are already emitted. It coincides with the
+    batch operator's global ``(id, pos)`` keeper whenever batches are
+    processed in ascending id order, so ``union(incremental outputs)``
+    equals one :func:`c4_span_dedup` run over the union corpus
+    (asserted in tests); out-of-order arrival keeps the same
+    output-text semantics but elects the arrival-first keeper. Doc ids
+    must be unique across batches (re-ingesting a doc id dedups it
+    against its own earlier spans).
+
+    Scale shape: the index probe joins batch span hashes (16-byte
+    identities) against only the ``pmod(h, n_buckets)`` buckets the
+    batch touches — the touched-bucket list is a driver collect
+    bounded by ``n_buckets`` — so probe volume is O(batch spans +
+    touched index fraction), and the append writes one file per
+    touched bucket. Compact with :func:`span_index_compact` after
+    sustained micro-batch ingest."""
+    spark = batch.sparkSession
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    span, n_buckets = int(meta["span"]), int(meta["n_buckets"])
+    sents = _c4_sentence_frame(batch, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    spans = (
+        _c4_span_hashes(sents, span)
+        .withColumn("bucket", F.pmod("h", F.lit(n_buckets)).cast("int"))
+        .localCheckpoint(eager=False)
+    )
+    # ≤ n_buckets values by construction — a driver-bounded collect
+    touched = [r[0] for r in spans.select("bucket").distinct().collect()]
+    if not touched:
+        # no doc in the batch reaches `span` sentences: nothing to
+        # probe, nothing to append, every doc passes through untouched
+        empty = spans.select("id", "pos")
+        return _c4_rebuild(sents, empty, text_col, span)
+    idx = (
+        spark.read.schema(meta["spans_schema"])
+        .parquet(f"{path}/spans")
+        .where(F.col("bucket").isin(touched))
+        .select("h", F.lit(True).alias("__in_idx"))
+    )
+    firsts = spans.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("first")
+    )
+    dup_occurrences = (
+        spans.join(firsts, "h")
+        .join(idx, "h", "left")
+        .where(
+            F.col("__in_idx").isNotNull()
+            | (F.col("id") != F.col("first.id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("id", "pos")
+        .localCheckpoint()  # EAGER: pin before the append below
+    )
+    firsts.join(idx, "h", "left_anti").select(
+        "h",
+        F.col("first.id").alias("id"),
+        F.col("first.pos").alias("pos"),
+        F.pmod("h", F.lit(n_buckets)).cast("int").alias("bucket"),
+    ).repartition(len(touched), "bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/spans")
+    return _c4_rebuild(sents, dup_occurrences, text_col, span)
+
+
+def span_index_compact(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Compact a :func:`build_span_index` ``spans`` table after sustained
+    incremental/streaming ingest — each append leaves one file per
+    touched bucket, so after thousands of micro-batches the file count,
+    not the data, dominates listing cost. Delegates to the IVF cell
+    compactor (same rewrite + atomic-rename swap, same caveats);
+    probe results are untouched. Returns
+    ``{files_before, files_after, bytes}``."""
+    from thoth_spark.operators.similarity import ivf_index_compact
+
+    return ivf_index_compact(
+        spark, path, target_file_bytes, table="spans", part_col="bucket"
+    )

@@ -1603,6 +1603,8 @@ def ivf_index_compact(
     spark,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    table: str = "cells",
+    part_col: str = "cell",
 ) -> dict:
     """Compact the ``cells`` table of a persisted IVF / IVF-PQ index
     (r13): continuous ingest (:func:`ivf_index_append` /
@@ -1617,10 +1619,15 @@ def ivf_index_compact(
     OPTIMIZE caveat outside a table format). Quantizers, layout, and
     serve results are untouched — pinned by
     ``test_ivf_index_compact_preserves_serves``. Returns
-    ``{files_before, files_after, bytes}``."""
+    ``{files_before, files_after, bytes}``.
+
+    ``table``/``part_col`` generalize the rewrite to any
+    partitioned-append layout of the same shape (r16: the span-hash
+    index's ``spans``/``bucket`` table compacts through
+    ``dedup.span_index_compact``)."""
     import math
 
-    cells_src = f"{path}/cells"
+    cells_src = f"{path}/{table}"
     df = spark.read.parquet(cells_src)
     files_before = len(df.inputFiles())
     jvm = spark._jvm
@@ -1629,11 +1636,11 @@ def ivf_index_compact(
     fs = hpath(cells_src).getFileSystem(conf)
     total = fs.getContentSummary(hpath(cells_src)).getLength()
     n = max(1, math.ceil(total / target_file_bytes))
-    tmp, old = f"{path}/cells_compacting", f"{path}/cells_old"
+    tmp, old = f"{path}/{table}_compacting", f"{path}/{table}_old"
     for stale in (tmp, old):  # leftovers from a crashed prior compact
         fs.delete(hpath(stale), True)
-    df.repartition(n, F.col("cell")).write.mode("overwrite").partitionBy(
-        "cell"
+    df.repartition(n, F.col(part_col)).write.mode("overwrite").partitionBy(
+        part_col
     ).parquet(tmp)
     if not fs.rename(hpath(cells_src), hpath(old)):
         raise IOError(f"compact: could not move {cells_src} aside")

@@ -38,7 +38,12 @@ maps onto three native pieces:
   repetition pass per micro-batch: the grouping key is the doc id,
   so per-batch outputs concatenate to the exact batch result — a
   live feed gets the FULL Gopher treatment (stateless rules inline
-  + repetition here).
+  + repetition here);
+- :func:`span_dedup_foreach_batch` — keep-first C4 span dedup per
+  micro-batch against the persisted span-hash index: a span first
+  seen in ANY earlier trigger is removed from every later one, and
+  each batch's new first occurrences are appended (O(batch)) — the
+  streaming twin the rest of the dedup family already has.
 """
 
 from thoth_spark.streaming.stream import (
@@ -54,6 +59,7 @@ from thoth_spark.streaming.stream import (
     index_ingest_foreach_batch,
     gopher_repetition_foreach_batch,
     curation_gate_foreach_batch,
+    span_dedup_foreach_batch,
 )
 
 __all__ = [
@@ -69,4 +75,5 @@ __all__ = [
     "sketch_profile_stream",
     "index_ingest_foreach_batch",
     "gopher_repetition_foreach_batch",
+    "span_dedup_foreach_batch",
 ]

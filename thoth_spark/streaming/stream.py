@@ -667,3 +667,40 @@ def curation_gate_foreach_batch(
             on_survivors(survivors, batch_id)
 
     return callback
+
+
+def span_dedup_foreach_batch(
+    path: str,
+    on_result: Callable[[DataFrame, int], None],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Callable[[DataFrame, int], None]:
+    """Keep-first C4 span dedup as a continuous ``foreachBatch`` sink
+    (r16) — the streaming twin every other dedup family member already
+    has (MinHash bands, SimHash chunks, CMS, ANN ingest): each
+    micro-batch dedups against the persisted
+    :func:`~thoth_spark.operators.dedup.build_span_index` at ``path``
+    and appends its new first occurrences, so a span that first
+    appeared in ANY earlier trigger is removed from every later one —
+    state that ``applyInPandasWithState`` could not hold (the span
+    universe is corpus-sized; the parquet index is the right store,
+    exactly like the ANN ``index_ingest_foreach_batch`` sink above).
+
+    ``on_result`` receives each batch's deduped frame
+    (``(id, text, n_sentences, n_removed)``). Concatenated outputs
+    equal one batch :func:`~thoth_spark.operators.dedup.c4_span_dedup`
+    run over the union of the batches whenever micro-batches arrive in
+    ascending id order (asserted in tests); in general the keeper is
+    the first occurrence ever SEEN — the only causal choice once
+    earlier triggers are emitted. Per-trigger cost is O(batch spans +
+    touched index buckets); compact the index with
+    ``dedup.span_index_compact`` after sustained ingest."""
+    from thoth_spark.operators.dedup import c4_span_dedup_incremental
+
+    def callback(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        out = c4_span_dedup_incremental(batch_df, path, id_col, text_col)
+        on_result(out, batch_id)
+
+    return callback
