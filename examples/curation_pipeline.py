@@ -122,8 +122,9 @@ def run(spark, sf_dir: str, out_dir: str | None = None) -> dict:
     )
     c4_clean = curation.c4_pipeline(lined, min_sentences=2).localCheckpoint()
     n_c4_gated = c4_clean.count()
-    # re-apply the paper's page floor AFTER span removal: a page whose
-    # surviving sentences drop under the floor leaves the funnel here
+    # post-dedup sentence floor on SPLIT sentences (the span grain —
+    # deliberately not the gate's punct-count proxy, see c4_pipeline):
+    # a page whose surviving span material drops under 2 leaves here
     n_c4_deduped = c4_clean.where(
         F.col("n_sentences") - F.col("n_removed") >= 2
     ).count()

@@ -4257,13 +4257,22 @@ def test_span_index_compact_preserves_dedup(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     build_span_index(df.limit(0), path, n_buckets=4)
+    # r16 review finding: a FRESH file-less index must compact as a
+    # no-op (the stored DDL carries the schema inference can't)
+    assert span_index_compact(spark, path) == {
+        "files_before": 0, "files_after": 0, "bytes": 0,
+    }
     for lo in (0, 2, 4):
+        # TAGGED appends: compaction must collapse the per-batch bid
+        # partitions (r16 review follow-up — without the collapse, file
+        # count grows with trigger count forever)
         c4_span_dedup_incremental(
             df.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 2)),
             path,
+            batch_tag=lo,
         ).collect()
     stats = span_index_compact(spark, path)
-    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] < stats["files_before"]
     probe = spark.createDataFrame(
         [(100, "common one. common two. common three. novel a. novel b. novel c.")],
         "doc_id long, text string",

@@ -735,3 +735,40 @@ def test_span_dedup_stream_keep_first_across_micro_batches(spark, tmp_path):
     assert by_id[10][1] == "b2 tail." and by_id[10][3] == 3
     assert by_id[11][1] == "" and by_id[11][3] == 3
     assert by_id[12][3] == 0
+
+
+def test_span_dedup_stream_retry_is_idempotent(spark, tmp_path):
+    """r16 review finding: Structured Streaming is at-least-once per
+    trigger — a retried batch must NOT dedup against its own first
+    attempt's index appends (which would strip the keeper docs' text).
+    The sink passes batch_id as the append's batch_tag: the rerun's
+    probe excludes, and its append overwrites, the bid=<batch_id>
+    partition. Replay the callback twice with the same batch_id and
+    assert bit-identical output, then a LATER trigger still sees the
+    batch's spans exactly once."""
+    from thoth_spark.operators.dedup import build_span_index
+    from thoth_spark.streaming import span_dedup_foreach_batch
+
+    idx = str(tmp_path / "span_idx")
+    b0 = spark.createDataFrame(
+        [(1, "one two. three four. five six. tail a."), (2, "x. y. z.")],
+        "doc_id long, text string",
+    )
+    build_span_index(b0.limit(0), idx, n_buckets=8)
+    outs = []
+    cb = span_dedup_foreach_batch(
+        idx, lambda out, bid: outs.append(sorted(tuple(r) for r in out.collect()))
+    )
+    cb(b0, 0)
+    cb(b0, 0)  # simulated post-failure retry of the SAME trigger
+    assert outs[0] == outs[1], "retried trigger changed its own output"
+    assert {t[0]: t[3] for t in outs[1]} == {1: 0, 2: 0}, (
+        "retry deduped the batch against its own first attempt"
+    )
+    # a LATER trigger still dedups against batch 0's spans exactly once
+    b1 = spark.createDataFrame(
+        [(10, "one two. three four. five six. fresh tail.")],
+        "doc_id long, text string",
+    )
+    cb(b1, 1)
+    assert outs[2][0][1] == "fresh tail." and outs[2][0][3] == 3

@@ -327,7 +327,7 @@ _CURATION_STAGES = [
     ("corpus", "documents in"),
     ("gopher_gated", "Gopher rules + repetition pass"),
     ("c4_gated", "C4 line/page gate (audit branch)"),
-    ("c4_span_deduped", "C4 span dedup, page floor re-applied (audit branch)"),
+    ("c4_span_deduped", "C4 span dedup + surviving-sentence floor (audit branch)"),
     ("domain_capped", "per-source frequency cap"),
     ("quality_kept", "NB quality filter"),
     ("decontaminated", "Bloom decontamination"),

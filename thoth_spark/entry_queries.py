@@ -9375,6 +9375,28 @@ FROM sents s LEFT JOIN rm USING (doc_id)
 """
 
 
+def _c4_lined_corpus(docs):
+    """The derived 3-pseudo-sentence corpus BOTH span-dedup queries (and
+    their shared oracle's ``lined`` CTE) must compute identically —
+    8-word sentences from the fixture text, the fixed shared phrase
+    prepended to every fifth doc so the dedup genuinely fires. One
+    definition keeps the batch query, the incremental query, and the
+    SQL in structural lockstep."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    parts = [
+        F.concat(F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)), F.lit("."))
+        for i in range(3)
+    ]
+    body = F.concat_ws(" ", *parts)
+    shared = (
+        "alpha shared span one. beta shared span two. gamma shared span three."
+    )
+    text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit(shared + " "), body)
+    ).otherwise(body)
+    return docs.select("doc_id", text.alias("text"))
+
+
 @query("c4_span_dedup_documents", ORACLE_C4_SPAN_DEDUP)  # wired r16 (queued r15)
 def c4_span_dedup_documents(spark, sf_dir):
     """C4's exact span deduplication (dedup.c4_span_dedup, r15): the
@@ -9388,20 +9410,7 @@ def c4_span_dedup_documents(spark, sf_dir):
     other fifth doc loses exactly those three sentences (plus whatever
     organic duplicate spans the derived corpus carries — the oracle
     replays the global (id, pos) keeper rule exactly)."""
-    docs = _documents(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    parts = [
-        F.concat(F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)), F.lit("."))
-        for i in range(3)
-    ]
-    body = F.concat_ws(" ", *parts)
-    shared = (
-        "alpha shared span one. beta shared span two. gamma shared span three."
-    )
-    text = F.when(
-        F.col("doc_id") % 5 == 0, F.concat(F.lit(shared + " "), body)
-    ).otherwise(body)
-    lined = docs.select("doc_id", text.alias("text"))
+    lined = _c4_lined_corpus(_documents(spark, sf_dir))
     return dedup.c4_span_dedup(lined).select(
         F.col("id").alias("doc_id"), "text", "n_sentences", "n_removed"
     )
@@ -9421,32 +9430,21 @@ def c4_span_dedup_incremental_documents(spark, sf_dir):
     incremental path and the batch path hash-fails the gate. The range
     split is derived from the id span (a 2-scalar driver collect), so
     the batches are deterministic at every sf."""
-    docs = _documents(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    parts = [
-        F.concat(F.concat_ws(" ", F.slice(toks, 1 + i * 8, 8)), F.lit("."))
-        for i in range(3)
-    ]
-    body = F.concat_ws(" ", *parts)
-    shared = (
-        "alpha shared span one. beta shared span two. gamma shared span three."
-    )
-    text = F.when(
-        F.col("doc_id") % 5 == 0, F.concat(F.lit(shared + " "), body)
-    ).otherwise(body)
-    lined = docs.select("doc_id", text.alias("text"))
+    lined = _c4_lined_corpus(_documents(spark, sf_dir))
     lo, hi = lined.agg(F.min("doc_id"), F.max("doc_id")).first()
     cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * ((hi - lo) // 3)
     idx = f"{_scratch_dir('thoth_spanidx_')}/idx"
     dedup.build_span_index(lined.limit(0), idx, n_buckets=16)
     outs = [
-        dedup.c4_span_dedup_incremental(b, idx)
-        for b in (
-            lined.where(F.col("doc_id") <= cut1),
-            lined.where(
-                (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)
-            ),
-            lined.where(F.col("doc_id") > cut2),
+        dedup.c4_span_dedup_incremental(b, idx, batch_tag=k)
+        for k, b in enumerate(
+            (
+                lined.where(F.col("doc_id") <= cut1),
+                lined.where(
+                    (F.col("doc_id") > cut1) & (F.col("doc_id") <= cut2)
+                ),
+                lined.where(F.col("doc_id") > cut2),
+            )
         )
     ]
     return (

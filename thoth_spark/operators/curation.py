@@ -505,8 +505,13 @@ def c4_pipeline(
     (``n_sentences`` counts the gated page's sentences BEFORE span
     removal). Rejected pages are dropped — ``c4_rules`` itself keeps
     them inspectable; a composed pipeline's contract is the clean
-    corpus. Callers re-applying the paper's page floor after span
-    removal filter ``n_sentences - n_removed >= min_sentences``."""
+    corpus. Callers can apply a post-dedup sentence floor as
+    ``n_sentences - n_removed >= k`` — noting this counts SPLIT
+    sentences (terminal punct + whitespace, the span grain), a
+    deliberately different measure from the gate's raw punct-count
+    proxy (which also counts ``3.14``'s dot and punct at line ends
+    with no following text), so ``k`` is a floor on surviving span
+    material, not a re-run of the gate's own ``min_sentences``."""
     from thoth_spark.operators.dedup import c4_span_dedup
     from thoth_spark.operators.text import c4_rules
 

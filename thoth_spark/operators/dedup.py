@@ -1451,13 +1451,16 @@ def build_span_index(
 
     Index rows are span IDENTITIES (one 16-byte ``(h, pos)`` + the doc
     id per DISTINCT span), so index size is O(#distinct spans), never
-    corpus bytes. Seed it from an already-emitted corpus — the ORIGINAL
-    span stream, exactly the bookkeeping :func:`c4_span_dedup` computes
-    its keepers from — or from ``df.limit(0)`` for an empty index that
-    the streaming sink fills from the first micro-batch. Size
-    ``n_buckets`` to the cluster (thousands at 100 TB: the per-append
-    file count is ≤ n_buckets and the pruning grain is 1/n_buckets of
-    the index)."""
+    corpus bytes. Rows additionally carry their writer's batch tag as
+    the outer ``bid`` partition (``"seed"`` here) — what makes a
+    retried streaming trigger idempotent, see
+    :func:`c4_span_dedup_incremental`. Seed it from an already-emitted
+    corpus — the ORIGINAL span stream, exactly the bookkeeping
+    :func:`c4_span_dedup` computes its keepers from — or from
+    ``df.limit(0)`` for an empty index that the streaming sink fills
+    from the first micro-batch. Size ``n_buckets`` to the cluster
+    (thousands at 100 TB: the per-append file count is ≤ n_buckets and
+    the pruning grain is 1/n_buckets of the index)."""
     if span < 1:
         raise ValueError(f"span must be >= 1; got {span}")
     if n_buckets < 1:
@@ -1471,13 +1474,14 @@ def build_span_index(
         "h",
         F.col("first.id").alias("id"),
         F.col("first.pos").alias("pos"),
+        F.lit("seed").alias("bid"),
         F.pmod("h", F.lit(n_buckets)).cast("int").alias("bucket"),
     )
     # one writer task per bucket: without this, every shuffle partition
     # of the groupBy holds a mix of buckets and the dynamic-partition
     # write fans out to O(tasks × buckets) tiny files
     rows.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
+        "bid", "bucket"
     ).parquet(f"{path}/spans")
     ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in rows.schema.fields
@@ -1493,6 +1497,7 @@ def c4_span_dedup_incremental(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_tag: int | str | None = None,
 ) -> DataFrame:
     """Keep-first C4 span dedup for an INCREMENTAL batch against the
     persisted :func:`build_span_index` at ``path`` — the production
@@ -1506,10 +1511,22 @@ def c4_span_dedup_incremental(
     (O(batch) dynamic-partition write, only touched buckets).
 
     Returns the batch in :func:`c4_span_dedup`'s output schema
-    ``(id, text, n_sentences, n_removed)``. The removal set is
-    checkpoint-pinned BEFORE the append, so the returned frame can
+    ``(id, text, n_sentences, n_removed)``. The per-hash index verdict
+    is checkpoint-pinned BEFORE the append, so the returned frame can
     never observe the index rows its own batch just added, however
     late it is evaluated.
+
+    ``batch_tag`` makes a RETRIED batch idempotent — the standard
+    ``foreachBatch``-with-``batch_id`` recipe: appended rows land in
+    the ``bid=<tag>`` partition via dynamic partition OVERWRITE (a
+    rerun replaces its own prior attempt's rows instead of stacking),
+    and the probe excludes ``bid = <tag>`` (partition-pruned), so a
+    rerun can never mistake its first attempt's appends for earlier
+    corpus and strip its own keepers. Tags must be unique per LOGICAL
+    batch (Structured Streaming's ``batch_id`` is; the streaming sink
+    passes it). With ``batch_tag=None`` rows land in ``bid=u`` with
+    plain append — fine for one-shot nightly ingest, no retry
+    protection.
 
     Keeper semantics across batches is ARRIVAL order — the first
     occurrence ever SEEN survives, which is the only causal choice
@@ -1522,16 +1539,19 @@ def c4_span_dedup_incremental(
     must be unique across batches (re-ingesting a doc id dedups it
     against its own earlier spans).
 
-    Scale shape: the index probe joins batch span hashes (16-byte
-    identities) against only the ``pmod(h, n_buckets)`` buckets the
-    batch touches — the touched-bucket list is a driver collect
-    bounded by ``n_buckets`` — so probe volume is O(batch spans +
-    touched index fraction), and the append writes one file per
-    touched bucket. Compact with :func:`span_index_compact` after
-    sustained micro-batch ingest."""
+    Scale shape: the index is read EXACTLY ONCE per batch — batch span
+    hashes (16-byte identities) join the ``pmod(h, n_buckets)``
+    buckets the batch touches (the touched-bucket list is a driver
+    collect bounded by ``n_buckets``), and the pinned per-hash verdict
+    frame then feeds both the removal join and the append's new-firsts
+    filter — so probe volume is O(batch spans + touched index
+    fraction) and the append writes one file per touched bucket.
+    Compact with :func:`span_index_compact` after sustained
+    micro-batch ingest."""
     spark = batch.sparkSession
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     span, n_buckets = int(meta["span"]), int(meta["n_buckets"])
+    tag = "u" if batch_tag is None else str(batch_tag)
     sents = _c4_sentence_frame(batch, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -1547,34 +1567,52 @@ def c4_span_dedup_incremental(
         # probe, nothing to append, every doc passes through untouched
         empty = spans.select("id", "pos")
         return _c4_rebuild(sents, empty, text_col, span)
+    probe_filter = F.col("bucket").isin(touched)
+    if batch_tag is not None:
+        # retry idempotence: never probe this tag's own prior attempt
+        # (untagged batches all share bid=u and MUST see each other)
+        probe_filter = probe_filter & (F.col("bid") != tag)
     idx = (
         spark.read.schema(meta["spans_schema"])
         .parquet(f"{path}/spans")
-        .where(F.col("bucket").isin(touched))
+        .where(probe_filter)
         .select("h", F.lit(True).alias("__in_idx"))
     )
-    firsts = spans.groupBy("h").agg(
-        F.min(F.struct("id", "pos")).alias("first")
+    # ONE index scan per batch: the per-hash verdict (batch-first
+    # occurrence + already-indexed flag) is one row per distinct batch
+    # hash, eagerly pinned — the removal join and the append both
+    # derive from it, and the pin doubles as the no-self-observation
+    # barrier for the append below
+    flagged = (
+        spans.groupBy("h")
+        .agg(F.min(F.struct("id", "pos")).alias("first"))
+        .join(idx, "h", "left")
+        .localCheckpoint()
     )
     dup_occurrences = (
-        spans.join(firsts, "h")
-        .join(idx, "h", "left")
+        spans.join(flagged, "h")
         .where(
             F.col("__in_idx").isNotNull()
             | (F.col("id") != F.col("first.id"))
             | (F.col("pos") != F.col("first.pos"))
         )
         .select("id", "pos")
-        .localCheckpoint()  # EAGER: pin before the append below
     )
-    firsts.join(idx, "h", "left_anti").select(
-        "h",
-        F.col("first.id").alias("id"),
-        F.col("first.pos").alias("pos"),
-        F.pmod("h", F.lit(n_buckets)).cast("int").alias("bucket"),
-    ).repartition(len(touched), "bucket").write.mode("append").partitionBy(
-        "bucket"
-    ).parquet(f"{path}/spans")
+    (
+        flagged.where(F.col("__in_idx").isNull())
+        .select(
+            "h",
+            F.col("first.id").alias("id"),
+            F.col("first.pos").alias("pos"),
+            F.lit(tag).alias("bid"),
+            F.pmod("h", F.lit(n_buckets)).cast("int").alias("bucket"),
+        )
+        .repartition(len(touched), "bucket")
+        .write.mode("overwrite" if batch_tag is not None else "append")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bid", "bucket")
+        .parquet(f"{path}/spans")
+    )
     return _c4_rebuild(sents, dup_occurrences, text_col, span)
 
 
@@ -1587,11 +1625,30 @@ def span_index_compact(
     incremental/streaming ingest — each append leaves one file per
     touched bucket, so after thousands of micro-batches the file count,
     not the data, dominates listing cost. Delegates to the IVF cell
-    compactor (same rewrite + atomic-rename swap, same caveats);
-    probe results are untouched. Returns
-    ``{files_before, files_after, bytes}``."""
+    compactor (same rewrite + atomic-rename swap, same caveats), reading
+    with the stored DDL so a fresh file-less index compacts as a no-op,
+    and COLLAPSING every per-batch retry-isolation partition into one
+    ``bid=c`` epoch — without the collapse the ``bid`` level would pin
+    one leaf directory per trigger forever and file count would grow
+    with trigger count no matter how often you compact. Probe results
+    are untouched (probes read all bids).
+
+    Operational caveat the collapse adds to the usual rename-swap one:
+    run it only with no trigger in flight and the stream's last batch
+    COMMITTED to its checkpoint (stop the stream, compact, restart) —
+    a retry of a batch whose tag was already collapsed would find its
+    own first attempt's spans under ``bid=c`` and dedup against
+    itself. Committed batches are never re-run, so a clean stop makes
+    this unreachable. Returns ``{files_before, files_after, bytes}``."""
     from thoth_spark.operators.similarity import ivf_index_compact
 
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
     return ivf_index_compact(
-        spark, path, target_file_bytes, table="spans", part_col="bucket"
+        spark,
+        path,
+        target_file_bytes,
+        table="spans",
+        part_col=["bid", "bucket"],
+        schema=meta["spans_schema"],
+        transform=lambda d: d.withColumn("bid", F.lit("c")),
     )

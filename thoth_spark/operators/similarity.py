@@ -1604,7 +1604,9 @@ def ivf_index_compact(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     table: str = "cells",
-    part_col: str = "cell",
+    part_col: str | list[str] = "cell",
+    schema: str | None = None,
+    transform=None,
 ) -> dict:
     """Compact the ``cells`` table of a persisted IVF / IVF-PQ index
     (r13): continuous ingest (:func:`ivf_index_append` /
@@ -1621,15 +1623,26 @@ def ivf_index_compact(
     ``test_ivf_index_compact_preserves_serves``. Returns
     ``{files_before, files_after, bytes}``.
 
-    ``table``/``part_col`` generalize the rewrite to any
-    partitioned-append layout of the same shape (r16: the span-hash
-    index's ``spans``/``bucket`` table compacts through
-    ``dedup.span_index_compact``)."""
+    ``table``/``part_col``/``schema``/``transform`` generalize the
+    rewrite to any partitioned-append layout of the same shape (r16:
+    the span-hash index's ``spans`` table — ``(bid, bucket)``-
+    partitioned — compacts through ``dedup.span_index_compact``, which
+    passes the stored DDL so even a file-less fresh index compacts as
+    a no-op instead of failing schema inference, plus a transform that
+    collapses retry-isolation partitions the rewrite may fold)."""
     import math
 
+    part_cols = [part_col] if isinstance(part_col, str) else list(part_col)
     cells_src = f"{path}/{table}"
-    df = spark.read.parquet(cells_src)
+    reader = spark.read.schema(schema) if schema else spark.read
+    df = reader.parquet(cells_src)
     files_before = len(df.inputFiles())
+    if files_before == 0:
+        # nothing to rewrite — and the rename dance below would fail on
+        # a tmp dir a zero-row partitioned write never creates
+        return {"files_before": 0, "files_after": 0, "bytes": 0}
+    if transform is not None:
+        df = transform(df)
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -1639,9 +1652,9 @@ def ivf_index_compact(
     tmp, old = f"{path}/{table}_compacting", f"{path}/{table}_old"
     for stale in (tmp, old):  # leftovers from a crashed prior compact
         fs.delete(hpath(stale), True)
-    df.repartition(n, F.col(part_col)).write.mode("overwrite").partitionBy(
-        part_col
-    ).parquet(tmp)
+    df.repartition(n, *[F.col(c) for c in part_cols]).write.mode(
+        "overwrite"
+    ).partitionBy(*part_cols).parquet(tmp)
     if not fs.rename(hpath(cells_src), hpath(old)):
         raise IOError(f"compact: could not move {cells_src} aside")
     if not fs.rename(hpath(tmp), hpath(cells_src)):

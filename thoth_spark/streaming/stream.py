@@ -692,15 +692,23 @@ def span_dedup_foreach_batch(
     run over the union of the batches whenever micro-batches arrive in
     ascending id order (asserted in tests); in general the keeper is
     the first occurrence ever SEEN — the only causal choice once
-    earlier triggers are emitted. Per-trigger cost is O(batch spans +
-    touched index buckets); compact the index with
-    ``dedup.span_index_compact`` after sustained ingest."""
+    earlier triggers are emitted. The trigger's ``batch_id`` is passed
+    through as the append's ``batch_tag``, which is what makes an
+    at-least-once RETRY of a trigger idempotent: the rerun's probe
+    excludes — and its append overwrites — the ``bid=<batch_id>``
+    partition its first attempt wrote, so a retry can never dedup
+    against itself and strip its own keepers (pinned by the replayed
+    e2e test). Per-trigger cost is O(batch spans + touched index
+    buckets); compact the index with ``dedup.span_index_compact``
+    after sustained ingest."""
     from thoth_spark.operators.dedup import c4_span_dedup_incremental
 
     def callback(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        out = c4_span_dedup_incremental(batch_df, path, id_col, text_col)
+        out = c4_span_dedup_incremental(
+            batch_df, path, id_col, text_col, batch_tag=batch_id
+        )
         on_result(out, batch_id)
 
     return callback
