@@ -223,6 +223,13 @@ def optimize(
         thresholds.withColumn("__rk", F.row_number().over(pick))
         .where(F.col("__rk") == 1)
         .drop("__rk")
+        # one row per metric — model-sized, never data-sized. Pinning it
+        # means the failure probe below and every consumer of
+        # ``optimization_df`` (scoring join, assessment) reuse ONE
+        # materialization of the grid + selection window instead of
+        # re-running it per action (the probe used to execute the whole
+        # threshold pipeline a second time just to find zero failures).
+        .localCheckpoint()
     )
 
     failed = best.where(F.col("threshold") >= 1.0).limit(20).collect()

@@ -2669,11 +2669,7 @@ def dedup_minhash_documents(spark, sf_dir):
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(dedup.jaccard_sets("sh_a", "sh_b"), 6),
         )
         .where(F.col("jaccard") >= 0.8)
     )
@@ -2735,11 +2731,7 @@ def dedup_minhash_incremental(spark, sf_dir):
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(dedup.jaccard_sets("sh_a", "sh_b"), 6),
         )
         .where(F.col("jaccard") >= 0.8)
     )
@@ -2821,11 +2813,7 @@ def dedup_minhash_capped_documents(spark, sf_dir):
         )
         .withColumn(
             "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+            F.round(dedup.jaccard_sets("sh_a", "sh_b"), 6),
         )
         .where(F.col("jaccard") >= 0.8)
     )
@@ -2908,9 +2896,7 @@ def dedup_minhash_components(spark, sf_dir):
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .where(
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b"))
-            >= 0.8
+            dedup.jaccard_sets("sh_a", "sh_b") >= 0.8
         )
         .select("id_a", "id_b")
     )
@@ -3000,9 +2986,7 @@ def dedup_quality_survivors_documents(spark, sf_dir):
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .where(
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b"))
-            >= 0.8
+            dedup.jaccard_sets("sh_a", "sh_b") >= 0.8
         )
         .select("id_a", "id_b")
     )
@@ -7605,9 +7589,7 @@ def leakage_safe_split_documents(spark, sf_dir):
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .where(
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b"))
-            >= 0.8
+            dedup.jaccard_sets("sh_a", "sh_b") >= 0.8
         )
         .select("id_a", "id_b")
     )

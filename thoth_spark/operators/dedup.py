@@ -291,6 +291,23 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     return toks.select("id", F.array_distinct(grams).alias("sh"))
 
 
+def jaccard_sets(a, b):
+    """Exact Jaccard of two DISTINCT-element arrays, computed as
+    ``|A∩B| / (|A| + |B| − |A∩B|)`` — identical math to
+    ``size(array_intersect)/size(array_union)`` on de-duplicated arrays
+    (the union size is exactly ``|A|+|B|−|A∩B|``, and the final double
+    division sees the same integers), but it builds ONE per-pair hash
+    set instead of two: ``array_union`` re-hashes both arrays per
+    candidate pair, and the verify join evaluates this on every LSH
+    candidate — the single hottest expression of the MinHash family.
+    The repeated ``array_intersect`` subtree is evaluated once at
+    runtime (deterministic → whole-stage-codegen subexpression
+    elimination). Same form the prefix-filter family already uses
+    (:func:`jaccard_prefix_pairs`)."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
 #: Modulus for the Carter-Wegman MinHash family (2^31 - 1, prime).
 MINHASH_PRIME = 2147483647
 
@@ -504,11 +521,7 @@ def minhash_dedup(
     verified = (
         candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
-        )
+        .withColumn("jaccard", jaccard_sets("sh_a", "sh_b"))
         .where(F.col("jaccard") >= threshold)
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()

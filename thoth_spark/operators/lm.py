@@ -107,15 +107,25 @@ def train_bigram_lm(
     vocab_size: int = 50_000,
     add_k: float = 0.5,
 ) -> BigramLM:
-    """Count-based bigram LM over a frequency-capped vocabulary. Two
-    aggregation jobs (unigram top-V, then bigram counts over the mapped
-    corpus); both shuffles are ∝ distinct grams, map-side combined."""
+    """Count-based bigram LM over a frequency-capped vocabulary. The
+    corpus is tokenized twice (vocab pass, bigram pass) but each model
+    table is built exactly once: the vocabulary is pinned behind a
+    ``localCheckpoint`` (≤ ``vocab_size`` rows) so ``|vocab|`` and the
+    OOV-mapping broadcast never re-run the corpus-wide top-V
+    aggregation, the bigram table is pinned the same way (bounded — it
+    must fit a broadcast at scoring time anyway), and the unigram table
+    rolls up from it: ``c(w1) == Σ_w2 c(w1,w2)`` exactly (every bigram
+    row carries a non-null w2), which replaces a second corpus-sized
+    aggregation with a shuffle ∝ |bigram table| (both counts stay exact
+    longs)."""
     if vocab_size <= 0 or add_k <= 0:
         raise ValueError("vocab_size and add_k must be positive")
-    vocab = _vocab_tokens(df, text_col, vocab_size)
+    vocab = _vocab_tokens(df, text_col, vocab_size).localCheckpoint()
     bg = _mapped_bigrams(df, id_col, text_col, vocab)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bigrams = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint()
+    )
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     n_vocab = vocab.count()
     return BigramLM(
         unigrams=unigrams,
@@ -181,10 +191,22 @@ def train_and_score(
     ``hash_sample`` at 100 TB — the cache there would be corpus-sized)."""
     if vocab_size <= 0 or add_k <= 0:
         raise ValueError("vocab_size and add_k must be positive")
-    vocab = _vocab_tokens(df, text_col, vocab_size)
+    # the vocabulary is pinned (≤ vocab_size rows) so |vocab| and the
+    # OOV-mapping broadcast read it instead of re-running the corpus
+    # top-V aggregation; the bigram table is pinned too (bounded — it
+    # must fit the scoring broadcast anyway) so its broadcast build and
+    # the unigram rollup share one materialization
+    vocab = _vocab_tokens(df, text_col, vocab_size).localCheckpoint()
     bg = _mapped_bigrams(df, id_col, text_col, vocab).cache()
-    bigrams = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    unigrams = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bigrams = (
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).localCheckpoint()
+    )
+    # c(w1) == Σ_w2 c(w1,w2) exactly (every bigram row has a non-null
+    # w2), so the unigram table rolls up from the BOUNDED bigram table
+    # instead of re-aggregating the corpus-sized bigram stream — one
+    # fewer full pass over ``bg`` and a shuffle ∝ |bigram table| rather
+    # than ∝ corpus bigrams (both counts stay exact longs).
+    unigrams = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
     denom_v = vocab.count() + 1
     scored = (
         bg.join(F.broadcast(bigrams), on=["w1", "w2"], how="left")

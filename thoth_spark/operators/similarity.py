@@ -1815,6 +1815,19 @@ def ivf_query_index_join(
             r["cell"] for r in q.select("cell").distinct().collect()
         )
         cells = cells.where(F.col("cell").isin(probe_cells))
+    # Spread a NARROW index scan across the cluster: a young/compacted
+    # index has one parquet file per cell (n_centroids files), so the
+    # per-pair scoring stage — the serve's entire cost — would run on
+    # n_centroids tasks no matter how many cores exist (the salt only
+    # de-skews SHUFFLE joins; under a broadcast of the query side the
+    # stream stays at scan parallelism). File count is metadata-only
+    # (the _documents()/compactor probe); at scale each cell spans many
+    # files/splits and no repartition is inserted. Hash on the row id
+    # (deterministic, no sort-before-repartition) — placement does not
+    # affect results, the top-k window re-keys by query later.
+    target = spark.sparkContext.defaultParallelism
+    if 0 < len(cells.inputFiles()) < target:
+        cells = cells.repartition(target, F.col("vec_id"))
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
@@ -1965,6 +1978,12 @@ def ivfpq_query_index_join(
             r["cell"] for r in q.select("cell").distinct().collect()
         )
         encoded = encoded.where(F.col("cell").isin(probe_cells))
+    # spread a narrow (one-file-per-cell) index scan — see the same
+    # probe in ivf_query_index_join: the ADC scoring stage otherwise
+    # caps at n_centroids tasks under a broadcast query side
+    target = spark.sparkContext.defaultParallelism
+    if 0 < len(encoded.inputFiles()) < target:
+        encoded = encoded.repartition(target, F.col("id"))
 
     sub_idx = np.arange(m)[None, :]
 

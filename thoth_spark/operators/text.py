@@ -369,10 +369,21 @@ def gopher_repetition(
         raise ValueError("ns must be a non-empty tuple of positive ints")
     if barrier not in ("cache", "checkpoint"):
         raise ValueError(f"barrier must be 'cache' or 'checkpoint'; got {barrier!r}")
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        tokens(F.col(text_col)).alias("__toks"),
-    ).repartition("id")
+    # tokenize AFTER the id exchange: the shuffle then carries raw text
+    # (strictly smaller than the token arrays it used to carry — the
+    # arrays repeat every byte of the text plus per-element overhead),
+    # and the regexp split runs at shuffle-partition parallelism instead
+    # of input-split parallelism — the streaming twin's micro-batches
+    # arrive in 1-2 source splits, which serialized the tokenize. The
+    # barrier below still materializes ``__toks`` (the cache/checkpoint
+    # captures the post-exchange projection), so the gram lambdas keep
+    # reading a concrete column, and the barrier's HashPartitioning(id)
+    # is untouched.
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt"))
+        .repartition("id")
+        .select("id", tokens(F.col("__txt")).alias("__toks"))
+    )
     toks = toks.cache() if barrier == "cache" else toks.localCheckpoint(eager=False)
     def _grams(n: int) -> Column:
         # a plain 1-arg lambda: F.transform dispatches on lambda ARITY,
