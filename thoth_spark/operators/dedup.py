@@ -277,9 +277,9 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     toks = (
         df.select(
             F.col(id_col).alias("id"),
-            F.split(
-                F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
-            ).alias("__toks"),
+            # one-regex tokenize (see text.tokens): split on \s+
+            # directly — token-array-identical to collapse-then-split
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("__toks"),
         )
         .where(F.size("__toks") >= n)
         .repartition("id")
@@ -543,7 +543,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     fingerprint. Explode + one groupBy(id) with 64 conditional sums — a
     single shuffle keyed by document id.
     """
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col("__txt"))), r"\s+", " "), " ")
+    toks = F.split(F.lower(F.trim(F.col("__txt"))), r"\s+")
     # repartition by id first: the per-token hashing + 64 partial sums then
     # run across all cores, and groupBy(id) reuses the partitioning
     exploded = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__txt")).repartition(
@@ -827,13 +827,21 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("component").alias("nc"))
         )
+        # carry the pre-round label through the step as ``__old`` so the
+        # fixpoint check below is a filter over the ALREADY-MATERIALIZED
+        # checkpoint — the previous shape re-joined new labels against
+        # old labels per round (two exchanges + a join job just to ask
+        # "did anything change"), which at 2-3 rounds per call was a
+        # measurable slice of every components consumer's wall
         stepped = (
-            labels.join(neighbor_min, labels.id == neighbor_min.s, "left")
+            labels.select("id", F.col("component").alias("__old"))
+            .join(neighbor_min, F.col("id") == neighbor_min.s, "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nc"), F.col("component"))
+                    F.col("__old"), F.coalesce(F.col("nc"), F.col("__old"))
                 ).alias("component"),
+                "__old",
             )
         )
         if jump:
@@ -851,16 +859,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("__jc"), F.col("component"))
                 ).alias("component"),
+                "__old",
             )
         new_labels = stepped.localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
+            new_labels.where(F.col("component") != F.col("__old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             converged = True
             break

@@ -200,18 +200,51 @@ def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id (int) from dot products with fixed hyperplanes —
-    pure column expression; the planes ride along as literals.
+    pure column expression; the planes ride along as ONE 2-D literal.
 
-    The fold-based :func:`dot` is deliberate: unrolling the literal dot
-    into a flat 64-term arithmetic chain (x24 signatures per row) was
-    measured 4× SLOWER (20 s vs 4.5 s at sf0.1) — the giant expression
-    tree blows codegen apart — while the lambda fold stays a compact
-    interpreted loop. Do not "optimize" this into explicit sums."""
-    bucket = F.lit(0)
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return bucket
+    Two deliberate shapes here:
+
+    - The fold-based :func:`dot` (not an unrolled sum): a flat 64-term
+      arithmetic chain (x24 signatures per row) was measured 4× SLOWER
+      (20 s vs 4.5 s at sf0.1) — the giant tree blows codegen apart —
+      while the lambda fold stays a compact interpreted loop.
+    - ONE ``lit(planes)`` + an indexed ``transform`` fold, not a Python
+      loop of per-plane ``array(lit, lit, …)`` terms: the loop form
+      issued ~70 py4j round-trips per plane (64 literals + the when/dot
+      wrappers), and DataFrame CONSTRUCTION — not execution — dominated
+      the recall harness's wall (measured 4.8 s build vs 1.1 s run at
+      sf0.1). Bit i weights its plane via ``shiftleft(1, i)`` on the
+      transform index — same int arithmetic, same signature values."""
+    # ONE py4j call for the whole plane matrix: classic-mode F.lit(list)
+    # still issues one JVM call per element (measured: the 2×24-plane
+    # construction alone was ~3 s of socket round-trips). A SQL literal
+    # string parses in a single call; repr() is the shortest
+    # round-trip rendering and string→double casts are correctly
+    # rounded, so every coefficient lands bit-identical.
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p)
+            + ")"
+            for p in planes
+        )
+        + ")"
+    )
+    return F.aggregate(
+        F.transform(
+            planes_lit,
+            lambda p, i: F.when(
+                dot(vec, p) > 0,
+                # 2^i as an int (pow is exact for these exponents);
+                # F.shiftleft only takes a Python-int bit count, not
+                # the transform index column
+                F.pow(F.lit(2.0), i).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
 
 
 def hyperplane_lsh_topk(
@@ -244,24 +277,38 @@ def hyperplane_lsh_topk(
 
     def _bucketed(df, idc, vc, probe: bool):
         base = df.select(F.col(idc), _as_double(F.col(vec_col)).alias(vc))
+        # ONE signature column per table behind the checkpoint, probe
+        # buckets derived from the materialized column: inlining the
+        # XOR-flip probes into the same projection used to duplicate
+        # the whole (nbits × dim)-literal signature subtree per flip —
+        # (1 + nbits) copies per table on the probe side, ~10k literal
+        # nodes total, paid at ANALYSIS/codegen time on the driver
+        # (wall far exceeded task time on this query). The XOR fan-out
+        # over an attribute is a handful of integer ops.
+        sig_cols = [
+            hyperplane_signature(
+                F.col(vc), _hyperplanes(dim, nbits, seed=42 + t)
+            ).alias(f"__sig{t}")
+            for t in range(n_tables)
+        ]
+        # the lazy checkpoint still materializes the signature pass
+        # before the explode: Generate over an HOF-computed array drops
+        # out of codegen (measured 4.3 s -> sub-second on the sf0.1
+        # corpus side), and the probe fan-out must read sig as a
+        # concrete column, not re-run the dot products per flip.
+        staged = base.select(
+            F.col(idc), F.col(vc), *sig_cols
+        ).localCheckpoint(eager=False)
         tables = []
         for t in range(n_tables):
-            planes = _hyperplanes(dim, nbits, seed=42 + t)
-            sig = hyperplane_signature(F.col(vc), planes)
+            sig = F.col(f"__sig{t}")
             buckets = [sig]
             if probe and probe_flips >= 1:
                 buckets += [sig.bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
             tables += [b + F.lit(t * 2**nbits) for b in buckets]
-        # materialize the bucket array behind a lazy checkpoint before
-        # exploding: the signature is an aggregate-HOF over the vector,
-        # and Generate over an HOF-computed array drops out of codegen
-        # (measured 4.3 s -> sub-second on the sf0.1 corpus side). The
-        # checkpoint stores one (id, vector, n_tables-bucket-array) row
-        # per vector — smaller than the explode output it feeds.
-        staged = base.select(
-            F.col(idc), F.col(vc), F.array(*tables).alias("__buckets")
-        ).localCheckpoint(eager=False)
-        return staged.withColumn("bucket", F.explode("__buckets")).drop("__buckets")
+        return staged.withColumn("bucket", F.explode(F.array(*tables))).select(
+            F.col(idc), F.col(vc), "bucket"
+        )
 
     c = _bucketed(
         corpus.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id", "cv", probe=False

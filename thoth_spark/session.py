@@ -42,6 +42,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing floor defaults to 1m, sized for IO-bound
+        # scans; this engine's post-shuffle stages are CPU-dense (set
+        # intersections, gram explodes, bit_count verifies — seconds of
+        # CPU per compressed shuffle MB), and the 1m floor collapses
+        # them to a single task whenever a stage's shuffle is small
+        # (paired A/B: 24-34% off the simhash/jaccard/containment/
+        # survivors walls at 64k). 256k, not 64k: iterative small-frame
+        # loops (components pointer-jump) pay per-task overhead for the
+        # extra spread, and 256k keeps the single-pass wins while
+        # halving that penalty (semdedup A/B: 6.2s@64k / 5.3s@256k /
+        # 4.8s@1m vs the 3.6s→2.4s simhash win, stable across floors).
+        # parallelismFirst already prefers spreading over the advisory
+        # size; the floor is the only blocker, and at production
+        # shuffle sizes (partitions ≫ 1m) it never binds.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("THOTH_SPARK_AQE_MIN_PARTITION", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
