@@ -28,20 +28,54 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two double arrays.
+
+    With ``dim`` (statically known vector length — available wherever a
+    centroid matrix / plane set / PQ codebook fixes it), the sum is
+    UNROLLED into a flat left-associated chain starting at ``lit(0.0)``
+    — the exact addition sequence of the fold below (``((0.0+x₀)+x₁)+…``),
+    so results are bit-identical — which whole-stage-codegen compiles to
+    straight-line unboxed arithmetic. The fold form evaluates its lambda
+    INTERPRETED per element (HOF lambdas never codegen): measured
+    ~0.04 ms/pair on 64-dim pairs in the knn_graph scoring stage — the
+    single hottest expression of the ANN family (2,626 s of task time in
+    one stage profile). ~190 expression nodes per 64-dim dot is well
+    inside codegen limits (the 4×-slower blowup note on
+    :func:`hyperplane_signature` was 24 signatures × 64 terms in ONE
+    projection, ~30× bigger). Without ``dim`` (unknown-length arrays),
+    the fold remains.
+
+    Length mismatches differ deliberately: the fold nulls on EITHER
+    array longer (zip_with pads with null); the unrolled form nulls when
+    an array is SHORTER than ``dim`` and ignores elements beyond it —
+    pass ``dim`` only where the operator's own model artifacts pin every
+    vector's length (all serve/score paths here)."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i] * b[i]
+    return out
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+def norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; ``dim`` unrolls exactly like :func:`dot` (same fold
+    order, bit-identical, codegen-compiled)."""
+    if dim is None:
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i] * a[i]
+    return F.sqrt(out)
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def _as_double(col: Column) -> Column:
@@ -114,18 +148,26 @@ def scalar_quantize(
     )
 
 
-def _dequantized_cos() -> Column:
+def _dequantized_cos(dim: int | None = None) -> Column:
     """Approximate cosine from two SQ8 rows: integer dot product
     (components widened to int — byte×byte would overflow) de-quantized
     by the two per-vector scales, over the EXACT stored float norms.
-    Expects columns ``qvec/scale/vnorm`` and ``q_qvec/q_scale/q_vnorm``."""
-    idot = F.aggregate(
-        F.zip_with(
-            F.col("qvec"), F.col("q_qvec"), lambda x, y: x.cast("int") * y.cast("int")
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    Expects columns ``qvec/scale/vnorm`` and ``q_qvec/q_scale/q_vnorm``.
+    ``dim`` unrolls the integer fold exactly like :func:`dot` (same
+    left-associated ``long + int`` sequence from ``0L``, bit-identical
+    exact integer arithmetic, codegen-compiled instead of interpreted)."""
+    if dim is not None:
+        idot = F.lit(0).cast("long")
+        for i in range(dim):
+            idot = idot + F.col("qvec")[i].cast("int") * F.col("q_qvec")[i].cast("int")
+    else:
+        idot = F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("q_qvec"), lambda x, y: x.cast("int") * y.cast("int")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     return (
         idot.cast("double")
         * F.col("scale")
@@ -323,7 +365,9 @@ def hyperplane_lsh_topk(
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = candidates.withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+    scored = candidates.withColumn(
+        "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=dim)
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -427,7 +471,10 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), on="cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim",
+            cosine(F.col("qv"), F.col("cv"), dim=int(cent_mat.shape[1])),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -589,7 +636,9 @@ def ivf_query_index(
             .join(F.broadcast(q.select("query_id", "cell")), on="cell")
             .join(F.broadcast(qq), on="query_id")
             .where(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("approx_cos", _dequantized_cos())
+            .withColumn(
+                "approx_cos", _dequantized_cos(dim=int(cent_mat.shape[1]))
+            )
         )
         if rerank_corpus is None:
             scored = approx.withColumn("cos_sim", F.col("approx_cos"))
@@ -609,7 +658,10 @@ def ivf_query_index(
             scored = (
                 cands.join(exact_c, "neighbor_id")
                 .join(F.broadcast(q.select("query_id", "qv").distinct()), "query_id")
-                .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+                .withColumn(
+                    "cos_sim",
+                    cosine(F.col("qv"), F.col("cv"), dim=int(cent_mat.shape[1])),
+                )
             )
     else:
         scored = (
@@ -618,7 +670,10 @@ def ivf_query_index(
             )
             .join(F.broadcast(q), on="cell")
             .where(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+            .withColumn(
+                "cos_sim",
+                cosine(F.col("qv"), F.col("cv"), dim=int(cent_mat.shape[1])),
+            )
         )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -654,7 +709,10 @@ def embedding_near_dup_pairs(
         # norm stored per ROW (rides the checkpoint) so the verify stage
         # pays one dot per candidate pair, not dot + two sqrt(Σx²);
         # dot/(na·nb) is bit-identical to cosine(a, b)
-        {"sig": hyperplane_signature(F.col("v"), planes), "vn": norm(F.col("v"))}
+        {
+            "sig": hyperplane_signature(F.col("v"), planes),
+            "vn": norm(F.col("v"), dim=dim),
+        }
     ).localCheckpoint(eager=False)
     probes = [F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
     a = base.withColumn("bucket", F.explode(F.array(*probes))).alias("a")
@@ -666,7 +724,8 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                dot(F.col("a.v"), F.col("b.v")) / (F.col("a.vn") * F.col("b.vn")),
+                dot(F.col("a.v"), F.col("b.v"), dim=dim)
+                / (F.col("a.vn") * F.col("b.vn")),
                 6,
             ).alias("cos_sim"),
         )
@@ -744,19 +803,35 @@ def semdedup(
         else coarse_centroids(df, vec_col, n_clusters, seed, max_train)
     )
     cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    cent_sq = (cent_mat * cent_mat).sum(axis=1)  # ||c||² per centroid
 
-    @pandas_udf("double")
-    def _centroid_cos(vecs: pd.Series, cells: pd.Series) -> pd.Series:
-        x = np.stack(vecs.to_numpy())  # (batch, dim)
-        c = cells.to_numpy().astype(np.int64)
-        num = (x * cent_mat[c]).sum(axis=1)
-        den = np.sqrt((x * x).sum(axis=1)) * cent_norm[c]
-        return pd.Series(num / den)
+    # ONE fused Arrow pass for (cluster, centroid_sim): the split form —
+    # nearest_cells_udf then a second scalar UDF for the cosine — crossed
+    # the Python boundary twice per corpus row (two ArrowEvalPython
+    # stages; the 4-task corpus pass was semdedup's single largest stage
+    # in the r16 profile). Arithmetic is VERBATIM from the two UDFs it
+    # replaces: the argmin uses nearest_cells_udf's ``||c||² − 2x·c``
+    # stable argsort (ties to the lower cid), and the cosine re-derives
+    # ``(x·c_sel)`` with the same elementwise-multiply-then-sum (NOT the
+    # matmul column — summation order differs in the last ulp), so both
+    # outputs are bit-identical to the split form.
+    @pandas_udf("struct<cluster:int,centroid_sim:double>")
+    def _assign_and_sim(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in it:
+            x = np.stack(vecs.to_numpy())  # (batch, dim)
+            d = cent_sq - 2.0 * (x @ cent_mat.T)  # (batch, n_centroids)
+            c32 = np.argsort(d, axis=1, kind="stable")[:, 0].astype(np.int32)
+            c = c32.astype(np.int64)
+            num = (x * cent_mat[c]).sum(axis=1)
+            den = np.sqrt((x * x).sum(axis=1)) * cent_norm[c]
+            yield pd.DataFrame({"cluster": c32, "centroid_sim": num / den})
 
     base = (
         df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
-        .withColumn("cluster", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
-        .withColumn("centroid_sim", _centroid_cos(F.col("v"), F.col("cluster")))
+        .withColumn("__as", _assign_and_sim(F.col("v")))
+        .withColumn("cluster", F.col("__as.cluster"))
+        .withColumn("centroid_sim", F.col("__as.centroid_sim"))
+        .drop("__as")
         .withColumn(
             # 128-bit exact-vector fingerprint (md5 over the canonical
             # double rendering; xxhash64's 64 bits would make a
@@ -775,7 +850,8 @@ def semdedup(
     reps_only = base.join(
         rep.select(F.col("__rep").alias("id")), "id", "left_semi"
     )
-    reps_n = reps_only.withColumn("__vn", norm(F.col("v")))
+    _dim = int(cent_mat.shape[1])
+    reps_n = reps_only.withColumn("__vn", norm(F.col("v"), dim=_dim))
     a, b = reps_n.alias("a"), reps_n.alias("b")
     rep_pairs = (
         a.join(b, "cluster")
@@ -783,7 +859,8 @@ def semdedup(
         .where(
             # per-side norms hoisted below the self-join: one dot per
             # within-cluster pair instead of dot + two norms
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.__vn") * F.col("b.__vn"))
+            dot(F.col("a.v"), F.col("b.v"), dim=_dim)
+            / (F.col("a.__vn") * F.col("b.__vn"))
             >= threshold
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -999,12 +1076,18 @@ def embedding_cross_neardup(
     l = left.select(
         F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("lv")
     ).withColumns(
-        {"sig": hyperplane_signature(F.col("lv"), planes), "ln": norm(F.col("lv"))}
+        {
+            "sig": hyperplane_signature(F.col("lv"), planes),
+            "ln": norm(F.col("lv"), dim=dim),
+        }
     ).localCheckpoint(eager=False)
     r = right.select(
         F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("rv")
     ).withColumns(
-        {"bucket": hyperplane_signature(F.col("rv"), planes), "rn": norm(F.col("rv"))}
+        {
+            "bucket": hyperplane_signature(F.col("rv"), planes),
+            "rn": norm(F.col("rv"), dim=dim),
+        }
     )
     probes = [F.col("sig")] + [
         F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)
@@ -1016,7 +1099,9 @@ def embedding_cross_neardup(
             "left_id",
             "right_id",
             F.round(
-                dot(F.col("lv"), F.col("rv")) / (F.col("ln") * F.col("rn")), 6
+                dot(F.col("lv"), F.col("rv"), dim=dim)
+                / (F.col("ln") * F.col("rn")),
+                6,
             ).alias("cos_sim"),
         )
         .distinct()
@@ -1267,7 +1352,9 @@ def pq_topk(
         ranked.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=int(m * d_sub))
+        )
     )
     w2 = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -1531,7 +1618,9 @@ def _ivfpq_rank(
         ranked.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=int(m * d_sub))
+        )
     )
     w2 = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -1878,6 +1967,7 @@ def ivf_query_index_join(
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
+    _dim = int(cent_mat.shape[1])
     if "qvec" in cells.columns:  # SQ8 layout
         qvec = F.col("qv")
         amax = F.array_max(F.transform(qvec, lambda x: F.abs(x)))
@@ -1891,7 +1981,7 @@ def ivf_query_index_join(
                     qvec, lambda x: F.round(x / qscale).cast("int")
                 ).alias("q_qvec"),
                 qscale.alias("q_scale"),
-                norm(qvec).alias("q_vnorm"),
+                norm(qvec, dim=_dim).alias("q_vnorm"),
             ),
             salt,
         )
@@ -1900,7 +1990,7 @@ def ivf_query_index_join(
             .withColumnRenamed("vec_id", "neighbor_id")
             .join(qq, on=["cell", "__salt"])
             .where(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("approx_cos", _dequantized_cos())
+            .withColumn("approx_cos", _dequantized_cos(dim=_dim))
         )
         if rerank_corpus is None:
             scored = approx.withColumn("cos_sim", F.col("approx_cos"))
@@ -1919,7 +2009,7 @@ def ivf_query_index_join(
                 _as_double(F.col(vec_col)).alias("cv"),
             )
             scored = cands.join(exact_c, "neighbor_id").withColumn(
-                "cos_sim", cosine(F.col("qv"), F.col("cv"))
+                "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=_dim)
             )
     else:
         # norms precomputed ONCE PER SIDE before the join: the naive
@@ -1933,18 +2023,21 @@ def ivf_query_index_join(
             .select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),
-                norm(F.col("v")).alias("__vn"),
+                norm(F.col("v"), dim=_dim).alias("__vn"),
                 "cell",
                 "__salt",
             )
             .join(
-                _replicated(q.withColumn("__qn", norm(F.col("qv"))), salt),
+                _replicated(
+                    q.withColumn("__qn", norm(F.col("qv"), dim=_dim)), salt
+                ),
                 on=["cell", "__salt"],
             )
             .where(F.col("neighbor_id") != F.col("query_id"))
             .withColumn(
                 "cos_sim",
-                dot(F.col("qv"), F.col("cv")) / (F.col("__qn") * F.col("__vn")),
+                dot(F.col("qv"), F.col("cv"), dim=_dim)
+                / (F.col("__qn") * F.col("__vn")),
             )
         )
     return (
@@ -2072,7 +2165,9 @@ def ivfpq_query_index_join(
     exact = (
         ranked.select("query_id", "neighbor_id", "qv")
         .join(c, "neighbor_id")
-        .withColumn("cos_sim", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=int(m * d_sub))
+        )
     )
     w2 = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
