@@ -60,9 +60,10 @@ def line_dedup(
 
     Returns ``(id, text_deduped, n_lines, n_kept)`` with surviving lines
     rejoined by ``sep`` in their original order. Lines are compared on
-    their md5 after trimming, so incidental surrounding whitespace does
-    not defeat the dedup but interior spacing differences do (reference
-    semantics: exact line match).
+    a 64-bit hash of their trimmed content (xxhash64 — the same identity
+    width the span/window dedups use on the wire), so incidental
+    surrounding whitespace does not defeat the dedup but interior
+    spacing differences do (reference semantics: exact line match).
     """
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
@@ -72,7 +73,7 @@ def line_dedup(
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
-    ).withColumn("lh", F.md5(F.trim(F.col("line"))))
+    ).withColumn("lh", F.xxhash64(F.trim(F.col("line"))))
 
     if keep == "first":
         # One window pass over the line hash decides survival per line
@@ -169,14 +170,25 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _passage_starts(toks_df: DataFrame, window: int, min_count: int) -> DataFrame:
-    wins = toks_df.where(F.size("__toks") >= window).select(
+    # Window identity = xxhash64 over the slice of per-token xxhash64s:
+    # the token-hash array is computed once per document (its own
+    # projection below the Generate, so it cannot be inlined per
+    # position), and each window then hashes ``window`` longs instead of
+    # building the window's text (concat_ws) and md5-ing it — the window
+    # hashing was 80% of passage_dedup's task time, and it runs TWICE
+    # (count side + broadcast-join probe side). 64-bit identities are
+    # the house convention for dedup wire rows (c4 span dedup, simhash).
+    hashed = toks_df.where(F.size("__toks") >= window).select(
+        "id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
+    )
+    wins = hashed.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__toks") - (window - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i, window))),
-            )
-        ).alias("pos", "wh"),
+            F.sequence(F.lit(1), F.size("__th") - (window - 1))
+        ).alias("pos", "__i"),
+        "__th",
+    ).select(
+        "id", "pos", F.xxhash64(F.slice("__th", F.col("__i"), window)).alias("wh")
     )
     dup = (
         wins.groupBy("wh")
@@ -212,14 +224,18 @@ def passage_dedup(
     document (documents shorter than ``window`` tokens pass through
     unchanged).
 
-    Scale shape beyond the window-finding pass: covered positions expand
-    each duplicated window start into ``window`` rows — expansion ∝
-    duplicated-text volume × window, bounded by corpus tokens × window
-    in the degenerate all-duplicate corpus, and de-duplicated per (doc,
-    position) before the anti-join; the survivor anti-join and the
-    reassembly ``groupBy(id)`` share one hash partitioning on id. No
-    step buffers a whole document's hot key in one task except the
-    per-document reassembly itself (bounded by document length).
+    Scale shape beyond the window-finding pass: duplicated window STARTS
+    (∝ duplicated-text volume, not × window) are the only rows shuffled
+    to the per-doc side — the ×``window`` expansion to covered positions
+    and their dedup happen inside a per-document array, and the
+    surviving tokens are re-derived from the document's own token array
+    by position (``array_except`` + ``element_at``), so the corpus's
+    tokens are never exploded into per-token rows, shuffled, or
+    re-grouped. One narrow ``groupBy(id)`` over the starts plus one join
+    of doc-level rows replaces the former explode → distinct →
+    ``repartition(id)`` → anti-join → ``collect_list`` regroup. No step
+    buffers a whole document's hot key in one task except the
+    per-document arrays themselves (bounded by document length).
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
@@ -227,29 +243,32 @@ def passage_dedup(
         raise ValueError(f"min_count must be >= 2, got {min_count}")
     toks_df = _tokenized(df, id_col, text_col)
     starts = _passage_starts(toks_df, window, min_count)
-    covered = starts.select(
-        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (window - 1))).alias("pos")
-    ).distinct()
-    tokpos = toks_df.select(
-        "id", F.posexplode("__toks").alias("pos", "tok")
-    ).repartition("id")
-    kept = tokpos.join(covered, ["id", "pos"], "left_anti")
-    kept_structs = F.array_sort(F.collect_list(F.struct("pos", "tok")))
-    reassembled = kept.groupBy("id").agg(
-        F.array_join(F.transform(kept_structs, lambda s: s["tok"]), " ").alias(
-            "text_deduped"
-        ),
-        F.count(F.lit(1)).alias("n_kept"),
+    cov = starts.groupBy("id").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(
+                    F.sequence(F.col("pos"), F.col("pos") + (window - 1))
+                )
+            )
+        ).alias("__cov")
     )
-    base = toks_df.select("id", F.size("__toks").cast("long").alias("n_tokens"))
-    return (
-        base.join(reassembled, "id", "left")
-        .select(
-            "id",
-            F.coalesce(F.col("text_deduped"), F.lit("")).alias("text_deduped"),
-            "n_tokens",
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        )
+    joined = toks_df.join(cov, "id", "left")
+    pos_seq = F.when(
+        F.size("__toks") > 0, F.sequence(F.lit(0), F.size("__toks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.when(
+        F.col("__cov").isNotNull(), F.array_except(pos_seq, F.col("__cov"))
+    ).otherwise(pos_seq)
+    return joined.select(
+        "id",
+        F.array_join(
+            F.transform(
+                kept_pos, lambda p: F.element_at(F.col("__toks"), p + F.lit(1))
+            ),
+            " ",
+        ).alias("text_deduped"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(kept_pos).cast("long").alias("n_kept"),
     )
 
 
