@@ -28,54 +28,32 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product of two double arrays.
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two double arrays — the aggregate-HOF fold.
 
-    With ``dim`` (statically known vector length — available wherever a
-    centroid matrix / plane set / PQ codebook fixes it), the sum is
-    UNROLLED into a flat left-associated chain starting at ``lit(0.0)``
-    — the exact addition sequence of the fold below (``((0.0+x₀)+x₁)+…``),
-    so results are bit-identical — which whole-stage-codegen compiles to
-    straight-line unboxed arithmetic. The fold form evaluates its lambda
-    INTERPRETED per element (HOF lambdas never codegen): measured
-    ~0.04 ms/pair on 64-dim pairs in the knn_graph scoring stage — the
-    single hottest expression of the ANN family (2,626 s of task time in
-    one stage profile). ~190 expression nodes per 64-dim dot is well
-    inside codegen limits (the 4×-slower blowup note on
-    :func:`hyperplane_signature` was 24 signatures × 64 terms in ONE
-    projection, ~30× bigger). Without ``dim`` (unknown-length arrays),
-    the fold remains.
-
-    Length mismatches differ deliberately: the fold nulls on EITHER
-    array longer (zip_with pads with null); the unrolled form nulls when
-    an array is SHORTER than ``dim`` and ignores elements beyond it —
-    pass ``dim`` only where the operator's own model artifacts pin every
-    vector's length (all serve/score paths here)."""
-    if dim is None:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + a[i] * b[i]
-    return out
+    Deliberately NOT unrolled into a flat per-element arithmetic chain
+    even where the vector length is statically known: an r16 experiment
+    shipped ``dim``-unrolled dots (64-dim -> ~190 expression nodes per
+    dot) across the ANN family and every touched query regressed
+    1.5-2.8x on re-measurement (knn_graph 5.0s -> 14.0s, ivfpq
+    2.5s -> 4.7s, decontaminate 2.2s -> 3.7s; reverting restored them).
+    Same finding as the older :func:`hyperplane_signature` note — giant
+    expression trees defeat codegen and fall back to interpreted
+    evaluation of hundreds of nodes per row, while the fold stays one
+    compact loop. Do not "optimize" this into explicit sums."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
-    """L2 norm; ``dim`` unrolls exactly like :func:`dot` (same fold
-    order, bit-identical, codegen-compiled)."""
-    if dim is None:
-        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + a[i] * a[i]
-    return F.sqrt(out)
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
 
 
 def _as_double(col: Column) -> Column:
@@ -148,26 +126,20 @@ def scalar_quantize(
     )
 
 
-def _dequantized_cos(dim: int | None = None) -> Column:
+def _dequantized_cos() -> Column:
     """Approximate cosine from two SQ8 rows: integer dot product
     (components widened to int — byte×byte would overflow) de-quantized
     by the two per-vector scales, over the EXACT stored float norms.
     Expects columns ``qvec/scale/vnorm`` and ``q_qvec/q_scale/q_vnorm``.
-    ``dim`` unrolls the integer fold exactly like :func:`dot` (same
-    left-associated ``long + int`` sequence from ``0L``, bit-identical
-    exact integer arithmetic, codegen-compiled instead of interpreted)."""
-    if dim is not None:
-        idot = F.lit(0).cast("long")
-        for i in range(dim):
-            idot = idot + F.col("qvec")[i].cast("int") * F.col("q_qvec")[i].cast("int")
-    else:
-        idot = F.aggregate(
-            F.zip_with(
-                F.col("qvec"), F.col("q_qvec"), lambda x, y: x.cast("int") * y.cast("int")
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+    Fold form on purpose — see :func:`dot` (the unrolled variant
+    regressed every SQ8 query 1.6-2x)."""
+    idot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("q_qvec"), lambda x, y: x.cast("int") * y.cast("int")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return (
         idot.cast("double")
         * F.col("scale")
@@ -366,7 +338,7 @@ def hyperplane_lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = candidates.withColumn(
-        "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=dim)
+        "cos_sim", cosine(F.col("qv"), F.col("cv"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -473,7 +445,7 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cos_sim",
-            cosine(F.col("qv"), F.col("cv"), dim=int(cent_mat.shape[1])),
+            cosine(F.col("qv"), F.col("cv")),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -637,7 +609,7 @@ def ivf_query_index(
             .join(F.broadcast(qq), on="query_id")
             .where(F.col("neighbor_id") != F.col("query_id"))
             .withColumn(
-                "approx_cos", _dequantized_cos(dim=int(cent_mat.shape[1]))
+                "approx_cos", _dequantized_cos()
             )
         )
         if rerank_corpus is None:
@@ -660,7 +632,7 @@ def ivf_query_index(
                 .join(F.broadcast(q.select("query_id", "qv").distinct()), "query_id")
                 .withColumn(
                     "cos_sim",
-                    cosine(F.col("qv"), F.col("cv"), dim=int(cent_mat.shape[1])),
+                    cosine(F.col("qv"), F.col("cv")),
                 )
             )
     else:
@@ -672,7 +644,7 @@ def ivf_query_index(
             .where(F.col("neighbor_id") != F.col("query_id"))
             .withColumn(
                 "cos_sim",
-                cosine(F.col("qv"), F.col("cv"), dim=int(cent_mat.shape[1])),
+                cosine(F.col("qv"), F.col("cv")),
             )
         )
     return (
@@ -711,7 +683,7 @@ def embedding_near_dup_pairs(
         # dot/(na·nb) is bit-identical to cosine(a, b)
         {
             "sig": hyperplane_signature(F.col("v"), planes),
-            "vn": norm(F.col("v"), dim=dim),
+            "vn": norm(F.col("v")),
         }
     ).localCheckpoint(eager=False)
     probes = [F.col("sig")] + [F.col("sig").bitwiseXOR(F.lit(2**i)) for i in range(nbits)]
@@ -724,7 +696,7 @@ def embedding_near_dup_pairs(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
             F.round(
-                dot(F.col("a.v"), F.col("b.v"), dim=dim)
+                dot(F.col("a.v"), F.col("b.v"))
                 / (F.col("a.vn") * F.col("b.vn")),
                 6,
             ).alias("cos_sim"),
@@ -850,8 +822,7 @@ def semdedup(
     reps_only = base.join(
         rep.select(F.col("__rep").alias("id")), "id", "left_semi"
     )
-    _dim = int(cent_mat.shape[1])
-    reps_n = reps_only.withColumn("__vn", norm(F.col("v"), dim=_dim))
+    reps_n = reps_only.withColumn("__vn", norm(F.col("v")))
     a, b = reps_n.alias("a"), reps_n.alias("b")
     rep_pairs = (
         a.join(b, "cluster")
@@ -859,7 +830,7 @@ def semdedup(
         .where(
             # per-side norms hoisted below the self-join: one dot per
             # within-cluster pair instead of dot + two norms
-            dot(F.col("a.v"), F.col("b.v"), dim=_dim)
+            dot(F.col("a.v"), F.col("b.v"))
             / (F.col("a.__vn") * F.col("b.__vn"))
             >= threshold
         )
@@ -1078,7 +1049,7 @@ def embedding_cross_neardup(
     ).withColumns(
         {
             "sig": hyperplane_signature(F.col("lv"), planes),
-            "ln": norm(F.col("lv"), dim=dim),
+            "ln": norm(F.col("lv")),
         }
     ).localCheckpoint(eager=False)
     r = right.select(
@@ -1086,7 +1057,7 @@ def embedding_cross_neardup(
     ).withColumns(
         {
             "bucket": hyperplane_signature(F.col("rv"), planes),
-            "rn": norm(F.col("rv"), dim=dim),
+            "rn": norm(F.col("rv")),
         }
     )
     probes = [F.col("sig")] + [
@@ -1099,7 +1070,7 @@ def embedding_cross_neardup(
             "left_id",
             "right_id",
             F.round(
-                dot(F.col("lv"), F.col("rv"), dim=dim)
+                dot(F.col("lv"), F.col("rv"))
                 / (F.col("ln") * F.col("rn")),
                 6,
             ).alias("cos_sim"),
@@ -1353,7 +1324,7 @@ def pq_topk(
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn(
-            "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=int(m * d_sub))
+            "cos_sim", cosine(F.col("qv"), F.col("cv"))
         )
     )
     w2 = W.partitionBy("query_id").orderBy(
@@ -1619,7 +1590,7 @@ def _ivfpq_rank(
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
         .withColumn(
-            "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=int(m * d_sub))
+            "cos_sim", cosine(F.col("qv"), F.col("cv"))
         )
     )
     w2 = W.partitionBy("query_id").orderBy(
@@ -1967,7 +1938,6 @@ def ivf_query_index_join(
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
-    _dim = int(cent_mat.shape[1])
     if "qvec" in cells.columns:  # SQ8 layout
         qvec = F.col("qv")
         amax = F.array_max(F.transform(qvec, lambda x: F.abs(x)))
@@ -1981,7 +1951,7 @@ def ivf_query_index_join(
                     qvec, lambda x: F.round(x / qscale).cast("int")
                 ).alias("q_qvec"),
                 qscale.alias("q_scale"),
-                norm(qvec, dim=_dim).alias("q_vnorm"),
+                norm(qvec).alias("q_vnorm"),
             ),
             salt,
         )
@@ -1990,7 +1960,7 @@ def ivf_query_index_join(
             .withColumnRenamed("vec_id", "neighbor_id")
             .join(qq, on=["cell", "__salt"])
             .where(F.col("neighbor_id") != F.col("query_id"))
-            .withColumn("approx_cos", _dequantized_cos(dim=_dim))
+            .withColumn("approx_cos", _dequantized_cos())
         )
         if rerank_corpus is None:
             scored = approx.withColumn("cos_sim", F.col("approx_cos"))
@@ -2009,7 +1979,7 @@ def ivf_query_index_join(
                 _as_double(F.col(vec_col)).alias("cv"),
             )
             scored = cands.join(exact_c, "neighbor_id").withColumn(
-                "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=_dim)
+                "cos_sim", cosine(F.col("qv"), F.col("cv"))
             )
     else:
         # norms precomputed ONCE PER SIDE before the join: the naive
@@ -2023,20 +1993,20 @@ def ivf_query_index_join(
             .select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),
-                norm(F.col("v"), dim=_dim).alias("__vn"),
+                norm(F.col("v")).alias("__vn"),
                 "cell",
                 "__salt",
             )
             .join(
                 _replicated(
-                    q.withColumn("__qn", norm(F.col("qv"), dim=_dim)), salt
+                    q.withColumn("__qn", norm(F.col("qv"))), salt
                 ),
                 on=["cell", "__salt"],
             )
             .where(F.col("neighbor_id") != F.col("query_id"))
             .withColumn(
                 "cos_sim",
-                dot(F.col("qv"), F.col("cv"), dim=_dim)
+                dot(F.col("qv"), F.col("cv"))
                 / (F.col("__qn") * F.col("__vn")),
             )
         )
@@ -2166,7 +2136,7 @@ def ivfpq_query_index_join(
         ranked.select("query_id", "neighbor_id", "qv")
         .join(c, "neighbor_id")
         .withColumn(
-            "cos_sim", cosine(F.col("qv"), F.col("cv"), dim=int(m * d_sub))
+            "cos_sim", cosine(F.col("qv"), F.col("cv"))
         )
     )
     w2 = W.partitionBy("query_id").orderBy(
