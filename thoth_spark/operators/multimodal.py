@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from thoth_spark.operators.partitioning import spread_narrow
+
 #: metadata schema attached by decode
 MEDIA_META_SCHEMA = (
     "media_md5 string, media_bytes bigint, width int, height int,"
@@ -63,7 +65,7 @@ def decode(
             meta.index = pdf.index
             yield pd.concat([pdf, meta], axis=1)
 
-    return df.mapInPandas(run, schema=out_schema)
+    return spread_narrow(df).mapInPandas(run, schema=out_schema)
 
 
 def stub_decoder(blobs: pd.Series) -> pd.DataFrame:
@@ -296,7 +298,7 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id", media_col: str = "content")
             out[media_col] = blobs
             yield out
 
-    return df.mapInPandas(synth, schema=out_schema)
+    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
 
 
 def synth_ppm(df: DataFrame, id_col: str = "doc_id", media_col: str = "content") -> DataFrame:
@@ -325,7 +327,7 @@ def synth_ppm(df: DataFrame, id_col: str = "doc_id", media_col: str = "content")
             out[media_col] = blobs
             yield out
 
-    return df.mapInPandas(synth, schema=out_schema)
+    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
 
 
 def frame_sample_stub(
@@ -351,7 +353,7 @@ def frame_sample_stub(
                     rows.append(r)
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(sample, schema=out_schema)
+    return spread_narrow(df).mapInPandas(sample, schema=out_schema)
 
 # ---------------------------------------------------------------------------
 # Perceptual image hashing + near-duplicate pairs (LAION-style image dedup)
@@ -556,7 +558,7 @@ def synth_ppm_textured(
             out[media_col] = blobs
             yield out
 
-    return df.mapInPandas(synth, schema=out_schema)
+    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
 
 # ---------------------------------------------------------------------------
 # Audio fingerprinting + near-duplicate pairs (energy-envelope signature)
@@ -698,7 +700,7 @@ def synth_wav_textured(
             out[media_col] = blobs
             yield out
 
-    return df.mapInPandas(synth, schema=out_schema)
+    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
 
 # ---------------------------------------------------------------------------
 # Video near-duplicate pairs (per-frame perceptual hashes, inverted index)
@@ -766,7 +768,7 @@ def synth_video_frames(
             out[media_col] = blobs
             yield out
 
-    return df.mapInPandas(synth, schema=out_schema)
+    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
 
 
 def video_near_dup_pairs(

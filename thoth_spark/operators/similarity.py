@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
+from thoth_spark.operators.partitioning import spread_narrow
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two double arrays — the aggregate-HOF fold.
@@ -290,7 +292,12 @@ def hyperplane_lsh_topk(
         dim = len(corpus.select(vec_col).limit(1).collect()[0][0])
 
     def _bucketed(df, idc, vc, probe: bool):
-        base = df.select(F.col(idc), _as_double(F.col(vec_col)).alias(vc))
+        # the signature pass (n_tables aggregate-HOF dots per row) is
+        # the side's per-row cost; spread a narrow scan first so the
+        # checkpoint materializes at cluster parallelism (no-op at scale)
+        base = spread_narrow(
+            df.select(F.col(idc), _as_double(F.col(vec_col)).alias(vc)), idc
+        )
         # ONE signature column per table behind the checkpoint, probe
         # buckets derived from the materialized column: inlining the
         # XOR-flip probes into the same projection used to duplicate
@@ -430,8 +437,14 @@ def ivf_topk(
     def _nearest_udf(n: int):
         return nearest_cells_udf(cent_mat, n)
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    # the corpus side streams through the broadcast join and the per-pair
+    # scoring at ITS OWN parallelism — spread a narrow scan first
+    # (no-op at scale)
+    c = spread_narrow(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        "neighbor_id",
     ).withColumn("cell", _nearest_udf(1)(F.col("cv"))[0])
 
     q = (
@@ -490,11 +503,25 @@ def build_ivf_index(
         if centroids is not None
         else coarse_centroids(corpus, vec_col, n_centroids, seed, max_train)
     )
-    assigned = corpus.select(
+    sel = corpus.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
-    ).withColumn("cell", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
+    )
+    # a narrow input (one local parquet split) would otherwise run the
+    # assignment UDF AND the whole partitionBy write on one task; spread
+    # the assignment, then re-key by cell so the layout keeps exactly
+    # one writer (and so one file) per cell. Both exchanges vanish at
+    # scale (spread_narrow no-ops past cluster parallelism, and the
+    # cell re-key is gated on the same probe).
+    narrow = sel.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    if narrow:
+        sel = sel.repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    assigned = sel.withColumn("cell", nearest_cells_udf(cent_mat, 1)(F.col("v"))[0])
     if quantize:
         assigned = _sq8_cells(assigned)
+    if narrow:
+        assigned = assigned.repartition(
+            spark.sparkContext.defaultParallelism, F.col("cell")
+        )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(cent_mat)],
@@ -675,8 +702,9 @@ def embedding_near_dup_pairs(
     # lazy checkpoint: materializes the aggregate-HOF signature ONCE for
     # both join legs (previously each leg re-evaluated it, and the probe
     # leg's explode re-evaluated it per flip via projection collapse)
-    base = df.select(
-        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    base = spread_narrow(
+        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")),
+        "id",
     ).withColumns(
         # norm stored per ROW (rides the checkpoint) so the verify stage
         # pays one dot per candidate pair, not dot + two sqrt(Σx²);
@@ -799,7 +827,13 @@ def semdedup(
             yield pd.DataFrame({"cluster": c32, "centroid_sim": num / den})
 
     base = (
-        df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"))
+        # the assignment pass + fingerprint are the corpus-wide per-row
+        # cost; raise a narrow scan to cluster parallelism before them
+        # (no-op at scale — see partitioning.spread_narrow)
+        spread_narrow(
+            df.select(F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")),
+            "id",
+        )
         .withColumn("__as", _assign_and_sim(F.col("v")))
         .withColumn("cluster", F.col("__as.cluster"))
         .withColumn("centroid_sim", F.col("__as.centroid_sim"))
@@ -823,9 +857,32 @@ def semdedup(
         rep.select(F.col("__rep").alias("id")), "id", "left_semi"
     )
     reps_n = reps_only.withColumn("__vn", norm(F.col("v")))
-    a, b = reps_n.alias("a"), reps_n.alias("b")
+    # The self-join's reduce side is keyed by ``cluster`` alone, so its
+    # parallelism is capped at n_clusters no matter how many shuffle
+    # partitions exist — with fewer clusters than cores (the fixed-
+    # quantizer twin, or any small corpus) the quadratic verify stage
+    # runs on a handful of tasks. Salt one side k ways (k =
+    # ceil(parallelism / n_clusters)), replicate the other, join on
+    # (cluster, salt): every (a, b) pair still meets in EXACTLY one
+    # partition (at a's salt), so the pair set — and every downstream
+    # result — is unchanged, while the verify spreads across the
+    # cluster. At scale n_clusters >> cores -> k == 1 -> the original
+    # single-key join with zero replication (guide §2.5 hot-key salting).
+    _par = reps_n.sparkSession.sparkContext.defaultParallelism
+    k_salt = max(1, -(-_par // max(1, int(cent_mat.shape[0]))))
+    if k_salt > 1:
+        a = reps_n.withColumn(
+            "__ps", F.pmod(F.xxhash64(F.col("id")), F.lit(k_salt))
+        ).alias("a")
+        b = reps_n.withColumn(
+            "__ps", F.explode(F.array(*[F.lit(i) for i in range(k_salt)]))
+        ).alias("b")
+        join_keys = ["cluster", "__ps"]
+    else:
+        a, b = reps_n.alias("a"), reps_n.alias("b")
+        join_keys = ["cluster"]
     rep_pairs = (
-        a.join(b, "cluster")
+        a.join(b, join_keys)
         .where(F.col("a.id") < F.col("b.id"))
         .where(
             # per-side norms hoisted below the self-join: one dot per
@@ -1044,16 +1101,22 @@ def embedding_cross_neardup(
     if dim is None:
         dim = len(left.select(vec_col).limit(1).collect()[0][0])
     planes = _hyperplanes(dim, nbits)
-    l = left.select(
-        F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("lv")
+    l = spread_narrow(
+        left.select(
+            F.col(id_col).alias("left_id"), _as_double(F.col(vec_col)).alias("lv")
+        ),
+        "left_id",
     ).withColumns(
         {
             "sig": hyperplane_signature(F.col("lv"), planes),
             "ln": norm(F.col("lv")),
         }
     ).localCheckpoint(eager=False)
-    r = right.select(
-        F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("rv")
+    r = spread_narrow(
+        right.select(
+            F.col(id_col).alias("right_id"), _as_double(F.col(vec_col)).alias("rv")
+        ),
+        "right_id",
     ).withColumns(
         {
             "bucket": hyperplane_signature(F.col("rv"), planes),
@@ -1652,9 +1715,16 @@ def build_ivfpq_index(
         corpus, cent, m_subspaces, n_codes, seed, max_train, vec_col,
         residual, codebooks,
     )
-    _ivfpq_encode(corpus, cent, cb, residual, id_col, vec_col).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/cells")
+    # spread a narrow input before the encode UDF, then re-key by cell
+    # so the layout keeps one writer/file per cell — same local-only
+    # treatment as build_ivf_index (both exchanges vanish at scale)
+    enc_in = spread_narrow(corpus, id_col)
+    encoded = _ivfpq_encode(enc_in, cent, cb, residual, id_col, vec_col)
+    if enc_in is not corpus:
+        encoded = encoded.repartition(
+            spark.sparkContext.defaultParallelism, F.col("cell")
+        )
+    encoded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(cent)],
         "cid int, vector array<double>",
