@@ -3525,6 +3525,42 @@ def test_ivf_index_join_serve_matches_collect_path(spark, tmp_path):
                 assert gr == wr and len(gr) == 15, (quantize, nprobe, rc is None)
 
 
+def test_ivf_join_serve_vectorized_parity(spark, tmp_path):
+    """The cogrouped vectorized scorer (prune_cells=False float path,
+    the knn_graph workload) must return EXACTLY the pair-join path's
+    rows: sequential-dim accumulation reproduces the JVM fold's IEEE
+    addition order bit-for-bit, and the per-group top-k cut uses the
+    same (cos desc, neighbor asc) total order as the global window —
+    including exact-duplicate vectors (cosine ties) and the self-pair
+    exclusion."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from thoth_spark.operators import similarity
+    from thoth_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # plant exact duplicates so cosine ties cross the per-group cut
+    dups = emb.limit(7).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dups)
+    cents = similarity.coarse_centroids(emb, "embedding", 8, seed=11)
+    path = str(tmp_path / "ivf_vec")
+    similarity.build_ivf_index(corpus, path, centroids=cents)
+    for nprobe, k in ((2, 3), (8, 3), (8, 1)):
+        fast = similarity.ivf_query_index_join(
+            spark, path, corpus, k=k, nprobe=nprobe, prune_cells=False
+        )
+        ref = similarity.ivf_query_index_join(
+            spark, path, corpus, k=k, nprobe=nprobe, prune_cells=True
+        )
+        fr = sorted(map(tuple, fast.collect()))
+        rr = sorted(map(tuple, ref.collect()))
+        assert fr == rr, (nprobe, k)
+
+
 def test_ivfpq_index_join_serve_matches_collect_path(spark, tmp_path):
     """The IVF-PQ join serve (probe rule, ADC association, and rerank
     contract shared with the collect path) must match it row-for-row on

@@ -1924,6 +1924,128 @@ def ivfpq_query_index(
 # ---------------------------------------------------------------------------
 
 
+#: rows of the query matrix scored per accumulator block inside the
+#: cogrouped scorer — bounds the (rows × |cell slice|) float64 scratch
+#: at ~4096 × cell-slice doubles regardless of how many queries probe a
+#: cell.
+_COGROUP_Q_BLOCK = 4096
+
+
+def _cogroup_topk_scores(
+    cells_s: DataFrame, qq: DataFrame, k: int, id_type: str
+) -> DataFrame:
+    """Per-(cell, salt) vectorized cosine scoring with an exact
+    per-group top-``k`` cut — the corpus-vs-corpus fast path of
+    :func:`ivf_query_index_join`.
+
+    The pair-join form evaluates the aggregate-HOF ``dot`` fold
+    INTERPRETED per element per candidate pair (guide §4.1); for a
+    corpus-as-queries fullprobe serve that is |corpus|²-ish folds and
+    was the single largest stage of the r16 profile (56 s of task time
+    at sf0.1). Here both sides shuffle ONCE by (cell, __salt) — the
+    same keys, and the same bytes, the salted equi-join already moved —
+    and each group is scored as 64 vectorized numpy passes.
+
+    Exactness (the driver hash-gates these queries):
+
+    - dots and norms accumulate SEQUENTIALLY ACROSS DIMENSIONS
+      (``acc += Q[:,i] * C[:,i]``-style outer products from a zero
+      accumulator), which reproduces the JVM fold's left-associated
+      IEEE addition order bit-for-bit — NOT a BLAS matmul, whose
+      blocked summation differs in the last ulp;
+    - the per-group cut keeps the top ``k`` by the SAME total order the
+      downstream window uses (cos_sim desc, neighbor_id asc — total
+      because ids are unique), so the global window over the union of
+      group winners returns exactly the join path's rows (two-level
+      top-k), pinned by ``test_ivf_join_serve_vectorized_parity``;
+    - any group containing a non-finite cosine (zero-norm vector)
+      emits ALL its pairs instead of cutting, because numpy's NaN
+      ordering differs from the JVM window's NaN-first rule — the
+      downstream window then applies the JVM ordering to the full
+      group exactly as the join path would.
+
+    Scale shape: one task per (cell, salt) group; group payload is the
+    cell slice plus every query probing the cell (the quadratic stage
+    IVF exists to bound — ``n_centroids`` must grow with the corpus,
+    the same contract the join path has). The accumulator is blocked at
+    ``_COGROUP_Q_BLOCK`` query rows so scratch memory stays flat.
+    """
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cos_sim double"
+    _id_np = np.int64 if id_type in ("bigint", "int", "long", "smallint") else object
+    empty = pd.DataFrame(
+        {
+            "query_id": np.array([], dtype=_id_np),
+            "neighbor_id": np.array([], dtype=_id_np),
+            "cos_sim": np.array([], dtype=np.float64),
+        }
+    )
+
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return empty
+        # column order = neighbor_id ascending, so a STABLE argsort on
+        # -cos alone realizes the (cos desc, neighbor asc) total order
+        cpdf = cpdf.sort_values("neighbor_id", kind="stable")
+        Q = np.stack(qpdf["qv"].to_numpy()).astype(np.float64, copy=False)
+        C = np.stack(cpdf["cv"].to_numpy()).astype(np.float64, copy=False)
+        qids = qpdf["query_id"].to_numpy()
+        nids = cpdf["neighbor_id"].to_numpy()
+        dim = Q.shape[1]
+        qn = np.zeros(len(Q))
+        vn = np.zeros(len(C))
+        for i in range(dim):
+            qn += Q[:, i] * Q[:, i]
+            vn += C[:, i] * C[:, i]
+        qn = np.sqrt(qn)
+        vn = np.sqrt(vn)
+        out_q, out_n, out_c = [], [], []
+        for s in range(0, len(Q), _COGROUP_Q_BLOCK):
+            Qb = Q[s : s + _COGROUP_Q_BLOCK]
+            qb_ids = qids[s : s + _COGROUP_Q_BLOCK]
+            qb_n = qn[s : s + _COGROUP_Q_BLOCK]
+            acc = np.zeros((len(Qb), len(C)))
+            for i in range(dim):
+                acc += np.outer(Qb[:, i], C[:, i])
+            cos = acc / (qb_n[:, None] * vn[None, :])
+            self_mask = qb_ids[:, None] == nids[None, :]
+            if not np.isfinite(cos).all():
+                keep = ~self_mask
+                r, c = np.where(keep)
+                out_q.append(qb_ids[r])
+                out_n.append(nids[c])
+                out_c.append(cos[keep])
+                continue
+            cos_m = np.where(self_mask, -np.inf, cos)
+            order = np.argsort(-cos_m, axis=1, kind="stable")
+            kk = min(k + 1, order.shape[1])  # +1 absorbs the self slot
+            top = order[:, :kk]
+            rows = np.repeat(np.arange(len(Qb)), kk)
+            cols = top.reshape(-1)
+            vals = cos_m[rows, cols]
+            keep = np.isfinite(vals)
+            # trim past rank k among KEPT candidates per row (the +1
+            # slot only exists to absorb the self pair's -inf; when all
+            # k+1 are real candidates the last one must go)
+            kept_rank = np.cumsum(keep.reshape(len(Qb), kk), axis=1).reshape(-1)
+            keep &= kept_rank <= k
+            out_q.append(qb_ids[rows[keep]])
+            out_n.append(nids[cols[keep]])
+            out_c.append(vals[keep])
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q) if out_q else [],
+                "neighbor_id": np.concatenate(out_n) if out_n else [],
+                "cos_sim": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    return (
+        qq.groupBy("cell", "__salt")
+        .cogroup(cells_s.groupBy("cell", "__salt"))
+        .applyInPandas(score, schema=out_schema)
+    )
+
+
 def _salted(df: DataFrame, key_col: str, salt: int) -> DataFrame:
     """Corpus side of a de-skewed cell join: a deterministic salt from
     the row id. A cell equi-join has only ``n_centroids`` distinct keys
@@ -2003,7 +2125,10 @@ def ivf_query_index_join(
     # (deterministic, no sort-before-repartition) — placement does not
     # affect results, the top-k window re-keys by query later.
     target = spark.sparkContext.defaultParallelism
-    if 0 < len(cells.inputFiles()) < target:
+    _cogrouped = not prune_cells and "qvec" not in cells.columns
+    if not _cogrouped and 0 < len(cells.inputFiles()) < target:
+        # (the cogrouped path re-shuffles by (cell, salt) anyway — an
+        # extra spread exchange would be pure waste there)
         cells = cells.repartition(target, F.col("vec_id"))
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -2051,13 +2176,35 @@ def ivf_query_index_join(
             scored = cands.join(exact_c, "neighbor_id").withColumn(
                 "cos_sim", cosine(F.col("qv"), F.col("cv"))
             )
+    elif not prune_cells:
+        # corpus-vs-corpus serve (knn_graph: every cell probed, the
+        # query side is corpus-sized) — score per (cell, salt) GROUP
+        # with the vectorized cogrouped scorer instead of per PAIR with
+        # the interpreted fold. Same shuffle keys and bytes as the
+        # salted equi-join; bit-identical values and rows (sequential-
+        # dim accumulation + same-total-order per-group cut — see
+        # _cogroup_topk_scores). The 56 s of fold task-time this stage
+        # cost at sf0.1 drops to 64 numpy passes.
+        scored = _cogroup_topk_scores(
+            _salted(cells, "vec_id", salt).select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                "cell",
+                "__salt",
+            ),
+            _replicated(q, salt),
+            k,
+            _col_type(queries, id_col),
+        )
     else:
         # norms precomputed ONCE PER SIDE before the join: the naive
         # cosine(qv, cv) re-evaluates sqrt(Σx²) for BOTH vectors on
-        # every candidate PAIR — for a corpus-as-queries serve (the
-        # knn_graph workload) that triples the per-pair array work.
-        # dot/(qn·vn) is bit-identical arithmetic (same sqrt, same
-        # multiply), just hoisted above the join.
+        # every candidate PAIR — for a probe-batch serve the broadcast
+        # equi-join keeps the index scan shuffle-free, which the
+        # cogrouped scorer above cannot (its groupBy must move the
+        # probed cells), so the JVM pair path stays the small-query
+        # default. dot/(qn·vn) is bit-identical arithmetic (same sqrt,
+        # same multiply), just hoisted above the join.
         scored = (
             _salted(cells, "vec_id", salt)
             .select(
