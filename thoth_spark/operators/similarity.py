@@ -856,42 +856,37 @@ def semdedup(
     reps_only = base.join(
         rep.select(F.col("__rep").alias("id")), "id", "left_semi"
     )
-    reps_n = reps_only.withColumn("__vn", norm(F.col("v")))
-    # The self-join's reduce side is keyed by ``cluster`` alone, so its
+    # The quadratic within-cluster verify, as a cogrouped vectorized
+    # pass (bit-identical pair set — see _cogroup_threshold_pairs; the
+    # per-pair form evaluated the dot fold interpreted per element).
+    # The verify's reduce side is keyed by ``cluster`` alone, so its
     # parallelism is capped at n_clusters no matter how many shuffle
     # partitions exist — with fewer clusters than cores (the fixed-
-    # quantizer twin, or any small corpus) the quadratic verify stage
-    # runs on a handful of tasks. Salt one side k ways (k =
-    # ceil(parallelism / n_clusters)), replicate the other, join on
-    # (cluster, salt): every (a, b) pair still meets in EXACTLY one
-    # partition (at a's salt), so the pair set — and every downstream
-    # result — is unchanged, while the verify spreads across the
-    # cluster. At scale n_clusters >> cores -> k == 1 -> the original
-    # single-key join with zero replication (guide §2.5 hot-key salting).
-    _par = reps_n.sparkSession.sparkContext.defaultParallelism
+    # quantizer twin, or any small corpus) it would run on a handful of
+    # tasks. Salt one side k ways (k = ceil(parallelism / n_clusters)),
+    # replicate the other, group on (cluster, salt): every (a, b) pair
+    # still meets in EXACTLY one group (at a's salt), so the pair set —
+    # and every downstream result — is unchanged, while the verify
+    # spreads across the cluster. At scale n_clusters >> cores ->
+    # k == 1 -> plain per-cluster groups with zero replication (guide
+    # §2.5 hot-key salting).
+    _par = reps_only.sparkSession.sparkContext.defaultParallelism
     k_salt = max(1, -(-_par // max(1, int(cent_mat.shape[0]))))
+    rp_in = reps_only.select("id", "v", "cluster")
     if k_salt > 1:
-        a = reps_n.withColumn(
-            "__ps", F.pmod(F.xxhash64(F.col("id")), F.lit(k_salt))
-        ).alias("a")
-        b = reps_n.withColumn(
-            "__ps", F.explode(F.array(*[F.lit(i) for i in range(k_salt)]))
-        ).alias("b")
-        join_keys = ["cluster", "__ps"]
-    else:
-        a, b = reps_n.alias("a"), reps_n.alias("b")
-        join_keys = ["cluster"]
-    rep_pairs = (
-        a.join(b, join_keys)
-        .where(F.col("a.id") < F.col("b.id"))
-        .where(
-            # per-side norms hoisted below the self-join: one dot per
-            # within-cluster pair instead of dot + two norms
-            dot(F.col("a.v"), F.col("b.v"))
-            / (F.col("a.__vn") * F.col("b.__vn"))
-            >= threshold
+        a = rp_in.withColumn(
+            "__ps", F.pmod(F.xxhash64(F.col("id")), F.lit(k_salt)).cast("int")
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        b = rp_in.withColumn(
+            "__ps",
+            F.explode(F.array(*[F.lit(i).cast("int") for i in range(k_salt)])),
+        )
+        rp_keys = ["cluster", "__ps"]
+    else:
+        a = b = rp_in
+        rp_keys = ["cluster"]
+    rep_pairs = _cogroup_threshold_pairs(
+        a, b, rp_keys, threshold, _col_type(df, id_col)
     )
     if stats is not None:
         stats["n_rows"] = base.count()
@@ -2043,6 +2038,83 @@ def _cogroup_topk_scores(
         qq.groupBy("cell", "__salt")
         .cogroup(cells_s.groupBy("cell", "__salt"))
         .applyInPandas(score, schema=out_schema)
+    )
+
+
+def _cogroup_threshold_pairs(
+    a_side: DataFrame,
+    b_side: DataFrame,
+    keys: list,
+    threshold: float,
+    id_type: str,
+) -> DataFrame:
+    """Within-group pair verification ``(id_a < id_b, cos >= threshold)``
+    as a cogrouped vectorized pass — semdedup's quadratic stage without
+    the per-pair interpreted fold.
+
+    Both sides arrive keyed the same way the salted self-join was
+    (``keys`` = [cluster] or [cluster, __ps]); each group is scored with
+    sequential-dim accumulation (bit-identical to the JVM fold — see
+    :func:`_cogroup_topk_scores`) and the filter mirrors Spark's NaN
+    semantics exactly: ``NaN >= t`` is TRUE in Spark's total order, so
+    NaN cosines (zero-norm vectors) pass here too. Expects columns
+    ``(id, v)`` on both sides plus the key columns; emits
+    ``(id_a, id_b)``."""
+    out_schema = f"id_a {id_type}, id_b {id_type}"
+    _id_np = np.int64 if id_type in ("bigint", "int", "long", "smallint") else object
+    empty = pd.DataFrame(
+        {"id_a": np.array([], dtype=_id_np), "id_b": np.array([], dtype=_id_np)}
+    )
+
+    # a self-cogroup (semdedup feeds the SAME frame to both sides) hits
+    # Spark's ambiguous-self-join analysis; re-aliasing every b-side
+    # column mints fresh attribute ids, and the cogroup matches groups
+    # by key VALUE positionally, so renamed keys pair up fine
+    b_keys = [f"__bk{i}" for i in range(len(keys))]
+    b_side = b_side.select(
+        *[F.col(k).alias(bk) for k, bk in zip(keys, b_keys)],
+        F.col("id").alias("__bid"),
+        F.col("v").alias("__bv"),
+    )
+
+    def verify(apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(apdf) == 0 or len(bpdf) == 0:
+            return empty
+        A = np.stack(apdf["v"].to_numpy()).astype(np.float64, copy=False)
+        B = np.stack(bpdf["__bv"].to_numpy()).astype(np.float64, copy=False)
+        a_ids = apdf["id"].to_numpy()
+        b_ids = bpdf["__bid"].to_numpy()
+        dim = A.shape[1]
+        an = np.zeros(len(A))
+        bn = np.zeros(len(B))
+        for i in range(dim):
+            an += A[:, i] * A[:, i]
+            bn += B[:, i] * B[:, i]
+        an = np.sqrt(an)
+        bn = np.sqrt(bn)
+        out_a, out_b = [], []
+        for s in range(0, len(A), _COGROUP_Q_BLOCK):
+            Ab = A[s : s + _COGROUP_Q_BLOCK]
+            ab_ids = a_ids[s : s + _COGROUP_Q_BLOCK]
+            ab_n = an[s : s + _COGROUP_Q_BLOCK]
+            acc = np.zeros((len(Ab), len(B)))
+            for i in range(dim):
+                acc += np.outer(Ab[:, i], B[:, i])
+            cos = acc / (ab_n[:, None] * bn[None, :])
+            keep = (ab_ids[:, None] < b_ids[None, :]) & (
+                (cos >= threshold) | np.isnan(cos)
+            )
+            r, c = np.where(keep)
+            out_a.append(ab_ids[r])
+            out_b.append(b_ids[c])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    return (
+        a_side.groupBy(*keys)
+        .cogroup(b_side.groupBy(*b_keys))
+        .applyInPandas(verify, schema=out_schema)
     )
 
 
