@@ -553,19 +553,26 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("h_hi"),
         F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("h_lo"),
     )
+    # sum the BIT directly instead of a ±1 vote: vote = Σ(2·bit − 1)
+    # = 2·Σbit − n, and vote > 0 ⟺ 2·Σbit > n — exact integer
+    # arithmetic, identical fingerprints, but each of the 64 aggregate
+    # expressions drops its when/otherwise branch (one shift+mask+sum
+    # per bit) and the token count is shared across all 64 bits.
     sums = [
-        F.sum(
-            F.when(F.shiftright(F.col(half), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"{half}_b{i}")
+        F.sum(F.shiftright(F.col(half), i).bitwiseAND(F.lit(1))).alias(f"{half}_b{i}")
         for half in ("h_hi", "h_lo")
         for i in range(32)
     ]
-    agged = exploded.groupBy("id").agg(*sums)
+    agged = exploded.groupBy("id").agg(F.count(F.lit(1)).alias("__n"), *sums)
     hi = None
     lo = None
     for i in range(32):
-        hi_bit = F.when(F.col(f"h_hi_b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
-        lo_bit = F.when(F.col(f"h_lo_b{i}") > 0, F.lit(2**i)).otherwise(F.lit(0))
+        hi_bit = F.when(
+            F.col(f"h_hi_b{i}") * 2 > F.col("__n"), F.lit(2**i)
+        ).otherwise(F.lit(0))
+        lo_bit = F.when(
+            F.col(f"h_lo_b{i}") * 2 > F.col("__n"), F.lit(2**i)
+        ).otherwise(F.lit(0))
         hi = hi_bit if hi is None else hi + hi_bit
         lo = lo_bit if lo is None else lo + lo_bit
     return agged.select("id", hi.cast("long").alias("sim_hi"), lo.cast("long").alias("sim_lo"))
