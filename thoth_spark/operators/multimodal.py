@@ -34,6 +34,18 @@ MEDIA_META_SCHEMA = (
 )
 
 
+def _spread(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """spread_narrow keyed on the row id when the frame has one (r16
+    advice: the keyless form pays a local sort-before-repartition over
+    full rows carrying media blobs; hashing on the id makes the narrow
+    -path exchange a cheap deterministic hash partition). Falls back to
+    ``doc_id`` (every multimodal fixture's id), then keyless."""
+    key = id_col if id_col and id_col in df.columns else (
+        "doc_id" if "doc_id" in df.columns else None
+    )
+    return spread_narrow(df, key) if key else spread_narrow(df)
+
+
 def attach_binary(df: DataFrame, source_col: str, media_col: str = "content") -> DataFrame:
     """Treat a column's bytes as the opaque media payload (demo plumbing:
     real pipelines read binary files via ``spark.read.format('binaryFile')``
@@ -65,7 +77,7 @@ def decode(
             meta.index = pdf.index
             yield pd.concat([pdf, meta], axis=1)
 
-    return spread_narrow(df).mapInPandas(run, schema=out_schema)
+    return _spread(df).mapInPandas(run, schema=out_schema)
 
 
 def stub_decoder(blobs: pd.Series) -> pd.DataFrame:
@@ -298,7 +310,7 @@ def synth_wav(df: DataFrame, id_col: str = "doc_id", media_col: str = "content")
             out[media_col] = blobs
             yield out
 
-    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
+    return _spread(df, id_col).mapInPandas(synth, schema=out_schema)
 
 
 def synth_ppm(df: DataFrame, id_col: str = "doc_id", media_col: str = "content") -> DataFrame:
@@ -327,7 +339,7 @@ def synth_ppm(df: DataFrame, id_col: str = "doc_id", media_col: str = "content")
             out[media_col] = blobs
             yield out
 
-    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
+    return _spread(df, id_col).mapInPandas(synth, schema=out_schema)
 
 
 def frame_sample_stub(
@@ -353,7 +365,7 @@ def frame_sample_stub(
                     rows.append(r)
             yield pd.DataFrame(rows)
 
-    return spread_narrow(df).mapInPandas(sample, schema=out_schema)
+    return _spread(df).mapInPandas(sample, schema=out_schema)
 
 # ---------------------------------------------------------------------------
 # Perceptual image hashing + near-duplicate pairs (LAION-style image dedup)
@@ -558,7 +570,7 @@ def synth_ppm_textured(
             out[media_col] = blobs
             yield out
 
-    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
+    return _spread(df, id_col).mapInPandas(synth, schema=out_schema)
 
 # ---------------------------------------------------------------------------
 # Audio fingerprinting + near-duplicate pairs (energy-envelope signature)
@@ -700,7 +712,7 @@ def synth_wav_textured(
             out[media_col] = blobs
             yield out
 
-    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
+    return _spread(df, id_col).mapInPandas(synth, schema=out_schema)
 
 # ---------------------------------------------------------------------------
 # Video near-duplicate pairs (per-frame perceptual hashes, inverted index)
@@ -768,7 +780,7 @@ def synth_video_frames(
             out[media_col] = blobs
             yield out
 
-    return spread_narrow(df).mapInPandas(synth, schema=out_schema)
+    return _spread(df, id_col).mapInPandas(synth, schema=out_schema)
 
 
 def video_near_dup_pairs(

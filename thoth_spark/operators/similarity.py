@@ -1924,6 +1924,11 @@ def ivfpq_query_index(
 #: at ~4096 × cell-slice doubles regardless of how many queries probe a
 #: cell.
 _COGROUP_Q_BLOCK = 4096
+#: candidate-axis block of the cogrouped scorers (r16 advice: an
+#: unbounded candidate dimension made the scratch matrix group-sized —
+#: ~3 GB for a 100k-row cell slice — where the pair join it replaced
+#: streamed; 4096×16384 float64 is a flat 512 MB ceiling per task).
+_COGROUP_C_BLOCK = 16384
 
 
 def _cogroup_topk_scores(
@@ -1993,35 +1998,71 @@ def _cogroup_topk_scores(
             vn += C[:, i] * C[:, i]
         qn = np.sqrt(qn)
         vn = np.sqrt(vn)
+        def cos_chunk(Qb: np.ndarray, qb_n: np.ndarray, c0: int, c1: int):
+            # chunked cos values are BIT-IDENTICAL to the unchunked
+            # matrix's slices: each element accumulates the same scalar
+            # products over the same dim order and divides by the same
+            # per-element norm product
+            acc = np.zeros((len(Qb), c1 - c0))
+            for i in range(dim):
+                acc += np.outer(Qb[:, i], C[c0:c1, i])
+            return acc / (qb_n[:, None] * vn[None, c0:c1])
+
         out_q, out_n, out_c = [], [], []
         for s in range(0, len(Q), _COGROUP_Q_BLOCK):
             Qb = Q[s : s + _COGROUP_Q_BLOCK]
             qb_ids = qids[s : s + _COGROUP_Q_BLOCK]
             qb_n = qn[s : s + _COGROUP_Q_BLOCK]
-            acc = np.zeros((len(Qb), len(C)))
-            for i in range(dim):
-                acc += np.outer(Qb[:, i], C[:, i])
-            cos = acc / (qb_n[:, None] * vn[None, :])
-            self_mask = qb_ids[:, None] == nids[None, :]
-            if not np.isfinite(cos).all():
-                keep = ~self_mask
-                r, c = np.where(keep)
-                out_q.append(qb_ids[r])
-                out_n.append(nids[c])
-                out_c.append(cos[keep])
+            n_q = len(Qb)
+            kk = min(k + 1, len(C))  # +1 absorbs the self slot
+            # candidate axis blocked too (r16 advice): score C in
+            # chunks and merge per-row top-kk across chunks — stable
+            # argsort on the concat keeps the (cos desc, neighbor asc)
+            # total order because earlier chunks (lower neighbor ids,
+            # C is sorted by id) precede later ones in the concat
+            m_vals = np.zeros((n_q, 0))
+            m_cols = np.zeros((n_q, 0), dtype=np.int64)
+            nonfinite = False
+            for c0 in range(0, len(C), _COGROUP_C_BLOCK):
+                c1 = min(c0 + _COGROUP_C_BLOCK, len(C))
+                cos = cos_chunk(Qb, qb_n, c0, c1)
+                if not np.isfinite(cos).all():
+                    nonfinite = True
+                    break
+                cos_m = np.where(
+                    qb_ids[:, None] == nids[None, c0:c1], -np.inf, cos
+                )
+                t = min(kk, c1 - c0)
+                order = np.argsort(-cos_m, axis=1, kind="stable")[:, :t]
+                cat_v = np.concatenate(
+                    [m_vals, np.take_along_axis(cos_m, order, axis=1)], axis=1
+                )
+                cat_c = np.concatenate([m_cols, order + c0], axis=1)
+                sel = np.argsort(-cat_v, axis=1, kind="stable")[:, :kk]
+                m_vals = np.take_along_axis(cat_v, sel, axis=1)
+                m_cols = np.take_along_axis(cat_c, sel, axis=1)
+            if nonfinite:
+                # degenerate group (zero-norm / non-finite vector):
+                # emit ALL pairs, re-scoring chunk by chunk (rare path —
+                # the downstream window applies the JVM NaN-first rule)
+                for c0 in range(0, len(C), _COGROUP_C_BLOCK):
+                    c1 = min(c0 + _COGROUP_C_BLOCK, len(C))
+                    cos = cos_chunk(Qb, qb_n, c0, c1)
+                    keep = qb_ids[:, None] != nids[None, c0:c1]
+                    r, c = np.where(keep)
+                    out_q.append(qb_ids[r])
+                    out_n.append(nids[c0:c1][c])
+                    out_c.append(cos[keep])
                 continue
-            cos_m = np.where(self_mask, -np.inf, cos)
-            order = np.argsort(-cos_m, axis=1, kind="stable")
-            kk = min(k + 1, order.shape[1])  # +1 absorbs the self slot
-            top = order[:, :kk]
-            rows = np.repeat(np.arange(len(Qb)), kk)
-            cols = top.reshape(-1)
-            vals = cos_m[rows, cols]
+            width = m_vals.shape[1]
+            rows = np.repeat(np.arange(n_q), width)
+            cols = m_cols.reshape(-1)
+            vals = m_vals.reshape(-1)
             keep = np.isfinite(vals)
             # trim past rank k among KEPT candidates per row (the +1
             # slot only exists to absorb the self pair's -inf; when all
             # k+1 are real candidates the last one must go)
-            kept_rank = np.cumsum(keep.reshape(len(Qb), kk), axis=1).reshape(-1)
+            kept_rank = np.cumsum(keep.reshape(n_q, width), axis=1).reshape(-1)
             keep &= kept_rank <= k
             out_q.append(qb_ids[rows[keep]])
             out_n.append(nids[cols[keep]])
@@ -2097,16 +2138,22 @@ def _cogroup_threshold_pairs(
             Ab = A[s : s + _COGROUP_Q_BLOCK]
             ab_ids = a_ids[s : s + _COGROUP_Q_BLOCK]
             ab_n = an[s : s + _COGROUP_Q_BLOCK]
-            acc = np.zeros((len(Ab), len(B)))
-            for i in range(dim):
-                acc += np.outer(Ab[:, i], B[:, i])
-            cos = acc / (ab_n[:, None] * bn[None, :])
-            keep = (ab_ids[:, None] < b_ids[None, :]) & (
-                (cos >= threshold) | np.isnan(cos)
-            )
-            r, c = np.where(keep)
-            out_a.append(ab_ids[r])
-            out_b.append(b_ids[c])
+            # b axis blocked too (r16 advice — bounded scratch on both
+            # axes); the threshold filter is per-element so chunking
+            # needs no merge step, and chunked cos values are
+            # bit-identical to the unchunked matrix's slices
+            for c0 in range(0, len(B), _COGROUP_C_BLOCK):
+                c1 = min(c0 + _COGROUP_C_BLOCK, len(B))
+                acc = np.zeros((len(Ab), c1 - c0))
+                for i in range(dim):
+                    acc += np.outer(Ab[:, i], B[c0:c1, i])
+                cos = acc / (ab_n[:, None] * bn[None, c0:c1])
+                keep = (ab_ids[:, None] < b_ids[None, c0:c1]) & (
+                    (cos >= threshold) | np.isnan(cos)
+                )
+                r, c = np.where(keep)
+                out_a.append(ab_ids[r])
+                out_b.append(b_ids[c0:c1][c])
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
