@@ -851,7 +851,12 @@ def semdedup(
     exact_pairs = (
         base.join(rep, "__vh")
         .where(F.col("id") != F.col("__rep"))
-        .select(F.col("__rep").alias("id_a"), F.col("id").alias("id_b"))
+        # identical vectors share their (deterministic) cluster, so the
+        # exact-dup edges are cluster-local like the verified ones —
+        # carry the key for components_within
+        .select(
+            "cluster", F.col("__rep").alias("id_a"), F.col("id").alias("id_b")
+        )
     )
     reps_only = base.join(
         rep.select(F.col("__rep").alias("id")), "id", "left_semi"
@@ -2088,6 +2093,7 @@ def _cogroup_threshold_pairs(
     keys: list,
     threshold: float,
     id_type: str,
+    emit_key_type: str | None = None,
 ) -> DataFrame:
     """Within-group pair verification ``(id_a < id_b, cos >= threshold)``
     as a cogrouped vectorized pass — semdedup's quadratic stage without
@@ -2100,12 +2106,18 @@ def _cogroup_threshold_pairs(
     semantics exactly: ``NaN >= t`` is TRUE in Spark's total order, so
     NaN cosines (zero-norm vectors) pass here too. Expects columns
     ``(id, v)`` on both sides plus the key columns; emits
-    ``(id_a, id_b)``."""
+    ``(id_a, id_b)``, prefixed with the FIRST key column when
+    ``emit_key_type`` names its Spark type (so key-partitioned
+    consumers need no re-join to recover the key)."""
     out_schema = f"id_a {id_type}, id_b {id_type}"
+    if emit_key_type is not None:
+        out_schema = f"{keys[0]} {emit_key_type}, " + out_schema
     _id_np = np.int64 if id_type in ("bigint", "int", "long", "smallint") else object
     empty = pd.DataFrame(
         {"id_a": np.array([], dtype=_id_np), "id_b": np.array([], dtype=_id_np)}
     )
+    if emit_key_type is not None:
+        empty.insert(0, keys[0], pd.Series([], dtype="int64"))
 
     # a self-cogroup (semdedup feeds the SAME frame to both sides) hits
     # Spark's ambiguous-self-join analysis; re-aliasing every b-side
@@ -2121,6 +2133,7 @@ def _cogroup_threshold_pairs(
     def verify(apdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
         if len(apdf) == 0 or len(bpdf) == 0:
             return empty
+        key_val = apdf[keys[0]].iloc[0] if emit_key_type is not None else None
         A = np.stack(apdf["v"].to_numpy()).astype(np.float64, copy=False)
         B = np.stack(bpdf["__bv"].to_numpy()).astype(np.float64, copy=False)
         a_ids = apdf["id"].to_numpy()
@@ -2154,9 +2167,15 @@ def _cogroup_threshold_pairs(
                 r, c = np.where(keep)
                 out_a.append(ab_ids[r])
                 out_b.append(b_ids[c0:c1][c])
-        return pd.DataFrame(
+        res = pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         )
+        if emit_key_type is not None:
+            # the group key rides along (constant within a group) so
+            # key-partitioned consumers (components_within) need no
+            # re-join to recover it
+            res.insert(0, keys[0], key_val)
+        return res
 
     return (
         a_side.groupBy(*keys)
